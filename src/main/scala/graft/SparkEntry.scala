@@ -1,13 +1,448 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.TableMeta
+import graft.profiler.ProfilePasses
+import graft.validation.{DefaultValidations, Validator}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from SURVEY.md §2 (or a
+  * north-star extension); `oracleSql` holds the equivalent DuckDB SQL
+  * over the same parquet tables. Column names are aligned on both
+  * sides because the driver's compare sorts columns by name before
+  * hashing. Floating-point aggregates are rounded identically on both
+  * sides (sum→2dp, avg/stddev/percentile→4dp) so cross-engine
+  * summation-order noise cannot flip the hash.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Flagship: full single-pass completeness profile of lineitem.
+    * Driver smoke-checks rows > 0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = t(spark, "/root/testdata/sf0.001", "lineitem")
+    ProfilePasses.completeness(df, df.columns.toSeq)
+  }
+
+  // Default-rule generation needs PK/FK hints (Spark has no catalog
+  // constraints) — these mirror the TPC-H-ish star schema.
+  private val ordersMeta = TableMeta(primaryKey = Seq("o_orderkey"), foreignKeys = Seq("o_custkey"))
+  private val lineitemMeta = TableMeta(foreignKeys = Seq("l_orderkey", "l_partkey", "l_suppkey"))
+
+  private def generatedRuleQuery(s: SparkSession, dir: String, table: String,
+      meta: TableMeta, ruleName: String): DataFrame = {
+    val df = t(s, dir, table)
+    val rules = DefaultValidations.generate(df.schema, table, meta)
+    val rule = rules.find(_.name == ruleName)
+      .getOrElse(throw new IllegalStateException(s"rule $ruleName not generated"))
+    s.sql(rule.query).toDF("violation_count")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- P1: row count -------------------------------------------------
+    "p1_row_count" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(count(lit(1)).as("row_count"))
+    }),
+
+    // ---- P2: per-column null counts (one pass, all columns) ------------
+    "p2_null_counts" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+      ProfilePasses.nullCounts(df, df.columns.toSeq)
+    }),
+
+    // ---- P3: per-column exact distinct counts ---------------------------
+    "p3_distinct_counts" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem")
+      ProfilePasses.distinctCounts(df, df.columns.toSeq, exact = true)
+    }),
+
+    // ---- P4: duplicate full-row group count -----------------------------
+    "p4_duplicate_rows" -> ((s, dir) => {
+      ProfilePasses.duplicateGroupCount(t(s, dir, "lineitem"))
+    }),
+
+    // ---- P5: numeric stats (min/max/avg/sum/stddev/quartiles) ----------
+    "p5_numeric_stats" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem")
+      val stats = ProfilePasses.numericStats(df,
+        Seq("l_quantity", "l_extendedprice", "l_discount"), exactPercentiles = true)
+      // Round cross-engine-noisy aggregates; min/max are exact.
+      stats.select(stats.columns.map { n =>
+        if (n.endsWith("_sum")) round(col(n), 2).as(n)
+        else if (n.endsWith("_avg") || n.endsWith("_stdev") || n.endsWith("_q1")
+          || n.endsWith("_median") || n.endsWith("_q3")) round(col(n), 4).as(n)
+        else col(n)
+      }: _*)
+    }),
+
+    // ---- P6: text length stats ------------------------------------------
+    "p6_text_lengths" -> ((s, dir) => {
+      val df = t(s, dir, "customer")
+      val stats = ProfilePasses.textLengthStats(df, Seq("c_name", "c_mktsegment"))
+      stats.select(stats.columns.map { n =>
+        if (n.endsWith("_avg_length")) round(col(n), 4).as(n) else col(n)
+      }: _*)
+    }),
+
+    // ---- P7: text pattern counts (the reference's 3 regexes) -----------
+    "p7_text_patterns" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      ProfilePasses.textPatterns(df, Seq("text", "lang", "source"))
+    }),
+
+    // ---- P8: date stats --------------------------------------------------
+    "p8_date_stats" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+      ProfilePasses.dateStats(df, Seq("o_orderdate"), exactDistinct = true)
+    }),
+
+    // ---- P9: most-frequent value per column (single job, melt) ---------
+    "p9_frequent_values" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+      val rowCount = df.count()
+      ProfilePasses.frequentValues(df, Seq("o_orderstatus", "o_orderpriority", "o_custkey"), rowCount)
+        .select(col("column").as("col_name"), col("value"), col("frequency"),
+          round(col("percentage"), 2).as("percentage"))
+        .orderBy("col_name")
+    }),
+
+    // ---- P10: 3-sigma outlier counts per numeric column -----------------
+    "p10_outlier_counts" -> ((s, dir) => {
+      val df = t(s, dir, "supplier")
+      // Two-pass exactly like the reference CTE: stats then filtered
+      // count, but stats broadcast as a 1-row cross join (no re-scan
+      // per column, no driver round trip).
+      val stats = df.agg(
+        avg("s_acctbal").as("m"), stddev_samp("s_acctbal").as("sd"))
+      df.crossJoin(broadcast(stats))
+        .agg(count(when(col("s_acctbal") > col("m") + col("sd") * 3 ||
+          col("s_acctbal") < col("m") - col("sd") * 3, lit(1))).as("s_acctbal_outlier_count"))
+    }),
+
+    // ---- P12: completeness summary (nulls + distinct + percentages) ----
+    "p12_completeness" -> ((s, dir) => {
+      val df = t(s, dir, "customer")
+      ProfilePasses.completeness(df, df.columns.toSeq).orderBy("column")
+        .withColumnRenamed("column", "col_name")
+    }),
+
+    // ---- D-family: generated default rules, executed as Spark SQL ------
+    "d1_not_empty" -> ((s, dir) =>
+      generatedRuleQuery(s, dir, "orders", ordersMeta, "check_orders_not_empty")),
+
+    "d2_pk_unique" -> ((s, dir) =>
+      generatedRuleQuery(s, dir, "orders", ordersMeta, "check_orders_pk_unique")),
+
+    "d4_unique" -> ((s, dir) =>
+      generatedRuleQuery(s, dir, "part", TableMeta.empty, "check_p_partkey_unique")),
+
+    "d6_positive" -> ((s, dir) =>
+      generatedRuleQuery(s, dir, "part", TableMeta.empty, "check_p_retailprice_positive")),
+
+    "d7_not_zero" -> ((s, dir) =>
+      generatedRuleQuery(s, dir, "lineitem", lineitemMeta, "check_l_extendedprice_not_zero")),
+
+    "d8_date_sanity" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+      val rules = DefaultValidations.generate(df.schema, "orders", ordersMeta)
+      val notFuture = rules.find(_.name == "check_o_orderdate_not_future").get
+      val past = rules.find(_.name == "check_o_orderdate_reasonable_past").get
+      s.sql(notFuture.query).toDF("not_future_violations")
+        .crossJoin(s.sql(past.query).toDF("reasonable_past_violations"))
+    }),
+
+    "d10_outliers" -> ((s, dir) =>
+      generatedRuleQuery(s, dir, "customer", TableMeta.empty, "check_c_acctbal_outliers")),
+
+    "d12_null_rate" -> ((s, dir) => {
+      val df = t(s, dir, "customer")
+      val rules = DefaultValidations.generate(df.schema, "customer", TableMeta(primaryKey = Seq("c_custkey")))
+      s.sql(rules.find(_.name == "check_c_name_null_rate").get.query).toDF("null_rate_pct")
+    }),
+
+    "d13_distribution" -> ((s, dir) =>
+      generatedRuleQuery(s, dir, "orders", ordersMeta, "check_o_orderstatus_distribution")),
+
+    "d14_ref_distribution" -> ((s, dir) =>
+      generatedRuleQuery(s, dir, "lineitem", lineitemMeta, "check_l_suppkey_ref_distribution")),
+
+    // ---- Validator end-to-end: rules -> scalar -> operator compare -----
+    "validator_run" -> ((s, dir) => {
+      import graft.model.ValidationRule
+      t(s, dir, "orders"); t(s, dir, "lineitem"); t(s, dir, "part")
+      val rules = Seq(
+        ValidationRule("check_orders_not_empty", "", "SELECT COUNT(*) FROM orders", "greater_than", 0),
+        ValidationRule("check_quantity_no_negatives", "", "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 0", "equals", 0),
+        ValidationRule("check_avg_part_size_between", "", "SELECT ROUND(AVG(p_size), 4) FROM part", "between", Seq(1, 50)),
+        ValidationRule("check_status_count", "", "SELECT COUNT(DISTINCT o_orderstatus) FROM orders", "less_than_or_equal", 3),
+        ValidationRule("check_discount_max", "", "SELECT MAX(l_discount) FROM lineitem", "less_than", 1.0))
+      val results = Validator.run(s, rules)
+      import s.implicits._
+      results.map { r =>
+        val actual = graft.validation.ScalarCompare.toBigDecimal(r.actualValue)
+          .map(_.toDouble).getOrElse(Double.NaN)
+        (r.ruleName, r.isValid, actual)
+      }.toDF("rule_name", "is_valid", "actual_value").orderBy("rule_name")
+    }),
+
+    // ---- Arbitrary rule SQL surface (the reference's `query` strings
+    // may be any warehouse SQL — here that surface is all of Spark SQL):
+    // aggregation, multi-way join, window function.
+    "sql_q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    "sql_join_revenue" -> ((s, dir) => {
+      // Star join: fact lineitem joins orders, then the small dims are
+      // broadcast by Catalyst/AQE (verified via explain: BroadcastHashJoin
+      // for nation/customer, shuffle join only on the fact side).
+      t(s, dir, "lineitem"); t(s, dir, "orders"); t(s, dir, "customer"); t(s, dir, "nation")
+      s.sql("""
+        SELECT n.n_name AS nation,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               COUNT(*) AS line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name""")
+    }),
+
+    "sql_window_top_orders" -> ((s, dir) => {
+      t(s, dir, "orders"); t(s, dir, "customer")
+      s.sql("""
+        SELECT * FROM (
+          SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rn <= 3
+        ORDER BY segment, rn""")
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query key; the driver executes these on
+    * the same parquet tables and hash-compares with the Spark result
+    * (columns sorted by name). */
+  def oracleSql: Map[String, String] = Map(
+    "p1_row_count" ->
+      "SELECT count(*) AS row_count FROM lineitem",
+
+    "p2_null_counts" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      val parts = cols.map(c => s"count(*) FILTER (WHERE $c IS NULL) AS ${c}_nulls").mkString(", ")
+      s"SELECT count(*) AS row_count, $parts FROM orders"
+    },
+
+    "p3_distinct_counts" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      val parts = cols.map(c => s"count(DISTINCT $c) AS ${c}_distinct").mkString(", ")
+      s"SELECT $parts FROM lineitem"
+    },
+
+    "p4_duplicate_rows" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate").mkString(", ")
+      s"""SELECT count(*) AS duplicate_count FROM (
+         |  SELECT $cols, count(*) AS cnt FROM lineitem GROUP BY $cols HAVING count(*) > 1
+         |) dup_groups""".stripMargin
+    },
+
+    "p5_numeric_stats" -> {
+      val parts = Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""CAST(min($c) AS DOUBLE) AS ${c}_min, CAST(max($c) AS DOUBLE) AS ${c}_max,
+           |round(avg($c), 4) AS ${c}_avg, round(CAST(sum($c) AS DOUBLE), 2) AS ${c}_sum,
+           |round(stddev_samp($c), 4) AS ${c}_stdev,
+           |round(quantile_cont($c, 0.25), 4) AS ${c}_q1,
+           |round(quantile_cont($c, 0.5), 4) AS ${c}_median,
+           |round(quantile_cont($c, 0.75), 4) AS ${c}_q3""".stripMargin
+      }.mkString(",\n")
+      s"SELECT $parts FROM lineitem"
+    },
+
+    "p6_text_lengths" -> {
+      val parts = Seq("c_name", "c_mktsegment").map { c =>
+        s"""CAST(min(length($c)) AS BIGINT) AS ${c}_min_length,
+           |CAST(max(length($c)) AS BIGINT) AS ${c}_max_length,
+           |round(avg(length($c)), 4) AS ${c}_avg_length""".stripMargin
+      }.mkString(",\n")
+      s"SELECT $parts FROM customer"
+    },
+
+    "p7_text_patterns" -> {
+      val parts = Seq("text", "lang", "source").map { c =>
+        s"""count(*) FILTER (WHERE regexp_matches($c, '.*@.*\\..*')) AS ${c}_email_count,
+           |count(*) FILTER (WHERE regexp_matches($c, '^[0-9]+$$')) AS ${c}_numeric_count,
+           |count(*) FILTER (WHERE regexp_matches($c, '^[0-9]{2,4}[/-][0-9]{1,2}[/-][0-9]{1,2}$$')) AS ${c}_date_count""".stripMargin
+      }.mkString(",\n")
+      s"SELECT $parts FROM documents"
+    },
+
+    "p8_date_stats" ->
+      """SELECT min(o_orderdate) AS o_orderdate_min_date,
+        |       max(o_orderdate) AS o_orderdate_max_date,
+        |       count(DISTINCT o_orderdate) AS o_orderdate_distinct_dates,
+        |       date_diff('day', CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE)) AS o_orderdate_range_days
+        |FROM orders""".stripMargin,
+
+    "p9_frequent_values" ->
+      """WITH pairs AS (
+        |  SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS value FROM orders WHERE o_orderstatus IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders WHERE o_orderpriority IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders WHERE o_custkey IS NOT NULL
+        |), counted AS (
+        |  SELECT col_name, value, count(*) AS frequency FROM pairs GROUP BY col_name, value
+        |), ranked AS (
+        |  SELECT col_name, value, frequency,
+        |         row_number() OVER (PARTITION BY col_name ORDER BY frequency DESC, value ASC) AS rn
+        |  FROM counted
+        |)
+        |SELECT col_name, value, frequency,
+        |       round(frequency * 100.0 / (SELECT count(*) FROM orders), 2) AS percentage
+        |FROM ranked WHERE rn = 1 ORDER BY col_name""".stripMargin,
+
+    "p10_outlier_counts" ->
+      """WITH stats AS (
+        |  SELECT avg(s_acctbal) AS m, stddev_samp(s_acctbal) AS sd FROM supplier
+        |)
+        |SELECT count(*) FILTER (WHERE s_acctbal > m + 3 * sd OR s_acctbal < m - 3 * sd) AS s_acctbal_outlier_count
+        |FROM supplier, stats""".stripMargin,
+
+    "p12_completeness" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val parts = cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  count(*) FILTER (WHERE $c IS NULL) AS nulls,
+           |  round(count(*) FILTER (WHERE $c IS NULL) * 100.0 / count(*), 2) AS null_percentage,
+           |  count(DISTINCT $c) AS distinct_count,
+           |  round(count(DISTINCT $c) * 100.0 / count(*), 2) AS distinct_percentage
+           |FROM customer""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM ($parts) ORDER BY col_name"
+    },
+
+    "d1_not_empty" ->
+      "SELECT count(*) AS violation_count FROM orders",
+
+    "d2_pk_unique" ->
+      """SELECT count(*) AS violation_count FROM (
+        |  SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+        |) duplicates""".stripMargin,
+
+    "d4_unique" ->
+      """SELECT count(*) AS violation_count FROM (
+        |  SELECT p_partkey, count(*) AS cnt FROM part WHERE p_partkey IS NOT NULL
+        |  GROUP BY p_partkey HAVING count(*) > 1
+        |) duplicates""".stripMargin,
+
+    "d6_positive" ->
+      "SELECT count(*) AS violation_count FROM part WHERE p_retailprice < 0",
+
+    "d7_not_zero" ->
+      "SELECT count(*) AS violation_count FROM lineitem WHERE l_extendedprice = 0",
+
+    "d8_date_sanity" ->
+      """SELECT (SELECT count(*) FROM orders WHERE o_orderdate > CURRENT_DATE) AS not_future_violations,
+        |       (SELECT count(*) FROM orders WHERE o_orderdate < '1970-01-01') AS reasonable_past_violations""".stripMargin,
+
+    "d10_outliers" ->
+      """WITH stats AS (
+        |  SELECT avg(c_acctbal) AS avg_val, stddev_samp(c_acctbal) AS stddev_val
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |)
+        |SELECT count(*) AS violation_count FROM customer, stats
+        |WHERE c_acctbal > stats.avg_val + 3 * stats.stddev_val
+        |   OR c_acctbal < stats.avg_val - 3 * stats.stddev_val""".stripMargin,
+
+    "d12_null_rate" ->
+      """SELECT (count(*) FILTER (WHERE c_name IS NULL) * 100.0 / NULLIF(count(*), 0)) AS null_rate_pct
+        |FROM customer""".stripMargin,
+
+    "d13_distribution" ->
+      """WITH val_counts AS (
+        |  SELECT o_orderstatus, count(*) AS cnt,
+        |         (count(*) * 100.0 / NULLIF((SELECT count(*) FROM orders), 0)) AS pct
+        |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY o_orderstatus
+        |)
+        |SELECT count(*) AS violation_count FROM val_counts WHERE pct > 95.0""".stripMargin,
+
+    "d14_ref_distribution" ->
+      """SELECT CASE
+        |  WHEN (SELECT count(DISTINCT l_suppkey) FROM lineitem WHERE l_suppkey IS NOT NULL) = 1
+        |  THEN 1 ELSE 0 END AS violation_count""".stripMargin,
+
+    "validator_run" ->
+      """SELECT 'check_avg_part_size_between' AS rule_name,
+        |       (SELECT round(avg(p_size), 4) FROM part) BETWEEN 1 AND 50 AS is_valid,
+        |       (SELECT round(avg(p_size), 4) FROM part) AS actual_value
+        |UNION ALL
+        |SELECT 'check_discount_max',
+        |       (SELECT max(l_discount) FROM lineitem) < 1.0,
+        |       (SELECT max(l_discount) FROM lineitem)
+        |UNION ALL
+        |SELECT 'check_orders_not_empty',
+        |       (SELECT count(*) FROM orders) > 0,
+        |       CAST((SELECT count(*) FROM orders) AS DOUBLE)
+        |UNION ALL
+        |SELECT 'check_quantity_no_negatives',
+        |       (SELECT count(*) FROM lineitem WHERE l_quantity < 0) = 0,
+        |       CAST((SELECT count(*) FROM lineitem WHERE l_quantity < 0) AS DOUBLE)
+        |UNION ALL
+        |SELECT 'check_status_count',
+        |       (SELECT count(DISTINCT o_orderstatus) FROM orders) <= 3,
+        |       CAST((SELECT count(DISTINCT o_orderstatus) FROM orders) AS DOUBLE)
+        |ORDER BY rule_name""".stripMargin,
+
+    "sql_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "sql_join_revenue" ->
+      """SELECT n.n_name AS nation,
+        |       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue,
+        |       count(*) AS line_count
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+
+    "sql_window_top_orders" ->
+      """SELECT * FROM (
+        |  SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY c.c_mktsegment
+        |                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |) WHERE rn <= 3
+        |ORDER BY segment, rn""".stripMargin
+  )
 }

@@ -1,0 +1,228 @@
+package graft.profiler
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types.ColumnBuckets
+
+/** DataFrame-returning building blocks of the profiler.
+  *
+  * Each method declares ONE logical plan; Catalyst fuses the scan,
+  * pushes column pruning into Parquet, and runs partial+final
+  * hash aggregation under WholeStageCodegen. The reference issues
+  * `8 + 2*numeric + 2*text + 2*date + N` sequential scalar queries per
+  * profile (reference: sparvi/profiler/profile_engine.py:82-407); here
+  * the same metrics collapse into a handful of jobs, each a single
+  * scan. All methods are scale-safe: nothing is materialized on the
+  * driver except the aggregate rows themselves.
+  */
+object ProfilePasses {
+
+  /** The three fixed text-pattern regexes
+    * (reference: sparvi/profiler/profile_engine.py:212-214). They are
+    * valid Java regexes as written, so `rlike` matches the warehouse
+    * semantics. */
+  val EmailPattern = ".*@.*\\..*"
+  val NumericPattern = "^[0-9]+$"
+  val DatePattern = "^[0-9]{2,4}[/-][0-9]{1,2}[/-][0-9]{1,2}$"
+
+  private def c(name: String): Column = col(s"`$name`")
+
+  /** P1+P2: row count and per-column null counts — one pass, no shuffle
+    * beyond the single-row final agg. */
+  def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("row_count") +:
+      cols.map(n => count(when(c(n).isNull, lit(1))).as(s"${n}_nulls"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** P3: per-column distinct counts. Exact mode uses countDistinct
+    * (Catalyst plans an Expand — one row copy per distinct aggregate —
+    * acceptable to ~16 columns); approx mode is the 100 TB path:
+    * HLL++ via approx_count_distinct, single pass, no Expand. */
+  def distinctCounts(df: DataFrame, cols: Seq[String], exact: Boolean = true,
+      rsd: Double = 0.01): DataFrame = {
+    val aggs = cols.map { n =>
+      if (exact) countDistinct(c(n)).as(s"${n}_distinct")
+      else approx_count_distinct(c(n), rsd).as(s"${n}_distinct")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** P4: duplicate-row count = number of full-row groups occurring more
+    * than once (NOT surplus rows — exact reference semantics,
+    * sparvi/profiler/profile_engine.py:97-123). SQL GROUP BY groups
+    * NULLs together; Spark matches. At 100 TB the shuffle key is every
+    * column — `projectToHash` shrinks it to one 256-bit digest. */
+  def duplicateGroupCount(df: DataFrame, projectToHash: Boolean = false): DataFrame = {
+    val grouped =
+      if (projectToHash)
+        df.groupBy(sha2(to_json(struct(df.columns.map(c): _*)), 256).as("row_digest")).count()
+      else
+        df.groupBy(df.columns.map(c): _*).count()
+    grouped.filter(col("count") > 1)
+      .agg(count(lit(1)).as("duplicate_count"))
+  }
+
+  /** P5: numeric stats for each numeric column, all in one wide agg.
+    * Aggregates skip nulls natively, so the reference's
+    * `WHERE col IS NOT NULL` is implicit. Output columns:
+    * {col}_{min,max,avg,sum,stdev,q1,median,q3}, all double.
+    * Exact percentiles sort per-group (fine to ~billions of rows per
+    * column); approx mode switches to percentile_approx (one-pass
+    * t-digest-like sketch) for the 100 TB path. */
+  def numericStats(df: DataFrame, cols: Seq[String], exactPercentiles: Boolean = true): DataFrame = {
+    val aggs = cols.flatMap { n =>
+      val q = (p: Double, alias: String) =>
+        (if (exactPercentiles)
+          expr(s"percentile(`$n`, ${p}D)")
+        else
+          expr(s"percentile_approx(`$n`, ${p}D, 10000)").cast(DoubleType)
+        ).cast(DoubleType).as(s"${n}_$alias")
+      Seq(
+        min(c(n)).cast(DoubleType).as(s"${n}_min"),
+        max(c(n)).cast(DoubleType).as(s"${n}_max"),
+        avg(c(n)).cast(DoubleType).as(s"${n}_avg"),
+        sum(c(n)).cast(DoubleType).as(s"${n}_sum"),
+        stddev_samp(c(n)).cast(DoubleType).as(s"${n}_stdev"),
+        q(0.25, "q1"), q(0.5, "median"), q(0.75, "q3"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** P6: text length stats ({col}_{min,max,avg}_length). */
+  def textLengthStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { n =>
+      Seq(
+        min(length(c(n))).cast(LongType).as(s"${n}_min_length"),
+        max(length(c(n))).cast(LongType).as(s"${n}_max_length"),
+        avg(length(c(n))).cast(DoubleType).as(s"${n}_avg_length"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** P7: text pattern counts ({col}_{email,numeric,date}_count) over
+    * non-null values, the reference's three regexes verbatim. */
+  def textPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { n =>
+      Seq(
+        count(when(c(n).rlike(EmailPattern), lit(1))).as(s"${n}_email_count"),
+        count(when(c(n).rlike(NumericPattern), lit(1))).as(s"${n}_numeric_count"),
+        count(when(c(n).rlike(DatePattern), lit(1))).as(s"${n}_date_count"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** P8: date stats ({col}_{min_date,max_date,distinct_dates,range_days}).
+    * The range is computed in the same pass (datediff over the min/max
+    * aggregates) — the reference needs a second round trip for it. */
+  def dateStats(df: DataFrame, cols: Seq[String], exactDistinct: Boolean = true): DataFrame = {
+    val aggs = cols.flatMap { n =>
+      val mn = min(c(n))
+      val mx = max(c(n))
+      Seq(
+        mn.as(s"${n}_min_date"),
+        mx.as(s"${n}_max_date"),
+        (if (exactDistinct) countDistinct(c(n)) else approx_count_distinct(c(n), 0.01))
+          .as(s"${n}_distinct_dates"),
+        datediff(mx.cast(DateType), mn.cast(DateType)).cast(LongType).as(s"${n}_range_days"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** P9: most-frequent value per column — ALL columns in one job.
+    *
+    * Melts rows to (column, value) pairs, hash-aggregates, then takes
+    * the per-column top-1 with a deterministic tiebreak (highest count,
+    * then smallest value string). One shuffle on (column, value), one
+    * tiny shuffle on column for the top-k — versus the reference's N
+    * separate GROUP BY queries (profile_engine.py:290-335). The melt
+    * multiplies rows by the column count before the partial aggregate,
+    * but map-side combine collapses it before any shuffle, so the
+    * shuffled volume is bounded by the distinct-value count.
+    * Output: (column, value string, frequency, percentage). */
+  def frequentValues(df: DataFrame, cols: Seq[String], rowCount: Long): DataFrame = {
+    val pairs = df.select(explode(array(cols.map { n =>
+      struct(lit(n).as("column"), c(n).cast(StringType).as("value"))
+    }: _*)).as("p")).select(col("p.column"), col("p.value"))
+      .filter(col("value").isNotNull)
+    val counted = pairs.groupBy("column", "value").agg(count(lit(1)).as("frequency"))
+    val w = Window.partitionBy(col("column"))
+      .orderBy(col("frequency").desc, col("value").asc)
+    counted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("percentage",
+        when(lit(rowCount) > 0, col("frequency") * 100.0 / rowCount).otherwise(lit(0.0)))
+  }
+
+  /** P9 (single column, reference-shaped): top-1 value with frequency
+    * and percentage; deterministic tiebreak on value. Plans as hash agg
+    * + TakeOrderedAndProject (top-k, no full sort). */
+  def frequentValueOf(df: DataFrame, column: String, rowCount: Long): DataFrame =
+    df.filter(c(column).isNotNull)
+      .groupBy(c(column).as("value"))
+      .agg(count(lit(1)).as("frequency"))
+      .withColumn("percentage", col("frequency") * 100.0 / rowCount)
+      .orderBy(col("frequency").desc, col("value").asc)
+      .limit(1)
+
+  /** P10: 3-sigma outlier values for every numeric column in ONE
+    * filtered pass, given per-column (mean, stddev) from the stats pass
+    * as literals — no stats CTE re-scan, no cross join (the reference
+    * re-computes AVG/STDDEV inside each per-column query,
+    * profile_engine.py:348-379). Values are sorted and capped at
+    * `limit` per column for deterministic output. */
+  def outliers(df: DataFrame, stats: Map[String, (Double, Double)], threshold: Double = 3.0,
+      limit: Int = 10): DataFrame = {
+    val aggs = stats.toSeq.sortBy(_._1).map { case (n, (mean, std)) =>
+      val lo = mean - threshold * std
+      val hi = mean + threshold * std
+      val outlier = c(n).isNotNull && (c(n) < lo || c(n) > hi)
+      slice(sort_array(collect_list(when(outlier, c(n).cast(DoubleType)))), 1, limit)
+        .as(s"${n}_outliers")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** P10 as a count (used by the rule generator D10 and the
+    * correctness gate — counts are deterministic, value lists are not
+    * in the reference). */
+  def outlierCounts(df: DataFrame, stats: Map[String, (Double, Double)],
+      threshold: Double = 3.0): DataFrame = {
+    val aggs = stats.toSeq.sortBy(_._1).map { case (n, (mean, std)) =>
+      val lo = mean - threshold * std
+      val hi = mean + threshold * std
+      count(when(c(n).isNotNull && (c(n) < lo || c(n) > hi), lit(1)))
+        .as(s"${n}_outlier_count")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** P11: sample rows (deterministic head; CollectLimitExec stops the
+    * scan after `n` rows — no full pass). */
+  def samples(df: DataFrame, n: Int = 10): DataFrame = df.limit(n)
+
+  /** P12: completeness percentages as a relational result:
+    * (column, nulls, null_percentage, distinct_count,
+    * distinct_percentage), rounded to 2dp like the reference
+    * (profile_engine.py:415-423). */
+  def completeness(df: DataFrame, cols: Seq[String], exactDistinct: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nulls = nullCounts(df, cols).head()
+    val dist = distinctCounts(df, cols, exactDistinct).head()
+    val rowCount = nulls.getLong(0)
+    val rows = cols.map { n =>
+      val nn = nulls.getLong(nulls.fieldIndex(s"${n}_nulls"))
+      val dd = dist.getLong(dist.fieldIndex(s"${n}_distinct"))
+      val np = if (rowCount > 0) math.round(nn * 10000.0 / rowCount) / 100.0 else 0.0
+      val dp = if (rowCount > 0) math.round(dd * 10000.0 / rowCount) / 100.0 else 0.0
+      (n, nn, np, dd, dp)
+    }
+    rows.toDF("column", "nulls", "null_percentage", "distinct_count", "distinct_percentage")
+  }
+
+  def buckets(df: DataFrame): ColumnBuckets.Buckets = ColumnBuckets.of(df.schema)
+}
