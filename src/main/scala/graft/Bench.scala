@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness: times every SparkEntry query at the configured
+  * scale factor and emits one JSON line for the driver.
+  *
+  * A failing query is a bench FAILURE, not a fast run: its error is
+  * recorded, surfaced on stderr, and the process exits nonzero so a
+  * broken operator can never bench as "0 seconds". The timed action is
+  * `collect()` — materializing the actual result values — not
+  * `count()`, which for aggregates can plan a slightly cheaper query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,12 +17,23 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Warmup: pay JVM/codegen/parquet-footer costs once, outside timing.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+
+    val errors = Map.newBuilder[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).collect(); () }
+      catch { case e: Throwable =>
+        errors += name -> String.valueOf(e.getMessage)
+        System.err.println(s"[bench] $name FAILED: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -20,5 +41,10 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    val errs = errors.result()
+    if (errs.nonEmpty) {
+      System.err.println(s"[bench] ${errs.size} queries failed: ${errs.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -377,7 +377,7 @@ object SparkEntry {
         |   OR c_acctbal < stats.avg_val - 3 * stats.stddev_val""".stripMargin,
 
     "d12_null_rate" ->
-      """SELECT (count(*) FILTER (WHERE c_name IS NULL) * 100.0 / NULLIF(count(*), 0)) AS null_rate_pct
+      """SELECT round(CAST(count(*) FILTER (WHERE c_name IS NULL) * 100.0 / NULLIF(count(*), 0) AS DOUBLE), 4) AS null_rate_pct
         |FROM customer""".stripMargin,
 
     "d13_distribution" ->

@@ -111,14 +111,29 @@ object ProfileCompare {
     added ++ removed ++ typeChanged
   }
 
-  /** Append the historical profile's headline numbers to its own trend
-    * series, producing the trends block for the current profile
-    * (populates the reference's empty scaffold,
-    * profile_engine.py:449-454). */
-  def appendTrends(prior: Trends, historical: TableProfile): Trends = Trends(
-    rowCounts = prior.rowCounts :+ TrendPoint(historical.timestamp, historical.rowCount.toDouble),
-    nullRates = historical.completeness.map { case (c, comp) =>
-      c -> (prior.nullRates.getOrElse(c, Nil) :+ TrendPoint(historical.timestamp, comp.nullPercentage))
-    },
-    duplicates = prior.duplicates :+ TrendPoint(historical.timestamp, historical.duplicateCount.toDouble))
+  /** Append the historical profile's point AND the current profile's
+    * own observation to the trend series (populates the reference's
+    * empty scaffold, profile_engine.py:449-454). Null-rate series keys
+    * are the union of prior series, historical columns, and current
+    * columns — a column absent from one profile keeps its history. */
+  def appendTrends(prior: Trends, historical: TableProfile, current: TableProfile): Trends = {
+    def pointsFor(c: String): Seq[TrendPoint] = {
+      val base = prior.nullRates.getOrElse(c, Nil)
+      val withHist = historical.completeness.get(c)
+        .map(comp => base :+ TrendPoint(historical.timestamp, comp.nullPercentage))
+        .getOrElse(base)
+      current.completeness.get(c)
+        .map(comp => withHist :+ TrendPoint(current.timestamp, comp.nullPercentage))
+        .getOrElse(withHist)
+    }
+    val cols = prior.nullRates.keySet ++ historical.completeness.keySet ++ current.completeness.keySet
+    Trends(
+      rowCounts = prior.rowCounts :+
+        TrendPoint(historical.timestamp, historical.rowCount.toDouble) :+
+        TrendPoint(current.timestamp, current.rowCount.toDouble),
+      nullRates = cols.map(c => c -> pointsFor(c)).toMap,
+      duplicates = prior.duplicates :+
+        TrendPoint(historical.timestamp, historical.duplicateCount.toDouble) :+
+        TrendPoint(current.timestamp, current.duplicateCount.toDouble))
+  }
 }

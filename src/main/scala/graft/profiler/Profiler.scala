@@ -144,12 +144,17 @@ object Profiler {
     val duplicateCount = if (dupRows.isEmpty) 0L else dupRows(0).getLong(0)
 
     // ---- Pass C: frequent values (reference skips above its row
-    // limit; we only skip if configured for parity testing).
+    // limit; we only skip if configured for parity testing). The melt
+    // stringifies values for a uniform pair schema; the top-1 is
+    // converted back to the column's native type driver-side so the
+    // profile JSON carries typed values like the reference does.
+    val fieldTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val frequentValues: Map[String, FrequentValue] =
       if (cfg.frequentValuesRowLimit.exists(rowCount > _)) Map.empty
       else ProfilePasses.frequentValues(df, b.all, rowCount).collect().map { r =>
-        r.getString(r.fieldIndex("column")) -> FrequentValue(
-          value = r.get(r.fieldIndex("value")),
+        val colName = r.getString(r.fieldIndex("column"))
+        colName -> FrequentValue(
+          value = parseBack(r.getString(r.fieldIndex("value")), fieldTypes.get(colName)),
           frequency = r.getLong(r.fieldIndex("frequency")),
           percentage = round2(r.getDouble(r.fieldIndex("percentage"))))
       }.toMap
@@ -196,8 +201,31 @@ object Profiler {
         current.copy(
           anomalies = ProfileCompare.detectAnomalies(current, h, cfg.anomalyThreshold),
           schemaShifts = ProfileCompare.detectSchemaShifts(current, h),
-          trends = ProfileCompare.appendTrends(h.trends, h))
+          trends = ProfileCompare.appendTrends(h.trends, h, current))
       case None => current
+    }
+  }
+
+  /** Convert a melt-stringified top-1 value back to the column's
+    * native type (the strings are Spark's own `cast(StringType)`
+    * renderings, so the round trip is loss-free for these types). */
+  private def parseBack(s: String, dt: Option[org.apache.spark.sql.types.DataType]): Any = {
+    import org.apache.spark.sql.types._
+    if (s == null) null
+    else dt match {
+      case Some(ByteType) => s.toByte
+      case Some(ShortType) => s.toShort
+      case Some(IntegerType) => s.toInt
+      case Some(LongType) => s.toLong
+      case Some(FloatType) => s.toFloat
+      case Some(DoubleType) => s.toDouble
+      case Some(_: DecimalType) => BigDecimal(s)
+      case Some(BooleanType) => s.toBoolean
+      case Some(DateType) => java.sql.Date.valueOf(s)
+      case Some(TimestampType) => java.sql.Timestamp.valueOf(s)
+      // Parquet TIMESTAMP(isAdjustedToUTC=false) reads as NTZ in Spark 4.
+      case Some(TimestampNTZType) => java.sql.Timestamp.valueOf(s).toLocalDateTime
+      case _ => s
     }
   }
 

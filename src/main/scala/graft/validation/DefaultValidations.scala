@@ -240,10 +240,13 @@ object DefaultValidations {
     for (f <- schema.fields
          if !pk.contains(f.name) && f.nullable
          if hasAny(f.name, ImportantColumnPatterns)) {
+      // ROUND(CAST(... AS DOUBLE), 4): bigint * 100.0 / bigint resolves
+      // to DECIMAL in Spark but DOUBLE in DuckDB — casting keeps the
+      // scalar type identical across engines for the correctness gate.
       out += ValidationRule(
         s"check_${f.name}_null_rate",
         s"Ensure ${f.name} null rate is below acceptable threshold",
-        s"""SELECT (COUNT(*) FILTER (WHERE ${f.name} IS NULL) * 100.0 / NULLIF(COUNT(*), 0))
+        s"""SELECT ROUND(CAST(COUNT(*) FILTER (WHERE ${f.name} IS NULL) * 100.0 / NULLIF(COUNT(*), 0) AS DOUBLE), 4)
            |FROM $table""".stripMargin,
         "less_than", 25.0)
     }

@@ -61,14 +61,27 @@ object Validator {
     }
 }
 
-/** Cross-type scalar comparison with Python-like numeric widening.
-  * The reference relies on Python's dynamic `==`/`<` across
-  * int/float/Decimal (validator.py:99-113); here every numeric pair is
-  * widened to BigDecimal before comparing. */
+/** Raised when an ordering comparison is attempted on an incomparable
+  * pair — mirrors Python's TypeError (e.g. `'5' < 5`), which the
+  * reference's per-rule try/except converts into a failed result with
+  * `error` set (validator.py:122-128). */
+final class IncomparableException(msg: String) extends RuntimeException(msg)
+
+/** Cross-type scalar comparison with Python's dynamic-typing semantics
+  * (reference: validator.py:99-113):
+  *   - numeric pairs widen to BigDecimal; booleans act as 1/0 when
+  *     paired with a number (Python `True == 1`);
+  *   - string-vs-number is NOT coerced: `'5' == 5` is false, and
+  *     `'5' < 5` raises (TypeError in Python → rule error here);
+  *   - `==`/`!=` never raise on mismatched types.
+  */
 object ScalarCompare {
 
-  def toBigDecimal(v: Any): Option[BigDecimal] = v match {
+  /** Widen a value known to be numeric-ish. Strings intentionally do
+    * NOT parse here — Python does not coerce '5' to 5. */
+  def toNumeric(v: Any): Option[BigDecimal] = v match {
     case null => None
+    case b: Boolean => Some(if (b) BigDecimal(1) else BigDecimal(0))
     case b: Byte => Some(BigDecimal(b.toInt))
     case s: Short => Some(BigDecimal(s.toInt))
     case i: Int => Some(BigDecimal(i))
@@ -78,41 +91,54 @@ object ScalarCompare {
     case bd: BigDecimal => Some(bd)
     case bd: java.math.BigDecimal => Some(BigDecimal(bd))
     case bi: BigInt => Some(BigDecimal(bi))
-    case s: String => try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
     case _ => None
   }
 
-  /** 3-way compare returning None when the pair is not comparable. */
-  def compare(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (null, null) => Some(0)
-    case (null, _) | (_, null) => None
-    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
-    case _ =>
-      (toBigDecimal(a), toBigDecimal(b)) match {
-        case (Some(x), Some(y)) => Some(x.compare(y))
-        case _ => (a, b) match {
-          case (x: String, y: String) => Some(x.compareTo(y))
-          case (x, y) => if (x == y) Some(0) else None
-        }
-      }
+  /** Lenient conversion for OUTPUT formatting only (parses numeric
+    * strings) — never used by the comparison semantics. */
+  def toBigDecimal(v: Any): Option[BigDecimal] = v match {
+    case s: String => try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    case other => toNumeric(other)
   }
 
-  def equalsLoose(a: Any, b: Any): Boolean = compare(a, b).contains(0)
+  /** 3-way compare returning None when the pair is not comparable
+    * under Python semantics. */
+  def compare(a: Any, b: Any): Option[Int] =
+    (toNumeric(a), toNumeric(b)) match {
+      case (Some(x), Some(y)) => Some(x.compare(y))
+      case _ => (a, b) match {
+        case (x: String, y: String) => Some(x.compareTo(y))
+        // Same-class Comparables (Date, Timestamp, …) order naturally.
+        case (x: Comparable[_], y) if y != null && x.getClass == y.getClass =>
+          Some(x.asInstanceOf[Comparable[Any]].compareTo(y))
+        case _ => None
+      }
+    }
+
+  /** Python `==`: false (never an error) on mismatched types. */
+  def equalsLoose(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case _ => compare(a, b).contains(0) || a == b
+  }
+
+  private def ordered(actual: Any, expected: Any): Int =
+    compare(actual, expected).getOrElse(throw new IncomparableException(
+      s"'$actual' (${classOf(actual)}) not comparable with '$expected' (${classOf(expected)})"))
+
+  private def classOf(v: Any): String =
+    if (v == null) "null" else v.getClass.getSimpleName
 
   def evaluate(actual: Any, operator: String, expected: Any): Boolean = operator match {
     case "equals" | "==" => equalsLoose(actual, expected)
-    case "not_equals" | "!=" =>
-      // Python `a != b` on incomparable-but-unequal values is True.
-      if (actual == null && expected == null) false
-      else if (actual == null || expected == null) true
-      else !equalsLoose(actual, expected)
-    case "greater_than" | ">" => compare(actual, expected).exists(_ > 0)
-    case "less_than" | "<" => compare(actual, expected).exists(_ < 0)
-    case "greater_than_or_equal" | ">=" => compare(actual, expected).exists(_ >= 0)
-    case "less_than_or_equal" | "<=" => compare(actual, expected).exists(_ <= 0)
+    case "not_equals" | "!=" => !equalsLoose(actual, expected)
+    case "greater_than" | ">" => ordered(actual, expected) > 0
+    case "less_than" | "<" => ordered(actual, expected) < 0
+    case "greater_than_or_equal" | ">=" => ordered(actual, expected) >= 0
+    case "less_than_or_equal" | "<=" => ordered(actual, expected) <= 0
     case "between" => expected match {
       case s: Seq[_] if s.size == 2 =>
-        compare(s(0), actual).exists(_ <= 0) && compare(actual, s(1)).exists(_ <= 0)
+        ordered(actual, s(0)) >= 0 && ordered(actual, s(1)) <= 0
       case _ => false
     }
     case _ => false // unknown operator — reference leaves is_valid False
