@@ -115,25 +115,33 @@ object ProfileCompare {
     * own observation to the trend series (populates the reference's
     * empty scaffold, profile_engine.py:449-454). Null-rate series keys
     * are the union of prior series, historical columns, and current
-    * columns — a column absent from one profile keeps its history. */
+    * columns — a column absent from one profile keeps its history.
+    *
+    * The historical profile's trends already end with its own point
+    * (appended as "current" in the prior run), so a point is only
+    * appended when the series does not already end at that timestamp —
+    * otherwise every intermediate observation would duplicate from the
+    * third run onward. */
   def appendTrends(prior: Trends, historical: TableProfile, current: TableProfile): Trends = {
+    def appendOnce(series: Seq[TrendPoint], p: TrendPoint): Seq[TrendPoint] =
+      if (series.lastOption.exists(_.timestamp == p.timestamp)) series else series :+ p
     def pointsFor(c: String): Seq[TrendPoint] = {
       val base = prior.nullRates.getOrElse(c, Nil)
       val withHist = historical.completeness.get(c)
-        .map(comp => base :+ TrendPoint(historical.timestamp, comp.nullPercentage))
+        .map(comp => appendOnce(base, TrendPoint(historical.timestamp, comp.nullPercentage)))
         .getOrElse(base)
       current.completeness.get(c)
-        .map(comp => withHist :+ TrendPoint(current.timestamp, comp.nullPercentage))
+        .map(comp => appendOnce(withHist, TrendPoint(current.timestamp, comp.nullPercentage)))
         .getOrElse(withHist)
     }
     val cols = prior.nullRates.keySet ++ historical.completeness.keySet ++ current.completeness.keySet
     Trends(
-      rowCounts = prior.rowCounts :+
-        TrendPoint(historical.timestamp, historical.rowCount.toDouble) :+
-        TrendPoint(current.timestamp, current.rowCount.toDouble),
+      rowCounts = appendOnce(
+        appendOnce(prior.rowCounts, TrendPoint(historical.timestamp, historical.rowCount.toDouble)),
+        TrendPoint(current.timestamp, current.rowCount.toDouble)),
       nullRates = cols.map(c => c -> pointsFor(c)).toMap,
-      duplicates = prior.duplicates :+
-        TrendPoint(historical.timestamp, historical.duplicateCount.toDouble) :+
-        TrendPoint(current.timestamp, current.duplicateCount.toDouble))
+      duplicates = appendOnce(
+        appendOnce(prior.duplicates, TrendPoint(historical.timestamp, historical.duplicateCount.toDouble)),
+        TrendPoint(current.timestamp, current.duplicateCount.toDouble)))
   }
 }

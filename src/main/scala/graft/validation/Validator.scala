@@ -78,7 +78,11 @@ final class IncomparableException(msg: String) extends RuntimeException(msg)
 object ScalarCompare {
 
   /** Widen a value known to be numeric-ish. Strings intentionally do
-    * NOT parse here — Python does not coerce '5' to 5. */
+    * NOT parse here — Python does not coerce '5' to 5. Non-finite
+    * floats return None (BigDecimal cannot hold them); [[compare]]
+    * handles ±Infinity itself and NaN is special-cased in [[evaluate]]
+    * to Python semantics (every comparison with NaN is False, never an
+    * error — e.g. the stddev of a single row). */
   def toNumeric(v: Any): Option[BigDecimal] = v match {
     case null => None
     case b: Boolean => Some(if (b) BigDecimal(1) else BigDecimal(0))
@@ -86,12 +90,24 @@ object ScalarCompare {
     case s: Short => Some(BigDecimal(s.toInt))
     case i: Int => Some(BigDecimal(i))
     case l: Long => Some(BigDecimal(l))
-    case f: Float => Some(BigDecimal(f.toDouble))
-    case d: Double => Some(BigDecimal(d))
+    case f: Float => if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
+    case d: Double => if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
     case bd: BigDecimal => Some(bd)
     case bd: java.math.BigDecimal => Some(BigDecimal(bd))
     case bi: BigInt => Some(BigDecimal(bi))
     case _ => None
+  }
+
+  def isNaN(v: Any): Boolean = v match {
+    case d: Double => d.isNaN
+    case f: Float => f.isNaN
+    case _ => false
+  }
+
+  private def isInfinite(v: Any): Boolean = v match {
+    case d: Double => d.isInfinite
+    case f: Float => f.isInfinite
+    case _ => false
   }
 
   /** Lenient conversion for OUTPUT formatting only (parses numeric
@@ -102,9 +118,20 @@ object ScalarCompare {
   }
 
   /** 3-way compare returning None when the pair is not comparable
-    * under Python semantics. */
+    * under Python semantics. NaN returns None (callers decide: ordering
+    * operators evaluate false, equality evaluates false); ±Infinity
+    * orders like Python (inf > everything finite). */
   def compare(a: Any, b: Any): Option[Int] =
-    (toNumeric(a), toNumeric(b)) match {
+    if (isNaN(a) || isNaN(b)) None
+    else if (isInfinite(a) || isInfinite(b)) {
+      def asDouble(v: Any): Option[Double] = v match {
+        case d: Double => Some(d)
+        case f: Float => Some(f.toDouble)
+        case other => toNumeric(other).map(_.toDouble)
+      }
+      for (x <- asDouble(a); y <- asDouble(b)) yield java.lang.Double.compare(x, y)
+    }
+    else (toNumeric(a), toNumeric(b)) match {
       case (Some(x), Some(y)) => Some(x.compare(y))
       case _ => (a, b) match {
         case (x: String, y: String) => Some(x.compareTo(y))
@@ -115,10 +142,12 @@ object ScalarCompare {
       }
     }
 
-  /** Python `==`: false (never an error) on mismatched types. */
+  /** Python `==`: false (never an error) on mismatched types; NaN is
+    * not equal to anything, itself included. */
   def equalsLoose(a: Any, b: Any): Boolean = (a, b) match {
     case (null, null) => true
     case (null, _) | (_, null) => false
+    case _ if isNaN(a) || isNaN(b) => false
     case _ => compare(a, b).contains(0) || a == b
   }
 
@@ -126,19 +155,25 @@ object ScalarCompare {
     compare(actual, expected).getOrElse(throw new IncomparableException(
       s"'$actual' (${classOf(actual)}) not comparable with '$expected' (${classOf(expected)})"))
 
+  /** Ordering compare that is False (not an error) when either side is
+    * NaN — Python `nan < 5` is False without raising. */
+  private def orderedOp(actual: Any, expected: Any)(p: Int => Boolean): Boolean =
+    if (isNaN(actual) || isNaN(expected)) false
+    else p(ordered(actual, expected))
+
   private def classOf(v: Any): String =
     if (v == null) "null" else v.getClass.getSimpleName
 
   def evaluate(actual: Any, operator: String, expected: Any): Boolean = operator match {
     case "equals" | "==" => equalsLoose(actual, expected)
     case "not_equals" | "!=" => !equalsLoose(actual, expected)
-    case "greater_than" | ">" => ordered(actual, expected) > 0
-    case "less_than" | "<" => ordered(actual, expected) < 0
-    case "greater_than_or_equal" | ">=" => ordered(actual, expected) >= 0
-    case "less_than_or_equal" | "<=" => ordered(actual, expected) <= 0
+    case "greater_than" | ">" => orderedOp(actual, expected)(_ > 0)
+    case "less_than" | "<" => orderedOp(actual, expected)(_ < 0)
+    case "greater_than_or_equal" | ">=" => orderedOp(actual, expected)(_ >= 0)
+    case "less_than_or_equal" | "<=" => orderedOp(actual, expected)(_ <= 0)
     case "between" => expected match {
       case s: Seq[_] if s.size == 2 =>
-        ordered(actual, s(0)) >= 0 && ordered(actual, s(1)) <= 0
+        orderedOp(actual, s(0))(_ >= 0) && orderedOp(actual, s(1))(_ <= 0)
       case _ => false
     }
     case _ => false // unknown operator — reference leaves is_valid False
