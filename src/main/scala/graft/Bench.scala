@@ -27,7 +27,10 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val errors = Map.newBuilder[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted by name: an unordered Map would hash-shuffle the timing
+    // order between builds, landing residual JIT/IO warmup cost on a
+    // nondeterministic first query and adding cross-round noise.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).collect(); () }
       catch { case e: Throwable =>
@@ -38,7 +41,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     val errs = errors.result()

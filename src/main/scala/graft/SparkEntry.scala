@@ -316,7 +316,7 @@ object SparkEntry {
         |  SELECT col_name, value, count(*) AS frequency FROM pairs GROUP BY col_name, value
         |), ranked AS (
         |  SELECT col_name, value, frequency,
-        |         row_number() OVER (PARTITION BY col_name ORDER BY frequency DESC, value ASC) AS rn
+        |         row_number() OVER (PARTITION BY col_name ORDER BY frequency DESC, value DESC) AS rn
         |  FROM counted
         |)
         |SELECT col_name, value, frequency,

@@ -121,10 +121,15 @@ object ProfileCompare {
     * (appended as "current" in the prior run), so a point is only
     * appended when the series does not already end at that timestamp —
     * otherwise every intermediate observation would duplicate from the
-    * third run onward. */
+    * third run onward. A same-timestamp point with a DIFFERENT value
+    * (a corrected re-run) replaces the stale point instead of being
+    * silently dropped. */
   def appendTrends(prior: Trends, historical: TableProfile, current: TableProfile): Trends = {
     def appendOnce(series: Seq[TrendPoint], p: TrendPoint): Seq[TrendPoint] =
-      if (series.lastOption.exists(_.timestamp == p.timestamp)) series else series :+ p
+      series.indexWhere(_.timestamp == p.timestamp) match {
+        case -1 => series :+ p
+        case i => if (series(i).value == p.value) series else series.updated(i, p)
+      }
     def pointsFor(c: String): Seq[TrendPoint] = {
       val base = prior.nullRates.getOrElse(c, Nil)
       val withHist = historical.completeness.get(c)

@@ -1,7 +1,6 @@
 package graft.profiler
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,28 +65,44 @@ object ProfilePasses {
       .agg(count(lit(1)).as("duplicate_count"))
   }
 
-  /** P5: numeric stats for each numeric column, all in one wide agg.
-    * Aggregates skip nulls natively, so the reference's
-    * `WHERE col IS NOT NULL` is implicit. Output columns:
+  /** P5: numeric stats for each numeric column. Output columns:
     * {col}_{min,max,avg,sum,stdev,q1,median,q3}, all double.
-    * Exact percentiles sort per-group (fine to ~billions of rows per
-    * column); approx mode switches to percentile_approx (one-pass
-    * t-digest-like sketch) for the 100 TB path. */
+    * Aggregates skip nulls natively, so the reference's
+    * `WHERE col IS NOT NULL` is implicit.
+    *
+    * Two physical aggregates, cross-joined (both 1-row, a trivial
+    * BroadcastNestedLoopJoin): the declarative min/max/avg/sum/stddev
+    * agg stays inside WholeStageCodegen, while the percentile
+    * TypedImperativeAggregate — which would force the whole pass into
+    * ObjectHashAggregate — runs quarantined (see [[percentiles]]). */
   def numericStats(df: DataFrame, cols: Seq[String], exactPercentiles: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { n =>
-      val q = (p: Double, alias: String) =>
-        (if (exactPercentiles)
-          expr(s"percentile(`$n`, ${p}D)")
-        else
-          expr(s"percentile_approx(`$n`, ${p}D, 10000)").cast(DoubleType)
-        ).cast(DoubleType).as(s"${n}_$alias")
       Seq(
         min(c(n)).cast(DoubleType).as(s"${n}_min"),
         max(c(n)).cast(DoubleType).as(s"${n}_max"),
         avg(c(n)).cast(DoubleType).as(s"${n}_avg"),
         sum(c(n)).cast(DoubleType).as(s"${n}_sum"),
-        stddev_samp(c(n)).cast(DoubleType).as(s"${n}_stdev"),
-        q(0.25, "q1"), q(0.5, "median"), q(0.75, "q3"))
+        stddev_samp(c(n)).cast(DoubleType).as(s"${n}_stdev"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(percentiles(df, cols, exactPercentiles))
+  }
+
+  /** P5 quartiles, quarantined in their own pass: `percentile` /
+    * `percentile_approx` are TypedImperativeAggregates — putting one in
+    * the fused wide agg would knock EVERY metric off WholeStageCodegen
+    * into ObjectHashAggregate, and exact percentile's final merge (a
+    * value→count map with an entry per distinct value) lands on one
+    * task. Isolated here, the scan reads only the numeric columns and
+    * the codegen'd wide agg stays codegen'd. Approx mode bounds the
+    * merge state to the sketch size — that is the 100 TB path. */
+  def percentiles(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    val aggs = cols.flatMap { n =>
+      Seq((0.25, "q1"), (0.5, "median"), (0.75, "q3")).map { case (p, alias) =>
+        (if (exact) expr(s"percentile(`$n`, ${p}D)")
+         else expr(s"percentile_approx(`$n`, ${p}D, 10000)"))
+          .cast(DoubleType).as(s"${n}_$alias")
+      }
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -135,13 +150,19 @@ object ProfilePasses {
   /** P9: most-frequent value per column — ALL columns in one job.
     *
     * Melts rows to (column, value) pairs, hash-aggregates, then takes
-    * the per-column top-1 with a deterministic tiebreak (highest count,
-    * then smallest value string). One shuffle on (column, value), one
-    * tiny shuffle on column for the top-k — versus the reference's N
-    * separate GROUP BY queries (profile_engine.py:290-335). The melt
-    * multiplies rows by the column count before the partial aggregate,
-    * but map-side combine collapses it before any shuffle, so the
-    * shuffled volume is bounded by the distinct-value count.
+    * the per-column top-1 as `max(struct(frequency, value))` — a plain
+    * two-phase hash aggregate with a deterministic tiebreak (highest
+    * count, then greatest value string). One shuffle on (column,
+    * value), then a partial+final agg on column — versus the
+    * reference's N separate GROUP BY queries
+    * (profile_engine.py:290-335). The melt multiplies rows by the
+    * column count before the partial aggregate, but map-side combine
+    * collapses it before any shuffle, so the shuffled volume is bounded
+    * by the distinct-value count. No window: a
+    * `Window.partitionBy(column)` would funnel every distinct value of
+    * a high-cardinality column through ONE task — a guaranteed
+    * straggler at 100× scale; the max-struct agg keeps both phases
+    * parallel over all partitions.
     * Output: (column, value string, frequency, percentage). */
   def frequentValues(df: DataFrame, cols: Seq[String], rowCount: Long): DataFrame = {
     val pairs = df.select(explode(array(cols.map { n =>
@@ -149,10 +170,9 @@ object ProfilePasses {
     }: _*)).as("p")).select(col("p.column"), col("p.value"))
       .filter(col("value").isNotNull)
     val counted = pairs.groupBy("column", "value").agg(count(lit(1)).as("frequency"))
-    val w = Window.partitionBy(col("column"))
-      .orderBy(col("frequency").desc, col("value").asc)
-    counted.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    counted.groupBy("column")
+      .agg(max(struct(col("frequency"), col("value"))).as("top"))
+      .select(col("column"), col("top.value").as("value"), col("top.frequency").as("frequency"))
       .withColumn("percentage",
         when(lit(rowCount) > 0, col("frequency") * 100.0 / rowCount).otherwise(lit(0.0)))
   }

@@ -21,6 +21,12 @@ import graft.types.ColumnBuckets
   * `frequentValuesRowLimit` mirrors the reference's hard skip above
   * 1M rows (profile_engine.py:295-297); None (default) removes the
   * cliff because the melt+hash-agg top-1 is cheap at any scale.
+  *
+  * The duplicate check shuffles full rows only in exact mode (needed
+  * for oracle parity); otherwise — the scale path — it groups by a
+  * 256-bit row digest so the shuffle key is one column regardless of
+  * schema width. `duplicateHashProjection = true` forces the digest
+  * even in exact mode.
   */
 final case class ProfilerConfig(
     exact: Boolean = true,
@@ -91,6 +97,17 @@ object Profiler {
 
     val rowCount = getL("row_count")
 
+    // ---- Pass A'': percentiles, quarantined like distincts — their
+    // TypedImperativeAggregate would otherwise knock pass A off
+    // WholeStageCodegen (see ProfilePasses.percentiles).
+    val pctRow =
+      if (b.numeric.isEmpty) None
+      else Some(ProfilePasses.percentiles(df, b.numeric, exact = cfg.exact).head())
+    def getPct(name: String): Option[Double] = pctRow.flatMap { r =>
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+
     // ---- Pass A': distinct counts (exact → Expand; approx → HLL).
     val distRow = ProfilePasses.distinctCounts(df, b.all, exact = cfg.exact).head()
     val distinctCounts = b.all.map { n =>
@@ -112,8 +129,8 @@ object Profiler {
       n -> NumericStats(
         min = getDOpt(s"${n}_min"), max = getDOpt(s"${n}_max"),
         avg = getDOpt(s"${n}_avg"), sum = getDOpt(s"${n}_sum"),
-        stdev = getDOpt(s"${n}_stdev"), q1 = getDOpt(s"${n}_q1"),
-        median = getDOpt(s"${n}_median"), q3 = getDOpt(s"${n}_q3"))
+        stdev = getDOpt(s"${n}_stdev"), q1 = getPct(s"${n}_q1"),
+        median = getPct(s"${n}_median"), q3 = getPct(s"${n}_q3"))
     }.toMap
 
     val textLengthStats = b.text.map { n =>
@@ -139,8 +156,11 @@ object Profiler {
         dateRangeDays = getAnyOpt(s"${n}_range_days").map(_.asInstanceOf[Long]))
     }.toMap
 
-    // ---- Pass B: duplicates.
-    val dupRows = ProfilePasses.duplicateGroupCount(df, cfg.duplicateHashProjection).collect()
+    // ---- Pass B: duplicates. The digest projection is the default
+    // whenever exact-oracle parity is not required: at 100 TB the
+    // full-row variant's shuffle key is every column.
+    val dupRows = ProfilePasses.duplicateGroupCount(
+      df, cfg.duplicateHashProjection || !cfg.exact).collect()
     val duplicateCount = if (dupRows.isEmpty) 0L else dupRows(0).getLong(0)
 
     // ---- Pass C: frequent values (reference skips above its row
@@ -230,7 +250,12 @@ object Profiler {
   }
 
   /** Pass A fused: null counts + numeric stats + text lengths +
-    * text patterns + date stats in a single Aggregate (one scan). */
+    * text patterns + date stats in a single Aggregate (one scan).
+    * Percentiles are deliberately NOT here — their
+    * TypedImperativeAggregate would force the whole pass off
+    * WholeStageCodegen into ObjectHashAggregate; they run in their own
+    * quarantined pass (ProfilePasses.percentiles). Every expression
+    * below is a codegen'd declarative aggregate. */
   private def fusedWideAgg(df: DataFrame, b: ColumnBuckets.Buckets,
       cfg: ProfilerConfig): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -240,17 +265,12 @@ object Profiler {
       Seq(count(lit(1)).as("row_count")) ++
         b.all.map(n => count(when(c(n).isNull, lit(1))).as(s"${n}_nulls")) ++
         b.numeric.flatMap { n =>
-          val q = (p: Double, alias: String) =>
-            (if (cfg.exact) expr(s"percentile(`$n`, ${p}D)")
-             else expr(s"percentile_approx(`$n`, ${p}D, 10000)"))
-              .cast(DoubleType).as(s"${n}_$alias")
           Seq(
             min(c(n)).cast(DoubleType).as(s"${n}_min"),
             max(c(n)).cast(DoubleType).as(s"${n}_max"),
             avg(c(n)).cast(DoubleType).as(s"${n}_avg"),
             sum(c(n)).cast(DoubleType).as(s"${n}_sum"),
-            stddev_samp(c(n)).cast(DoubleType).as(s"${n}_stdev"),
-            q(0.25, "q1"), q(0.5, "median"), q(0.75, "q3"))
+            stddev_samp(c(n)).cast(DoubleType).as(s"${n}_stdev"))
         } ++
         b.text.flatMap { n =>
           Seq(

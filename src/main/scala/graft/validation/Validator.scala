@@ -124,12 +124,20 @@ object ScalarCompare {
   def compare(a: Any, b: Any): Option[Int] =
     if (isNaN(a) || isNaN(b)) None
     else if (isInfinite(a) || isInfinite(b)) {
-      def asDouble(v: Any): Option[Double] = v match {
-        case d: Double => Some(d)
-        case f: Float => Some(f.toDouble)
-        case other => toNumeric(other).map(_.toDouble)
+      // ±Infinity orders strictly beyond EVERY finite numeric — even a
+      // BigDecimal outside Double range (a naive toDouble would
+      // overflow such a value to ±inf and call them equal).
+      def infSign(v: Any): Option[Int] = v match {
+        case d: Double if d.isInfinite => Some(if (d > 0) 1 else -1)
+        case f: Float if f.isInfinite => Some(if (f > 0) 1 else -1)
+        case _ => None
       }
-      for (x <- asDouble(a); y <- asDouble(b)) yield java.lang.Double.compare(x, y)
+      (infSign(a), infSign(b)) match {
+        case (Some(x), Some(y)) => Some(x.compare(y))
+        case (Some(x), None) => toNumeric(b).map(_ => x)
+        case (None, Some(y)) => toNumeric(a).map(_ => -y)
+        case (None, None) => None
+      }
     }
     else (toNumeric(a), toNumeric(b)) match {
       case (Some(x), Some(y)) => Some(x.compare(y))

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.compare.ProfileCompare
+import graft.model._
+import graft.profiler.{Profiler, ProfilerConfig}
+
+/** Pins the reference's historical-comparison contract: a row-count
+  * change must produce an anomaly of type "row_count" with a severity
+  * in {low, medium, high} (reference: tests/test_profiler.py:35-61 —
+  * aspirational there, implemented here), plus schema-shift and trend
+  * semantics from the CLI renderer contracts (cli/profile.py:210-249).
+  */
+class ProfileCompareSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def bareProfile(
+      table: String = "t",
+      ts: String = "2026-01-01T00:00:00Z",
+      rowCount: Long = 10,
+      duplicateCount: Long = 0,
+      completeness: Map[String, ColumnCompleteness] = Map.empty,
+      numericStats: Map[String, NumericStats] = Map.empty,
+      textLengthStats: Map[String, TextLengthStats] = Map.empty,
+      dateStats: Map[String, DateStats] = Map.empty,
+      trends: Trends = Trends.empty): TableProfile =
+    TableProfile(table, ts, rowCount, duplicateCount, completeness,
+      numericStats, Map.empty, textLengthStats, dateStats,
+      Map.empty, Map.empty, Nil, Nil, Nil, trends)
+
+  // ---- the reference test's exact scenario ----------------------------
+  test("row-count change vs historical profile emits a row_count anomaly") {
+    val historical = Profiler.profile(employeesDf, "employees",
+      ProfilerConfig(persist = false)).copy(rowCount = 8)
+    val current = Profiler.profile(employeesDf, "employees",
+      ProfilerConfig(persist = false), historical = Some(historical))
+    current.anomalies should not be empty
+    val rc = current.anomalies.filter(_.anomalyType == "row_count")
+    rc should have size 1
+    Set("low", "medium", "high") should contain(rc.head.severity)
+  }
+
+  test("identical profiles produce no anomalies") {
+    val p = bareProfile()
+    ProfileCompare.detectAnomalies(p, p) shouldBe empty
+  }
+
+  test("row-count shift below 20% is not anomalous; above is") {
+    val hist = bareProfile(rowCount = 100)
+    ProfileCompare.detectAnomalies(bareProfile(rowCount = 115), hist) shouldBe empty
+    val hit = ProfileCompare.detectAnomalies(bareProfile(rowCount = 130), hist)
+    hit.map(_.anomalyType) shouldBe Seq("row_count")
+    hit.head.severity shouldBe "medium"
+    // >50% is high.
+    ProfileCompare.detectAnomalies(bareProfile(rowCount = 200), hist)
+      .head.severity shouldBe "high"
+  }
+
+  test("null-rate jump emits a column-tagged null_rate anomaly") {
+    val hist = bareProfile(completeness = Map("c" -> ColumnCompleteness(0, 1.0, 5, 50)))
+    val cur = bareProfile(completeness = Map("c" -> ColumnCompleteness(3, 31.0, 5, 50)))
+    val a = ProfileCompare.detectAnomalies(cur, hist)
+    a.map(_.anomalyType) shouldBe Seq("null_rate")
+    a.head.column shouldBe Some("c")
+    a.head.severity shouldBe "high" // 30pp > 20pp
+  }
+
+  test("mean shift beyond threshold·σ emits numeric_mean anomaly") {
+    def stats(avg: Double, stdev: Double) = NumericStats(
+      Some(0), Some(1), Some(avg), Some(1), Some(stdev), None, None, None)
+    val hist = bareProfile(numericStats = Map("x" -> stats(100, 1)))
+    val small = bareProfile(numericStats = Map("x" -> stats(102, 1)))
+    ProfileCompare.detectAnomalies(small, hist) shouldBe empty // 2σ < 3σ
+    val big = bareProfile(numericStats = Map("x" -> stats(104, 1)))
+    val a = ProfileCompare.detectAnomalies(big, hist)
+    a.map(_.anomalyType) shouldBe Seq("numeric_mean")
+    a.head.column shouldBe Some("x")
+  }
+
+  // ---- schema shifts ---------------------------------------------------
+  test("added/removed/type-changed columns are all detected") {
+    val hist = bareProfile(
+      completeness = Map(
+        "stays" -> ColumnCompleteness(0, 0, 1, 1),
+        "goes" -> ColumnCompleteness(0, 0, 1, 1),
+        "flips" -> ColumnCompleteness(0, 0, 1, 1)),
+      numericStats = Map("flips" -> NumericStats(None, None, None, None, None, None, None, None)))
+    val cur = bareProfile(
+      completeness = Map(
+        "stays" -> ColumnCompleteness(0, 0, 1, 1),
+        "arrives" -> ColumnCompleteness(0, 0, 1, 1),
+        "flips" -> ColumnCompleteness(0, 0, 1, 1)),
+      textLengthStats = Map("flips" -> TextLengthStats(None, None, None)))
+    val shifts = ProfileCompare.detectSchemaShifts(cur, hist)
+    shifts.map(s => (s.shiftType, s.column)).toSet shouldBe Set(
+      ("column_added", "arrives"),
+      ("column_removed", "goes"),
+      ("type_changed", "flips"))
+    shifts.find(_.column == "goes").get.severity shouldBe "high"
+  }
+
+  test("no shifts for identical schemas") {
+    val p = bareProfile(completeness = Map("a" -> ColumnCompleteness(0, 0, 1, 1)))
+    ProfileCompare.detectSchemaShifts(p, p) shouldBe empty
+  }
+
+  // ---- trends ----------------------------------------------------------
+  test("trends accumulate across three runs without duplicating points") {
+    val p1 = bareProfile(ts = "t1", rowCount = 10)
+    val p2 = bareProfile(ts = "t2", rowCount = 12)
+    val p3 = bareProfile(ts = "t3", rowCount = 15)
+    val t2 = ProfileCompare.appendTrends(Trends.empty, p1, p2)
+    t2.rowCounts.map(_.timestamp) shouldBe Seq("t1", "t2")
+    val t3 = ProfileCompare.appendTrends(t2, p2, p3)
+    t3.rowCounts.map(_.timestamp) shouldBe Seq("t1", "t2", "t3")
+    t3.rowCounts.map(_.value) shouldBe Seq(10.0, 12.0, 15.0)
+  }
+
+  test("trends: a corrected observation at the same timestamp replaces the point") {
+    val p1 = bareProfile(ts = "t1", rowCount = 10)
+    val p2 = bareProfile(ts = "t2", rowCount = 12)
+    val t2 = ProfileCompare.appendTrends(Trends.empty, p1, p2)
+    // Re-run of t2 with a corrected count: point is replaced, not
+    // duplicated and not silently dropped.
+    val p2fixed = bareProfile(ts = "t2", rowCount = 13)
+    val t2b = ProfileCompare.appendTrends(t2, p1, p2fixed)
+    t2b.rowCounts.map(_.timestamp) shouldBe Seq("t1", "t2")
+    t2b.rowCounts.last.value shouldBe 13.0
+  }
+
+  test("null-rate trends keep series for columns absent from one profile") {
+    val histC = Map("a" -> ColumnCompleteness(1, 10.0, 1, 1))
+    val curC = Map("b" -> ColumnCompleteness(2, 20.0, 1, 1))
+    val t = ProfileCompare.appendTrends(Trends.empty,
+      bareProfile(ts = "t1", completeness = histC),
+      bareProfile(ts = "t2", completeness = curC))
+    t.nullRates.keySet shouldBe Set("a", "b")
+    t.nullRates("a").map(_.value) shouldBe Seq(10.0)
+    t.nullRates("b").map(_.value) shouldBe Seq(20.0)
+  }
+}

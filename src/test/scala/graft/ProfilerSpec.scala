@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.profiler.{Profiler, ProfilerConfig}
+
+/** Pins the reference's concrete profiler assertions
+  * (reference: tests/test_profiler.py:8-32) against the A1 `employees`
+  * golden fixture, plus edge cases the reference leaves implicit.
+  */
+class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private lazy val profile =
+    Profiler.profile(employeesDf, "employees",
+      ProfilerConfig(includeSamples = true, persist = false))
+
+  test("row_count == 10") {
+    profile.rowCount shouldBe 10L
+  }
+
+  test("completeness: name has 0 nulls, age has 2, salary 2, department 1") {
+    profile.completeness("name").nulls shouldBe 0L
+    profile.completeness("age").nulls shouldBe 2L
+    profile.completeness("salary").nulls shouldBe 2L
+    profile.completeness("department").nulls shouldBe 1L
+  }
+
+  test("completeness percentages are rounded to 2dp of the row count") {
+    profile.completeness("age").nullPercentage shouldBe 20.0
+    profile.completeness("department").nullPercentage shouldBe 10.0
+    // 10 distinct ids over 10 rows.
+    profile.completeness("id").distinctPercentage shouldBe 100.0
+  }
+
+  test("salary min 50000, max 140000 (nulls ignored)") {
+    val s = profile.numericStats("salary")
+    s.min shouldBe Some(50000.0)
+    s.max shouldBe Some(140000.0)
+  }
+
+  test("salary avg/sum/median ignore the 2 nulls") {
+    val s = profile.numericStats("salary")
+    // 8 non-null salaries summing to 750000.
+    s.sum shouldBe Some(750000.0)
+    s.avg shouldBe Some(93750.0)
+    // exact interpolated median of the 8 values = (90000+100000)/2.
+    s.median shouldBe Some(95000.0)
+  }
+
+  test("text length stats cover name") {
+    val t = profile.textLengthStats("name")
+    t.minLength shouldBe Some(10L) // "Employee 1"
+    t.maxLength shouldBe Some(11L) // "Employee 10"
+  }
+
+  test("duplicate_count is 0 for employees (all rows distinct)") {
+    profile.duplicateCount shouldBe 0L
+  }
+
+  test("duplicate_count counts groups, not surplus rows") {
+    val s = spark
+    import s.implicits._
+    // 2 groups occur more than once (a×3, b×2); c unique.
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("v")
+    val p = Profiler.profile(df, "dups", ProfilerConfig(persist = false))
+    p.duplicateCount shouldBe 2L
+  }
+
+  test("duplicate hash-projection path agrees with full-row groupBy") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 3)).toDF("k", "v")
+    val full = Profiler.profile(df, "t", ProfilerConfig(persist = false)).duplicateCount
+    val hashed = Profiler.profile(df, "t",
+      ProfilerConfig(persist = false, duplicateHashProjection = true)).duplicateCount
+    hashed shouldBe full
+    hashed shouldBe 1L
+  }
+
+  test("frequent values: department top-1 has frequency 3") {
+    // HR, IT, Finance each appear 3 times — the winner is tie-broken
+    // deterministically; its frequency must be 3 regardless.
+    val fv = profile.frequentValues("department")
+    fv.frequency shouldBe 3L
+    fv.percentage shouldBe 30.0
+  }
+
+  test("frequent values carry native types back (id is a Long)") {
+    profile.frequentValues("id").value shouldBe a[java.lang.Long]
+  }
+
+  test("samples present when requested, absent by default") {
+    profile.samples should not be empty
+    profile.samples.head.keySet should contain("name")
+    val noSamples = Profiler.profile(employeesDf, "employees",
+      ProfilerConfig(persist = false))
+    noSamples.samples shouldBe empty
+  }
+
+  test("outliers: empty for employees (no 3-sigma values in 10 rows)") {
+    // With n=10 and these spreads nothing exceeds mean±3σ.
+    profile.outliers shouldBe empty
+  }
+
+  test("outliers: a far value is reported with its column") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(50)(10.0) ++ Seq(10000.0)).toDF("x")
+    val p = Profiler.profile(df, "t", ProfilerConfig(persist = false))
+    p.outliers.keySet shouldBe Set("x")
+    p.outliers("x") shouldBe Seq(10000.0)
+  }
+
+  test("approx mode (exact=false) still gets exact row/null counts") {
+    val p = Profiler.profile(employeesDf, "employees",
+      ProfilerConfig(exact = false, persist = false))
+    p.rowCount shouldBe 10L
+    p.completeness("age").nulls shouldBe 2L
+    // HLL distinct on 10 rows is exact in practice.
+    p.completeness("id").distinctCount shouldBe 10L
+  }
+
+  test("empty DataFrame profiles without error") {
+    val df = employeesDf.filter("id < 0")
+    val p = Profiler.profile(df, "empty", ProfilerConfig(persist = false))
+    p.rowCount shouldBe 0L
+    p.duplicateCount shouldBe 0L
+    p.completeness("id").nullPercentage shouldBe 0.0
+    p.numericStats("salary").min shouldBe None
+  }
+
+  test("all-null column yields zero-valued stats, not errors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("id", "v")
+    val p = Profiler.profile(df, "t", ProfilerConfig(persist = false))
+    p.completeness("v").nulls shouldBe 2L
+    p.completeness("v").nullPercentage shouldBe 100.0
+    p.numericStats("v").min shouldBe None
+    p.frequentValues.get("v") shouldBe None // no non-null values
+  }
+}

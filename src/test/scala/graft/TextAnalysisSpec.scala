@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.text.TextAnalysis
+
+/** Unit tests for the LLM-pipeline text operators: token stats,
+  * quality scoring, language ID, and fingerprints. All operators are
+  * pure column expressions — these tests pin their hand-computable
+  * values on tiny DataFrames.
+  */
+class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("tokenStats: whitespace tokens, BPE-ish tokens, char count") {
+    val df = docs((1L, "Hello world, it is sunny."))
+    val r = TextAnalysis.tokenStats(df, "text", "doc_id").head()
+    r.getAs[Long]("n_chars") shouldBe 25L
+    r.getAs[Long]("n_tokens_ws") shouldBe 5L
+    // BPE-ish: Hello|world|,|it|is|sunny|. → 7 runs.
+    r.getAs[Long]("n_tokens_bpe") shouldBe 7L
+    // avg word len: (5+6+2+2+6)/5 = 4.2 (punct stays attached to ws tokens).
+    r.getAs[Double]("avg_word_len") shouldBe 4.2
+  }
+
+  test("tokenStats: multiple whitespace runs collapse; empty-ish text safe") {
+    val df = docs((1L, "a  b\t c"), (2L, "   "))
+    val rows = TextAnalysis.tokenStats(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    rows(0).getAs[Long]("n_tokens_ws") shouldBe 3L
+    // trim("   ") = "" → split yields one empty token; guarded avg.
+    noException should be thrownBy rows(1).getAs[Double]("avg_word_len")
+  }
+
+  test("qualityScore: prose scores higher than symbol soup") {
+    val prose = "the quick brown fox jumps over the lazy dog and it is fine " * 3
+    val soup = "@@@ ### !!! %%% ^^^ &&& *** ((( ))) ___"
+    val df = docs((1L, prose), (2L, soup))
+    val byId = TextAnalysis.qualityScore(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val proseScore = byId(1L).getAs[Double]("quality_score")
+    val soupScore = byId(2L).getAs[Double]("quality_score")
+    proseScore should be > soupScore
+    byId(2L).getAs[Double]("punct_ratio") should be > 0.5
+    byId(1L).getAs[Double]("stopword_ratio") should be > 0.2
+  }
+
+  test("qualityScore: digit ratio isolates numeric text") {
+    val df = docs((1L, "123456 7890"))
+    val r = TextAnalysis.qualityScore(df, "text", "doc_id").head()
+    r.getAs[Double]("digit_ratio") shouldBe (10.0 / 11.0 +- 0.001)
+  }
+
+  test("languageId: marker words pick the language; zero hits → unknown") {
+    val df = docs(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der Hund ist nicht die Katze und"),
+      (3L, "el perro que vive en la casa los dias"),
+      (4L, "qwerty zxcvb 12345"))
+    val out = TextAnalysis.languageId(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    out(1L) shouldBe "en"
+    out(2L) shouldBe "de"
+    out(3L) shouldBe "es"
+    out(4L) shouldBe "unknown"
+  }
+
+  test("languageId ties break to the alphabetically first language") {
+    // "die" is a de marker; "the" an en marker → 1 hit each → de wins.
+    val df = docs((1L, "die the"))
+    TextAnalysis.languageId(df, "text", "doc_id")
+      .head().getAs[String]("lang_pred") shouldBe "de"
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val df = docs(
+      (1L, "Hello   World"),
+      (2L, "  hello world "),
+      (3L, "hello worlds"))
+    val fps = TextAnalysis.fingerprints(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    fps(1L) shouldBe fps(2L)
+    fps(1L) should not be fps(3L)
+  }
+
+  test("contentHash64 agrees with fingerprint on equality structure") {
+    val df = docs((1L, "A  b"), (2L, "a b"), (3L, "ab"))
+    val hs = df.select(TextAnalysis.contentHash64(df("text")).as("h"))
+      .collect().map { case Row(h: Long) => h }
+    hs(0) shouldBe hs(1)
+    hs(0) should not be hs(2)
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.model.{TableMeta, ValidationRule}
+import graft.validation.{DefaultValidations, Validator}
+
+/** End-to-end validator tests pinning the reference's validation
+  * contract (reference: tests/test_validations.py:9-67) against the A1
+  * employees and A2 products fixtures.
+  */
+class ValidatorSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def withViews[A](f: => A): A = {
+    employeesDf.createOrReplaceTempView("employees")
+    productsDf.createOrReplaceTempView("products")
+    f
+  }
+
+  test("passing rule: check_employee_count COUNT(*) > 5") {
+    withViews {
+      val r = Validator.runOne(spark, ValidationRule(
+        "check_employee_count", "at least 5 employees",
+        "SELECT COUNT(*) FROM employees", "greater_than", 5))
+      r.isValid shouldBe true
+      r.actualValue shouldBe 10L
+      r.error shouldBe None
+    }
+  }
+
+  test("failing rule: check_no_nulls on department (1 NULL present)") {
+    withViews {
+      val r = Validator.runOne(spark, ValidationRule(
+        "check_no_nulls", "no null departments",
+        "SELECT COUNT(*) FROM employees WHERE department IS NULL", "equals", 0))
+      r.isValid shouldBe false
+      r.actualValue shouldBe 1L
+    }
+  }
+
+  test("generated check_price_positive FAILS on products (one negative price)") {
+    withViews {
+      val rules = DefaultValidations.generate(productsDf.schema, "products")
+      val positive = rules.find(_.name == "check_price_positive")
+      positive should not be empty
+      val r = Validator.runOne(spark, positive.get)
+      r.isValid shouldBe false // Product E has price -1.00
+      r.actualValue shouldBe 1L
+    }
+  }
+
+  test("generated defaults include expected families for products") {
+    val rules = DefaultValidations.generate(productsDf.schema, "products",
+      TableMeta(primaryKey = Seq("product_id")))
+    val names = rules.map(_.name)
+    names should contain("check_products_not_empty")
+    names should contain("check_products_pk_unique")
+    names should contain("check_price_positive")
+    names should contain("check_price_not_zero")
+    names should contain("check_category_distribution")
+  }
+
+  test("a rule with broken SQL captures its error and keeps the run going") {
+    withViews {
+      val results = Validator.run(spark, Seq(
+        ValidationRule("bad", "", "SELECT FROM nowhere zzz", "equals", 0),
+        ValidationRule("good", "", "SELECT COUNT(*) FROM products", "equals", 5)))
+      results.map(_.ruleName) shouldBe Seq("bad", "good")
+      results(0).isValid shouldBe false
+      results(0).error should not be empty
+      results(1).isValid shouldBe true
+      results(1).error shouldBe None
+    }
+  }
+
+  test("incomparable actual/expected marks the rule failed with error, not a crash") {
+    withViews {
+      val r = Validator.runOne(spark, ValidationRule(
+        "strVsNum", "", "SELECT MAX(category) FROM products",
+        "greater_than", 5))
+      r.isValid shouldBe false
+      r.error should not be empty
+    }
+  }
+
+  test("unknown operator yields is_valid=false without error") {
+    withViews {
+      val r = Validator.runOne(spark, ValidationRule(
+        "weird", "", "SELECT COUNT(*) FROM products", "sorta_equals", 5))
+      r.isValid shouldBe false
+      r.error shouldBe None
+    }
+  }
+
+  test("NULL scalar result compares as Python None (equals null passes)") {
+    withViews {
+      val r = Validator.runOne(spark, ValidationRule(
+        "nullScalar", "", "SELECT MAX(price) FROM products WHERE price > 1e9",
+        "equals", null))
+      r.isValid shouldBe true
+    }
+  }
+
+  test("parallel validator run returns results in rule order") {
+    withViews {
+      val rules = (1 to 6).map(i => ValidationRule(
+        s"r$i", "", s"SELECT COUNT(*) + $i FROM products", "equals", 5L + i))
+      val results = Validator.run(spark, rules, parallelism = 3)
+      results.map(_.ruleName) shouldBe rules.map(_.name)
+      all(results.map(_.isValid)) shouldBe true
+    }
+  }
+
+  test("D4 unique-name heuristic fires on product_id and passes") {
+    withViews {
+      val rules = DefaultValidations.generate(productsDf.schema, "products")
+      val unique = rules.find(_.name == "check_product_id_unique")
+      unique should not be empty
+      Validator.runOne(spark, unique.get).isValid shouldBe true
+    }
+  }
+
+  test("guessStartDateColumn heuristics (ported verbatim)") {
+    DefaultValidations.guessStartDateColumn("end_date",
+      Seq("start_date", "end_date")) shouldBe "start_date"
+    DefaultValidations.guessStartDateColumn("completed_at",
+      Seq("created_at", "completed_at")) shouldBe "created_at"
+    // Fallback: any start-ish date column.
+    DefaultValidations.guessStartDateColumn("closing_ts",
+      Seq("begin_time", "closing_ts")) shouldBe "begin_time"
+    // No candidate → the end column itself.
+    DefaultValidations.guessStartDateColumn("end_date", Seq("end_date")) shouldBe "end_date"
+  }
+
+  test("outlierThreshold table-name heuristic (ported verbatim)") {
+    DefaultValidations.outlierThreshold("fact_sales") shouldBe 50
+    DefaultValidations.outlierThreshold("customer") shouldBe 20
+    DefaultValidations.outlierThreshold("region") shouldBe 5
+  }
+}
