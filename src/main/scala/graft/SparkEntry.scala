@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.model.TableMeta
 import graft.profiler.ProfilePasses
+import graft.text.TextAnalysis
 import graft.validation.{DefaultValidations, Validator}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -192,6 +194,50 @@ object SparkEntry {
           .map(_.toDouble).getOrElse(Double.NaN)
         (r.ruleName, r.isValid, actual)
       }.toDF("rule_name", "is_valid", "actual_value").orderBy("rule_name")
+    }),
+
+    // ---- LLM-pipeline: exact-duplicate groups by content fingerprint.
+    // The base table has no exact dups at gate scale, so the query
+    // unions in a case/whitespace-mangled copy of every 10th doc — the
+    // fingerprint must normalize all 50 back onto their originals.
+    "ll1_exact_dup_groups" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      val mangled = df.filter(col("doc_id") % 10 === 0)
+        .select(concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+      val all = df.select("text").unionAll(mangled)
+      Dedup.exactDupGroups(all, "text")
+        .agg(count(lit(1)).as("dup_group_count"),
+          sum("dup_count").cast("long").as("dup_rows"))
+    }),
+
+    // ---- LLM-pipeline: near-dup pairs via MinHash-LSH + exact-Jaccard
+    // verification. LSH (32 bands × 4 rows) only shapes the candidate
+    // set; the emitted pairs are exact word-3gram Jaccard ≥ 0.8, so
+    // the brute-force DuckDB oracle matches when recall holds (miss
+    // probability ~5e-8 per true pair at the threshold).
+    "ll2_near_dup_pairs" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- LLM-pipeline: per-document token statistics ------------------
+    "txt_token_stats" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      TextAnalysis.tokenStats(df, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // ---- LLM-pipeline: per-document quality heuristics ----------------
+    "txt_quality" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      TextAnalysis.qualityScore(df, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // ---- LLM-pipeline: marker-word language identification ------------
+    "txt_lang_id" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      TextAnalysis.languageId(df, "text", "doc_id").orderBy("doc_id")
     }),
 
     // ---- Arbitrary rule SQL surface (the reference's `query` strings
@@ -414,6 +460,82 @@ object SparkEntry {
         |       (SELECT count(DISTINCT o_orderstatus) FROM orders) <= 3,
         |       CAST((SELECT count(DISTINCT o_orderstatus) FROM orders) AS DOUBLE)
         |ORDER BY rule_name""".stripMargin,
+
+    "ll1_exact_dup_groups" ->
+      """WITH all_docs AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT '  ' || upper(text) || ' ' FROM documents WHERE doc_id % 10 = 0
+        |), fp AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f, count(*) AS c
+        |  FROM all_docs GROUP BY 1 HAVING count(*) > 1
+        |)
+        |SELECT count(*) AS dup_group_count, CAST(sum(c) AS BIGINT) AS dup_rows FROM fp""".stripMargin,
+
+    "ll2_near_dup_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS ts
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "txt_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_tokens_bpe,
+        |  round(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) * 1.0
+        |        / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w,
+        |    len(regexp_extract_all(text, '[[:punct:]]')) * 1.0 / greatest(length(text), 1.0) AS punct_r,
+        |    len(regexp_extract_all(text, '[0-9]')) * 1.0 / greatest(length(text), 1.0) AS digit_r
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, punct_r, digit_r,
+        |    greatest(len(w), 1) * 1.0 AS n_tok,
+        |    len(list_filter(w, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+        |      / greatest(len(w), 1) AS stop_r
+        |  FROM raw
+        |)
+        |SELECT doc_id,
+        |  round(punct_r, 4) AS punct_ratio,
+        |  round(digit_r, 4) AS digit_ratio,
+        |  round(stop_r, 4) AS stopword_ratio,
+        |  round(least(least(n_tok / 100.0, 1.0) * (1.0 - punct_r) * (0.5 + 0.5 * stop_r), 1.0), 4) AS quality_score
+        |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "txt_lang_id" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','ist','nicht'))) AS de,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS en,
+        |    len(list_filter(toks, t -> t IN ('el','la','que','los','una'))) AS es,
+        |    len(list_filter(toks, t -> t IN ('le','les','des','est','une'))) AS fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','我'))) AS zh
+        |  FROM w
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'unknown'
+        |       WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |       WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |       WHEN es >= fr AND es >= zh THEN 'es'
+        |       WHEN fr >= zh THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred,
+        |  CAST(greatest(de,en,es,fr,zh) AS BIGINT) AS marker_hits
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "sql_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,181 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact duplicates via content fingerprints and near-duplicates via
+  * MinHash + banded LSH with exact n-gram-Jaccard verification.
+  *
+  * This is north-star scope beyond the reference surface (the
+  * reference profiles duplicate ROWS only,
+  * reference: sparvi/profiler/profile_engine.py:97-123); the text
+  * normalization matches [[graft.text.TextAnalysis.fingerprint]].
+  *
+  * Scale design — the whole point is to NEVER materialize the O(N²)
+  * pair space:
+  *   - shingling + minhash signatures are pure map-side column
+  *     expressions (codegen'd higher-order functions, no UDFs, no
+  *     shuffle);
+  *   - candidate generation shuffles each doc once per band keyed by
+  *     (band, bucket-hash) and self-joins equi-keyed — only docs
+  *     agreeing on a full band of minhashes ever meet;
+  *   - verification computes EXACT Jaccard only on candidate pairs,
+  *     so LSH affects recall, never precision;
+  *   - with b bands of r rows, P(candidate | J=s) = 1-(1-s^r)^b —
+  *     the default 32×4 makes misses at J ≥ 0.8 ~5e-8.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a document. Shorter-than-n
+    * documents collapse to one whole-text shingle.
+    *
+    * Built as `arrays_zip` of n shifted slices of the token array and
+    * a transform whose lambda touches only its own element — NOT as
+    * `transform(sequence(...), i => slice(w, i+1, n))`, whose lambda
+    * would capture the token-split subtree and re-tokenize the whole
+    * document once per shingle (quadratic in document length). */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val w = split(trim(text), "\\s+")
+    val cnt = size(w) - (n - 1)
+    val zipped = arrays_zip((0 until n).map(j => slice(w, lit(j + 1), greatest(cnt, lit(1)))): _*)
+    val grams = transform(zipped,
+      s => concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))
+    array_distinct(when(size(w) >= n, grams).otherwise(array(concat_ws(" ", w))))
+  }
+
+  /** MinHash signatures as a DataFrame: (id, sig: array<long>) where
+    * sig(s) = min over shingles of xxhash64(s, shingle) — k
+    * independent-enough hash families from one seeded hash, the
+    * standard construction.
+    *
+    * Deliberately relational — explode to (id, shingle) rows, then ONE
+    * wide codegen'd aggregate of k `min` columns with map-side combine
+    * — rather than nested array lambdas: a higher-order-function
+    * lambda re-evaluates any non-attribute subtree it captures once
+    * PER ELEMENT (interpreted, no codegen), which turns nested
+    * transform(transform(...)) minhashing into k × |shingles|
+    * re-tokenizations of the document. The explode+agg shape keeps
+    * every expression on bound attributes and the shuffle at k longs
+    * per document after partial aggregation. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128): DataFrame = {
+    val shingled = df.select(
+      col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val mins = (0 until numHashes).map(s => min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
+    shingled.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys over a BOUND signature attribute: the signature is
+    * cut into `bands` runs of `rowsPerBand` and each run is hashed to
+    * one bucket id. Two docs are candidates iff they share a bucket in
+    * ANY band. Pass a materialized column (e.g. from
+    * [[minhashSignatures]]), not a nested expression — see the lambda
+    * capture note above. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))).as("bucket")))
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Exact-duplicate groups by normalized-content fingerprint:
+    * (fingerprint, dup_count) for every group occurring more than
+    * once. One map-side digest + one hash aggregate on a 128-bit key —
+    * the scale-safe shape regardless of document size. */
+  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** LSH candidate pairs (id_a < id_b), deduplicated across bands.
+    * `numHashes` must be bands × rowsPerBand. */
+  def candidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val bucketed = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified with EXACT word
+    * n-gram Jaccard, keeping pairs at or above `threshold`.
+    * Output: (id_a, id_b, jaccard). Never all-pairs — the only joins
+    * are the banded bucket join and two id-keyed shingle lookups. */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val shingled = df.select(
+      col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+    candidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Greedy near-dup removal: for every surviving pair the lower id is
+    * the kept representative; any id appearing on the right side of a
+    * pair is dropped. (Not full connected components — the standard
+    * cheap policy: at worst a chain keeps more than one member, never
+    * drops all members of a group.) */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, threshold, shingleSize, numHashes, bands)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit hashes of a document's lowercased whitespace tokens.
+    * Project this into a column first when feeding [[simhash64FromHashes]]
+    * in a hot path, so the split+hash runs once per row. */
+  def tokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
+
+  /** SimHash-64 over precomputed token hashes: bit i of the result is
+    * set iff more than half the token hashes have bit i set — the
+    * classic Charikar sketch; near-dups land within a small Hamming
+    * distance. Pure map-side column expression (64 mask tests per
+    * token, no UDF, no shuffle). */
+  def simhash64FromHashes(hashes: Column): Column = {
+    val n = size(hashes)
+    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
+    aggregate(
+      masks,
+      lit(0L),
+      (acc, m) => {
+        val ones = size(filter(hashes, h => h.bitwiseAND(m) =!= lit(0L)))
+        acc.bitwiseOR(when(ones * 2 > n, m).otherwise(lit(0L)))
+      })
+  }
+
+  def simhash64(text: Column): Column = simhash64FromHashes(tokenHashes(text))
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.dedup.Dedup
+
+/** Unit tests for exact and MinHash-LSH near-duplicate detection. */
+class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square at dusk"
+
+  test("wordShingles: n-grams over the raw token sequence, distinct") {
+    val df = docs((1L, "a b c d"))
+    val sh = df.select(Dedup.wordShingles(col("text"), 3).as("s"))
+      .head().getSeq[String](0)
+    sh should contain theSameElementsAs Seq("a b c", "b c d")
+  }
+
+  test("wordShingles: shorter-than-n text collapses to one shingle") {
+    val df = docs((1L, "only two"))
+    df.select(Dedup.wordShingles(col("text"), 3)).head().getSeq[String](0) shouldBe
+      Seq("only two")
+  }
+
+  test("minhash signatures are identical for identical shingle sets") {
+    val df = docs((1L, "a b c d"), (2L, "a b c d"))
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 16)
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    sigs(0) shouldBe sigs(1)
+    sigs(0) should have size 16
+  }
+
+  test("exactDupGroups counts normalized groups occurring more than once") {
+    val df = docs(
+      (1L, "Hello   World"), (2L, " hello world"), (3L, "HELLO WORLD"),
+      (4L, "something else"), (5L, "something  ELSE"), (6L, "unique text"))
+    val groups = Dedup.exactDupGroups(df, "text").collect()
+    groups should have size 2
+    groups.map(_.getAs[Long]("dup_count")).sorted shouldBe Array(2L, 3L)
+  }
+
+  test("nearDupPairs finds a mutated copy and reports exact Jaccard") {
+    val mutated = base.replace("dusk", "dawn") // 1-word change
+    val df = docs(
+      (1L, base), (2L, mutated),
+      (3L, "completely different content about spark aggregates and shuffles here"),
+      (4L, "another unrelated document mentioning neither foxes nor towns at all"))
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.5).collect()
+    pairs should have size 1
+    val p = pairs.head
+    (p.getAs[Long]("id_a"), p.getAs[Long]("id_b")) shouldBe ((1L, 2L))
+    // The last word changed in a 19-word doc: each side has 17
+    // 3-gram shingles, exactly one differs → 16 shared of 18 distinct.
+    // The value is exact Jaccard, not an LSH estimate.
+    p.getAs[Double]("jaccard") shouldBe (16.0 / 18.0 +- 1e-9)
+  }
+
+  test("nearDupPairs: identical docs have Jaccard exactly 1.0") {
+    val df = docs((1L, base), (2L, base))
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text").collect()
+    pairs should have size 1
+    pairs.head.getAs[Double]("jaccard") shouldBe 1.0
+  }
+
+  test("dropNearDuplicates keeps the lowest id of a dup pair") {
+    val df = docs((1L, base), (2L, base), (3L, "totally different text about other things entirely"))
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 3L)
+  }
+
+  test("candidate generation is banded, never all-pairs") {
+    // Disjoint-vocabulary docs share no shingles → no common bucket →
+    // zero candidates (an all-pairs approach would emit 6).
+    val df = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "phi chi psi omega one two three four five six"),
+      (4L, "seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+    Dedup.candidatePairs(df, "doc_id", "text").count() shouldBe 0L
+  }
+
+  test("simhash: identical tokens → distance 0; near texts closer than far ones") {
+    val df = docs(
+      (1L, base), (2L, base.replace("dusk", "dawn")),
+      (3L, "entirely disjoint vocabulary covering machine learning pipelines and storage"))
+    val hs = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    ham(hs(1L), hs(1L)) shouldBe 0
+    ham(hs(1L), hs(2L)) should be < ham(hs(1L), hs(3L))
+  }
+
+  test("hammingDistance column matches bitCount of xor") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0x0FL, 0x00L), (0xFFL, 0xFFL), (-1L, 0L)).toDF("a", "b")
+    df.select(Dedup.hammingDistance(col("a"), col("b"))).collect()
+      .map(_.getInt(0)) shouldBe Array(4, 0, 64)
+  }
+}
