@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.model.TableMeta
 import graft.profiler.ProfilePasses
+import graft.similarity.Similarity
 import graft.text.TextAnalysis
 import graft.validation.{DefaultValidations, Validator}
 
@@ -220,6 +221,31 @@ object SparkEntry {
       Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- LLM-pipeline: exact brute-force cosine top-k (the ANN
+    // baseline; queries broadcast, two-phase top-k, no window funnel).
+    "ll3_ann_topk" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      val q = df.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("cosine_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LLM-pipeline: LSH-bucketed approximate top-k (the 100 TB
+    // path: bucket equi-join instead of cross join). Approximate →
+    // no SQL oracle; the driver records the weaker rows-only check and
+    // SimilaritySpec pins recall against the exact baseline.
+    "ll4_ann_lsh_topk" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      val q = df.filter(col("vec_id") < 5)
+      Similarity.annTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+        dim = 64, k = 5, nPlanes = 6, multiprobe = 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("cosine_sim"))
+        .orderBy("query_id", "rank")
     }),
 
     // ---- LLM-pipeline: per-document token statistics ------------------
@@ -484,6 +510,23 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ll3_ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        |), pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum([qv[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(qv) + 1)]) /
+        |    (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)])) *
+        |     sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM pairs
+        |)
+        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "txt_token_stats" ->
       """SELECT doc_id,

@@ -1,0 +1,140 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over embedding columns
+  * (`array<float>`/`array<double>`): brute-force cosine top-k as the
+  * exact baseline and a random-hyperplane LSH-bucketed variant as the
+  * scale path. North-star scope beyond the reference surface (the
+  * reference has no vector operations).
+  *
+  * Scale design:
+  *   - all vector math is codegen-friendly column expressions
+  *     (`zip_with` + `aggregate`), computed in double precision so the
+  *     result is engine-reproducible — no UDFs, no driver math;
+  *   - top-k never uses a per-query window (which would funnel every
+  *     candidate of a query through one task): a two-phase aggregate
+  *     keeps at most k candidates per (query, slot) partial group,
+  *     then merges the slot winners — both phases are ordinary hash
+  *     aggregates that parallelize over all partitions;
+  *   - the LSH variant joins data and queries on a sign-bucket key, so
+  *     per-query work drops from O(N) to O(bucket); recall is tunable
+  *     via plane count and multiprobe radius.
+  */
+object Similarity {
+
+  /** Dot product of two vector columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm of a vector column, accumulated in double. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity of two vector columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Deterministic pseudo-random Gaussian hyperplanes (fixed seed) for
+    * sign-bucket LSH. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket id of a vector: bit i is set iff vec · plane(i) > 0.
+    * Vectors within a narrow cone share all sign bits with high
+    * probability (P(planes split a pair at angle θ) = θ/π per plane). */
+  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, array(p.map(lit): _*)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ bitwiseOR _)
+
+  /** Two-phase distributed top-k over scored candidate rows
+    * (query_id, neighbor_id, sim): phase 1 keeps the best k per
+    * (query, hash-slot) group, phase 2 merges the ≤ k·slots survivors
+    * per query. Neither phase materializes a query's full candidate
+    * set in one task. Ordering: sim desc, neighbor_id asc. */
+  private def topK(candidates: DataFrame, k: Int, slots: Int = 64): DataFrame = {
+    val item = struct((-col("sim")).as("neg"), col("neighbor_id").as("nid"))
+    val partial = candidates
+      .groupBy(col("query_id"), pmod(xxhash64(col("neighbor_id")), lit(slots)).as("slot"))
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("tops"))
+    partial.groupBy("query_id")
+      .agg(slice(array_sort(flatten(collect_list(col("tops")))), 1, k).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.nid").as("neighbor_id"),
+        (-col("t.neg")).as("sim"))
+  }
+
+  /** Exact brute-force cosine top-k: every query (broadcast) is scored
+    * against every row in one pass over the data — the O(N·Q) baseline
+    * and the recall oracle for the LSH variant.
+    * Output: (query_id, rank, neighbor_id, sim). */
+  def bruteForceTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"))
+    val cand = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .select("query_id", "neighbor_id", "sim")
+    topK(cand, k)
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: data and queries are
+    * bucketed by sign bits; each query scores only rows sharing one of
+    * its probe buckets (its own bucket plus, with `multiprobe` ≥ 1,
+    * every bucket at Hamming distance 1). The bucket equi-join
+    * replaces the brute-force cross join — per-query cost drops to
+    * O(N / 2^nPlanes · probes). Same output shape as
+    * [[bruteForceTopK]]; ranks are exact within the probed set. */
+  def annTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, k: Int = 10, nPlanes: Int = 8, multiprobe: Int = 1,
+      seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val data = df.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    val baseQ = queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
+      signBucket(col(queryVecCol), planes).as("qb"))
+    val probeBuckets =
+      if (multiprobe < 1) array(col("qb"))
+      else array(col("qb") +: (0 until nPlanes).map(i => col("qb").bitwiseXOR(lit(1 << i))): _*)
+    val probes = baseQ.select(col("query_id"), col("qv"),
+      explode(probeBuckets).as("bucket"))
+    val cand = data.join(probes, "bucket")
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .select("query_id", "neighbor_id", "sim")
+    topK(cand, k)
+  }
+
+  /** Embedding-space near-duplicate pairs: LSH candidates verified
+    * with exact cosine ≥ threshold (id_a < id_b). Like
+    * [[graft.dedup.Dedup.nearDupPairs]] but over vectors: LSH shapes
+    * the candidate set, the emitted similarity is exact. */
+  def nearDupByEmbedding(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+}

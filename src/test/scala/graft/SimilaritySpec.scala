@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.similarity.Similarity
+
+/** Unit tests for cosine top-k search: exact baseline semantics and
+  * LSH recall on clustered vectors. */
+class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def vecs(rows: (Long, Seq[Double])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → -1") {
+    val df = vecs(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(-1.0, 0.0)))
+    val a = df.filter(col("vec_id") === 1).select(col("embedding").as("a"))
+    val sims = a.crossJoin(df)
+      .select(col("vec_id"), Similarity.cosine(col("a"), col("embedding")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sims(2L) shouldBe 1.0 +- 1e-12
+    sims(3L) shouldBe 0.0 +- 1e-12
+    sims(4L) shouldBe -1.0 +- 1e-12
+  }
+
+  test("bruteForceTopK: known ordering, self excluded, ranks 1..k") {
+    val df = vecs(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.9, 0.1)),   // closest to 1
+      (3L, Seq(0.5, 0.5)),
+      (4L, Seq(0.0, 1.0)),   // farthest from 1
+      (5L, Seq(-1.0, 0.2)))
+    val q = df.filter(col("vec_id") === 1)
+    val out = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(2L, 3L, 4L)
+    out.map(_.getAs[Long]("rank")) shouldBe Array(1L, 2L, 3L)
+    out.head.getAs[Double]("sim") should be > 0.99
+  }
+
+  test("bruteForceTopK tiebreak: equal sims order by neighbor id") {
+    val df = vecs(
+      (1L, Seq(1.0, 0.0)),
+      (7L, Seq(2.0, 0.0)), (3L, Seq(3.0, 0.0)), // both sim 1.0 with q
+      (9L, Seq(0.0, 1.0)))
+    val q = df.filter(col("vec_id") === 1)
+    val out = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(3L, 7L)
+  }
+
+  /** 40 vectors in 4 tight clusters in R^16, deterministic. */
+  private def clustered() = {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(4)(Seq.fill(16)(rnd.nextGaussian()))
+    val rows = for (i <- 0 until 40) yield {
+      val c = centers(i % 4)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.05))
+    }
+    vecs(rows: _*)
+  }
+
+  test("annTopK recalls most true neighbors on clustered vectors") {
+    val df = clustered()
+    val q = df.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.annTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      dim = 16, k = 5, nPlanes = 6, multiprobe = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
+  test("annTopK with enough probes matches exact ranks on clustered data") {
+    val df = clustered()
+    val q = df.filter(col("vec_id") === 0)
+    // In-cluster neighbors agree on nearly every sign bit, so the
+    // query's own bucket plus 1-bit probes cover the whole cluster.
+    val approx = Similarity.annTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      dim = 16, k = 3, nPlanes = 4, multiprobe = 1)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id"))
+    approx shouldBe exact
+  }
+
+  test("nearDupByEmbedding finds planted near-identical vectors only") {
+    val rnd = new scala.util.Random(11)
+    val v = Seq.fill(16)(rnd.nextGaussian())
+    val dup = v.map(_ * 1.001) // same direction → cosine ≈ 1
+    val rows = (0 until 20).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian()))) :+
+      (100L, v) :+ (101L, dup)
+    val df = vecs(rows: _*)
+    val pairs = Similarity.nearDupByEmbedding(df, "vec_id", "embedding", dim = 16, threshold = 0.99)
+      .collect()
+    pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))) shouldBe Array((100L, 101L))
+    pairs.head.getAs[Double]("cosine_sim") shouldBe 1.0 +- 1e-9
+  }
+}
