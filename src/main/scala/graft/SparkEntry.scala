@@ -7,6 +7,7 @@ import graft.dedup.Dedup
 import graft.model.TableMeta
 import graft.profiler.ProfilePasses
 import graft.similarity.Similarity
+import graft.streaming.StreamProfiler
 import graft.text.TextAnalysis
 import graft.validation.{DefaultValidations, Validator}
 
@@ -26,6 +27,19 @@ object SparkEntry {
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.createOrReplaceTempView(name)
     df
+  }
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark can only read
+    * as a raw long (spark.sql.legacy.parquet.nanosAsLong, set in
+    * Verify/Bench). Convert nanos → a naive timestamp matching what
+    * DuckDB reads natively; pass through if a future reader maps it to
+    * a timestamp type directly. */
+  private def eventsWithTs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val df = t(s, dir, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    else df
   }
 
   /** Flagship: full single-pass completeness profile of lineitem.
@@ -264,6 +278,25 @@ object SparkEntry {
     "txt_lang_id" -> ((s, dir) => {
       val df = t(s, dir, "documents")
       TextAnalysis.languageId(df, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // ---- Multimodal: nested-column (array) profile over embeddings.
+    "mm_array_profile" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      val stats = ProfilePasses.nestedStats(df, Seq("embedding"))
+      stats.select(stats.columns.map { n =>
+        if (n.endsWith("_avg_size")) round(col(n), 4).as(n) else col(n)
+      }: _*)
+    }),
+
+    // ---- Streaming-profile plan, verified through its batch fixpoint:
+    // the same windowedCompleteness plan runs incrementally under a
+    // watermark on a stream (see StreamProfiler/StreamingSpec).
+    "ev_windowed_completeness" -> ((s, dir) => {
+      val df = eventsWithTs(s, dir)
+      StreamProfiler.windowedCompleteness(df, "ts", "event_type", "1 day",
+        watermarkDelay = None, valueCols = Seq("value", "props"))
+        .orderBy("window_start", "event_type")
     }),
 
     // ---- Arbitrary rule SQL surface (the reference's `query` strings
@@ -510,6 +543,23 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "mm_array_profile" ->
+      """SELECT CAST(min(len(embedding)) AS BIGINT) AS embedding_min_size,
+        |       CAST(max(len(embedding)) AS BIGINT) AS embedding_max_size,
+        |       round(CAST(avg(len(embedding)) AS DOUBLE), 4) AS embedding_avg_size,
+        |       CAST(sum(len(embedding)) AS BIGINT) AS embedding_total_elements,
+        |       CAST(sum(len(list_filter(embedding, x -> x IS NULL))) AS BIGINT) AS embedding_element_nulls
+        |FROM embeddings""".stripMargin,
+
+    "ev_windowed_completeness" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       count(*) FILTER (WHERE value IS NULL) AS value_nulls,
+        |       round(CAST(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*) AS DOUBLE), 4) AS value_null_rate,
+        |       count(*) FILTER (WHERE props IS NULL) AS props_nulls,
+        |       round(CAST(count(*) FILTER (WHERE props IS NULL) * 100.0 / count(*) AS DOUBLE), 4) AS props_null_rate
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ll3_ann_topk" ->
       """WITH q AS (

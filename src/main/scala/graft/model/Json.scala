@@ -76,6 +76,15 @@ object Json {
     "frequency" -> any(f.frequency),
     "percentage" -> any(f.percentage)))
 
+  def nestedStats(n: NestedColumnStats): String = obj(Seq(
+    "kind" -> any(n.kind),
+    "min_size" -> any(n.minSize),
+    "max_size" -> any(n.maxSize),
+    "avg_size" -> any(n.avgSize),
+    "total_elements" -> any(n.totalElements),
+    "element_nulls" -> any(n.elementNulls),
+    "field_nulls" -> obj(n.fieldNulls.toSeq.sortBy(_._1).map { case (k, v) => k -> any(v) })))
+
   def anomaly(a: Anomaly): String = obj(Seq(
     "type" -> any(a.anomalyType),
     "description" -> any(a.description),
@@ -113,7 +122,12 @@ object Json {
       "text_length_stats" -> mapOf(p.textLengthStats, textLengthStats),
       "date_stats" -> mapOf(p.dateStats, dateStats),
       "frequent_values" -> mapOf(p.frequentValues, frequentValue),
-      "outliers" -> mapOf(p.outliers, (vs: Seq[Double]) => any(vs)))
+      "outliers" -> mapOf(p.outliers, (vs: Seq[Double]) => any(vs))) ++
+      // Extension key, absent unless nested columns exist so plain
+      // reference-shaped profiles diff cleanly.
+      (if (p.nestedStats.nonEmpty)
+        Seq("nested_stats" -> mapOf(p.nestedStats, nestedStats))
+      else Nil)
     val withSamples =
       if (p.samples.nonEmpty)
         base :+ ("samples" -> p.samples.map(s =>

@@ -46,6 +46,21 @@ final case class FrequentValue(
     frequency: Long,
     percentage: Double)
 
+/** Profile of a nested (array/map/struct) column — the multimodal
+  * north-star extension (SURVEY §1.2: nested types fall outside the
+  * reference's three buckets and were profiled for completeness only).
+  * Sizes are element counts for arrays/maps and are absent for
+  * structs; `fieldNulls` is per-top-level-field null counts within
+  * non-null structs. */
+final case class NestedColumnStats(
+    kind: String, // array | map | struct
+    minSize: Option[Long],
+    maxSize: Option[Long],
+    avgSize: Option[Double],
+    totalElements: Option[Long],
+    elementNulls: Option[Long],
+    fieldNulls: Map[String, Long])
+
 /** Anomaly contract per reference tests/test_profiler.py:35-61 and the
   * CLI renderer sparvi/cli/profile.py:210-231 (type, description,
   * severity in {low, medium, high}, column). */
@@ -86,7 +101,8 @@ final case class TableProfile(
     samples: Seq[Map[String, Any]],
     anomalies: Seq[Anomaly],
     schemaShifts: Seq[SchemaShift],
-    trends: Trends)
+    trends: Trends,
+    nestedStats: Map[String, NestedColumnStats] = Map.empty)
 
 /** A scalar validation rule (sparvi/validations/validator.py:47-64):
   * `query` must return a single scalar; `operator` one of

@@ -29,6 +29,17 @@ object ProfilePasses {
 
   private def c(name: String): Column = col(s"`$name`")
 
+  /** Grouping/distinct-safe view of a column: MapType is not
+    * comparable in Spark (no grouping, no DISTINCT, no hash), so map
+    * columns are keyed by their JSON rendering instead. Documented
+    * caveat: two maps with different insertion order render
+    * differently — acceptable for profiling counts. */
+  private def comparable(df: DataFrame, name: String): Column =
+    df.schema.fields.find(_.name == name).map(_.dataType) match {
+      case Some(_: MapType) => to_json(c(name))
+      case _ => c(name)
+    }
+
   /** P1+P2: row count and per-column null counts — one pass, no shuffle
     * beyond the single-row final agg. */
   def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
@@ -44,8 +55,9 @@ object ProfilePasses {
   def distinctCounts(df: DataFrame, cols: Seq[String], exact: Boolean = true,
       rsd: Double = 0.01): DataFrame = {
     val aggs = cols.map { n =>
-      if (exact) countDistinct(c(n)).as(s"${n}_distinct")
-      else approx_count_distinct(c(n), rsd).as(s"${n}_distinct")
+      val key = comparable(df, n)
+      if (exact) countDistinct(key).as(s"${n}_distinct")
+      else approx_count_distinct(key, rsd).as(s"${n}_distinct")
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -60,7 +72,7 @@ object ProfilePasses {
       if (projectToHash)
         df.groupBy(sha2(to_json(struct(df.columns.map(c): _*)), 256).as("row_digest")).count()
       else
-        df.groupBy(df.columns.map(c): _*).count()
+        df.groupBy(df.columns.map(n => comparable(df, n)): _*).count()
     grouped.filter(col("count") > 1)
       .agg(count(lit(1)).as("duplicate_count"))
   }
@@ -216,6 +228,40 @@ object ProfilePasses {
       val hi = mean + threshold * std
       count(when(c(n).isNotNull && (c(n) < lo || c(n) > hi), lit(1)))
         .as(s"${n}_outlier_count")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Multimodal extension: one wide aggregate of nested-column stats
+    * (SURVEY §1.2 north star; the reference profiles unrecognized
+    * types for completeness only). Per column, depending on kind:
+    *   - array:  {c}_{min,max,avg}_size, {c}_total_elements,
+    *             {c}_element_nulls
+    *   - map:    the same over map_values
+    *   - struct: {c}__{field}_nulls per top-level field (nulls within
+    *             non-null structs)
+    * All metrics are declarative aggregates over size()/filter()
+    * expressions — single scan, partial+final agg, no explode (an
+    * explode would multiply the row count by average array size before
+    * aggregating). */
+  def nestedStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val fields = df.schema.fields.filter(f => cols.contains(f.name)).toSeq
+    def sizeAggs(n: String, sz: Column, elems: Column): Seq[Column] = Seq(
+      min(sz).cast(LongType).as(s"${n}_min_size"),
+      max(sz).cast(LongType).as(s"${n}_max_size"),
+      avg(sz).cast(DoubleType).as(s"${n}_avg_size"),
+      sum(sz).cast(LongType).as(s"${n}_total_elements"),
+      sum(size(filter(elems, e => e.isNull))).cast(LongType).as(s"${n}_element_nulls"))
+    val aggs = fields.flatMap { f =>
+      f.dataType match {
+        case _: ArrayType => sizeAggs(f.name, size(c(f.name)), c(f.name))
+        case _: MapType => sizeAggs(f.name, size(c(f.name)), map_values(c(f.name)))
+        case st: StructType => st.fields.toSeq.map { sf =>
+          count(when(c(f.name).isNotNull && c(f.name).getField(sf.name).isNull, lit(1)))
+            .as(s"${f.name}__${sf.name}_nulls")
+        }
+        case _ => Nil
+      }
     }
     df.agg(aggs.head, aggs.tail: _*)
   }

@@ -192,6 +192,40 @@ object Profiler {
         }.filter(_._2.nonEmpty).toMap
       }
 
+    // ---- Pass F: nested-column (multimodal) stats.
+    val nestedStats: Map[String, NestedColumnStats] =
+      if (b.nested.isEmpty) Map.empty
+      else {
+        val r = ProfilePasses.nestedStats(df, b.nested).head()
+        def optL(name: String): Option[Long] = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        }
+        def optD(name: String): Option[Double] = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        }
+        df.schema.fields.filter(f => b.nested.contains(f.name)).map { f =>
+          import org.apache.spark.sql.types._
+          f.dataType match {
+            case _: ArrayType => f.name -> NestedColumnStats("array",
+              optL(s"${f.name}_min_size"), optL(s"${f.name}_max_size"),
+              optD(s"${f.name}_avg_size"), optL(s"${f.name}_total_elements"),
+              optL(s"${f.name}_element_nulls"), Map.empty)
+            case _: MapType => f.name -> NestedColumnStats("map",
+              optL(s"${f.name}_min_size"), optL(s"${f.name}_max_size"),
+              optD(s"${f.name}_avg_size"), optL(s"${f.name}_total_elements"),
+              optL(s"${f.name}_element_nulls"), Map.empty)
+            case st: StructType => f.name -> NestedColumnStats("struct",
+              None, None, None, None, None,
+              st.fields.map(sf =>
+                sf.name -> optL(s"${f.name}__${sf.name}_nulls").getOrElse(0L)).toMap)
+            case other => f.name -> NestedColumnStats(other.typeName,
+              None, None, None, None, None, Map.empty)
+          }
+        }.toMap
+      }
+
     // ---- Pass E: samples.
     val samples: Seq[Map[String, Any]] =
       if (!cfg.includeSamples) Nil
@@ -214,7 +248,8 @@ object Profiler {
       samples = samples,
       anomalies = Nil,
       schemaShifts = Nil,
-      trends = Trends.empty)
+      trends = Trends.empty,
+      nestedStats = nestedStats)
 
     historical match {
       case Some(h) =>

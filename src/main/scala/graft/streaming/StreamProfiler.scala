@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** Streaming data-quality profiles over Structured Streaming —
+  * north-star scope (SURVEY §7.5; the reference is batch-only).
+  *
+  * The aggregation is ONE declarative plan shared by batch and
+  * streaming inputs: completeness/null-rate metrics per (tumbling
+  * event-time window, key). On a stream the same plan runs
+  * incrementally with watermark-bounded state; on a batch frame it is
+  * an ordinary grouped aggregate — which is exactly how the
+  * correctness gate verifies it (the batch result is the fixpoint of
+  * the streaming computation).
+  *
+  * Scale notes: state per (window, key) is a fixed-width row of
+  * counters; the watermark bounds how many windows stay open, so state
+  * size is O(open windows × keys) regardless of input volume. No
+  * per-event state, no sort.
+  */
+object StreamProfiler {
+
+  /** Windowed completeness metrics: for each (window, key): event
+    * count plus per-column null counts and null rates. Works on batch
+    * and streaming DataFrames alike. */
+  def windowedCompleteness(
+      df: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermarkDelay: Option[String] = None,
+      valueCols: Seq[String] = Nil): DataFrame = {
+    val withWm = watermarkDelay match {
+      case Some(d) => df.withWatermark(tsCol, d)
+      case None => df
+    }
+    val nullAggs: Seq[Column] = valueCols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"${c}_nulls"),
+        round(count(when(col(c).isNull, lit(1))) * lit(100.0) / count(lit(1)), 4)
+          .as(s"${c}_null_rate"))
+    }
+    val aggs = count(lit(1)).as("n_events") +: nullAggs
+    withWm
+      .groupBy(window(col(tsCol), windowDuration).as("win"), col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("win.start").as("window_start") +:
+        col(keyCol) +: (Seq(col("n_events")) ++
+          valueCols.flatMap(c => Seq(col(s"${c}_nulls"), col(s"${c}_null_rate")))): _*)
+  }
+
+  /** Windowed numeric drift metrics per (window, key): avg/stddev/min/
+    * max of a value column — the inputs anomaly detection compares
+    * across windows. Batch- and stream-compatible. */
+  def windowedNumericProfile(
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      windowDuration: String, watermarkDelay: Option[String] = None): DataFrame = {
+    val withWm = watermarkDelay match {
+      case Some(d) => df.withWatermark(tsCol, d)
+      case None => df
+    }
+    withWm
+      .groupBy(window(col(tsCol), windowDuration).as("win"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        avg(col(valueCol)).as("avg_value"),
+        stddev_samp(col(valueCol)).as("stdev_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .select(col("win.start").as("window_start"), col(keyCol),
+        col("n_events"), col("avg_value"), col("stdev_value"),
+        col("min_value"), col("max_value"))
+  }
+
+  /** Open a file-based event stream with the schema inferred from a
+    * batch read of the same path — the standard pattern for replaying
+    * a directory of parquet as a stream. */
+  def readParquetStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+  }
+
+  /** Convenience: run a streaming profile to an in-memory table and
+    * block until all currently-available input is processed (Trigger
+    * .AvailableNow). Returns the collected rows. Used by tests and
+    * ad-hoc inspection; production sinks attach their own writer. */
+  def runToMemory(profiled: DataFrame, queryName: String): Seq[Row] = {
+    val q = profiled.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    profiled.sparkSession.table(queryName).collect().toSeq
+  }
+
+  /** Attach a console/parquet/etc. writer in append mode with a
+    * required watermark — the production shape (closed windows only). */
+  def appendWriter(profiled: DataFrame): DataStreamWriter[Row] =
+    profiled.writeStream.outputMode("append")
+}

@@ -27,15 +27,23 @@ object ColumnBuckets {
     case _ => false
   }
 
+  /** Nested (multimodal north-star) types: arrays, maps, structs. */
+  def isNested(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => true
+    case _ => false
+  }
+
   final case class Buckets(
       all: Seq[String],
       numeric: Seq[String],
       date: Seq[String],
-      text: Seq[String])
+      text: Seq[String],
+      nested: Seq[String])
 
   def of(schema: StructType): Buckets = Buckets(
     all = schema.fields.map(_.name).toSeq,
     numeric = schema.fields.filter(f => isNumeric(f.dataType)).map(_.name).toSeq,
     date = schema.fields.filter(f => isDate(f.dataType)).map(_.name).toSeq,
-    text = schema.fields.filter(f => isText(f.dataType)).map(_.name).toSeq)
+    text = schema.fields.filter(f => isText(f.dataType)).map(_.name).toSeq,
+    nested = schema.fields.filter(f => isNested(f.dataType)).map(_.name).toSeq)
 }

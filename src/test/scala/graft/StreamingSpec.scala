@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming.StreamProfiler
+
+/** Structured-Streaming profile tests: the streaming plan's
+  * AvailableNow fixpoint must equal the batch plan's result on the
+  * same input — the core correctness claim for stream profiling.
+  */
+class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  /** Re-materialize the events fixture into a temp dir the parquet
+    * file source can watch, converting the TIMESTAMP(NANOS) column —
+    * which Spark reads only as a raw long — to a native timestamp. */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream")
+    dir.toFile.deleteOnExit()
+    // Watermarks require TimestampType (not NTZ); session TZ is UTC.
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
+
+  test("streaming windowed completeness reaches the batch fixpoint") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val expected = StreamProfiler.windowedCompleteness(
+      batchDf, "ts", "event_type", "1 day", None, Seq("value"))
+      .collect().map(_.toSeq).toSet
+
+    val streamDf = StreamProfiler.readParquetStream(spark, eventsDir)
+    streamDf.isStreaming shouldBe true
+    val profiled = StreamProfiler.windowedCompleteness(
+      streamDf, "ts", "event_type", "1 day", Some("1 hour"), Seq("value"))
+    val got = StreamProfiler.runToMemory(profiled, "win_completeness")
+      .map(_.toSeq).toSet
+
+    got shouldBe expected
+    got should not be empty
+  }
+
+  test("streaming numeric profile matches batch on avg/min/max") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val expected = StreamProfiler.windowedNumericProfile(
+      batchDf, "ts", "event_type", "value", "1 day")
+      .collect().map(_.toSeq).toSet
+
+    val profiled = StreamProfiler.windowedNumericProfile(
+      StreamProfiler.readParquetStream(spark, eventsDir),
+      "ts", "event_type", "value", "1 day", Some("1 hour"))
+    val got = StreamProfiler.runToMemory(profiled, "win_numeric").map(_.toSeq).toSet
+    got shouldBe expected
+  }
+
+  test("windowed completeness: null rates are per-window percentages") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("2024-01-01 10:05:00", "a", Some(1.0)),
+      ("2024-01-01 10:20:00", "a", None),
+      ("2024-01-01 11:05:00", "a", Some(2.0)),
+      ("2024-01-01 10:10:00", "b", None))
+      .toDF("ts_s", "k", "v")
+      .select(to_timestamp($"ts_s").as("ts"), $"k", $"v")
+    val out = StreamProfiler.windowedCompleteness(df, "ts", "k", "1 hour", None, Seq("v"))
+      .collect().map(r => (
+        r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[String]("k"),
+        r.getAs[Long]("n_events"),
+        r.getAs[Long]("v_nulls"),
+        r.getAs[Double]("v_null_rate"))).toSet
+    out shouldBe Set(
+      ("2024-01-01 10:00:00.0", "a", 2L, 1L, 50.0),
+      ("2024-01-01 11:00:00.0", "a", 1L, 0L, 0.0),
+      ("2024-01-01 10:00:00.0", "b", 1L, 1L, 100.0))
+  }
+}
