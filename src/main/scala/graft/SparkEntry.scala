@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -179,6 +179,121 @@ object SparkEntry {
 
     "d10_outliers" -> ((s, dir) =>
       generatedRuleQuery(s, dir, "customer", TableMeta.empty, "check_c_acctbal_outliers")),
+
+    // ---- D3: row_growth — the reference's self-referential
+    // placeholder kept verbatim (prev count reads the same table, so
+    // the flag is always 0); real history-aware detection lives in
+    // ProfileCompare. This entry proves the generated SQL executes.
+    "d3_row_growth" -> ((s, dir) =>
+      generatedRuleQuery(s, dir, "orders", ordersMeta, "check_orders_row_growth")),
+
+    // ---- D5: not_null needs declared non-nullable columns (parquet
+    // is all-nullable) — generated from an explicit strict schema and
+    // run over the same literal rows on both engines.
+    "d5_not_null" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("label", StringType, nullable = false),
+        StructField("note", StringType, nullable = true)))
+      val rows = java.util.Arrays.asList(
+        Row(1L, "a", null), Row(2L, "b", "x"), Row(3L, "c", null))
+      val df = s.createDataFrame(rows, schema)
+      df.createOrReplaceTempView("strict_t")
+      val rules = DefaultValidations.generate(df.schema, "strict_t",
+        TableMeta(primaryKey = Seq("id")))
+      val rule = rules.find(_.name == "check_label_not_null").get
+      s.sql(rule.query).toDF("violation_count")
+    }),
+
+    // ---- D8 (end_date_order): end-ish vs guessed start column.
+    "d8b_end_date_order" -> ((s, dir) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW projects AS
+        SELECT CAST(s AS DATE) AS start_date, CAST(e AS DATE) AS end_date
+        FROM VALUES ('2024-01-01','2024-02-01'), ('2024-03-01','2024-02-15'),
+                    (NULL,'2024-01-01'), ('2024-01-01',NULL) AS t(s, e)""")
+      val view = s.table("projects")
+      val rules = DefaultValidations.generate(view.schema, "projects", TableMeta.empty)
+      val rule = rules.find(_.name == "check_end_date_end_date_order").get
+      s.sql(rule.query).toDF("violation_count")
+    }),
+
+    // ---- D9: all five string-constraint subrules over a contacts
+    // fixture (emails, phones, postal codes, varchar length hint,
+    // non-nullable empty-string check).
+    "d9_string_rules" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("email", StringType, nullable = true),
+        StructField("phone", StringType, nullable = true),
+        StructField("postal_code", StringType, nullable = true),
+        StructField("name", StringType, nullable = false)))
+      val rows = java.util.Arrays.asList(
+        Row("a@b.com", "+1 (555) 123-4567", "12345", "Alice"),
+        Row("bad-email", "555 1234", "AB", "Bob"),
+        Row("x@y.org", "nope", "99999", ""),
+        Row("no-at-sign", "(02) 9999 8888", "7", "VeryLongName!"))
+      val df = s.createDataFrame(rows, schema)
+      df.createOrReplaceTempView("contacts")
+      val rules = DefaultValidations.generate(df.schema, "contacts",
+        TableMeta(varcharLengths = Map("name" -> 10)))
+      def scalar(ruleName: String, alias: String) =
+        s.sql(rules.find(_.name == ruleName).get.query).toDF(alias)
+      scalar("check_email_valid_email", "email_violations")
+        .crossJoin(scalar("check_phone_valid_phone", "phone_violations"))
+        .crossJoin(scalar("check_postal_code_valid_postal", "postal_violations"))
+        .crossJoin(scalar("check_name_max_length", "maxlen_violations"))
+        .crossJoin(scalar("check_name_not_empty_string", "empty_violations"))
+    }),
+
+    // ---- D11: reference-table size cap (name-triggered).
+    "d11_ref_table_size" -> ((s, dir) => {
+      val df = t(s, dir, "region")
+      df.createOrReplaceTempView("region_lookup")
+      val rules = DefaultValidations.generate(df.schema, "region_lookup", TableMeta.empty)
+      val rule = rules.find(_.name == "check_region_lookup_ref_table_size").get
+      s.sql(rule.query).toDF("ref_table_rows")
+    }),
+
+    // ---- D15: updated-after-created pair check.
+    "d15_updated_after_created" -> ((s, dir) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW records AS
+        SELECT CAST(c AS TIMESTAMP) AS created_at, CAST(u AS TIMESTAMP) AS updated_at
+        FROM VALUES ('2024-01-01 10:00:00','2024-01-02 10:00:00'),
+                    ('2024-02-01 10:00:00','2024-01-15 10:00:00'),
+                    ('2024-03-01 10:00:00',NULL) AS t(c, u)""")
+      val view = s.table("records")
+      val rules = DefaultValidations.generate(view.schema, "records", TableMeta.empty)
+      val rule = rules.find(_.name == "check_updated_at_after_created_at").get
+      s.sql(rule.query).toDF("violation_count")
+    }),
+
+    // ---- Validator operator coverage: >=, !=, unknown operator, and
+    // per-rule error capture (broken SQL fails that rule only).
+    "validator_ops" -> ((s, dir) => {
+      import graft.model.ValidationRule
+      t(s, dir, "part")
+      val rules = Seq(
+        ValidationRule("op_ge_pass", "", "SELECT COUNT(*) FROM part", ">=", 1),
+        ValidationRule("op_ge_fail", "", "SELECT COUNT(*) FROM part", "greater_than_or_equal", 10000000),
+        ValidationRule("op_ne_pass", "", "SELECT COUNT(*) FROM part", "not_equals", 0),
+        ValidationRule("op_ne_fail", "", "SELECT 5", "!=", 5),
+        ValidationRule("op_unknown", "", "SELECT 1", "fuzzy_equals", 1),
+        ValidationRule("op_error", "", "SELECT COUNT(*) FROM definitely_missing_table", "equals", 0))
+      val results = Validator.run(s, rules)
+      import s.implicits._
+      results.map(r => (r.ruleName, r.isValid, r.error.isDefined))
+        .toDF("rule_name", "is_valid", "has_error").orderBy("rule_name")
+    }),
+
+    // ---- P10 value lists: sorted + capped → deterministic. events
+    // .value is the one fixture column with genuine 3-sigma outliers.
+    "p10_outlier_values" -> ((s, dir) => {
+      val df = t(s, dir, "events")
+      val st = df.agg(avg("value"), stddev_samp("value")).head()
+      ProfilePasses.outliers(df,
+        Map("value" -> ((st.getDouble(0), st.getDouble(1)))), 3.0, 10)
+    }),
 
     "d12_null_rate" -> ((s, dir) => {
       val df = t(s, dir, "customer")
@@ -484,6 +599,82 @@ object SparkEntry {
     "d12_null_rate" ->
       """SELECT round(CAST(count(*) FILTER (WHERE c_name IS NULL) * 100.0 / NULLIF(count(*), 0) AS DOUBLE), 4) AS null_rate_pct
         |FROM customer""".stripMargin,
+
+    "d3_row_growth" ->
+      """WITH current_count AS (SELECT COUNT(*) as count FROM orders),
+        |prev_count AS (
+        |  SELECT CASE WHEN COUNT(*) = 0 THEN NULL ELSE COUNT(*) END as count FROM orders
+        |)
+        |SELECT CAST(CASE
+        |  WHEN prev_count.count IS NULL THEN 0
+        |  WHEN ABS(current_count.count - prev_count.count) > prev_count.count * 0.2 THEN 1
+        |  ELSE 0 END AS INT) AS violation_count
+        |FROM current_count, prev_count""".stripMargin,
+
+    "d5_not_null" ->
+      """WITH strict_t AS (
+        |  SELECT * FROM (VALUES (1, 'a', NULL), (2, 'b', 'x'), (3, 'c', NULL)) AS t(id, label, note)
+        |)
+        |SELECT count(*) AS violation_count FROM strict_t WHERE label IS NULL""".stripMargin,
+
+    "d8b_end_date_order" ->
+      """WITH projects AS (
+        |  SELECT CAST(s AS DATE) AS start_date, CAST(e AS DATE) AS end_date
+        |  FROM (VALUES ('2024-01-01','2024-02-01'), ('2024-03-01','2024-02-15'),
+        |               (NULL,'2024-01-01'), ('2024-01-01',NULL)) AS t(s, e)
+        |)
+        |SELECT count(*) AS violation_count FROM projects
+        |WHERE end_date IS NOT NULL AND start_date IS NOT NULL AND end_date < start_date""".stripMargin,
+
+    "d9_string_rules" ->
+      """WITH contacts AS (
+        |  SELECT * FROM (VALUES
+        |    ('a@b.com', '+1 (555) 123-4567', '12345', 'Alice'),
+        |    ('bad-email', '555 1234', 'AB', 'Bob'),
+        |    ('x@y.org', 'nope', '99999', ''),
+        |    ('no-at-sign', '(02) 9999 8888', '7', 'VeryLongName!')
+        |  ) AS t(email, phone, postal_code, name)
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM contacts WHERE email IS NOT NULL AND email NOT LIKE '%@%.%') AS email_violations,
+        |  (SELECT count(*) FROM contacts WHERE phone IS NOT NULL AND NOT regexp_matches(phone, '(\+)?[0-9][0-9 ()-]+')) AS phone_violations,
+        |  (SELECT count(*) FROM contacts WHERE postal_code IS NOT NULL AND length(trim(postal_code)) < 3) AS postal_violations,
+        |  (SELECT count(*) FROM contacts WHERE length(name) > 10) AS maxlen_violations,
+        |  (SELECT count(*) FROM contacts WHERE name = '') AS empty_violations""".stripMargin,
+
+    "d11_ref_table_size" ->
+      "SELECT count(*) AS ref_table_rows FROM region",
+
+    "d15_updated_after_created" ->
+      """WITH records AS (
+        |  SELECT CAST(c AS TIMESTAMP) AS created_at, CAST(u AS TIMESTAMP) AS updated_at
+        |  FROM (VALUES ('2024-01-01 10:00:00','2024-01-02 10:00:00'),
+        |               ('2024-02-01 10:00:00','2024-01-15 10:00:00'),
+        |               ('2024-03-01 10:00:00',NULL)) AS t(c, u)
+        |)
+        |SELECT count(*) AS violation_count FROM records
+        |WHERE updated_at IS NOT NULL AND created_at IS NOT NULL AND updated_at < created_at""".stripMargin,
+
+    "validator_ops" ->
+      """SELECT 'op_error' AS rule_name, false AS is_valid, true AS has_error
+        |UNION ALL
+        |SELECT 'op_ge_fail', (SELECT count(*) FROM part) >= 10000000, false
+        |UNION ALL
+        |SELECT 'op_ge_pass', (SELECT count(*) FROM part) >= 1, false
+        |UNION ALL
+        |SELECT 'op_ne_fail', 5 <> 5, false
+        |UNION ALL
+        |SELECT 'op_ne_pass', (SELECT count(*) FROM part) <> 0, false
+        |UNION ALL
+        |SELECT 'op_unknown', false, false
+        |ORDER BY rule_name""".stripMargin,
+
+    "p10_outlier_values" ->
+      """WITH stats AS (
+        |  SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events
+        |)
+        |SELECT COALESCE((SELECT list_sort(list(value))[1:10] FROM events, stats
+        |        WHERE value > m + 3 * sd OR value < m - 3 * sd), CAST([] AS DOUBLE[])) AS value_outliers""".stripMargin,
 
     "d13_distribution" ->
       """WITH val_counts AS (

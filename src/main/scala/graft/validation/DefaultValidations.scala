@@ -195,11 +195,15 @@ object DefaultValidations {
           "equals", 0)
       }
       if (f.name.toLowerCase.contains("phone") || f.name.toLowerCase.contains("mobile")) {
+        // Spark SQL processes backslash escapes inside '...' literals
+        // (unlike standard SQL), so the regex backslash must be
+        // doubled or '\+' would parse as the invalid pattern '(+)?'.
+        val sqlRegex = PhoneRegex.replace("\\", "\\\\")
         out += ValidationRule(
           s"check_${f.name}_valid_phone",
           s"Ensure ${f.name} contains valid phone number format",
           s"""SELECT COUNT(*) FROM $table
-             |WHERE ${f.name} IS NOT NULL AND NOT (${f.name} RLIKE '$PhoneRegex')""".stripMargin,
+             |WHERE ${f.name} IS NOT NULL AND NOT (${f.name} RLIKE '$sqlRegex')""".stripMargin,
           "equals", 0)
       }
       if (f.name.toLowerCase.contains("zip") || f.name.toLowerCase.contains("postal")) {

@@ -121,6 +121,38 @@ class ValidatorSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("rule file load → run end-to-end (generated rules exported, reloaded, executed)") {
+    withViews {
+      val rules = DefaultValidations.generate(productsDf.schema, "products",
+        TableMeta(primaryKey = Seq("product_id")))
+      val path = java.nio.file.Files.createTempFile("gen_rules", ".yaml").toString
+      graft.validation.RuleFiles.export(rules, path, "yaml")
+      val reloaded = graft.validation.RuleFiles.load(path)
+      reloaded.map(_.name) shouldBe rules.map(_.name)
+      val results = Validator.run(spark, reloaded)
+      results.size shouldBe rules.size
+      // price_positive fails (Product E), not_empty passes.
+      results.find(_.ruleName == "check_price_positive").get.isValid shouldBe false
+      results.find(_.ruleName == "check_products_not_empty").get.isValid shouldBe true
+      // No rule should have errored — every generated query must be
+      // valid Spark SQL (this is what catches dialect-escaping bugs).
+      results.filter(_.error.isDefined) shouldBe empty
+    }
+  }
+
+  test("generated phone rule executes and flags malformed phones") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("+1 (555) 123-4567"), ("nope"), ("555 1234")).toDF("phone")
+    df.createOrReplaceTempView("phones_t")
+    val rules = DefaultValidations.generate(df.schema, "phones_t")
+    val rule = rules.find(_.name == "check_phone_valid_phone").get
+    val r = Validator.runOne(spark, rule)
+    r.error shouldBe None
+    r.actualValue shouldBe 1L // only "nope" lacks any digit run
+    r.isValid shouldBe false
+  }
+
   test("guessStartDateColumn heuristics (ported verbatim)") {
     DefaultValidations.guessStartDateColumn("end_date",
       Seq("start_date", "end_date")) shouldBe "start_date"
