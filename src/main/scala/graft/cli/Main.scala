@@ -1,0 +1,262 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+import graft.compare.ProfileCompare
+import graft.config.Config
+import graft.model.{Json, TableMeta, TableProfile}
+import graft.profiler.{Profiler, ProfilerConfig}
+import graft.sources.Source
+import graft.validation.{DefaultValidations, RuleFiles, Validator}
+
+/** Command-line surface mirroring the reference CLI
+  * (reference: sparvi/cli/main.py:18-123, cli/profile.py:19-120,
+  * cli/validate.py:25-184):
+  *
+  *   graft profile  <source> <table> [--output f] [--compare f]
+  *                  [--include-samples|--no-samples]
+  *                  [--format default|detailed|minimal]
+  *   graft validate <source> <table> [--rules f] [--output f]
+  *                  [--generate-defaults] [--save-defaults f]
+  *                  [--fail-on-error]
+  *   graft test-connection <source>
+  *   graft info
+  *
+  * `<source>` is a Source spec (parquet:/path, csv:/path, jdbc:…,
+  * table name); omitted → `SPARVI_SOURCE` env fallback, mirroring the
+  * reference's DATABASE_URL precedence. Exit codes: 0 ok, 1 validation
+  * failures under --fail-on-error, 2 usage/runtime error.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val rc = run(args.toSeq)
+    if (rc != 0) sys.exit(rc)
+  }
+
+  def run(args: Seq[String]): Int =
+    try args match {
+      case Seq("profile", rest @ _*) => profileCmd(rest)
+      case Seq("validate", rest @ _*) => validateCmd(rest)
+      case Seq("test-connection", rest @ _*) => testConnectionCmd(rest)
+      case Seq("info", _*) => infoCmd()
+      case Seq("--help") | Seq("-h") | Seq() => println(usage); 0
+      case other =>
+        System.err.println(s"Unknown command: ${other.headOption.getOrElse("")}\n$usage")
+        2
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"Error: ${e.getMessage}")
+        2
+    }
+
+  val usage: String =
+    """graft - Spark-native data profiling and validation
+      |
+      |Commands:
+      |  profile <source> <table>   Profile a table
+      |    --output/-o <file>         write profile JSON
+      |    --compare/-c <file>        compare with a stored profile JSON
+      |    --include-samples          include sample rows (default)
+      |    --no-samples               omit sample rows
+      |    --format/-f <style>        default | detailed | minimal
+      |  validate <source> <table>  Validate a table
+      |    --rules/-r <file>          YAML/JSON rule file
+      |    --output/-o <file>         write results JSON
+      |    --generate-defaults/-g     generate default rules from schema
+      |    --save-defaults/-s <file>  save generated rules (YAML)
+      |    --fail-on-error            exit 1 if any rule fails
+      |  test-connection <source>   Load the source and show its shape
+      |  info                       Engine and environment information
+      |
+      |<source>: parquet:/path | csv:/path | json:/path | orc:/path |
+      |          jdbc:<url>::<table> | table:<name> | bare path/table.
+      |Omit to use the SPARVI_SOURCE environment variable.""".stripMargin
+
+  private def spark(): SparkSession = {
+    val cfg = Config.load()
+    val b = SparkSession.builder()
+      .appName("graft-cli")
+      .config("spark.sql.session.timeZone",
+        Config.getString(cfg, "spark.session_timezone").getOrElse("UTC"))
+      .config("spark.sql.shuffle.partitions",
+        Config.getInt(cfg, "spark.shuffle_partitions").getOrElse(32).toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    // Respect an existing master (tests / spark-submit); default local.
+    val withMaster =
+      if (sys.props.contains("spark.master")) b
+      else b.master(Config.getString(cfg, "spark.master").getOrElse("local[*]"))
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** (flags, positionals) — flags with values use `--flag value`. */
+  private def parseArgs(args: Seq[String], valued: Set[String]): (Map[String, String], Seq[String]) = {
+    val flags = Map.newBuilder[String, String]
+    val pos = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("-")) {
+        if (valued.contains(a) && i + 1 < args.length) { flags += a -> args(i + 1); i += 1 }
+        else flags += a -> "true"
+      } else pos += a
+      i += 1
+    }
+    (flags.result(), pos.result())
+  }
+
+  private def resolve(flags: Map[String, String], names: String*): Option[String] =
+    names.flatMap(flags.get).headOption
+
+  private def sourceAndTable(pos: Seq[String]): (String, String) = pos match {
+    case Seq(src, table) => (src, table)
+    case Seq(table) => (sys.env.getOrElse("SPARVI_SOURCE",
+      throw new IllegalArgumentException(
+        "No source specified and SPARVI_SOURCE is not set")), table)
+    case _ => throw new IllegalArgumentException("expected: <source> <table>")
+  }
+
+  def profileCmd(args: Seq[String]): Int = {
+    val (flags, pos) = parseArgs(args, Set("--output", "-o", "--compare", "-c", "--format", "-f"))
+    val (src, table) = sourceAndTable(pos)
+    val s = spark()
+    val df = Source.parse(src).load(s)
+    df.createOrReplaceTempView(table)
+
+    val historical: Option[TableProfile] =
+      resolve(flags, "--compare", "-c").map(Json.readProfileFile)
+    val includeSamples = !flags.contains("--no-samples")
+    println(s"Profiling table: $table")
+    val profile = Profiler.profile(df, table,
+      ProfilerConfig(includeSamples = includeSamples), historical)
+
+    resolve(flags, "--format", "-f").getOrElse("default") match {
+      case "minimal" => renderMinimal(profile)
+      case "detailed" => renderDetailed(profile)
+      case _ => renderDefault(profile)
+    }
+    resolve(flags, "--output", "-o").foreach { out =>
+      Option(Paths.get(out).getParent).foreach(Files.createDirectories(_))
+      Files.writeString(Paths.get(out), Json.profile(profile))
+      println(s"\nProfile saved to: $out")
+    }
+    0
+  }
+
+  def validateCmd(args: Seq[String]): Int = {
+    val (flags, pos) = parseArgs(args, Set("--rules", "-r", "--output", "-o", "--save-defaults", "-s"))
+    val (src, table) = sourceAndTable(pos)
+    val s = spark()
+    val df = Source.parse(src).load(s)
+    df.createOrReplaceTempView(table)
+
+    val generated =
+      if (flags.contains("--generate-defaults") || flags.contains("-g"))
+        DefaultValidations.generate(df.schema, table, TableMeta.empty)
+      else Nil
+    resolve(flags, "--save-defaults", "-s").foreach { out =>
+      RuleFiles.export(generated, out, "yaml")
+      println(s"Default rules saved to: $out")
+    }
+    val fromFile = resolve(flags, "--rules", "-r").map(RuleFiles.load).getOrElse(Nil)
+    val rules = generated ++ fromFile
+    if (rules.isEmpty) {
+      System.err.println("No rules to run (use --rules or --generate-defaults)")
+      return 2
+    }
+
+    println(s"Running ${rules.size} validation rules against: $table")
+    val results = Validator.run(s, rules)
+    val failed = results.filterNot(_.isValid)
+    results.foreach { r =>
+      val status = if (r.isValid) "PASS" else "FAIL"
+      val err = r.error.map(e => s" [error: $e]").getOrElse("")
+      println(f"  $status  ${r.ruleName}%-45s actual=${r.actualValue}$err")
+    }
+    println(s"\n${results.size - failed.size} passed, ${failed.size} failed")
+
+    resolve(flags, "--output", "-o").foreach { out =>
+      Option(Paths.get(out).getParent).foreach(Files.createDirectories(_))
+      Files.writeString(Paths.get(out), Json.validationResults(results))
+      println(s"Results saved to: $out")
+    }
+    if (failed.nonEmpty && (flags.contains("--fail-on-error") || flags.contains("-f"))) 1 else 0
+  }
+
+  def testConnectionCmd(args: Seq[String]): Int = {
+    val (_, pos) = parseArgs(args, Set.empty)
+    val src = pos.headOption.orElse(sys.env.get("SPARVI_SOURCE"))
+      .getOrElse(throw new IllegalArgumentException("expected: <source>"))
+    val s = spark()
+    val df = Source.parse(src).load(s)
+    println(s"Connection OK: $src")
+    println(s"Columns (${df.schema.fields.length}):")
+    df.schema.fields.foreach(f => println(s"  ${f.name}: ${f.dataType.simpleString}"))
+    println("First rows:")
+    df.show(10, truncate = false)
+    0
+  }
+
+  def infoCmd(): Int = {
+    println("graft - Spark-native sparvi-core engine")
+    println(s"  Scala: ${util.Properties.versionNumberString}")
+    println(s"  Spark: ${org.apache.spark.SPARK_VERSION}")
+    sys.env.get("SPARVI_SOURCE").foreach(v => println(s"  Default source: $v"))
+    0
+  }
+
+  // ---- renderers (plain-text analogues of cli/profile.py:122-455) ----
+
+  private def renderMinimal(p: TableProfile): Unit = {
+    println(s"Profile Summary: ${p.table}")
+    println(s"  rows=${p.rowCount} duplicates=${p.duplicateCount} " +
+      s"columns=${p.completeness.size} anomalies=${p.anomalies.size}")
+  }
+
+  private def renderDefault(p: TableProfile): Unit = {
+    renderMinimal(p)
+    println("  Completeness:")
+    p.completeness.toSeq.sortBy(_._1).foreach { case (c, cc) =>
+      println(f"    $c%-24s nulls=${cc.nulls}%-8d (${cc.nullPercentage}%.2f%%)  distinct=${cc.distinctCount}")
+    }
+    if (p.anomalies.nonEmpty) {
+      println("  Anomalies:")
+      p.anomalies.foreach(a => println(s"    [${a.severity}] ${a.anomalyType}: ${a.description}"))
+    }
+    if (p.schemaShifts.nonEmpty) {
+      println("  Schema shifts:")
+      p.schemaShifts.foreach(sh => println(s"    [${sh.severity}] ${sh.shiftType}: ${sh.description}"))
+    }
+  }
+
+  private def renderDetailed(p: TableProfile): Unit = {
+    renderDefault(p)
+    if (p.numericStats.nonEmpty) {
+      println("  Numeric stats:")
+      p.numericStats.toSeq.sortBy(_._1).foreach { case (c, n) =>
+        println(s"    $c: min=${n.min.getOrElse("-")} max=${n.max.getOrElse("-")} " +
+          s"avg=${n.avg.getOrElse("-")} stdev=${n.stdev.getOrElse("-")} median=${n.median.getOrElse("-")}")
+      }
+    }
+    if (p.textLengthStats.nonEmpty) {
+      println("  Text lengths:")
+      p.textLengthStats.toSeq.sortBy(_._1).foreach { case (c, n) =>
+        println(s"    $c: min=${n.minLength.getOrElse("-")} max=${n.maxLength.getOrElse("-")} avg=${n.avgLength.getOrElse("-")}")
+      }
+    }
+    if (p.nestedStats.nonEmpty) {
+      println("  Nested columns:")
+      p.nestedStats.toSeq.sortBy(_._1).foreach { case (c, n) =>
+        println(s"    $c (${n.kind}): sizes=${n.minSize.getOrElse("-")}..${n.maxSize.getOrElse("-")} " +
+          s"elements=${n.totalElements.getOrElse("-")}")
+      }
+    }
+  }
+}

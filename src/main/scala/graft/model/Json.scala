@@ -155,4 +155,163 @@ object Json {
 
   def validationResults(rs: Seq[ValidationResult]): String =
     rs.map(validationResult).mkString("[", ", ", "]")
+
+  // ---- read-back ------------------------------------------------------
+  // Parses a profile document (this writer's output, or any JSON with
+  // the reference's key names, profile_engine.py:408-454) back into a
+  // TableProfile — what makes the `--compare` flow possible from a
+  // stored profile (reference cli/profile.py:74-82).
+
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def readProfile(json: String): TableProfile = {
+    import scala.jdk.CollectionConverters._
+    def toScala(v: Any): Any = v match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, x) => String.valueOf(k) -> toScala(x) }.toMap
+      case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+      case other => other
+    }
+    val root = toScala(jsonMapper.readValue(json, classOf[Object]))
+      .asInstanceOf[Map[String, Any]]
+
+    def asLong(v: Any): Long = v match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case d: Double => d.toLong
+      case b: java.math.BigInteger => b.longValue
+      case null => 0L
+      case other => other.toString.toLong
+    }
+    def asDouble(v: Any): Double = v match {
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: Double => d
+      case b: java.math.BigDecimal => b.doubleValue
+      case null => 0.0
+      case other => other.toString.toDouble
+    }
+    def optLong(m: Map[String, Any], k: String): Option[Long] =
+      m.get(k).filter(_ != null).map(asLong)
+    def optDouble(m: Map[String, Any], k: String): Option[Double] =
+      m.get(k).filter(_ != null).map(asDouble)
+    def optString(m: Map[String, Any], k: String): Option[String] =
+      m.get(k).filter(_ != null).map(String.valueOf)
+    def sub(k: String): Map[String, Map[String, Any]] =
+      root.getOrElse(k, Map.empty) match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Map[String, Any]]]
+        case _ => Map.empty
+      }
+    def points(v: Any): Seq[TrendPoint] = v match {
+      case s: Seq[_] => s.collect { case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        TrendPoint(String.valueOf(mm.getOrElse("timestamp", "")), asDouble(mm.getOrElse("value", 0.0)))
+      }
+      case _ => Nil
+    }
+
+    val trends = root.get("trends") match {
+      case Some(t: Map[_, _]) =>
+        val tm = t.asInstanceOf[Map[String, Any]]
+        Trends(
+          rowCounts = points(tm.getOrElse("row_counts", Nil)),
+          nullRates = (tm.getOrElse("null_rates", Map.empty) match {
+            case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map {
+              case (k, v) => k -> points(v)
+            }
+            case _ => Map.empty[String, Seq[TrendPoint]]
+          }),
+          duplicates = points(tm.getOrElse("duplicates", Nil)))
+      case _ => Trends.empty
+    }
+
+    TableProfile(
+      table = String.valueOf(root.getOrElse("table", "")),
+      timestamp = String.valueOf(root.getOrElse("timestamp", "")),
+      rowCount = asLong(root.getOrElse("row_count", 0L)),
+      duplicateCount = asLong(root.getOrElse("duplicate_count", 0L)),
+      completeness = sub("completeness").map { case (k, m) =>
+        k -> ColumnCompleteness(
+          asLong(m.getOrElse("nulls", 0L)),
+          asDouble(m.getOrElse("null_percentage", 0.0)),
+          asLong(m.getOrElse("distinct_count", 0L)),
+          asDouble(m.getOrElse("distinct_percentage", 0.0)))
+      },
+      numericStats = sub("numeric_stats").map { case (k, m) =>
+        k -> NumericStats(
+          optDouble(m, "min"), optDouble(m, "max"), optDouble(m, "avg"),
+          optDouble(m, "sum"), optDouble(m, "stdev"), optDouble(m, "q1"),
+          optDouble(m, "median"), optDouble(m, "q3"))
+      },
+      textPatterns = sub("text_patterns").map { case (k, m) =>
+        k -> TextPatterns(
+          asLong(m.getOrElse("email_pattern_count", 0L)),
+          asLong(m.getOrElse("numeric_pattern_count", 0L)),
+          asLong(m.getOrElse("date_pattern_count", 0L)))
+      },
+      textLengthStats = sub("text_length_stats").map { case (k, m) =>
+        k -> TextLengthStats(
+          optLong(m, "min_length"), optLong(m, "max_length"), optDouble(m, "avg_length"))
+      },
+      dateStats = sub("date_stats").map { case (k, m) =>
+        k -> DateStats(
+          optString(m, "min_date"), optString(m, "max_date"),
+          asLong(m.getOrElse("distinct_count", 0L)), optLong(m, "date_range_days"))
+      },
+      frequentValues = sub("frequent_values").map { case (k, m) =>
+        k -> FrequentValue(
+          m.getOrElse("value", null),
+          asLong(m.getOrElse("frequency", 0L)),
+          asDouble(m.getOrElse("percentage", 0.0)))
+      },
+      outliers = (root.getOrElse("outliers", Map.empty) match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map { case (k, v) =>
+          k -> (v match {
+            case s: Seq[_] => s.map(asDouble)
+            case _ => Nil
+          })
+        }
+        case _ => Map.empty[String, Seq[Double]]
+      }),
+      samples = (root.getOrElse("samples", Nil) match {
+        case s: Seq[_] => s.collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+        case _ => Nil
+      }),
+      anomalies = (root.getOrElse("anomalies", Nil) match {
+        case s: Seq[_] => s.collect { case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          Anomaly(String.valueOf(mm.getOrElse("type", "")),
+            String.valueOf(mm.getOrElse("description", "")),
+            String.valueOf(mm.getOrElse("severity", "")),
+            mm.get("column").filter(_ != null).map(String.valueOf))
+        }
+        case _ => Nil
+      }),
+      schemaShifts = (root.getOrElse("schema_shifts", Nil) match {
+        case s: Seq[_] => s.collect { case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          SchemaShift(String.valueOf(mm.getOrElse("type", "")),
+            String.valueOf(mm.getOrElse("column", "")),
+            String.valueOf(mm.getOrElse("description", "")),
+            String.valueOf(mm.getOrElse("severity", "")))
+        }
+        case _ => Nil
+      }),
+      trends = trends,
+      nestedStats = sub("nested_stats").map { case (k, m) =>
+        k -> NestedColumnStats(
+          String.valueOf(m.getOrElse("kind", "")),
+          optLong(m, "min_size"), optLong(m, "max_size"), optDouble(m, "avg_size"),
+          optLong(m, "total_elements"), optLong(m, "element_nulls"),
+          (m.getOrElse("field_nulls", Map.empty) match {
+            case fm: Map[_, _] => fm.asInstanceOf[Map[String, Any]].map {
+              case (fk, fv) => fk -> asLong(fv)
+            }
+            case _ => Map.empty[String, Long]
+          }))
+      })
+  }
+
+  def readProfileFile(path: String): TableProfile =
+    readProfile(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 }

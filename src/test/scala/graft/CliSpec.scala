@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.cli.Main
+import graft.model.Json
+
+/** CLI smoke tests through Main.run (no process spawn; the session is
+  * shared via getOrCreate). */
+class CliSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  // Ensure the shared test session exists before Main.run calls
+  // getOrCreate (so the CLI reuses it instead of building local[*]).
+  spark
+
+  private val region = "parquet:/root/testdata/sf0.001/region.parquet"
+
+  test("profile writes a loadable JSON profile") {
+    val out = Files.createTempFile("profile", ".json").toString
+    Main.run(Seq("profile", region, "region", "--output", out, "--no-samples")) shouldBe 0
+    val p = Json.readProfileFile(out)
+    p.table shouldBe "region"
+    p.rowCount should be > 0L
+    p.completeness.keySet should contain("r_name")
+  }
+
+  test("profile --compare emits anomalies against a stored profile") {
+    val out1 = Files.createTempFile("profile1", ".json").toString
+    Main.run(Seq("profile", region, "region", "--output", out1, "--no-samples")) shouldBe 0
+    // Doctor the stored profile to a different row count, then compare.
+    val doctored = Json.readProfileFile(out1).copy(rowCount = 1)
+    val histPath = Files.createTempFile("hist", ".json")
+    Files.writeString(histPath, Json.profile(doctored))
+    val out2 = Files.createTempFile("profile2", ".json").toString
+    Main.run(Seq("profile", region, "region",
+      "--compare", histPath.toString, "--output", out2, "--no-samples")) shouldBe 0
+    val p2 = Json.readProfileFile(out2)
+    p2.anomalies.map(_.anomalyType) should contain("row_count")
+  }
+
+  test("validate --generate-defaults runs and saves rules") {
+    val rulesOut = Files.createTempFile("defaults", ".yaml").toString
+    val resultsOut = Files.createTempFile("results", ".json").toString
+    Main.run(Seq("validate", region, "region",
+      "--generate-defaults", "--save-defaults", rulesOut,
+      "--output", resultsOut)) shouldBe 0
+    graft.validation.RuleFiles.load(rulesOut) should not be empty
+    Files.readString(java.nio.file.Paths.get(resultsOut)) should include("rule_name")
+  }
+
+  test("validate --fail-on-error returns 1 when a rule fails") {
+    val rules = Files.createTempFile("rules", ".yaml")
+    Files.writeString(rules,
+      """- name: impossible
+        |  query: SELECT COUNT(*) FROM region
+        |  operator: less_than
+        |  expected_value: 0
+        |""".stripMargin)
+    Main.run(Seq("validate", region, "region",
+      "--rules", rules.toString, "--fail-on-error")) shouldBe 1
+    // Without the flag the failure is reported but exit stays 0.
+    Main.run(Seq("validate", region, "region", "--rules", rules.toString)) shouldBe 0
+  }
+
+  test("validate with no rules is a usage error") {
+    Main.run(Seq("validate", region, "region")) shouldBe 2
+  }
+
+  test("test-connection loads the source") {
+    Main.run(Seq("test-connection", region)) shouldBe 0
+  }
+
+  test("info and help run; unknown command errors") {
+    Main.run(Seq("info")) shouldBe 0
+    Main.run(Seq("--help")) shouldBe 0
+    Main.run(Seq("frobnicate")) shouldBe 2
+  }
+
+  test("missing source without SPARVI_SOURCE is an error") {
+    if (!sys.env.contains("SPARVI_SOURCE"))
+      Main.run(Seq("profile", "onlytable")) shouldBe 2
+  }
+}
