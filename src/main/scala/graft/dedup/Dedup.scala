@@ -63,10 +63,18 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128): DataFrame = {
+    // Each shingle is string-hashed ONCE; the k families then hash the
+    // resulting fixed-width long with k seeds — one variable-length
+    // string hash plus k single-block hashes per shingle, rather than
+    // k string hashes. (Affine a·h+b mixing would be cheaper still but
+    // ANSI mode rejects wrapping long multiplication.)
     val shingled = df.select(
-      col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleSize)).as("sh"))
-    val mins = (0 until numHashes).map(s => min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
+        col(idCol).as("id"),
+        explode(wordShingles(col(textCol), shingleSize)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"h$i")
+    }
     shingled.groupBy("id")
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
