@@ -84,22 +84,32 @@ object TextAnalysis {
   /** Language identification by marker-word counting: the language
     * whose marker words occur most often among the document's tokens
     * wins; ties break alphabetically; zero hits → "unknown".
-    * One pass, no shuffle — the per-language counts are size(filter())
-    * expressions over the token array. */
+    *
+    * One traversal of the token array builds ALL per-language counters
+    * in a single `aggregate` (a per-language `size(filter(...))` would
+    * re-tokenize the document once per language — HOF lambdas
+    * re-evaluate captured subtrees). The counts struct is materialized
+    * in its own projection so the argmax reads a bound attribute. */
   def languageId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val langs = LanguageMarkers.map(_._1)
     val w = tokens(lower(col(textCol)))
-    val counts = LanguageMarkers.map { case (lang, markers) =>
-      lang -> size(filter(w, t => t.isin(markers.map(x => x: Any): _*)))
-    }
+    val zero = struct(langs.map(l => lit(0).as(l)): _*)
+    val counts = aggregate(w, zero, (acc, t) =>
+      struct(LanguageMarkers.map { case (lang, markers) =>
+        (acc.getField(lang) +
+          when(t.isin(markers.map(x => x: Any): _*), 1).otherwise(0)).as(lang)
+      }: _*))
+    val withCounts = df.select(col(idCol), counts.as("c"))
     // argmax with alphabetical tiebreak: fold over languages in order,
     // keeping the first language with the (strictly) highest count.
-    val best = counts.tail.foldLeft(
-      struct(counts.head._2.as("n"), lit(counts.head._1).as("lang"))) {
-      case (acc, (lang, cnt)) =>
-        when(cnt > acc.getField("n"), struct(cnt.as("n"), lit(lang).as("lang")))
+    val best = langs.tail.foldLeft(
+      struct(col("c").getField(langs.head).as("n"), lit(langs.head).as("lang"))) {
+      case (acc, lang) =>
+        when(col("c").getField(lang) > acc.getField("n"),
+          struct(col("c").getField(lang).as("n"), lit(lang).as("lang")))
           .otherwise(acc)
     }
-    df.select(col(idCol), best.as("best")).select(
+    withCounts.select(col(idCol), best.as("best")).select(
       col(idCol),
       when(col("best.n") > 0, col("best.lang")).otherwise(lit("unknown")).as("lang_pred"),
       col("best.n").cast("long").as("marker_hits"))

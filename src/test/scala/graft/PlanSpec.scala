@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.dedup.Dedup
+import graft.profiler.ProfilePasses
+import graft.similarity.Similarity
+
+/** Physical-plan audits: the scale properties this engine claims are
+  * asserted against the actual Catalyst output, not just documented.
+  * Each test pins a property that, if regressed, becomes a 100×-scale
+  * bottleneck long before it shows up in small-data timings.
+  */
+class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private lazy val lineitem =
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("frequent values: no Window operator (max-struct agg instead)") {
+    val plan = physical(ProfilePasses.frequentValues(lineitem,
+      Seq("l_returnflag", "l_linestatus", "l_suppkey"), 1000L))
+    plan should not include "Window"
+    plan should include("HashAggregate")
+  }
+
+  test("fused null-count agg plans as codegen-capable HashAggregate") {
+    // (AQE prints the pre-execution plan without WholeStageCodegen
+    // spans; HashAggregate vs ObjectHashAggregate is the codegen
+    // boundary that matters.)
+    val plan = physical(ProfilePasses.nullCounts(lineitem, lineitem.columns.toSeq))
+    plan should include("HashAggregate")
+    plan should not include "ObjectHashAggregate"
+  }
+
+  test("percentiles are quarantined: only their own pass uses ObjectHashAggregate") {
+    val pct = physical(ProfilePasses.percentiles(lineitem, Seq("l_quantity")))
+    pct should include("ObjectHashAggregate") // expected: TypedImperativeAggregate
+    // ...but the numeric base stats stay codegen'd.
+    val base = physical(lineitem.agg(
+      min("l_quantity"), max("l_quantity"), avg("l_quantity"),
+      sum("l_quantity"), stddev_samp("l_quantity")))
+    base should not include "ObjectHashAggregate"
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val narrow = lineitem.select("l_quantity", "l_discount")
+      .agg(sum("l_quantity"), avg("l_discount"))
+    val scan = physical(narrow)
+    // ReadSchema carries only the two referenced columns.
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    readSchema should include("l_quantity")
+    readSchema should include("l_discount")
+    readSchema should not include "l_orderkey"
+    readSchema should not include "l_shipdate"
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val filtered = lineitem.filter(col("l_quantity") > 30).agg(count(lit(1)))
+    val scan = physical(filtered)
+    scan should include("PushedFilters")
+    scan.linesIterator.find(_.contains("PushedFilters")).getOrElse("") should
+      include("l_quantity")
+  }
+
+  test("duplicate digest path groups by one sha2 key, not every column") {
+    val digestPlan = ProfilePasses.duplicateGroupCount(lineitem, projectToHash = true)
+      .queryExecution.optimizedPlan.toString
+    digestPlan should include("sha2")
+    // Exact mode keys by every column (oracle semantics).
+    val fullPlan = ProfilePasses.duplicateGroupCount(lineitem, projectToHash = false)
+      .queryExecution.optimizedPlan.toString
+    fullPlan should not include "sha2"
+  }
+
+  test("LSH candidate join is equi-keyed, never a cartesian product") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l"), (3L, "a b c d e g"))
+      .toDF("doc_id", "text")
+    val plan = physical(Dedup.candidatePairs(docs, "doc_id", "text", numHashes = 16, bands = 4))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("two-phase top-k has no Window and no global sort of candidates") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 8).map(i => (i.toLong, Seq.fill(4)(i.toDouble + 1)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val plan = physical(Similarity.bruteForceTopK(
+      vecs, "vec_id", "embedding", q, "vec_id", "embedding", k = 2))
+    plan should not include "Window"
+    // Both top-k phases are hash aggregates; sorting happens only
+    // inside bounded arrays (array_sort), never as a plan-level Sort
+    // of the full candidate set.
+    plan should include("HashAggregate")
+  }
+
+  test("star join broadcasts the small dimension") {
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val joined = customer.join(nation,
+      customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+    physical(joined) should include("BroadcastHashJoin")
+  }
+
+  test("nested stats aggregate in one pass without explode") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "arr")
+    val plan = physical(ProfilePasses.nestedStats(df, Seq("arr")))
+    plan should not include "Generate" // explode would multiply rows
+  }
+}
