@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming data-quality profiles over Structured Streaming —
   * north-star scope (SURVEY §7.5; the reference is batch-only).
@@ -99,4 +98,58 @@ object StreamProfiler {
     * required watermark — the production shape (closed windows only). */
   def appendWriter(profiled: DataFrame): DataStreamWriter[Row] =
     profiled.writeStream.outputMode("append")
+
+  /** Per-key running moments carried across micro-batches (Welford). */
+  final case class KeyMoments(count: Long, mean: Double, m2: Double) {
+    def stdev: Double = if (count > 1) math.sqrt(m2 / (count - 1)) else 0.0
+    def add(values: Seq[Double]): KeyMoments =
+      values.foldLeft(this) { case (KeyMoments(n, mu, m2v), x) =>
+        val n1 = n + 1
+        val d = x - mu
+        val mu1 = mu + d / n1
+        KeyMoments(n1, mu1, m2v + d * (x - mu1))
+      }
+  }
+
+  /** A micro-batch whose mean deviates from the key's history. */
+  final case class DriftEvent(
+      key: String, batchCount: Long, batchMean: Double,
+      runningMean: Double, runningStdev: Double, zScore: Double)
+
+  /** Stateful per-key drift detection over a (key, value) stream:
+    * `flatMapGroupsWithState` keeps Welford moments per key; a
+    * micro-batch whose mean sits more than `threshold` historical
+    * standard deviations from the running mean emits a [[DriftEvent]]
+    * (after `minHistory` observations). This is the streaming analogue
+    * of the profiler's numeric-mean anomaly
+    * (ProfileCompare.detectAnomalies) — state is two doubles and a
+    * long per key, so memory is O(keys) regardless of stream volume. */
+  def meanDrift(
+      pairs: Dataset[(String, Double)],
+      threshold: Double = 3.0,
+      minHistory: Long = 10): Dataset[DriftEvent] = {
+    implicit val stateEnc: Encoder[KeyMoments] = Encoders.product[KeyMoments]
+    implicit val outEnc: Encoder[DriftEvent] = Encoders.product[DriftEvent]
+    pairs.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[KeyMoments, DriftEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[KeyMoments]) =>
+          val values = rows.map(_._2).toSeq
+          if (values.isEmpty) Iterator.empty
+          else {
+            val prior = state.getOption.getOrElse(KeyMoments(0, 0.0, 0.0))
+            val batchMean = values.sum / values.size
+            val out =
+              if (prior.count >= minHistory && prior.stdev > 0) {
+                val z = math.abs(batchMean - prior.mean) / prior.stdev
+                if (z > threshold)
+                  Iterator.single(DriftEvent(key, values.size.toLong, batchMean,
+                    prior.mean, prior.stdev, z))
+                else Iterator.empty
+              } else Iterator.empty
+            state.update(prior.add(values))
+            out
+          }
+      }
+  }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.profiler.{Profiler, ProfilerConfig}
+import graft.validation.ScalarCompare
+
+/** Property-style invariants (SURVEY §5 test plan): profile bounds,
+  * row-order invariance, and scalar-comparison algebra — checked over
+  * seeded random samples (the scalatest/scalacheck bridge artifact is
+  * not on the offline classpath, so sampling is hand-rolled and
+  * deterministic). Spark-backed properties use few cases; pure
+  * functions get hundreds.
+  */
+class PropertySpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def samples[A](seed: Long, n: Int)(gen: scala.util.Random => A): Seq[A] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(gen(rnd))
+  }
+
+  // ---- pure scalar-comparison algebra ---------------------------------
+
+  test("compare is antisymmetric over numerics") {
+    for ((a, b) <- samples(1L, 500)(r => (r.nextLong(), r.nextLong()))) {
+      val ab = ScalarCompare.compare(a, b).map(math.signum(_))
+      val ba = ScalarCompare.compare(b, a).map(x => -math.signum(x))
+      ab shouldBe ba
+    }
+  }
+
+  test("equalsLoose is reflexive for finite values and symmetric") {
+    for ((a, b) <- samples(2L, 500)(r => (r.nextDouble() * 1e6, r.nextDouble() * 1e6))) {
+      ScalarCompare.evaluate(a, "equals", a) shouldBe true
+      ScalarCompare.evaluate(a, "equals", b) shouldBe
+        ScalarCompare.evaluate(b, "equals", a)
+    }
+  }
+
+  test("numeric widening: an Int and its Long/Double/BigDecimal forms are interchangeable") {
+    for (i <- samples(3L, 500)(r => r.nextInt(2000001) - 1000000)) {
+      ScalarCompare.evaluate(i, "equals", i.toLong) shouldBe true
+      ScalarCompare.evaluate(i, "equals", i.toDouble) shouldBe true
+      ScalarCompare.evaluate(i, "less_than_or_equal", BigDecimal(i)) shouldBe true
+    }
+  }
+
+  test("between(x, [lo, hi]) ⇔ lo ≤ x ≤ hi") {
+    for ((x, a, b) <- samples(4L, 500)(r => (r.nextInt(100), r.nextInt(100), r.nextInt(100)))) {
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      ScalarCompare.evaluate(x, "between", Seq(lo, hi)) shouldBe (x >= lo && x <= hi)
+    }
+  }
+
+  test("ordering operators agree with Scala's on Longs") {
+    for ((a, b) <- samples(5L, 500)(r => (r.nextLong(), r.nextLong()))) {
+      ScalarCompare.evaluate(a, ">", b) shouldBe (a > b)
+      ScalarCompare.evaluate(a, "<=", b) shouldBe (a <= b)
+      ScalarCompare.evaluate(a, "!=", b) shouldBe (a != b)
+    }
+  }
+
+  // ---- Spark-backed profile invariants (few, fixed cases) -------------
+
+  private def randomDf(seed: Long, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val s = spark
+    import s.implicits._
+    (0 until n).map { _ =>
+      (rnd.nextInt(5).toLong,
+        if (rnd.nextBoolean()) Some(rnd.nextDouble() * 100) else None,
+        if (rnd.nextInt(10) == 0) None else Some(s"v${rnd.nextInt(8)}"))
+    }.toDF("k", "x", "t")
+  }
+
+  test("profile bounds hold on random frames") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val df = randomDf(seed, 200)
+      val p = Profiler.profile(df, "t", ProfilerConfig(persist = false))
+      p.rowCount shouldBe 200
+      for ((_, c) <- p.completeness) {
+        c.nullPercentage should (be >= 0.0 and be <= 100.0)
+        c.distinctCount should be <= p.rowCount
+        c.nulls should be <= p.rowCount
+      }
+      // Groups occurring >1 time can never exceed half the rows.
+      p.duplicateCount should be <= p.rowCount / 2
+      for ((_, fv) <- p.frequentValues) {
+        fv.frequency should be <= p.rowCount
+        fv.percentage should (be >= 0.0 and be <= 100.0)
+      }
+    }
+  }
+
+  test("profile is invariant under row order and partitioning") {
+    val df = randomDf(13L, 300)
+    val base = Profiler.profile(df, "t", ProfilerConfig(persist = false))
+    val shuffled = Profiler.profile(
+      df.repartition(7).sortWithinPartitions("x"), "t", ProfilerConfig(persist = false))
+    shuffled.completeness shouldBe base.completeness
+    shuffled.duplicateCount shouldBe base.duplicateCount
+    shuffled.frequentValues shouldBe base.frequentValues
+    shuffled.outliers shouldBe base.outliers
+    // Floating aggregates are order-sensitive at the last ulp
+    // (non-associative addition across partitions) — compare with a
+    // relative tolerance instead of bitwise.
+    shuffled.numericStats.keySet shouldBe base.numericStats.keySet
+    for ((k, b) <- base.numericStats; s = shuffled.numericStats(k)) {
+      def close(x: Option[Double], y: Option[Double]): Unit = (x, y) match {
+        case (Some(a), Some(c)) => a shouldBe c +- math.max(math.abs(c) * 1e-12, 1e-12)
+        case _ => x shouldBe y
+      }
+      close(s.min, b.min); close(s.max, b.max); close(s.avg, b.avg)
+      close(s.sum, b.sum); close(s.stdev, b.stdev)
+      close(s.q1, b.q1); close(s.median, b.median); close(s.q3, b.q3)
+    }
+  }
+
+  test("jaccard is symmetric, bounded, and 1 iff equal shingle sets") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq(
+      ("a b c d e", "a b c d e"),
+      ("a b c d e", "a b c x y"),
+      ("a b c d e", "z y x w v")).toDF("t1", "t2")
+    val j12 = graft.dedup.Dedup.jaccard(
+      graft.dedup.Dedup.wordShingles(col("t1"), 2),
+      graft.dedup.Dedup.wordShingles(col("t2"), 2))
+    val j21 = graft.dedup.Dedup.jaccard(
+      graft.dedup.Dedup.wordShingles(col("t2"), 2),
+      graft.dedup.Dedup.wordShingles(col("t1"), 2))
+    val rows = pairs.select(j12.as("a"), j21.as("b")).collect()
+    for (r <- rows) {
+      r.getDouble(0) shouldBe r.getDouble(1)
+      r.getDouble(0) should (be >= 0.0 and be <= 1.0)
+    }
+    rows(0).getDouble(0) shouldBe 1.0
+    rows(2).getDouble(0) shouldBe 0.0
+  }
+}

@@ -57,6 +57,37 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got shouldBe expected
   }
 
+  test("meanDrift: stateful detector fires only after history, only on deviation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val drift = StreamProfiler.meanDrift(input.toDS(), threshold = 3.0, minHistory = 10)
+    val q = drift.writeStream.format("memory").queryName("drift_events")
+      .outputMode("append").start()
+    try {
+      // Batch 1: build history for key "a" around mean 10, sd ~1.
+      input.addData((1 to 20).map(i => ("a", 10.0 + (i % 3) - 1)): _*)
+      q.processAllAvailable()
+      spark.table("drift_events").count() shouldBe 0 // no prior history yet
+
+      // Batch 2: "a" jumps to 50 (way past 3σ); "b" has no history.
+      input.addData(("a", 50.0), ("a", 51.0), ("b", 1.0))
+      q.processAllAvailable()
+      val events = spark.table("drift_events").as[StreamProfiler.DriftEvent].collect()
+      events.map(_.key).toSeq shouldBe Seq("a")
+      events.head.zScore should be > 3.0
+      events.head.runningMean shouldBe 10.0 +- 1.0
+
+      // Batch 3: back to normal-ish values → no new event (the drifted
+      // batch widened the state's stdev).
+      input.addData(("a", 10.0))
+      q.processAllAvailable()
+      spark.table("drift_events").count() shouldBe 1
+    } finally q.stop()
+  }
+
   test("windowed completeness: null rates are per-window percentages") {
     val s = spark
     import s.implicits._
