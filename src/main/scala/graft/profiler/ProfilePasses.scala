@@ -82,11 +82,12 @@ object ProfilePasses {
     * Aggregates skip nulls natively, so the reference's
     * `WHERE col IS NOT NULL` is implicit.
     *
-    * Two physical aggregates, cross-joined (both 1-row, a trivial
-    * BroadcastNestedLoopJoin): the declarative min/max/avg/sum/stddev
-    * agg stays inside WholeStageCodegen, while the percentile
-    * TypedImperativeAggregate — which would force the whole pass into
-    * ObjectHashAggregate — runs quarantined (see [[percentiles]]). */
+    * The declarative min/max/avg/sum/stddev agg stays inside
+    * WholeStageCodegen. Quartiles are kept out of it: exact mode runs
+    * the fully distributed rank-based [[DistributedPercentiles]]
+    * (Spark's built-in exact percentile merges a per-distinct-value
+    * map on one task) and attaches the results as literals; approx
+    * mode cross-joins the bounded-sketch percentile_approx pass. */
   def numericStats(df: DataFrame, cols: Seq[String], exactPercentiles: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { n =>
       Seq(
@@ -96,8 +97,16 @@ object ProfilePasses {
         sum(c(n)).cast(DoubleType).as(s"${n}_sum"),
         stddev_samp(c(n)).cast(DoubleType).as(s"${n}_stdev"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
-      .crossJoin(percentiles(df, cols, exactPercentiles))
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    if (exactPercentiles) {
+      val q = DistributedPercentiles.quartiles(df, cols)
+      val qCols = cols.flatMap { n =>
+        Seq(("q1", 0), ("median", 1), ("q3", 2)).map { case (alias, i) =>
+          lit(q(n)(i).map(Double.box).orNull).cast(DoubleType).as(s"${n}_$alias")
+        }
+      }
+      base.select(col("*") +: qCols: _*)
+    } else base.crossJoin(percentiles(df, cols, exact = false))
   }
 
   /** P5 quartiles, quarantined in their own pass: `percentile` /

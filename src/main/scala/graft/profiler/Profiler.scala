@@ -97,16 +97,25 @@ object Profiler {
 
     val rowCount = getL("row_count")
 
-    // ---- Pass A'': percentiles, quarantined like distincts — their
-    // TypedImperativeAggregate would otherwise knock pass A off
-    // WholeStageCodegen (see ProfilePasses.percentiles).
-    val pctRow =
-      if (b.numeric.isEmpty) None
-      else Some(ProfilePasses.percentiles(df, b.numeric, exact = cfg.exact).head())
-    def getPct(name: String): Option[Double] = pctRow.flatMap { r =>
-      val i = r.fieldIndex(name)
-      if (r.isNullAt(i)) None else Some(r.getDouble(i))
-    }
+    // ---- Pass A'': percentiles, quarantined away from pass A (their
+    // aggregate would knock it off WholeStageCodegen). Exact mode uses
+    // the fully distributed rank-based algorithm — Spark's built-in
+    // exact percentile merges a per-distinct-value map on ONE task;
+    // approx mode is the bounded-sketch percentile_approx pass.
+    val quartileMap: Map[String, Seq[Option[Double]]] =
+      if (b.numeric.isEmpty) Map.empty
+      else if (cfg.exact) DistributedPercentiles.quartiles(df, b.numeric)
+      else {
+        val r = ProfilePasses.percentiles(df, b.numeric, exact = false).head()
+        b.numeric.map { n =>
+          n -> Seq("q1", "median", "q3").map { a =>
+            val i = r.fieldIndex(s"${n}_$a")
+            if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          }
+        }.toMap
+      }
+    def getPct(colName: String, idx: Int): Option[Double] =
+      quartileMap.get(colName).flatMap(_(idx))
 
     // ---- Pass A': distinct counts (exact → Expand; approx → HLL).
     val distRow = ProfilePasses.distinctCounts(df, b.all, exact = cfg.exact).head()
@@ -129,8 +138,8 @@ object Profiler {
       n -> NumericStats(
         min = getDOpt(s"${n}_min"), max = getDOpt(s"${n}_max"),
         avg = getDOpt(s"${n}_avg"), sum = getDOpt(s"${n}_sum"),
-        stdev = getDOpt(s"${n}_stdev"), q1 = getPct(s"${n}_q1"),
-        median = getPct(s"${n}_median"), q3 = getPct(s"${n}_q3"))
+        stdev = getDOpt(s"${n}_stdev"), q1 = getPct(n, 0),
+        median = getPct(n, 1), q3 = getPct(n, 2))
     }.toMap
 
     val textLengthStats = b.text.map { n =>
