@@ -377,6 +377,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- LLM-pipeline: IVF approximate top-k (k-means coarse
+    // quantizer + nProbe cell search). Approximate → rows-only check;
+    // SimilaritySpec pins recall against the exact baseline.
+    "ll5_ann_ivf_topk" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      val q = df.filter(col("vec_id") < 5)
+      Similarity.ivfTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("cosine_sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- LLM-pipeline: per-document token statistics ------------------
     "txt_token_stats" -> ((s, dir) => {
       val df = t(s, dir, "documents")

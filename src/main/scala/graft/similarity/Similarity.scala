@@ -121,6 +121,85 @@ object Similarity {
     topK(cand, k)
   }
 
+  private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  private def normalized(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Lloyd's k-means over an embedding column, built from DataFrame
+    * ops only: assignment is an argmax-of-dot fold against centroid
+    * literals (map-side), the update is posexplode + (cell, dim) hash
+    * aggregate; only k×dim doubles ever reach the driver per
+    * iteration. Deterministic: initial centroids are the k vectors
+    * with the smallest xxhash64. */
+  def kmeansCentroids(
+      df: DataFrame, vecCol: String, k: Int,
+      iterations: Int = 3): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] = df
+      .select(col(vecCol).as("v")).orderBy(xxhash64(col("v")), col("v").cast("string"))
+      .limit(k).collect()
+      .map(_.getSeq[Any](0).map(x => x.toString.toDouble).toSeq).toSeq
+    for (_ <- 0 until iterations) {
+      val cell = nearestCell(col(vecCol), centroids)
+      val updated = df.select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** Index of the centroid with the highest cosine similarity
+    * (centroids pre-normalized, so argmax dot suffices). The struct is
+    * cast to an explicit named type: CreateStruct drops aliases of
+    * complex child expressions (fields would come out col1/col2). */
+  private def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    def sc(s: Column, cell: Column): Column =
+      struct(s, cell).cast("struct<s:double,cell:int>")
+    val scored = centroids.map(normalized).zipWithIndex.map { case (ct, i) =>
+      (dot(vec, litVec(ct)), i)
+    }
+    scored.tail.foldLeft(sc(scored.head._1, lit(0))) { case (acc, (s, i)) =>
+      when(s > acc.getField("s"), sc(s, lit(i))).otherwise(acc)
+    }.getField("cell")
+  }
+
+  /** IVF (inverted-file) approximate top-k — the k-means counterpart
+    * of [[annTopK]]: vectors are assigned to their nearest coarse
+    * centroid once; each query probes its `nProbe` nearest cells and
+    * scores only those rows. Per-query cost drops from O(N) to
+    * O(nProbe · N / nCells). Same output shape as [[bruteForceTopK]]. */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
+      kmeansIterations: Int = 3, excludeSelf: Boolean = true): DataFrame = {
+    val centroids = kmeansCentroids(df, vecCol, nCells, kmeansIterations)
+    val data = df.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+      nearestCell(col(vecCol), centroids).as("cell"))
+    // Each query expands to its nProbe closest cells.
+    val cellScores = array(centroids.map(normalized).zipWithIndex.map { case (ct, i) =>
+      struct(-dot(col(queryVecCol), litVec(ct)), lit(i))
+        .cast("struct<neg:double,cell:int>")
+    }: _*)
+    val probes = queries.select(
+        col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
+        explode(transform(slice(sort_array(cellScores), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    val cand = data.join(probes, "cell")
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .select("query_id", "neighbor_id", "sim")
+    topK(cand, k)
+  }
+
   /** Embedding-space near-duplicate pairs: LSH candidates verified
     * with exact cosine ≥ threshold (id_a < id_b). Like
     * [[graft.dedup.Dedup.nearDupPairs]] but over vectors: LSH shapes

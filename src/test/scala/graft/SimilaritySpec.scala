@@ -91,6 +91,31 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     approx shouldBe exact
   }
 
+  test("kmeans centroids land on the 4 planted clusters") {
+    val df = clustered()
+    val cents = Similarity.kmeansCentroids(df, "embedding", k = 4, iterations = 5)
+    cents should have size 4
+    // Every vector should be very close (cosine > 0.99) to some centroid.
+    import org.apache.spark.sql.functions.greatest
+    val sims = cents.map(ct => Similarity.cosine(col("embedding"),
+      array(ct.map(org.apache.spark.sql.functions.lit): _*)))
+    val worst = df.select(greatest(sims: _*).as("best"))
+      .agg(org.apache.spark.sql.functions.min("best")).head().getDouble(0)
+    worst should be > 0.99
+  }
+
+  test("ivfTopK recalls the true neighbors on clustered vectors") {
+    val df = clustered()
+    val q = df.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5, nCells = 4, nProbe = 2, kmeansIterations = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    recall should be >= 0.9
+  }
+
   test("nearDupByEmbedding finds planted near-identical vectors only") {
     val rnd = new scala.util.Random(11)
     val v = Seq.fill(16)(rnd.nextGaussian())
