@@ -427,6 +427,26 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ---- Validator with COUNT-WHERE fusion: same results as the
+    // sequential path, one scan per table instead of one per rule.
+    "validator_batched" -> ((s, dir) => {
+      import graft.model.ValidationRule
+      t(s, dir, "part"); t(s, dir, "customer")
+      val rules = Seq(
+        ValidationRule("b1_no_negative_price", "", "SELECT COUNT(*) FROM part WHERE p_retailprice < 0", "equals", 0),
+        ValidationRule("b2_part_not_empty", "", "SELECT COUNT(*) FROM part", "greater_than", 0),
+        ValidationRule("b3_small_parts", "", "SELECT COUNT(*) FROM part WHERE p_size <= 10", "greater_than", 0),
+        ValidationRule("b4_customer_not_empty", "", "SELECT COUNT(*) FROM customer", "greater_than", 0),
+        ValidationRule("b5_nonfusable_max", "", "SELECT MAX(p_size) FROM part", "less_than_or_equal", 50))
+      val results = Validator.runBatched(s, rules)
+      import s.implicits._
+      results.map { r =>
+        val actual = graft.validation.ScalarCompare.toBigDecimal(r.actualValue)
+          .map(_.toDouble).getOrElse(Double.NaN)
+        (r.ruleName, r.isValid, actual)
+      }.toDF("rule_name", "is_valid", "actual_value").orderBy("rule_name")
+    }),
+
     // ---- Arbitrary rule SQL surface (the reference's `query` strings
     // may be any warehouse SQL — here that surface is all of Spark SQL):
     // aggregation, multi-way join, window function.
@@ -833,6 +853,28 @@ object SparkEntry {
         |       ELSE 'zh' END AS lang_pred,
         |  CAST(greatest(de,en,es,fr,zh) AS BIGINT) AS marker_hits
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "validator_batched" ->
+      """SELECT 'b1_no_negative_price' AS rule_name,
+        |       (SELECT count(*) FROM part WHERE p_retailprice < 0) = 0 AS is_valid,
+        |       CAST((SELECT count(*) FROM part WHERE p_retailprice < 0) AS DOUBLE) AS actual_value
+        |UNION ALL
+        |SELECT 'b2_part_not_empty',
+        |       (SELECT count(*) FROM part) > 0,
+        |       CAST((SELECT count(*) FROM part) AS DOUBLE)
+        |UNION ALL
+        |SELECT 'b3_small_parts',
+        |       (SELECT count(*) FROM part WHERE p_size <= 10) > 0,
+        |       CAST((SELECT count(*) FROM part WHERE p_size <= 10) AS DOUBLE)
+        |UNION ALL
+        |SELECT 'b4_customer_not_empty',
+        |       (SELECT count(*) FROM customer) > 0,
+        |       CAST((SELECT count(*) FROM customer) AS DOUBLE)
+        |UNION ALL
+        |SELECT 'b5_nonfusable_max',
+        |       (SELECT max(p_size) FROM part) <= 50,
+        |       CAST((SELECT max(p_size) FROM part) AS DOUBLE)
+        |ORDER BY rule_name""".stripMargin,
 
     "sql_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

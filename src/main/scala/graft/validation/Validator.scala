@@ -59,6 +59,72 @@ object Validator {
         ValidationResult(rule.name, isValid = false, null, rule.expectedValue,
           rule.description, Some(e.getMessage))
     }
+
+  // ---- COUNT-WHERE fusion ---------------------------------------------
+
+  /** `SELECT COUNT(*) FROM <table> [WHERE <pred>]` with a bare table
+    * name and no subquery/group-by — the shape of most generated
+    * default rules (families D1, D5–D9, D15). */
+  private val CountWherePattern =
+    """(?is)\s*SELECT\s+COUNT\(\s*\*\s*\)\s+FROM\s+([A-Za-z_][\w.]*)\s*(?:WHERE\s+(.+?))?\s*""".r
+
+  /** Splits a rule into (table, optional predicate) when it is a
+    * fusable scalar count; None → run it as plain SQL. */
+  def fusableCountWhere(rule: ValidationRule): Option[(String, Option[String])] =
+    rule.query match {
+      case CountWherePattern(table, pred) =>
+        val p = Option(pred).map(_.trim).filter(_.nonEmpty)
+        // Subqueries inside the predicate would change the fused-agg
+        // shape — leave them on the plain path.
+        if (p.exists(s => s.toLowerCase.contains("select"))) None
+        else Some((table, p))
+      case _ => None
+    }
+
+  /** Like [[run]], but rules of the COUNT-WHERE shape against the same
+    * table fuse into ONE wide aggregate — `count(when(pred, 1))` per
+    * rule — so a 30-rule generated suite costs a scan per table rather
+    * than a scan per rule. Results are identical to [[run]] (same
+    * comparison, same per-rule error capture: a fused batch that fails
+    * falls back to per-rule execution so a single bad predicate cannot
+    * poison its neighbors' results). Output order matches input. */
+  def runBatched(spark: SparkSession, rules: Seq[ValidationRule]): Seq[ValidationResult] = {
+    import org.apache.spark.sql.functions.{count, expr, lit, when}
+    val classified: Seq[(ValidationRule, Option[(String, Option[String])])] =
+      rules.map(r => r -> fusableCountWhere(r))
+    val byTable = classified.collect { case (r, Some((t, p))) => (t, r, p) }
+      .groupBy(_._1)
+
+    val fusedResults: Map[String, ValidationResult] = byTable.flatMap {
+      case (table, group) =>
+        try {
+          val df = spark.table(table)
+          val aggs = group.zipWithIndex.map { case ((_, _, pred), i) =>
+            (pred match {
+              case Some(p) => count(when(expr(p), lit(1)))
+              case None => count(lit(1))
+            }).as(s"c$i")
+          }
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          group.zipWithIndex.map { case ((_, rule, _), i) =>
+            val actual: Any = if (row.isNullAt(i)) null else row.get(i)
+            rule.name -> ValidationResult(rule.name,
+              ScalarCompare.evaluate(actual, rule.operator, rule.expectedValue),
+              actual, rule.expectedValue, rule.description, None)
+          }
+        } catch {
+          case NonFatal(_) =>
+            // Any failure in the fused plan (bad column, bad predicate)
+            // reverts the whole group to per-rule execution, preserving
+            // run()'s exact error-capture semantics.
+            group.map { case (_, rule, _) => rule.name -> runOne(spark, rule) }
+        }
+    }
+    classified.map {
+      case (rule, Some(_)) => fusedResults(rule.name)
+      case (rule, None) => runOne(spark, rule)
+    }
+  }
 }
 
 /** Raised when an ordering comparison is attempted on an incomparable

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import graft.model.{TableMeta, ValidationRule}
-import graft.validation.{DefaultValidations, Validator}
+import graft.validation.{DefaultValidations, ScalarCompare, Validator}
 
 /** End-to-end validator tests pinning the reference's validation
   * contract (reference: tests/test_validations.py:9-67) against the A1
@@ -151,6 +151,53 @@ class ValidatorSpec extends AnyFunSuite with Matchers with SparkTestBase {
     r.error shouldBe None
     r.actualValue shouldBe 1L // only "nope" lacks any digit run
     r.isValid shouldBe false
+  }
+
+  test("fusableCountWhere classifies rule shapes") {
+    import graft.validation.Validator.fusableCountWhere
+    def rule(q: String) = ValidationRule("r", "", q, "equals", 0)
+    fusableCountWhere(rule("SELECT COUNT(*) FROM products")) shouldBe
+      Some(("products", None))
+    fusableCountWhere(rule("SELECT COUNT(*) FROM products WHERE price < 0")) shouldBe
+      Some(("products", Some("price < 0")))
+    // Subqueries, grouped counts, non-count scalars stay on plain SQL.
+    fusableCountWhere(rule(
+      "SELECT COUNT(*) FROM t WHERE x > (SELECT AVG(x) FROM t)")) shouldBe None
+    fusableCountWhere(rule(
+      "SELECT COUNT(*) FROM (SELECT id FROM t GROUP BY id HAVING COUNT(*) > 1) d")) shouldBe None
+    fusableCountWhere(rule("SELECT MAX(price) FROM products")) shouldBe None
+  }
+
+  test("runBatched returns exactly run()'s results on generated defaults") {
+    withViews {
+      val rules = DefaultValidations.generate(productsDf.schema, "products",
+        TableMeta(primaryKey = Seq("product_id"))) ++
+        DefaultValidations.generate(employeesDf.schema, "employees")
+      val sequential = Validator.run(spark, rules)
+      val batched = Validator.runBatched(spark, rules)
+      batched should have size sequential.size
+      batched.map(_.ruleName) shouldBe sequential.map(_.ruleName)
+      for ((b, s) <- batched.zip(sequential)) {
+        b.isValid shouldBe s.isValid
+        (ScalarCompare.equalsLoose(b.actualValue, s.actualValue) ||
+          (b.actualValue == null && s.actualValue == null)) shouldBe true
+      }
+    }
+  }
+
+  test("runBatched: one bad predicate degrades its group, not its neighbors") {
+    withViews {
+      val rules = Seq(
+        ValidationRule("ok1", "", "SELECT COUNT(*) FROM products WHERE price < 0", "equals", 1),
+        ValidationRule("bad", "", "SELECT COUNT(*) FROM products WHERE nonexistent_col < 0", "equals", 0),
+        ValidationRule("ok2", "", "SELECT COUNT(*) FROM employees WHERE department IS NULL", "equals", 1))
+      val results = Validator.runBatched(spark, rules)
+      results.map(_.ruleName) shouldBe Seq("ok1", "bad", "ok2")
+      results(0).isValid shouldBe true // fallback still evaluates ok1 correctly
+      results(1).isValid shouldBe false
+      results(1).error should not be empty
+      results(2).isValid shouldBe true // employees group unaffected
+    }
   }
 
   test("guessStartDateColumn heuristics (ported verbatim)") {
