@@ -352,6 +352,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- LLM-pipeline: SimHash near-dup pairs (band-blocked, exact
+    // Hamming verify). Sketches are Spark-hash-based → rows-only check;
+    // DedupSpec pins blocking recall and pair semantics.
+    "ll6_simhash_pairs" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      // maxHamming < bands → pigeonhole guarantees full recall.
+      Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 7, bands = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- LLM-pipeline: exact brute-force cosine top-k (the ANN
     // baseline; queries broadcast, two-phase top-k, no window funnel).
     "ll3_ann_topk" -> ((s, dir) => {

@@ -173,7 +173,9 @@ object Main {
     }
 
     println(s"Running ${rules.size} validation rules against: $table")
-    val results = Validator.run(s, rules)
+    // COUNT-WHERE rules fuse into one aggregate per table — identical
+    // results, one scan per table instead of one per rule.
+    val results = Validator.runBatched(s, rules)
     val failed = results.filterNot(_.isValid)
     results.foreach { r =>
       val status = if (r.isValid) "PASS" else "FAIL"

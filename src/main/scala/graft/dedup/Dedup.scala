@@ -186,4 +186,44 @@ object Dedup {
   /** Hamming distance between two 64-bit sketches. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via band blocking: the 64-bit sketch is
+    * cut into `bands` fixed bit-fields; by pigeonhole, any pair within
+    * Hamming distance < bands agrees exactly on at least one band, so
+    * candidates come from an equi-join on (band, field value) — never
+    * all-pairs — and are then verified with the exact Hamming
+    * distance. Output: (id_a, id_b, hamming) with hamming ≤
+    * maxHamming. Guaranteed-recall blocking when maxHamming < bands
+    * (the standard simhash dedup construction).
+    *
+    * The sketch is over word n-gram SHINGLES, not bare tokens: on
+    * corpora with a shared vocabulary a bag-of-words simhash collapses
+    * (word order carries the signal); shingles keep it discriminating.
+    * Each projection step materializes its array so the 64 mask tests
+    * read a bound attribute instead of re-tokenizing. */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    val width = 64 / bands
+    val sketched = df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .select(col("id"), transform(col("sh"), x => xxhash64(x)).as("th"))
+      .select(col("id"), simhash64FromHashes(col("th")).as("sk"))
+    val banded = sketched.select(col("id"), col("sk"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b), shiftrightunsigned(col("sk"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)))
+          .cast("struct<band:int,field:bigint>")
+      }: _*)).as("bk"))
+      .select(col("id"), col("sk"), col("bk.band").as("band"), col("bk.field").as("field"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.field") === col("b.field") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDistance(col("a.sk"), col("b.sk")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

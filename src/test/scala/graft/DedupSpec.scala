@@ -101,6 +101,33 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ham(hs(1L), hs(2L)) should be < ham(hs(1L), hs(3L))
   }
 
+  test("simhashNearDupPairs: near-identical docs are closer than disjoint ones") {
+    val longBase = (base + " ") * 4 // more shingles → stabler majority bits
+    val df = docs(
+      (1L, longBase),
+      (2L, longBase + "with a few extra trailing words"), // tail-only change
+      (3L, "wholly different content concerning spark catalyst optimizer rules and physical planning " * 4))
+    // Measure the actual sketch distances (8-bit bands collide freely,
+    // so every pair surfaces), then assert the threshold separates the
+    // near pair from the far ones.
+    val all = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 64, bands = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
+    val near = all.getOrElse((1L, 2L), 0)
+    val far = all.getOrElse((1L, 3L), 64)
+    near should be < far
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = near, bands = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+  }
+
+  test("simhash band blocking guarantees recall below the band count") {
+    // Identical docs: hamming 0 < bands, must always be found.
+    val df = docs((1L, base), (2L, base))
+    Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 3, bands = 4)
+      .count() shouldBe 1L
+  }
+
   test("hammingDistance column matches bitCount of xor") {
     val s = spark
     import s.implicits._
