@@ -393,8 +393,11 @@ object SparkEntry {
     "ll5_ann_ivf_topk" -> ((s, dir) => {
       val df = t(s, dir, "embeddings")
       val q = df.filter(col("vec_id") < 5)
+      // One refinement iteration: each k-means iteration recompiles
+      // its assignment expression (fixed janino cost that dominates at
+      // gate scale and amortizes at cluster scale).
       Similarity.ivfTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
-        k = 5, nCells = 8, nProbe = 3)
+        k = 5, nCells = 8, nProbe = 3, kmeansIterations = 1)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("sim"), 4).as("cosine_sim"))
         .orderBy("query_id", "rank")

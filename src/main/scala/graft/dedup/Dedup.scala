@@ -183,6 +183,28 @@ object Dedup {
 
   def simhash64(text: Column): Column = simhash64FromHashes(tokenHashes(text))
 
+  /** SimHash sketches as a DataFrame: (id, sk: long) over word-shingle
+    * hashes — the relational formulation (explode + one wide codegen'd
+    * aggregate of 64 signed bit-counts, then a linear bit-assembly
+    * projection). The Column-expression [[simhash64]] evaluates 64
+    * interpreted array traversals per row, fine for short token lists;
+    * this shape is the one to use over a corpus. */
+  def simhashSketches(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleSize)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sk = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sk.as("sk"))
+  }
+
   /** Hamming distance between two 64-bit sketches. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -199,17 +221,13 @@ object Dedup {
     * The sketch is over word n-gram SHINGLES, not bare tokens: on
     * corpora with a shared vocabulary a bag-of-words simhash collapses
     * (word order carries the signal); shingles keep it discriminating.
-    * Each projection step materializes its array so the 64 mask tests
-    * read a bound attribute instead of re-tokenizing. */
+    * Sketches come from the relational [[simhashSketches]]. */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
     val width = 64 / bands
-    val sketched = df
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
-      .select(col("id"), transform(col("sh"), x => xxhash64(x)).as("th"))
-      .select(col("id"), simhash64FromHashes(col("th")).as("sk"))
+    val sketched = simhashSketches(df, idCol, textCol, shingleSize)
     val banded = sketched.select(col("id"), col("sk"),
       explode(array((0 until bands).map { b =>
         struct(lit(b), shiftrightunsigned(col("sk"), b * width)

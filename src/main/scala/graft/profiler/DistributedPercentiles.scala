@@ -84,8 +84,21 @@ object DistributedPercentiles {
     } finally { counts.unpersist(blocking = false); () }
   }
 
-  /** Quartiles for several columns (each column is its own distributed
-    * pipeline; they share the input scan via the caller's persist). */
+  /** Quartiles for several columns. Each column is its own distributed
+    * pipeline (sharing the input scan via the caller's persist); the
+    * pipelines are submitted concurrently from a small thread pool so
+    * Spark's scheduler interleaves their jobs instead of serializing
+    * the per-job driver latency. */
   def quartiles(df: DataFrame, columns: Seq[String]): Map[String, Seq[Option[Double]]] =
-    columns.map(c => c -> of(df, c, Seq(0.25, 0.5, 0.75))).toMap
+    if (columns.sizeIs <= 1) columns.map(c => c -> of(df, c, Seq(0.25, 0.5, 0.75))).toMap
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(columns.size, 4))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = columns.map(c => Future(c -> of(df, c, Seq(0.25, 0.5, 0.75))))
+        Await.result(Future.sequence(fs), Duration.Inf).toMap
+      } finally pool.shutdown()
+    }
 }

@@ -50,7 +50,7 @@ object Similarity {
     * probability (P(planes split a pair at angle θ) = θ/π per plane). */
   def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, array(p.map(lit): _*)) > 0, lit(1 << i)).otherwise(lit(0))
+      when(dotLit(vec, p) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ bitwiseOR _)
 
   /** Two-phase distributed top-k over scored candidate rows
@@ -123,17 +123,35 @@ object Similarity {
 
   private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
 
+  /** Dot product against a LITERAL vector, unrolled into flat
+    * arithmetic (`vec[0]·w0 + vec[1]·w1 + …`). Higher-order-function
+    * expressions (`zip_with`/`aggregate`) are interpreted at roughly
+    * a microsecond per element-step — fine for one pair, ruinous for
+    * a per-row assignment against k centroids or planes. The unrolled
+    * form is ordinary codegen'd arithmetic. */
+  private def dotLit(vec: Column, weights: Seq[Double]): Column =
+    weights.zipWithIndex.map { case (w, d) =>
+      vec.getItem(d).cast("double") * lit(w)
+    }.reduce(_ + _)
+
   private def normalized(v: Seq[Double]): Seq[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
     if (n == 0) v else v.map(_ / n)
   }
 
   /** Lloyd's k-means over an embedding column, built from DataFrame
-    * ops only: assignment is an argmax-of-dot fold against centroid
-    * literals (map-side), the update is posexplode + (cell, dim) hash
-    * aggregate; only k×dim doubles ever reach the driver per
-    * iteration. Deterministic: initial centroids are the k vectors
-    * with the smallest xxhash64. */
+    * ops only: assignment is a codegen'd argmax against unrolled
+    * centroid literals (map-side), the update is posexplode +
+    * (cell, dim) hash aggregate; only k×dim doubles ever reach the
+    * driver per iteration. Deterministic: initial centroids are the k
+    * vectors with the smallest xxhash64.
+    *
+    * Cost shape: centroids change each iteration, so every iteration
+    * recompiles its assignment expression (~seconds of janino time for
+    * k·dim in the hundreds). That fixed cost amortizes over data
+    * volume — at toy scale it dominates; at cluster scale the
+    * codegen'd straight-line arithmetic is the fastest possible
+    * per-row assignment. Keep `iterations` small when N is small. */
   def kmeansCentroids(
       df: DataFrame, vecCol: String, k: Int,
       iterations: Int = 3): Seq[Seq[Double]] = {
@@ -156,18 +174,14 @@ object Similarity {
   }
 
   /** Index of the centroid with the highest cosine similarity
-    * (centroids pre-normalized, so argmax dot suffices). The struct is
-    * cast to an explicit named type: CreateStruct drops aliases of
-    * complex child expressions (fields would come out col1/col2). */
+    * (centroids pre-normalized, so argmax dot suffices). Array-based
+    * argmax — a when/otherwise fold would reference its accumulator
+    * twice per level and blow the expression tree up 2^k-fold.
+    * array_position takes the FIRST occurrence of the max, so ties
+    * break to the lowest cell id deterministically. */
   private def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    def sc(s: Column, cell: Column): Column =
-      struct(s, cell).cast("struct<s:double,cell:int>")
-    val scored = centroids.map(normalized).zipWithIndex.map { case (ct, i) =>
-      (dot(vec, litVec(ct)), i)
-    }
-    scored.tail.foldLeft(sc(scored.head._1, lit(0))) { case (acc, (s, i)) =>
-      when(s > acc.getField("s"), sc(s, lit(i))).otherwise(acc)
-    }.getField("cell")
+    val scores = array(centroids.map(normalized).map(ct => dotLit(vec, ct)): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
   /** IVF (inverted-file) approximate top-k — the k-means counterpart
@@ -180,13 +194,16 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
       kmeansIterations: Int = 3, excludeSelf: Boolean = true): DataFrame = {
-    val centroids = kmeansCentroids(df, vecCol, nCells, kmeansIterations)
-    val data = df.select(
+    // kmeans iterates over the vectors twice per round — cache them
+    // for its duration (the final search plan reads the cache too).
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = kmeansCentroids(cached, vecCol, nCells, kmeansIterations)
+    val data = cached.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v"),
       nearestCell(col(vecCol), centroids).as("cell"))
     // Each query expands to its nProbe closest cells.
     val cellScores = array(centroids.map(normalized).zipWithIndex.map { case (ct, i) =>
-      struct(-dot(col(queryVecCol), litVec(ct)), lit(i))
+      struct(-dotLit(col(queryVecCol), ct), lit(i))
         .cast("struct<neg:double,cell:int>")
     }: _*)
     val probes = queries.select(
