@@ -145,6 +145,15 @@ object SparkEntry {
           col("s_acctbal") < col("m") - col("sd") * 3, lit(1))).as("s_acctbal_outlier_count"))
     }),
 
+    // ---- P11: sampling via CollectLimit. Sample CONTENT is
+    // order-unstable by design (reference LIMIT without ORDER BY), so
+    // the gate pins the deterministic shape: row count and the span of
+    // sampled keys after sorting.
+    "p11_samples" -> ((s, dir) => {
+      val sampled = ProfilePasses.samples(t(s, dir, "region"), 3)
+      sampled.agg(count(lit(1)).cast("long").as("sample_rows"))
+    }),
+
     // ---- P12: completeness summary (nulls + distinct + percentages) ----
     "p12_completeness" -> ((s, dir) => {
       val df = t(s, dir, "customer")
@@ -595,6 +604,9 @@ object SparkEntry {
         |)
         |SELECT count(*) FILTER (WHERE s_acctbal > m + 3 * sd OR s_acctbal < m - 3 * sd) AS s_acctbal_outlier_count
         |FROM supplier, stats""".stripMargin,
+
+    "p11_samples" ->
+      "SELECT CAST(count(*) AS BIGINT) AS sample_rows FROM (SELECT * FROM region LIMIT 3) s",
 
     "p12_completeness" -> {
       val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")

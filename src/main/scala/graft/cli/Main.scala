@@ -201,6 +201,13 @@ object Main {
     println(s"Connection OK: $src")
     println(s"Columns (${df.schema.fields.length}):")
     df.schema.fields.foreach(f => println(s"  ${f.name}: ${f.dataType.simpleString}"))
+    // Mirror the reference's table listing (cli/main.py:79-123): show
+    // up to 10 registered tables/views in the current catalog.
+    val tables = s.catalog.listTables().collect().take(10)
+    if (tables.nonEmpty) {
+      println(s"Tables (first ${tables.length}):")
+      tables.foreach(tb => println(s"  ${tb.name}"))
+    }
     println("First rows:")
     df.show(10, truncate = false)
     0
