@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.model.TableMeta
-import graft.profiler.ProfilePasses
+import graft.profiler.{ProfilePasses, Profiler, ProfilerConfig}
 import graft.similarity.Similarity
 import graft.streaming.StreamProfiler
 import graft.text.TextAnalysis
@@ -159,6 +159,22 @@ object SparkEntry {
       val df = t(s, dir, "customer")
       ProfilePasses.completeness(df, df.columns.toSeq).orderBy("column")
         .withColumnRenamed("column", "col_name")
+    }),
+
+    // ---- Full profile in 100 TB mode (exact=false): HLL distincts,
+    // sha2-digest duplicate keys, sketch percentiles, no Expand. The
+    // oracle pins the fields that stay exact in scale mode (counts,
+    // min/max, digest-keyed duplicate groups); the sketch outputs are
+    // covered by unit tests against their exact counterparts.
+    "scale_profile_lineitem" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem")
+      val p = Profiler.profile(df, "lineitem", ProfilerConfig(exact = false))
+      import s.implicits._
+      Seq((p.rowCount, p.completeness("l_orderkey").nulls,
+        p.completeness("l_quantity").nulls, p.duplicateCount,
+        p.numericStats("l_quantity").min.get, p.numericStats("l_quantity").max.get))
+        .toDF("row_count", "l_orderkey_nulls", "l_quantity_nulls",
+          "duplicate_count", "l_quantity_min", "l_quantity_max")
     }),
 
     // ---- D-family: generated default rules, executed as Spark SQL ------
@@ -620,6 +636,17 @@ object SparkEntry {
       }.mkString("\nUNION ALL\n")
       s"SELECT * FROM ($parts) ORDER BY col_name"
     },
+
+    "scale_profile_lineitem" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS row_count,
+        |       (SELECT count(*) FILTER (WHERE l_orderkey IS NULL) FROM lineitem) AS l_orderkey_nulls,
+        |       (SELECT count(*) FILTER (WHERE l_quantity IS NULL) FROM lineitem) AS l_quantity_nulls,
+        |       (SELECT count(*) FROM (
+        |          SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |                 l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, count(*) AS c
+        |          FROM lineitem GROUP BY ALL HAVING count(*) > 1) d) AS duplicate_count,
+        |       (SELECT CAST(min(l_quantity) AS DOUBLE) FROM lineitem) AS l_quantity_min,
+        |       (SELECT CAST(max(l_quantity) AS DOUBLE) FROM lineitem) AS l_quantity_max""".stripMargin,
 
     "d1_not_empty" ->
       "SELECT count(*) AS violation_count FROM orders",
