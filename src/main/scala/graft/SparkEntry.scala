@@ -428,6 +428,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- LLM-pipeline: per-document content fingerprints (md5 of the
+    // normalized text — byte-identical across engines by construction).
+    "txt_fingerprints" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      TextAnalysis.fingerprints(df, "text", "doc_id").orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: per-document token statistics ------------------
     "txt_token_stats" -> ((s, dir) => {
       val df = t(s, dir, "documents")
@@ -853,6 +860,10 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "txt_fingerprints" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "txt_token_stats" ->
       """SELECT doc_id,
