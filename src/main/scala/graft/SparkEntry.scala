@@ -161,6 +161,36 @@ object SparkEntry {
         .withColumnRenamed("column", "col_name")
     }),
 
+    // ---- P13: anomaly detection — profile orders, compare against a
+    // historical profile with half the row count (a 100% change →
+    // severity high, deterministic). The profiling is real; only the
+    // historical document is synthesized.
+    "p13_anomaly_detection" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+      val current = Profiler.profile(df, "orders", ProfilerConfig(persist = false))
+      val historical = current.copy(rowCount = current.rowCount / 2)
+      val anomalies = graft.compare.ProfileCompare.detectAnomalies(current, historical)
+      import s.implicits._
+      anomalies.filter(_.anomalyType == "row_count")
+        .map(a => (a.anomalyType, a.severity, a.column.isEmpty))
+        .toDF("anomaly_type", "severity", "table_level")
+    }),
+
+    // ---- P14: schema-shift detection — the historical profile lacks
+    // one current column and carries one retired column.
+    "p14_schema_shifts" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+      val current = Profiler.profile(df, "orders", ProfilerConfig(persist = false))
+      val historical = current.copy(
+        completeness = (current.completeness - "o_orderpriority")
+          .updated("legacy_flag", graft.model.ColumnCompleteness(0, 0, 1, 1)))
+      val shifts = graft.compare.ProfileCompare.detectSchemaShifts(current, historical)
+      import s.implicits._
+      shifts.map(sh => (sh.shiftType, sh.column, sh.severity))
+        .toDF("shift_type", "column_name", "severity")
+        .orderBy("shift_type", "column_name")
+    }),
+
     // ---- Full profile in 100 TB mode (exact=false): HLL distincts,
     // sha2-digest duplicate keys, sketch percentiles, no Expand. The
     // oracle pins the fields that stay exact in scale mode (counts,
@@ -643,6 +673,15 @@ object SparkEntry {
       }.mkString("\nUNION ALL\n")
       s"SELECT * FROM ($parts) ORDER BY col_name"
     },
+
+    "p13_anomaly_detection" ->
+      "SELECT 'row_count' AS anomaly_type, 'high' AS severity, true AS table_level",
+
+    "p14_schema_shifts" ->
+      """SELECT 'column_added' AS shift_type, 'o_orderpriority' AS column_name, 'medium' AS severity
+        |UNION ALL
+        |SELECT 'column_removed', 'legacy_flag', 'high'
+        |ORDER BY shift_type, column_name""".stripMargin,
 
     "scale_profile_lineitem" ->
       """SELECT (SELECT count(*) FROM lineitem) AS row_count,
