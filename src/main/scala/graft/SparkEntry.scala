@@ -177,12 +177,13 @@ object SparkEntry {
     }),
 
     // ---- P14: schema-shift detection — the historical profile lacks
-    // one current column and carries one retired column.
+    // one current column and carries one retired column. The tiny
+    // region table suffices: shift detection is schema-level.
     "p14_schema_shifts" -> ((s, dir) => {
-      val df = t(s, dir, "orders")
-      val current = Profiler.profile(df, "orders", ProfilerConfig(persist = false))
+      val df = t(s, dir, "region")
+      val current = Profiler.profile(df, "region", ProfilerConfig(persist = false))
       val historical = current.copy(
-        completeness = (current.completeness - "o_orderpriority")
+        completeness = (current.completeness - "r_name")
           .updated("legacy_flag", graft.model.ColumnCompleteness(0, 0, 1, 1)))
       val shifts = graft.compare.ProfileCompare.detectSchemaShifts(current, historical)
       import s.implicits._
@@ -678,7 +679,7 @@ object SparkEntry {
       "SELECT 'row_count' AS anomaly_type, 'high' AS severity, true AS table_level",
 
     "p14_schema_shifts" ->
-      """SELECT 'column_added' AS shift_type, 'o_orderpriority' AS column_name, 'medium' AS severity
+      """SELECT 'column_added' AS shift_type, 'r_name' AS column_name, 'medium' AS severity
         |UNION ALL
         |SELECT 'column_removed', 'legacy_flag', 'high'
         |ORDER BY shift_type, column_name""".stripMargin,

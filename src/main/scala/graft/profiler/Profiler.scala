@@ -36,7 +36,15 @@ final case class ProfilerConfig(
     anomalyThreshold: Double = 3.0,
     frequentValuesRowLimit: Option[Long] = None,
     duplicateHashProjection: Boolean = false,
-    persist: Boolean = true)
+    persist: Boolean = true,
+    /** HLL relative error in approx mode. 0.05 (Spark's default) costs
+      * ~2^10 registers per column; 0.01 costs ~2^15 and is several
+      * times slower to update and merge. */
+    distinctRsd: Double = 0.05,
+    /** In approx mode, skip the top-1 frequent value for columns whose
+      * distinct count exceeds this share of rows — the melt would
+      * shuffle ~every value to learn that the winner occurs ~once. */
+    frequentValuesMaxDistinctShare: Double = 0.9)
 
 /** End-to-end table profiler: the Spark-native replacement for
   * `sparvi.profiler.profile_table` (reference:
@@ -118,7 +126,8 @@ object Profiler {
       quartileMap.get(colName).flatMap(_(idx))
 
     // ---- Pass A': distinct counts (exact → Expand; approx → HLL).
-    val distRow = ProfilePasses.distinctCounts(df, b.all, exact = cfg.exact).head()
+    val distRow = ProfilePasses.distinctCounts(df, b.all, exact = cfg.exact,
+      rsd = cfg.distinctRsd).head()
     val distinctCounts = b.all.map { n =>
       n -> (if (distRow.isNullAt(distRow.fieldIndex(s"${n}_distinct"))) 0L
             else distRow.getLong(distRow.fieldIndex(s"${n}_distinct")))
@@ -178,9 +187,16 @@ object Profiler {
     // converted back to the column's native type driver-side so the
     // profile JSON carries typed values like the reference does.
     val fieldTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // Scale mode prunes near-unique columns from the melt using the
+    // distinct counts already in hand — their top-1 occurs ~once and
+    // would cost a shuffle of nearly every value to compute.
+    val fvCols =
+      if (cfg.exact || rowCount == 0) b.all
+      else b.all.filter(n =>
+        distinctCounts(n) <= rowCount * cfg.frequentValuesMaxDistinctShare)
     val frequentValues: Map[String, FrequentValue] =
-      if (cfg.frequentValuesRowLimit.exists(rowCount > _)) Map.empty
-      else ProfilePasses.frequentValues(df, b.all, rowCount).collect().map { r =>
+      if (cfg.frequentValuesRowLimit.exists(rowCount > _) || fvCols.isEmpty) Map.empty
+      else ProfilePasses.frequentValues(df, fvCols, rowCount).collect().map { r =>
         val colName = r.getString(r.fieldIndex("column"))
         colName -> FrequentValue(
           value = parseBack(r.getString(r.fieldIndex("value")), fieldTypes.get(colName)),
