@@ -418,6 +418,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- LLM-pipeline: partial-overlap pairs via winnowing
+    // fingerprints (rolling-hash scheme). Hashes are Spark-internal →
+    // rows-only check; the winnowing guarantee and pair semantics are
+    // pinned in TextAnalysisSpec/DedupSpec.
+    "ll7_overlap_pairs" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      // The fixture's tiny vocabulary makes short char-grams common to
+      // all docs; 40 shared fingerprints cleanly separates genuinely
+      // overlapping pairs (100+) from coincidence (<40).
+      Dedup.overlapPairs(df, "doc_id", "text", minShared = 40)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- LLM-pipeline: exact brute-force cosine top-k (the ANN
     // baseline; queries broadcast, two-phase top-k, no window funnel).
     "ll3_ann_topk" -> ((s, dir) => {

@@ -209,6 +209,29 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Partial-overlap pairs via winnowing fingerprints: documents
+    * sharing at least `minShared` fingerprint hashes (id_a < id_b,
+    * with the shared count). Catches a copied PASSAGE inside otherwise
+    * different documents — invisible to whole-document Jaccard or
+    * SimHash. The join is equi-keyed on the fingerprint hash; a
+    * frequency cap drops ubiquitous fingerprints (boilerplate) before
+    * pairing, bounding join fan-out. */
+  def overlapPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 2, k: Int = 8, w: Int = 4,
+      maxDocFrequency: Int = 100): DataFrame = {
+    val fps = TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDocFrequency)
+      .select("fp")
+    val pruned = fps.join(rare, "fp")
+    pruned.as("a")
+      .join(pruned.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** SimHash near-dup pairs via band blocking: the 64-bit sketch is
     * cut into `bands` fixed bit-fields; by pigeonhole, any pair within
     * Hamming distance < bands agrees exactly on at least one band, so

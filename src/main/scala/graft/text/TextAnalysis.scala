@@ -130,4 +130,37 @@ object TextAnalysis {
 
   def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Winnowing fingerprints (the rolling-hash document-fingerprint
+    * scheme of the MOSS winnowing paper): hash every character k-gram
+    * of the normalized text, slide a window of `w` consecutive k-gram
+    * hashes, keep each window's minimum. Guarantee: any shared passage
+    * of at least w + k - 1 characters contributes at least one common
+    * fingerprint — the primitive for partial-overlap detection, which
+    * whole-document similarity (Jaccard/SimHash) cannot see.
+    *
+    * Output: (id, fp) distinct fingerprint hashes per document.
+    * Plan shape: char-gram construction is zipped slices over a bound
+    * char array (no lambda-capture re-evaluation), the window minimum
+    * partitions BY DOCUMENT — thousands of small independent
+    * partitions, so the window parallelizes across the corpus instead
+    * of funneling it. */
+  def winnowingFingerprints(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val chars = df.select(col(idCol).as("id"), split(norm, "").as("cs"))
+    val cnt = size(col("cs")) - (k - 1)
+    val zipped = arrays_zip((0 until k).map(j =>
+      slice(col("cs"), lit(j + 1), greatest(cnt, lit(1)))): _*)
+    val grams = chars.select(col("id"),
+      posexplode(transform(zipped,
+        s => concat((0 until k).map(j => s.getField(j.toString)): _*))).as(Seq("pos", "gram")))
+    val hashed = grams.select(col("id"), col("pos"), xxhash64(col("gram")).as("h"))
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    hashed.select(col("id"), min(col("h")).over(win).as("fp"))
+      .distinct()
+  }
 }

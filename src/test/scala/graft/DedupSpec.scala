@@ -128,6 +128,17 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .count() shouldBe 1L
   }
 
+  test("overlapPairs finds the pair sharing a passage, nothing else") {
+    val passage = "this exact shared passage is long enough to leave fingerprints behind"
+    val df = docs(
+      (1L, s"unique preamble alpha beta gamma $passage and a unique tail one"),
+      (2L, s"completely different opening words $passage with another distinct ending"),
+      (3L, "nothing in common with either document at all whatsoever in any way"))
+    val pairs = Dedup.overlapPairs(df, "doc_id", "text", minShared = 2).collect()
+    pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))) shouldBe Array((1L, 2L))
+    pairs.head.getAs[Long]("shared_fingerprints") should be > 1L
+  }
+
   test("hammingDistance column matches bitCount of xor") {
     val s = spark
     import s.implicits._

@@ -90,6 +90,28 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     fps(1L) should not be fps(3L)
   }
 
+  test("winnowing: identical texts share all fingerprints; case/space-normalized") {
+    val df = docs(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "The  quick brown fox jumps over the lazy dog near the river bank"))
+    val fps = graft.text.TextAnalysis.winnowingFingerprints(df, "text", "doc_id")
+      .collect().groupBy(_.getAs[Long]("id")).view.mapValues(_.map(_.getAs[Long]("fp")).toSet).toMap
+    fps(1L) shouldBe fps(2L)
+    fps(1L).size should be > 3
+  }
+
+  test("winnowing guarantee: a shared passage yields shared fingerprints") {
+    val passage = "this exact shared passage is long enough to leave fingerprints behind"
+    val df = docs(
+      (1L, s"unique preamble alpha beta gamma $passage and a unique tail one"),
+      (2L, s"completely different opening words $passage with another distinct ending"),
+      (3L, "nothing in common with either document at all whatsoever in any way"))
+    val fps = graft.text.TextAnalysis.winnowingFingerprints(df, "text", "doc_id")
+      .collect().groupBy(_.getAs[Long]("id")).view.mapValues(_.map(_.getAs[Long]("fp")).toSet).toMap
+    (fps(1L) intersect fps(2L)).size should be > 1
+    (fps(1L) intersect fps(3L)).size shouldBe 0
+  }
+
   test("contentHash64 agrees with fingerprint on equality structure") {
     val df = docs((1L, "A  b"), (2L, "a b"), (3L, "ab"))
     val hs = df.select(TextAnalysis.contentHash64(df("text")).as("h"))
