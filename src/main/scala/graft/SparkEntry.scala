@@ -193,7 +193,7 @@ object SparkEntry {
     }),
 
     // ---- Full profile in 100 TB mode (exact=false): HLL distincts,
-    // sha2-digest duplicate keys, sketch percentiles, no Expand. The
+    // hash-digest duplicate keys, sketch percentiles, no Expand. The
     // oracle pins the fields that stay exact in scale mode (counts,
     // min/max, digest-keyed duplicate groups); the sketch outputs are
     // covered by unit tests against their exact counterparts.

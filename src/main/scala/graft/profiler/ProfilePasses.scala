@@ -66,12 +66,22 @@ object ProfilePasses {
     * than once (NOT surplus rows — exact reference semantics,
     * sparvi/profiler/profile_engine.py:97-123). SQL GROUP BY groups
     * NULLs together; Spark matches. At 100 TB the shuffle key is every
-    * column — `projectToHash` shrinks it to one 256-bit digest. */
+    * column — `projectToHash` shrinks it to a 128-bit digest built
+    * from two seeded `xxhash64` passes over the raw column values
+    * (fixed-width, codegen'd; no row-to-JSON string materialization —
+    * the earlier `sha2(to_json(...))` digest spent most of its time
+    * serializing every row to a string). Collisions would need two
+    * distinct rows agreeing on BOTH 64-bit hashes: P ≈ n²/2¹²⁹,
+    * negligible at any row count the count itself can represent. */
   def duplicateGroupCount(df: DataFrame, projectToHash: Boolean = false): DataFrame = {
     val grouped =
-      if (projectToHash)
-        df.groupBy(sha2(to_json(struct(df.columns.map(c): _*)), 256).as("row_digest")).count()
-      else
+      if (projectToHash) {
+        // `comparable` keeps MapType hashable (xxhash64 rejects maps).
+        val keys = df.columns.toSeq.map(n => comparable(df, n))
+        df.groupBy(
+          xxhash64(keys: _*).as("digest_lo"),
+          xxhash64(lit(0x9E3779B97F4A7C15L) +: keys: _*).as("digest_hi")).count()
+      } else
         df.groupBy(df.columns.map(n => comparable(df, n)): _*).count()
     grouped.filter(col("count") > 1)
       .agg(count(lit(1)).as("duplicate_count"))
@@ -118,14 +128,21 @@ object ProfilePasses {
     * the codegen'd wide agg stays codegen'd. Approx mode bounds the
     * merge state to the sketch size — that is the 100 TB path. */
   def percentiles(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
-    val aggs = cols.flatMap { n =>
-      Seq((0.25, "q1"), (0.5, "median"), (0.75, "q3")).map { case (p, alias) =>
-        (if (exact) expr(s"percentile(`$n`, ${p}D)")
-         else expr(s"percentile_approx(`$n`, ${p}D, 10000)"))
-          .cast(DoubleType).as(s"${n}_$alias")
+    // One aggregate (= one sketch / one value-count map) per COLUMN,
+    // asked for all three quartiles at once — the per-quantile form
+    // builds three identical sketches per column, tripling both the
+    // per-row update cost and the merge state for no extra information.
+    val aggs = cols.map { n =>
+      (if (exact) expr(s"percentile(`$n`, array(0.25D, 0.5D, 0.75D))")
+       else expr(s"percentile_approx(`$n`, array(0.25D, 0.5D, 0.75D), 10000)"))
+        .as(s"${n}_qs")
+    }
+    val out = cols.flatMap { n =>
+      Seq((1, "q1"), (2, "median"), (3, "q3")).map { case (i, alias) =>
+        element_at(col(s"${n}_qs"), i).cast(DoubleType).as(s"${n}_$alias")
       }
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*).select(out: _*)
   }
 
   /** P6: text length stats ({col}_{min,max,avg}_length). */

@@ -24,9 +24,9 @@ import graft.types.ColumnBuckets
   *
   * The duplicate check shuffles full rows only in exact mode (needed
   * for oracle parity); otherwise — the scale path — it groups by a
-  * 256-bit row digest so the shuffle key is one column regardless of
-  * schema width. `duplicateHashProjection = true` forces the digest
-  * even in exact mode.
+  * 128-bit xxhash64-pair row digest so the shuffle key is two longs
+  * regardless of schema width. `duplicateHashProjection = true`
+  * forces the digest even in exact mode.
   */
 final case class ProfilerConfig(
     exact: Boolean = true,
@@ -44,7 +44,11 @@ final case class ProfilerConfig(
     /** In approx mode, skip the top-1 frequent value for columns whose
       * distinct count exceeds this share of rows — the melt would
       * shuffle ~every value to learn that the winner occurs ~once. */
-    frequentValuesMaxDistinctShare: Double = 0.9)
+    frequentValuesMaxDistinctShare: Double = 0.9,
+    /** Per-pass wall-clock sink: invoked as (passName, seconds) after
+      * each profiling job completes. Default drops the timings; wire a
+      * collector here to see where a profile's time goes. */
+    onPassTiming: (String, Double) => Unit = Profiler.dropTiming)
 
 /** End-to-end table profiler: the Spark-native replacement for
   * `sparvi.profiler.profile_table` (reference:
@@ -67,6 +71,9 @@ final case class ProfilerConfig(
   */
 object Profiler {
 
+  /** Default [[ProfilerConfig.onPassTiming]] sink: discard. */
+  val dropTiming: (String, Double) => Unit = (_, _) => ()
+
   def profile(
       df: DataFrame,
       table: String,
@@ -88,8 +95,15 @@ object Profiler {
       cfg: ProfilerConfig,
       historical: Option[TableProfile]): TableProfile = {
 
+    def timed[T](pass: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val out = body
+      cfg.onPassTiming(pass, (System.nanoTime() - t0) / 1e9)
+      out
+    }
+
     // ---- Pass A: one wide aggregate over every non-distinct metric.
-    val row = fusedWideAgg(df, b, cfg).head()
+    val row = timed("A_fused_agg")(fusedWideAgg(df, b, cfg).head())
     def getL(name: String): Long = {
       val i = row.fieldIndex(name)
       if (row.isNullAt(i)) 0L else row.getLong(i)
@@ -110,7 +124,7 @@ object Profiler {
     // the fully distributed rank-based algorithm — Spark's built-in
     // exact percentile merges a per-distinct-value map on ONE task;
     // approx mode is the bounded-sketch percentile_approx pass.
-    val quartileMap: Map[String, Seq[Option[Double]]] =
+    val quartileMap: Map[String, Seq[Option[Double]]] = timed("A2_percentiles") {
       if (b.numeric.isEmpty) Map.empty
       else if (cfg.exact) DistributedPercentiles.quartiles(df, b.numeric)
       else {
@@ -122,12 +136,14 @@ object Profiler {
           }
         }.toMap
       }
+    }
     def getPct(colName: String, idx: Int): Option[Double] =
       quartileMap.get(colName).flatMap(_(idx))
 
     // ---- Pass A': distinct counts (exact → Expand; approx → HLL).
-    val distRow = ProfilePasses.distinctCounts(df, b.all, exact = cfg.exact,
-      rsd = cfg.distinctRsd).head()
+    val distRow = timed("A1_distinct")(
+      ProfilePasses.distinctCounts(df, b.all, exact = cfg.exact,
+        rsd = cfg.distinctRsd).head())
     val distinctCounts = b.all.map { n =>
       n -> (if (distRow.isNullAt(distRow.fieldIndex(s"${n}_distinct"))) 0L
             else distRow.getLong(distRow.fieldIndex(s"${n}_distinct")))
@@ -177,8 +193,8 @@ object Profiler {
     // ---- Pass B: duplicates. The digest projection is the default
     // whenever exact-oracle parity is not required: at 100 TB the
     // full-row variant's shuffle key is every column.
-    val dupRows = ProfilePasses.duplicateGroupCount(
-      df, cfg.duplicateHashProjection || !cfg.exact).collect()
+    val dupRows = timed("B_duplicates")(ProfilePasses.duplicateGroupCount(
+      df, cfg.duplicateHashProjection || !cfg.exact).collect())
     val duplicateCount = if (dupRows.isEmpty) 0L else dupRows(0).getLong(0)
 
     // ---- Pass C: frequent values (reference skips above its row
@@ -194,7 +210,7 @@ object Profiler {
       if (cfg.exact || rowCount == 0) b.all
       else b.all.filter(n =>
         distinctCounts(n) <= rowCount * cfg.frequentValuesMaxDistinctShare)
-    val frequentValues: Map[String, FrequentValue] =
+    val frequentValues: Map[String, FrequentValue] = timed("C_frequent_values") {
       if (cfg.frequentValuesRowLimit.exists(rowCount > _) || fvCols.isEmpty) Map.empty
       else ProfilePasses.frequentValues(df, fvCols, rowCount).collect().map { r =>
         val colName = r.getString(r.fieldIndex("column"))
@@ -203,12 +219,13 @@ object Profiler {
           frequency = r.getLong(r.fieldIndex("frequency")),
           percentage = round2(r.getDouble(r.fieldIndex("percentage"))))
       }.toMap
+    }
 
     // ---- Pass D: outliers, means/stddevs reused from pass A.
     val statPairs = b.numeric.flatMap { n =>
       for (m <- getDOpt(s"${n}_avg"); s <- getDOpt(s"${n}_stdev")) yield n -> (m, s)
     }.toMap
-    val outliers: Map[String, Seq[Double]] =
+    val outliers: Map[String, Seq[Double]] = timed("D_outliers") {
       if (statPairs.isEmpty) Map.empty
       else {
         val r = ProfilePasses.outliers(df, statPairs, cfg.anomalyThreshold, cfg.outlierLimit).head()
@@ -216,9 +233,10 @@ object Profiler {
           n -> r.getSeq[Double](r.fieldIndex(s"${n}_outliers"))
         }.filter(_._2.nonEmpty).toMap
       }
+    }
 
     // ---- Pass F: nested-column (multimodal) stats.
-    val nestedStats: Map[String, NestedColumnStats] =
+    val nestedStats: Map[String, NestedColumnStats] = timed("F_nested") {
       if (b.nested.isEmpty) Map.empty
       else {
         val r = ProfilePasses.nestedStats(df, b.nested).head()
@@ -250,13 +268,15 @@ object Profiler {
           }
         }.toMap
       }
+    }
 
     // ---- Pass E: samples.
-    val samples: Seq[Map[String, Any]] =
+    val samples: Seq[Map[String, Any]] = timed("E_samples") {
       if (!cfg.includeSamples) Nil
       else ProfilePasses.samples(df, cfg.sampleRows).collect().toSeq.map { r =>
         r.schema.fields.map(_.name).zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
       }
+    }
 
     val current = TableProfile(
       table = table,

@@ -67,14 +67,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
       include("l_quantity")
   }
 
-  test("duplicate digest path groups by one sha2 key, not every column") {
+  test("duplicate digest path groups by a fixed-width hash pair, not every column") {
     val digestPlan = ProfilePasses.duplicateGroupCount(lineitem, projectToHash = true)
       .queryExecution.optimizedPlan.toString
-    digestPlan should include("sha2")
+    digestPlan should include("xxhash64")
+    // No row-to-string serialization in the digest.
+    digestPlan should not include "to_json"
     // Exact mode keys by every column (oracle semantics).
     val fullPlan = ProfilePasses.duplicateGroupCount(lineitem, projectToHash = false)
       .queryExecution.optimizedPlan.toString
-    fullPlan should not include "sha2"
+    fullPlan should not include "xxhash64"
   }
 
   test("LSH candidate join is equi-keyed, never a cartesian product") {
