@@ -31,7 +31,12 @@ object Bench {
     // Sorted by name: an unordered Map would hash-shuffle the timing
     // order between builds, landing residual JIT/IO warmup cost on a
     // nondeterministic first query and adding cross-round noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional positional args narrow the run to the named queries —
+    // for timing one operator in isolation; the driver passes none.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.contains).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).collect(); () }
       catch { case e: Throwable =>

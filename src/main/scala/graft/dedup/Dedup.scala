@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
+import graft.util.Partitioning.spread
 
 /** Document deduplication for large-scale training-data pipelines:
   * exact duplicates via content fingerprints and near-duplicates via
@@ -68,7 +69,7 @@ object Dedup {
     // string hash plus k single-block hashes per shingle, rather than
     // k string hashes. (Affine a·h+b mixing would be cheaper still but
     // ANSI mode rejects wrapping long multiplication.)
-    val shingled = df.select(
+    val shingled = spread(df).select(
         col(idCol).as("id"),
         explode(wordShingles(col(textCol), shingleSize)).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
@@ -134,9 +135,20 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val shingled = df.select(
-      col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
-    candidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+    val candidates = candidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+    // Semi-join the corpus against the candidate id set BEFORE the two
+    // verification joins: candidates are a tiny fraction of the corpus
+    // at scale, and without the prune every document's full shingle
+    // array ships through both join shuffles. The candidate subplan
+    // appears three times below, but its final distinct ends in an
+    // exchange, so Spark's exchange reuse runs the expensive
+    // minhash+bucket shuffle once.
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val shingled = spread(df)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .join(candIds, Seq("id"), "left_semi")
+    candidates
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
@@ -192,7 +204,7 @@ object Dedup {
   def simhashSketches(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3): DataFrame = {
-    val hashed = df
+    val hashed = spread(df)
       .select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleSize)).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
     val bitSums = (0 until 64).map { b =>

@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector search against a fixed
+  * coefficient matrix (k-means centroids, LSH hyperplanes).
+  *
+  * Why expressions and not unrolled column arithmetic: an argmax over
+  * k centroids × d dims unrolled into `vec(0)·w00 + …` literals is a
+  * 2·k·d-node expression tree. That tree (a) takes seconds of janino
+  * compile time PER DISTINCT PLAN — k-means recompiled it every
+  * iteration — and (b) serializes into a multi-megabyte task binary
+  * that every task deserializes, a fixed cost that multiplying
+  * partitions multiplies. Here the matrix rides along as a reference
+  * object (compact kryo/java serialization, shared per task binary)
+  * and `doGenCode` emits a LOOP over it: the generated source is a few
+  * lines, identical across iterations (so the codegen cache hits), and
+  * the per-row cost is a tight primitive loop — faster than both the
+  * unrolled form and any higher-order-function formulation (~µs per
+  * element-step, interpreted).
+  *
+  * Both expressions accept `array<float>` or `array<double>` input and
+  * treat a vector shorter than a matrix row as zero-padded. Array
+  * elements must be non-null (embedding columns; not enforced).
+  */
+private[graft] trait MatrixDotExpression extends UnaryExpression {
+
+  /** Row-major coefficient matrix. */
+  def matrix: Array[Array[Double]]
+
+  protected lazy val elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${getClass.getSimpleName} needs array<float> or array<double> input, got $other")
+  }
+
+  /** All row·vec dot products, interpreted path. */
+  protected def dots(input: Any): Array[Double] = {
+    val a = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val len = a.numElements()
+    val out = new Array[Double](matrix.length)
+    var c = 0
+    while (c < matrix.length) {
+      val row = matrix(c)
+      val d0 = math.min(row.length, len)
+      var s = 0.0
+      var d = 0
+      while (d < d0) {
+        s += row(d) * (if (elemIsFloat) a.getFloat(d) else a.getDouble(d))
+        d += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+
+  /** Shared codegen prelude: declares `$dotsVar` = double[k] of dot
+    * products of `childVar` against the reference matrix. */
+  protected def dotsCode(ctx: CodegenContext, childVar: String, dotsVar: String): String = {
+    val m = ctx.addReferenceObj("matrix", matrix, "double[][]")
+    val getter = if (elemIsFloat) "getFloat" else "getDouble"
+    val mv = ctx.freshName("M")
+    val c = ctx.freshName("c")
+    val d = ctx.freshName("d")
+    val d0 = ctx.freshName("d0")
+    val s = ctx.freshName("s")
+    val len = ctx.freshName("len")
+    s"""
+       |double[][] $mv = $m;
+       |final int $len = $childVar.numElements();
+       |final double[] $dotsVar = new double[$mv.length];
+       |for (int $c = 0; $c < $mv.length; $c++) {
+       |  final double[] row = $mv[$c];
+       |  final int $d0 = row.length < $len ? row.length : $len;
+       |  double $s = 0.0;
+       |  for (int $d = 0; $d < $d0; $d++) { $s += row[$d] * $childVar.$getter($d); }
+       |  $dotsVar[$c] = $s;
+       |}
+     """.stripMargin
+  }
+}
+
+/** Indices of the `n` matrix rows with the highest dot product against
+  * the input vector, best first; ties break to the lowest row index
+  * (matching `array_position(scores, array_max(scores))` and the
+  * `sort_array(struct(-dot, idx))` formulations it replaces). */
+case class NearestCells(child: Expression, matrix: Array[Array[Double]], n: Int)
+    extends MatrixDotExpression {
+  require(n >= 1 && n <= matrix.length, s"n=$n out of range 1..${matrix.length}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val dv = dots(input)
+    val used = new Array[Boolean](dv.length)
+    val out = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      var bi = -1
+      var bv = 0.0
+      var c = 0
+      while (c < dv.length) {
+        if (!used(c) && (bi < 0 || dv(c) > bv)) { bi = c; bv = dv(c) }
+        c += 1
+      }
+      used(bi) = true
+      out(j) = bi
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, childVar => {
+      val dotsVar = ctx.freshName("dots")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val bi = ctx.freshName("bi")
+      val bv = ctx.freshName("bv")
+      s"""
+         |${dotsCode(ctx, childVar, dotsVar)}
+         |final boolean[] $used = new boolean[$dotsVar.length];
+         |final int[] $out = new int[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  int $bi = -1; double $bv = 0.0;
+         |  for (int $c = 0; $c < $dotsVar.length; $c++) {
+         |    if (!$used[$c] && ($bi < 0 || $dotsVar[$c] > $bv)) { $bi = $c; $bv = $dotsVar[$c]; }
+         |  }
+         |  $used[$bi] = true; $out[$j] = $bi;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cells"
+}
+
+/** Sign-bucket id of the input vector against hyperplane rows: bit i
+  * is set iff vec · matrix(i) > 0 (strict). At most 31 planes. */
+case class SignBucketExpr(child: Expression, matrix: Array[Array[Double]])
+    extends MatrixDotExpression {
+  require(matrix.length <= 31, s"at most 31 planes, got ${matrix.length}")
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val dv = dots(input)
+    var b = 0
+    var c = 0
+    while (c < dv.length) {
+      if (dv(c) > 0) b |= (1 << c)
+      c += 1
+    }
+    b
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, childVar => {
+      val dotsVar = ctx.freshName("dots")
+      val b = ctx.freshName("b")
+      val c = ctx.freshName("c")
+      s"""
+         |${dotsCode(ctx, childVar, dotsVar)}
+         |int $b = 0;
+         |for (int $c = 0; $c < $dotsVar.length; $c++) {
+         |  if ($dotsVar[$c] > 0) { $b |= (1 << $c); }
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignBucketExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_bucket"
+}

@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Column-API front for the native vector expressions. */
+object VectorFunctions {
+
+  private def mat(rows: Seq[Seq[Double]]): Array[Array[Double]] =
+    rows.map(_.toArray).toArray
+
+  /** Indices of the `n` nearest matrix rows by dot product, best
+    * first; ties to the lowest index. See [[NearestCells]]. */
+  def nearestCells(vec: Column, matrix: Seq[Seq[Double]], n: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), mat(matrix), n))
+
+  /** Sign-bucket id against hyperplane rows. See [[SignBucketExpr]]. */
+  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(SignBucketExpr(ColumnBridge.expression(vec), mat(planes)))
+}

@@ -3,6 +3,8 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.util.Partitioning.spread
+
 /** Vector similarity search over embedding columns
   * (`array<float>`/`array<double>`): brute-force cosine top-k as the
   * exact baseline and a random-hyperplane LSH-bucketed variant as the
@@ -47,11 +49,12 @@ object Similarity {
 
   /** Sign-bucket id of a vector: bit i is set iff vec · plane(i) > 0.
     * Vectors within a narrow cone share all sign bits with high
-    * probability (P(planes split a pair at angle θ) = θ/π per plane). */
+    * probability (P(planes split a pair at angle θ) = θ/π per plane).
+    * Backed by the native [[graft.functions.SignBucketExpr]]: the
+    * plane matrix rides as a reference object and codegen emits a
+    * loop, keeping the task binary small and the compile instant. */
   def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dotLit(vec, p) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ bitwiseOR _)
+    graft.functions.VectorFunctions.signBucket(vec, planes)
 
   /** Two-phase distributed top-k over scored candidate rows
     * (query_id, neighbor_id, sim): phase 1 keeps the best k per
@@ -82,7 +85,7 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"))
-    val cand = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+    val cand = spread(df).select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
       .crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("sim", cosine(col("qv"), col("v")))
@@ -103,7 +106,7 @@ object Similarity {
       dim: Int, k: Int = 10, nPlanes: Int = 8, multiprobe: Int = 1,
       seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
-    val data = df.select(
+    val data = spread(df).select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v"),
       signBucket(col(vecCol), planes).as("bucket"))
     val baseQ = queries.select(
@@ -121,19 +124,6 @@ object Similarity {
     topK(cand, k)
   }
 
-  private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
-
-  /** Dot product against a LITERAL vector, unrolled into flat
-    * arithmetic (`vec[0]·w0 + vec[1]·w1 + …`). Higher-order-function
-    * expressions (`zip_with`/`aggregate`) are interpreted at roughly
-    * a microsecond per element-step — fine for one pair, ruinous for
-    * a per-row assignment against k centroids or planes. The unrolled
-    * form is ordinary codegen'd arithmetic. */
-  private def dotLit(vec: Column, weights: Seq[Double]): Column =
-    weights.zipWithIndex.map { case (w, d) =>
-      vec.getItem(d).cast("double") * lit(w)
-    }.reduce(_ + _)
-
   private def normalized(v: Seq[Double]): Seq[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
     if (n == 0) v else v.map(_ / n)
@@ -146,12 +136,13 @@ object Similarity {
     * driver per iteration. Deterministic: initial centroids are the k
     * vectors with the smallest xxhash64.
     *
-    * Cost shape: centroids change each iteration, so every iteration
-    * recompiles its assignment expression (~seconds of janino time for
-    * k·dim in the hundreds). That fixed cost amortizes over data
-    * volume — at toy scale it dominates; at cluster scale the
-    * codegen'd straight-line arithmetic is the fastest possible
-    * per-row assignment. Keep `iterations` small when N is small. */
+    * Cost shape: the assignment is the native [[graft.functions
+    * .NearestCells]] expression — the centroid matrix is a reference
+    * object, NOT an unrolled literal tree, so the generated source is
+    * identical across iterations (codegen cache hit, no per-iteration
+    * janino recompile) and the task binary stays small. (The earlier
+    * unrolled-literal argmax cost seconds of compile per iteration and
+    * shipped multi-megabyte task binaries.) */
   def kmeansCentroids(
       df: DataFrame, vecCol: String, k: Int,
       iterations: Int = 3): Seq[Seq[Double]] = {
@@ -174,15 +165,11 @@ object Similarity {
   }
 
   /** Index of the centroid with the highest cosine similarity
-    * (centroids pre-normalized, so argmax dot suffices). Array-based
-    * argmax — a when/otherwise fold would reference its accumulator
-    * twice per level and blow the expression tree up 2^k-fold.
-    * array_position takes the FIRST occurrence of the max, so ties
-    * break to the lowest cell id deterministically. */
-  private def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scores = array(centroids.map(normalized).map(ct => dotLit(vec, ct)): _*)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
+    * (centroids pre-normalized, so argmax dot suffices). Ties break to
+    * the lowest cell id deterministically. */
+  private def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    element_at(
+      graft.functions.VectorFunctions.nearestCells(vec, centroids.map(normalized), 1), 1)
 
   /** IVF (inverted-file) approximate top-k — the k-means counterpart
     * of [[annTopK]]: vectors are assigned to their nearest coarse
@@ -194,22 +181,23 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
       kmeansIterations: Int = 3, excludeSelf: Boolean = true): DataFrame = {
-    // kmeans iterates over the vectors twice per round — cache them
-    // for its duration (the final search plan reads the cache too).
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = kmeansCentroids(cached, vecCol, nCells, kmeansIterations)
-    val data = cached.select(
+    // kmeans iterates over the vectors twice per round — cache them for
+    // its duration only, and unpersist before returning: the final
+    // search plan reads the source once more, which is cheaper than a
+    // cache entry leaking past this call (the centroids are already
+    // driver-side literals, so nothing below re-runs kmeans).
+    val cached = spread(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids =
+      try kmeansCentroids(cached, vecCol, nCells, kmeansIterations)
+      finally { cached.unpersist(blocking = false); () }
+    val data = spread(df).select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v"),
       nearestCell(col(vecCol), centroids).as("cell"))
     // Each query expands to its nProbe closest cells.
-    val cellScores = array(centroids.map(normalized).zipWithIndex.map { case (ct, i) =>
-      struct(-dotLit(col(queryVecCol), ct), lit(i))
-        .cast("struct<neg:double,cell:int>")
-    }: _*)
     val probes = queries.select(
         col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
-        explode(transform(slice(sort_array(cellScores), 1, nProbe),
-          s => s.getField("cell"))).as("cell"))
+        explode(graft.functions.VectorFunctions.nearestCells(
+          col(queryVecCol), centroids.map(normalized), nProbe)).as("cell"))
     val cand = data.join(probes, "cell")
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("sim", cosine(col("qv"), col("v")))
@@ -225,7 +213,7 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val b = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
       signBucket(col(vecCol), planes).as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

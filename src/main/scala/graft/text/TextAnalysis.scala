@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.util.Partitioning.spread
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization stats, quality scoring, language identification, and
   * document fingerprinting. These extend the reference's text metrics
@@ -46,7 +48,7 @@ object TextAnalysis {
     * token count, char length, average word length. */
   def tokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = tokens(col(textCol))
-    df.select(
+    spread(df).select(
       col(idCol),
       length(col(textCol)).cast("long").as("n_chars"),
       size(w).cast("long").as("n_tokens_ws"),
@@ -73,7 +75,7 @@ object TextAnalysis {
     val score =
       least(nTok / lit(100.0), lit(1.0)) * (lit(1.0) - punctRatio) *
         (lit(0.5) + lit(0.5) * stopRatio)
-    df.select(
+    spread(df).select(
       col(idCol),
       round(punctRatio, 4).as("punct_ratio"),
       round(digits / greatest(nChars, lit(1.0)), 4).as("digit_ratio"),
@@ -99,7 +101,7 @@ object TextAnalysis {
         (acc.getField(lang) +
           when(t.isin(markers.map(x => x: Any): _*), 1).otherwise(0)).as(lang)
       }: _*))
-    val withCounts = df.select(col(idCol), counts.as("c"))
+    val withCounts = spread(df).select(col(idCol), counts.as("c"))
     // argmax with alphabetical tiebreak: fold over languages in order,
     // keeping the first language with the (strictly) highest count.
     val best = langs.tail.foldLeft(
@@ -140,27 +142,35 @@ object TextAnalysis {
     * whole-document similarity (Jaccard/SimHash) cannot see.
     *
     * Output: (id, fp) distinct fingerprint hashes per document.
-    * Plan shape: char-gram construction is zipped slices over a bound
-    * char array (no lambda-capture re-evaluation), the window minimum
-    * partitions BY DOCUMENT — thousands of small independent
-    * partitions, so the window parallelizes across the corpus instead
-    * of funneling it. */
+    * Plan shape: ENTIRELY map-side until the final distinct — char-gram
+    * hashes and their sliding-window minima are computed over bound
+    * array attributes within each row, and only the per-document
+    * distinct minima are exploded. (An earlier formulation exploded one
+    * row per character k-gram and ran a `Window.partitionBy(id)` min —
+    * a corpus-sized shuffle plus a per-document sort, and the dominant
+    * cost of the overlap-pairs bench entry. The sliding min over the
+    * materialized hash array costs O(|text|·w) interpreted steps per
+    * document with NO shuffle, and w is a small constant.) Each array
+    * stage is bound in its own projection so no HOF lambda captures —
+    * and re-evaluates per element — an unbound subtree. */
   def winnowingFingerprints(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val chars = df.select(col(idCol).as("id"), split(norm, "").as("cs"))
-    val cnt = size(col("cs")) - (k - 1)
-    val zipped = arrays_zip((0 until k).map(j =>
-      slice(col("cs"), lit(j + 1), greatest(cnt, lit(1)))): _*)
-    val grams = chars.select(col("id"),
-      posexplode(transform(zipped,
-        s => concat((0 until k).map(j => s.getField(j.toString)): _*))).as(Seq("pos", "gram")))
-    val hashed = grams.select(col("id"), col("pos"), xxhash64(col("gram")).as("h"))
-    val win = Window.partitionBy("id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    hashed.select(col("id"), min(col("h")).over(win).as("fp"))
-      .distinct()
+    // k-grams by direct substring over the BOUND normalized text — one
+    // short string copy + hash per gram, no char-array / zipped-slice
+    // materialization. A document shorter than k characters yields one
+    // whole-text gram (substr clamps at the end of the string).
+    val normed = spread(df).select(col(idCol).as("id"), norm.as("t"))
+    val hashed = normed.select(col("id"),
+      transform(
+        sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))),
+        i => xxhash64(col("t").substr(i, lit(k)))).as("hs"))
+    // Window p covers hashes p..p+w-1; slice clamps at the array end,
+    // so tail windows shorten exactly like the rowsBetween(current,
+    // w-1) frame they replace.
+    val mins = transform(sequence(lit(1), size(col("hs"))),
+      i => array_min(slice(col("hs"), i, lit(w))))
+    hashed.select(col("id"), explode(array_distinct(mins)).as("fp"))
   }
 }

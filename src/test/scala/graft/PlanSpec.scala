@@ -89,6 +89,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("near-dup verification semi-joins candidates before shuffling shingle arrays") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l"), (3L, "a b c d e g"))
+      .toDF("doc_id", "text")
+    val plan = physical(Dedup.nearDupPairs(docs, "doc_id", "text", numHashes = 16, bands = 4))
+    // The candidate-id prune keeps non-candidate documents' shingle
+    // arrays out of the verification join shuffles.
+    plan should include("LeftSemi")
+  }
+
   test("two-phase top-k has no Window and no global sort of candidates") {
     val s = spark
     import s.implicits._

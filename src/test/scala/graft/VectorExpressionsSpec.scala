@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.VectorFunctions
+
+/** The native NearestCells / SignBucketExpr expressions: codegen vs
+  * hand-computed results, tie-breaking, float vs double input, and
+  * short-vector padding. */
+class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers {
+
+  private val matrix = Seq(
+    Seq(1.0, 0.0, 0.0),
+    Seq(0.0, 1.0, 0.0),
+    Seq(0.0, 0.0, 1.0),
+    Seq(-1.0, 0.0, 0.0))
+
+  test("nearestCells returns top-n row indices by dot product, best first") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(3.0, 2.0, 1.0)), (2L, Seq(-5.0, 0.5, 4.0)))
+      .toDF("id", "v")
+      .select(col("id"), VectorFunctions.nearestCells(col("v"), matrix, 3).as("cells"))
+    val rows = df.orderBy("id").collect()
+    // id 1: dots = (3, 2, 1, -3) -> 0, 1, 2
+    rows(0).getSeq[Int](1) shouldBe Seq(0, 1, 2)
+    // id 2: dots = (-5, 0.5, 4, 5) -> 3, 2, 1
+    rows(1).getSeq[Int](1) shouldBe Seq(3, 2, 1)
+  }
+
+  test("nearestCells ties break to the lowest row index") {
+    val s = spark
+    import s.implicits._
+    val m = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val rows = Seq((1L, Seq(2.0, 2.0)))
+      .toDF("id", "v")
+      .select(VectorFunctions.nearestCells(col("v"), m, 3).as("cells"))
+      .collect()
+    // dots = (2, 2, 2): all tied -> index order.
+    rows(0).getSeq[Int](0) shouldBe Seq(0, 1, 2)
+  }
+
+  test("nearestCells accepts float input and zero-pads short vectors") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, Seq(1.0f)))
+      .toDF("id", "v")
+      .select(VectorFunctions.nearestCells(col("v"), matrix, 1).as("cells"))
+      .collect()
+    // Only dim 0 contributes: dots = (1, 0, 0, -1) -> 0.
+    rows(0).getSeq[Int](0) shouldBe Seq(0)
+  }
+
+  test("nearestCells is null-safe") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, Option.empty[Seq[Double]]), (2L, Some(Seq(1.0, 0.0, 0.0))))
+      .toDF("id", "v")
+      .select(col("id"), VectorFunctions.nearestCells(col("v"), matrix, 1).as("cells"))
+      .orderBy("id").collect()
+    rows(0).isNullAt(1) shouldBe true
+    rows(1).getSeq[Int](1) shouldBe Seq(0)
+  }
+
+  test("signBucket sets bit i iff the dot against plane i is strictly positive") {
+    val s = spark
+    import s.implicits._
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, -1.0))
+    val rows = Seq(
+      (1L, Seq(2.0, 3.0)),   // dots (2, 3, -5)  -> bits 0,1   = 3
+      (2L, Seq(-1.0, 0.0)),  // dots (-1, 0, 1)  -> bit 2      = 4
+      (3L, Seq(0.0, 0.0)))   // dots (0, 0, 0)   -> no bits    = 0
+      .toDF("id", "v")
+      .select(col("id"), VectorFunctions.signBucket(col("v"), planes).as("b"))
+      .orderBy("id").collect()
+    rows.map(_.getInt(1)).toSeq shouldBe Seq(3, 4, 0)
+  }
+
+  test("codegen and interpreted paths agree") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(3.0, -2.0, 1.0)), (2L, Seq(0.1, 0.2, 0.3))).toDF("id", "v")
+    val planes = matrix
+    def run(codegen: String): Seq[(Seq[Int], Int)] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(
+          VectorFunctions.nearestCells(col("v"), matrix, 2).as("cells"),
+          VectorFunctions.signBucket(col("v"), planes).as("b"))
+        .orderBy("cells").collect()
+        .map(r => (r.getSeq[Int](0), r.getInt(1))).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    run("CODEGEN_ONLY") shouldBe run("NO_CODEGEN")
+  }
+}
