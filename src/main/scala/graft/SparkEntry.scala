@@ -409,25 +409,31 @@ object SparkEntry {
     }),
 
     // ---- LLM-pipeline: SimHash near-dup pairs (band-blocked, exact
-    // Hamming verify). Sketches are Spark-hash-based → rows-only check;
-    // DedupSpec pins blocking recall and pair semantics.
+    // Hamming verify). The gate runs the md5-derived sketch mode, which
+    // DuckDB replays nibble-for-nibble; and because maxHamming (7) <
+    // bands (8), pigeonhole makes the banding lossless, so the oracle
+    // is simply ALL pairs at Hamming ≤ 7 — a full hash-checked gate.
+    // DedupSpec additionally pins blocking recall and pair semantics
+    // (and the xxhash64 scale mode).
     "ll6_simhash_pairs" -> ((s, dir) => {
       val df = t(s, dir, "documents")
-      // maxHamming < bands → pigeonhole guarantees full recall.
-      Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 7, bands = 8)
+      Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 7, bands = 8,
+          hashMode = "md5")
         .orderBy("id_a", "id_b")
     }),
 
     // ---- LLM-pipeline: partial-overlap pairs via winnowing
-    // fingerprints (rolling-hash scheme). Hashes are Spark-internal →
-    // rows-only check; the winnowing guarantee and pair semantics are
-    // pinned in TextAnalysisSpec/DedupSpec.
+    // fingerprints (rolling-hash scheme). The gate runs the md5 hash
+    // mode — fingerprints are lexicographic minima of md5 hex strings,
+    // which DuckDB reproduces exactly → full hash-checked gate; the
+    // winnowing guarantee and the xxhash64 scale mode are pinned in
+    // TextAnalysisSpec/DedupSpec.
     "ll7_overlap_pairs" -> ((s, dir) => {
       val df = t(s, dir, "documents")
       // The fixture's tiny vocabulary makes short char-grams common to
       // all docs; 40 shared fingerprints cleanly separates genuinely
       // overlapping pairs (100+) from coincidence (<40).
-      Dedup.overlapPairs(df, "doc_id", "text", minShared = 40)
+      Dedup.overlapPairs(df, "doc_id", "text", minShared = 40, hashMode = "md5")
         .orderBy("id_a", "id_b")
     }),
 
@@ -443,9 +449,11 @@ object SparkEntry {
     }),
 
     // ---- LLM-pipeline: LSH-bucketed approximate top-k (the 100 TB
-    // path: bucket equi-join instead of cross join). Approximate →
-    // no SQL oracle; the driver records the weaker rows-only check and
-    // SimilaritySpec pins recall against the exact baseline.
+    // path: bucket equi-join instead of cross join). The seed-42
+    // hyperplanes are embedded as literals in the DuckDB oracle, which
+    // replays bucketing + multiprobe + exact cosine rank — a full
+    // hash-checked gate; SimilaritySpec additionally pins recall
+    // against the exact baseline.
     "ll4_ann_lsh_topk" -> ((s, dir) => {
       val df = t(s, dir, "embeddings")
       val q = df.filter(col("vec_id") < 5)
@@ -702,6 +710,8 @@ object SparkEntry {
         |       (SELECT count(*) FILTER (WHERE l_orderkey IS NULL) FROM lineitem) AS l_orderkey_nulls,
         |       (SELECT count(*) FILTER (WHERE l_quantity IS NULL) FROM lineitem) AS l_quantity_nulls,
         |       (SELECT count(*) FROM (
+        |          -- all 11 columns of the synthetic lineitem: full-row
+        |          -- duplicate semantics, matching the engine's digest.
         |          SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
         |                 l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, count(*) AS c
         |          FROM lineitem GROUP BY ALL HAVING count(*) > 1) d) AS duplicate_count,
@@ -869,8 +879,12 @@ object SparkEntry {
 
     "ll2_near_dup_pairs" ->
       """WITH sh AS (
+        |  -- Sub-3-token documents collapse to one whole-text shingle,
+        |  -- mirroring wordShingles' fallback (Dedup.scala).
         |  SELECT doc_id,
-        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS ts
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |              ELSE [array_to_string(w, ' ')] END AS ts
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -913,6 +927,94 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The LSH hyperplanes are seed-deterministic Scala constants, so
+    // the oracle re-derives the same sign buckets from them as NUMERIC
+    // LITERALS (Double.toString round-trips exactly through DuckDB's
+    // decimal parser): bucket membership, multiprobe expansion, and
+    // the exact cosine rank all replay in SQL — a full hash-checked
+    // gate for an "approximate" operator, because LSH only shapes the
+    // candidate set deterministically.
+    "ll4_ann_lsh_topk" -> {
+      val planes = graft.similarity.Similarity.hyperplanes(nPlanes = 6, dim = 64, seed = 42L)
+      val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_dot_product(embedding[1:64]::DOUBLE[], ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, bucket AS qb FROM d WHERE vec_id < 5
+         |), probes AS (
+         |  SELECT query_id, qv, qb AS bucket FROM q
+         |  UNION ALL
+         |  SELECT query_id, qv, xor(qb, (1 << i)) FROM q, range(6) t(i)
+         |), cand AS (
+         |  SELECT p.query_id, d.vec_id AS neighbor_id,
+         |    list_sum([p.qv[i]::DOUBLE * d.embedding[i]::DOUBLE for i in range(1, len(p.qv) + 1)]) /
+         |    (sqrt(list_sum([p.qv[i]::DOUBLE * p.qv[i]::DOUBLE for i in range(1, len(p.qv) + 1)])) *
+         |     sqrt(list_sum([d.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE for i in range(1, len(d.embedding) + 1)]))) AS sim
+         |  FROM probes p JOIN d ON d.bucket = p.bucket
+         |  WHERE d.vec_id <> p.query_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM cand
+         |)
+         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Replays the md5-derived simhash sketch (gate hash mode) bit for
+    // bit: bit b of a shingle's field is bit (b mod 4) of hex nibble
+    // (b div 4). Banding is omitted because maxHamming (7) < bands (8)
+    // makes it lossless (pigeonhole): candidates ≡ all pairs ≤ 7.
+    "ll6_simhash_pairs" -> {
+      val bitSums = (0 until 64).map { b =>
+        s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx, ${b / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n         ")
+      val bitVec = (0 until 64).map(b => s"CASE WHEN s$b > 0 THEN 1 ELSE 0 END")
+        .mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(w) >= 3
+         |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+         |              ELSE [array_to_string(w, ' ')] END AS ts
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+         |), hx AS (
+         |  SELECT doc_id, md5(s) AS hx FROM (SELECT doc_id, unnest(ts) AS s FROM sh)
+         |), sums AS (
+         |  SELECT doc_id, $bitSums
+         |  FROM hx GROUP BY doc_id
+         |), sk AS (
+         |  SELECT doc_id, $bitVec AS bv FROM sums
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(list_sum([CASE WHEN a.bv[i] <> b.bv[i] THEN 1 ELSE 0 END for i in range(1, 65)]) AS INTEGER) AS hamming
+         |  FROM sk a, sk b WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT * FROM pairs WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Replays md5-mode winnowing: k-gram (k=8) md5 hex strings, w=4
+    // sliding lexicographic minima, per-document distinct, document-
+    // frequency cap 100, shared-fingerprint count ≥ 40.
+    "ll7_overlap_pairs" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
+        |), h AS (
+        |  SELECT doc_id, [md5(substr(t, i, 8)) for i in range(1, greatest(length(t) - 7, 1) + 1)] AS hs FROM n
+        |), m AS (
+        |  SELECT doc_id, list_distinct([list_aggregate(hs[i:least(i + 3, len(hs))], 'min') for i in range(1, len(hs) + 1)]) AS fps FROM h
+        |), f AS (
+        |  SELECT doc_id, unnest(fps) AS fp FROM m
+        |), rare AS (
+        |  SELECT fp FROM f GROUP BY fp HAVING count(*) <= 100
+        |), p AS (
+        |  SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fingerprints
+        |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 40 ORDER BY 1, 2""".stripMargin,
 
     "txt_fingerprints" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

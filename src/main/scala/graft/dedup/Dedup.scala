@@ -203,17 +203,34 @@ object Dedup {
     * this shape is the one to use over a corpus. */
   def simhashSketches(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3): DataFrame = {
-    val hashed = spread(df)
+      shingleSize: Int = 3, hashMode: String = "xxhash64"): DataFrame = {
+    val shingled = spread(df)
       .select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleSize)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
+    // Per-shingle 64-bit fields to vote over. `md5` is the
+    // engine-reproducible gate mode: bit b is bit (b mod 4) of hex
+    // nibble (b div 4) of the md5 digest — a definition DuckDB can
+    // replay character-for-character (both engines emit identical
+    // lowercase hex). `xxhash64` (default) is the cheaper scale mode.
+    val bitSums = hashMode match {
+      case "xxhash64" =>
+        val hashed = shingled.select(col("id"), xxhash64(col("sh")).as("h"))
+        hashed -> (0 until 64).map { b =>
+          sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
+        }
+      case "md5" =>
+        val nibbles = shingled.select(col("id") +: (0 until 16).map { j =>
+          (expr(s"locate(substring(md5(sh), ${j + 1}, 1), '0123456789abcdef')") - 1).as(s"n$j")
+        }: _*)
+        nibbles -> (0 until 64).map { b =>
+          sum(when(shiftright(col(s"n${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1, 1)
+            .otherwise(-1)).as(s"b$b")
+        }
+      case other => throw new IllegalArgumentException(s"unknown hashMode: $other")
     }
     val sk = (0 until 64).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    bitSums._1.groupBy("id").agg(bitSums._2.head, bitSums._2.tail: _*)
       .select(col("id"), sk.as("sk"))
   }
 
@@ -231,8 +248,8 @@ object Dedup {
   def overlapPairs(
       df: DataFrame, idCol: String, textCol: String,
       minShared: Int = 2, k: Int = 8, w: Int = 4,
-      maxDocFrequency: Int = 100): DataFrame = {
-    val fps = TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w)
+      maxDocFrequency: Int = 100, hashMode: String = "xxhash64"): DataFrame = {
+    val fps = TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w, hashMode)
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDocFrequency)
       .select("fp")
@@ -259,10 +276,11 @@ object Dedup {
     * Sketches come from the relational [[simhashSketches]]. */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4, shingleSize: Int = 3,
+      hashMode: String = "xxhash64"): DataFrame = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
     val width = 64 / bands
-    val sketched = simhashSketches(df, idCol, textCol, shingleSize)
+    val sketched = simhashSketches(df, idCol, textCol, shingleSize, hashMode)
     val banded = sketched.select(col("id"), col("sk"),
       explode(array((0 until bands).map { b =>
         struct(lit(b), shiftrightunsigned(col("sk"), b * width)

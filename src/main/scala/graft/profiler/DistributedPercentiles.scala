@@ -36,9 +36,11 @@ object DistributedPercentiles {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // Backtick-quote like every ProfilePasses pass: a legal parquet
+    // column name may contain dots.
     val counts = df
-      .filter(col(column).isNotNull)
-      .select(col(column).cast("double").as("v"))
+      .filter(col(s"`$column`").isNotNull)
+      .select(col(s"`$column`").cast("double").as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
       .orderBy("v")
       .as[(Double, Long)]

@@ -155,7 +155,18 @@ object TextAnalysis {
     * and re-evaluates per element — an unbound subtree. */
   def winnowingFingerprints(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, w: Int = 4): DataFrame = {
+      k: Int = 8, w: Int = 4, hashMode: String = "xxhash64"): DataFrame = {
+    // Winnowing needs any TOTAL ORDER on gram hashes, not a numeric
+    // one: `md5` mode keeps the fingerprints as hex strings whose
+    // lexicographic minima DuckDB reproduces bit-for-bit (both engines
+    // compute identical md5 and compare ASCII identically) — the
+    // engine-reproducible gate mode. `xxhash64` (default) is the scale
+    // mode: fixed-width longs, cheaper to hash, shuffle, and compare.
+    val gramHash: Column => Column = hashMode match {
+      case "xxhash64" => xxhash64(_)
+      case "md5" => md5(_)
+      case other => throw new IllegalArgumentException(s"unknown hashMode: $other")
+    }
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     // k-grams by direct substring over the BOUND normalized text — one
     // short string copy + hash per gram, no char-array / zipped-slice
@@ -165,7 +176,7 @@ object TextAnalysis {
     val hashed = normed.select(col("id"),
       transform(
         sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))),
-        i => xxhash64(col("t").substr(i, lit(k)))).as("hs"))
+        i => gramHash(col("t").substr(i, lit(k)))).as("hs"))
     // Window p covers hashes p..p+w-1; slice clamps at the array end,
     // so tail windows shorten exactly like the rowsBetween(current,
     // w-1) frame they replace.

@@ -90,25 +90,28 @@ object Validator {
     * poison its neighbors' results). Output order matches input. */
   def runBatched(spark: SparkSession, rules: Seq[ValidationRule]): Seq[ValidationResult] = {
     import org.apache.spark.sql.functions.{count, expr, lit, when}
-    val classified: Seq[(ValidationRule, Option[(String, Option[String])])] =
-      rules.map(r => r -> fusableCountWhere(r))
-    val byTable = classified.collect { case (r, Some((t, p))) => (t, r, p) }
+    // Keyed by the rule's position in the input, NOT its name: rule
+    // files don't enforce unique names, and two same-named fusable
+    // rules must still report their own actual/is_valid.
+    val classified: Seq[((ValidationRule, Option[(String, Option[String])]), Int)] =
+      rules.map(r => r -> fusableCountWhere(r)).zipWithIndex
+    val byTable = classified.collect { case ((r, Some((t, p))), idx) => (t, r, p, idx) }
       .groupBy(_._1)
 
-    val fusedResults: Map[String, ValidationResult] = byTable.flatMap {
+    val fusedResults: Map[Int, ValidationResult] = byTable.flatMap {
       case (table, group) =>
         try {
           val df = spark.table(table)
-          val aggs = group.zipWithIndex.map { case ((_, _, pred), i) =>
+          val aggs = group.zipWithIndex.map { case ((_, _, pred, _), i) =>
             (pred match {
               case Some(p) => count(when(expr(p), lit(1)))
               case None => count(lit(1))
             }).as(s"c$i")
           }
           val row = df.agg(aggs.head, aggs.tail: _*).head()
-          group.zipWithIndex.map { case ((_, rule, _), i) =>
+          group.zipWithIndex.map { case ((_, rule, _, idx), i) =>
             val actual: Any = if (row.isNullAt(i)) null else row.get(i)
-            rule.name -> ValidationResult(rule.name,
+            idx -> ValidationResult(rule.name,
               ScalarCompare.evaluate(actual, rule.operator, rule.expectedValue),
               actual, rule.expectedValue, rule.description, None)
           }
@@ -117,12 +120,12 @@ object Validator {
             // Any failure in the fused plan (bad column, bad predicate)
             // reverts the whole group to per-rule execution, preserving
             // run()'s exact error-capture semantics.
-            group.map { case (_, rule, _) => rule.name -> runOne(spark, rule) }
+            group.map { case (_, rule, _, idx) => idx -> runOne(spark, rule) }
         }
     }
     classified.map {
-      case (rule, Some(_)) => fusedResults(rule.name)
-      case (rule, None) => runOne(spark, rule)
+      case ((_, Some(_)), idx) => fusedResults(idx)
+      case ((rule, None), _) => runOne(spark, rule)
     }
   }
 }

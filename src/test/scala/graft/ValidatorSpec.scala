@@ -200,6 +200,21 @@ class ValidatorSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("runBatched: two fusable rules sharing a name keep separate results") {
+    withViews {
+      val rules = Seq(
+        ValidationRule("dup", "", "SELECT COUNT(*) FROM products WHERE price < 0", "equals", 1),
+        ValidationRule("dup", "", "SELECT COUNT(*) FROM products WHERE price > 0", "equals", 1))
+      val results = Validator.runBatched(spark, rules)
+      results.map(_.ruleName) shouldBe Seq("dup", "dup")
+      // price < 0 matches exactly one product; price > 0 matches four.
+      results(0).isValid shouldBe true
+      results(0).actualValue shouldBe 1L
+      results(1).isValid shouldBe false
+      results(1).actualValue shouldBe 4L
+    }
+  }
+
   test("guessStartDateColumn heuristics (ported verbatim)") {
     DefaultValidations.guessStartDateColumn("end_date",
       Seq("start_date", "end_date")) shouldBe "start_date"
