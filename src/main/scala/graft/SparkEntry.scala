@@ -154,6 +154,16 @@ object SparkEntry {
       sampled.agg(count(lit(1)).cast("long").as("sample_rows"))
     }),
 
+    // ---- P11 random mode: seed-stable representative sample (shape
+    // pinned — rand(seed) values are engine-specific, so the oracle
+    // checks the contract: n rows, all distinct customers).
+    "p11b_random_samples" -> ((s, dir) => {
+      val sampled = ProfilePasses.samples(t(s, dir, "customer"), 5, "random")
+      sampled.agg(
+        count(lit(1)).cast("long").as("sample_rows"),
+        countDistinct(col("c_custkey")).cast("long").as("distinct_keys"))
+    }),
+
     // ---- P12: completeness summary (nulls + distinct + percentages) ----
     "p12_completeness" -> ((s, dir) => {
       val df = t(s, dir, "customer")
@@ -380,6 +390,52 @@ object SparkEntry {
           .map(_.toDouble).getOrElse(Double.NaN)
         (r.ruleName, r.isValid, actual)
       }.toDF("rule_name", "is_valid", "actual_value").orderBy("rule_name")
+    }),
+
+    // ---- Rule-file round trip: export rules to YAML, load them back,
+    // and run the loaded set — the gate covers the serialization layer
+    // end-to-end (mirroring the reference's my_rules.yaml →
+    // results.json live flow). Validator.run is eager, so the temp
+    // file can be deleted before the DataFrame is consumed.
+    "rules_file_roundtrip" -> ((s, dir) => {
+      import graft.model.ValidationRule
+      t(s, dir, "orders"); t(s, dir, "part")
+      val rules = Seq(
+        ValidationRule("rt_orders_rows", "orders must not be empty",
+          "SELECT COUNT(*) FROM orders", "greater_than", 0),
+        ValidationRule("rt_part_price_positive", "no negative retail prices",
+          "SELECT COUNT(*) FROM part WHERE p_retailprice < 0", "equals", 0),
+        ValidationRule("rt_part_size_between", "plausible average size",
+          "SELECT ROUND(AVG(p_size), 4) FROM part", "between", Seq(1, 50)))
+      val path = java.nio.file.Files.createTempFile("graft_rules_rt", ".yaml")
+      try {
+        graft.validation.RuleFiles.export(rules, path.toString, "yaml")
+        val loaded = graft.validation.RuleFiles.load(path.toString)
+        val results = Validator.run(s, loaded)
+        import s.implicits._
+        results.map { r =>
+          val actual = graft.validation.ScalarCompare.toBigDecimal(r.actualValue)
+            .map(_.toDouble).getOrElse(Double.NaN)
+          (r.ruleName, r.isValid, actual)
+        }.toDF("rule_name", "is_valid", "actual_value").orderBy("rule_name")
+      } finally { java.nio.file.Files.deleteIfExists(path); () }
+    }),
+
+    // ---- P15: trend population across three profile generations with
+    // pinned timestamps (Instant.now is overridden so the series is
+    // deterministic; the values come from real profiles of region).
+    "p15_trends" -> ((s, dir) => {
+      val df = t(s, dir, "region")
+      val base = Profiler.profile(df, "region", ProfilerConfig(persist = false))
+      val p1 = base.copy(timestamp = "2026-01-01T00:00:00Z", rowCount = base.rowCount - 2)
+      val p2 = base.copy(timestamp = "2026-01-02T00:00:00Z", rowCount = base.rowCount - 1)
+      val p3 = base.copy(timestamp = "2026-01-03T00:00:00Z")
+      val t2 = graft.compare.ProfileCompare.appendTrends(graft.model.Trends.empty, p1, p2)
+      val t3 = graft.compare.ProfileCompare.appendTrends(t2, p2, p3)
+      import s.implicits._
+      t3.rowCounts.zip(t3.duplicates).map { case (rc, dup) =>
+        (rc.timestamp, rc.value, dup.value)
+      }.toDF("ts", "row_count", "duplicate_count").orderBy("ts")
     }),
 
     // ---- LLM-pipeline: exact-duplicate groups by content fingerprint.
@@ -683,6 +739,11 @@ object SparkEntry {
     "p11_samples" ->
       "SELECT CAST(count(*) AS BIGINT) AS sample_rows FROM (SELECT * FROM region LIMIT 3) s",
 
+    "p11b_random_samples" ->
+      """SELECT CAST(count(*) AS BIGINT) AS sample_rows,
+        |       CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_keys
+        |FROM (SELECT * FROM customer USING SAMPLE 5 ROWS) s""".stripMargin,
+
     "p12_completeness" -> {
       val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       val parts = cols.map { c =>
@@ -865,6 +926,29 @@ object SparkEntry {
         |       (SELECT count(DISTINCT o_orderstatus) FROM orders) <= 3,
         |       CAST((SELECT count(DISTINCT o_orderstatus) FROM orders) AS DOUBLE)
         |ORDER BY rule_name""".stripMargin,
+
+    "rules_file_roundtrip" ->
+      """SELECT 'rt_orders_rows' AS rule_name,
+        |       (SELECT count(*) FROM orders) > 0 AS is_valid,
+        |       CAST((SELECT count(*) FROM orders) AS DOUBLE) AS actual_value
+        |UNION ALL
+        |SELECT 'rt_part_price_positive',
+        |       (SELECT count(*) FROM part WHERE p_retailprice < 0) = 0,
+        |       CAST((SELECT count(*) FROM part WHERE p_retailprice < 0) AS DOUBLE)
+        |UNION ALL
+        |SELECT 'rt_part_size_between',
+        |       (SELECT round(avg(p_size), 4) FROM part) BETWEEN 1 AND 50,
+        |       (SELECT round(avg(p_size), 4) FROM part)
+        |ORDER BY rule_name""".stripMargin,
+
+    "p15_trends" ->
+      """WITH n AS (SELECT count(*) AS c FROM region)
+        |SELECT '2026-01-01T00:00:00Z' AS ts, CAST(c - 2 AS DOUBLE) AS row_count, 0.0 AS duplicate_count FROM n
+        |UNION ALL
+        |SELECT '2026-01-02T00:00:00Z', CAST(c - 1 AS DOUBLE), 0.0 FROM n
+        |UNION ALL
+        |SELECT '2026-01-03T00:00:00Z', CAST(c AS DOUBLE), 0.0 FROM n
+        |ORDER BY ts""".stripMargin,
 
     "ll1_exact_dup_groups" ->
       """WITH all_docs AS (

@@ -133,9 +133,19 @@ object Main {
     val historical: Option[TableProfile] =
       resolve(flags, "--compare", "-c").map(Json.readProfileFile)
     val includeSamples = !flags.contains("--no-samples")
+    // The layered config drives sampling + anomaly knobs
+    // (reference: sparvi/config.py:19-20; profiling.sample_method
+    // default `random`, adapters.py:204-206).
+    val cfg = Config.load()
     println(s"Profiling table: $table")
     val profile = Profiler.profile(df, table,
-      ProfilerConfig(includeSamples = includeSamples), historical)
+      ProfilerConfig(
+        includeSamples = includeSamples,
+        sampleMethod = Config.getString(cfg, "profiling.sample_method").getOrElse("random"),
+        anomalyThreshold = Config.getDouble(cfg, "profiling.anomaly_threshold").getOrElse(3.0),
+        maxHistory = Config.getInt(cfg, "validation.max_history").getOrElse(50),
+        historyRetentionDays = Config.getInt(cfg, "history_retention_days").getOrElse(30)),
+      historical)
 
     resolve(flags, "--format", "-f").getOrElse("default") match {
       case "minimal" => renderMinimal(profile)

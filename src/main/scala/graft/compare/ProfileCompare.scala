@@ -124,12 +124,31 @@ object ProfileCompare {
     * third run onward. A same-timestamp point with a DIFFERENT value
     * (a corrected re-run) replaces the stale point instead of being
     * silently dropped. */
-  def appendTrends(prior: Trends, historical: TableProfile, current: TableProfile): Trends = {
+  def appendTrends(prior: Trends, historical: TableProfile, current: TableProfile,
+      maxHistory: Int = 50, historyRetentionDays: Int = 30): Trends = {
     def appendOnce(series: Seq[TrendPoint], p: TrendPoint): Seq[TrendPoint] =
       series.indexWhere(_.timestamp == p.timestamp) match {
         case -1 => series :+ p
         case i => if (series(i).value == p.value) series else series.updated(i, p)
       }
+    // Enforce the reference's history caps (config.py:19-20,56-60):
+    // age-prune against the CURRENT profile's timestamp (not wall
+    // clock, so replays are deterministic), then keep the newest
+    // `maxHistory` points. Unparseable timestamps survive age pruning.
+    val cutoff: Option[java.time.Instant] =
+      try Some(java.time.Instant.parse(current.timestamp)
+        .minus(java.time.Duration.ofDays(historyRetentionDays.toLong)))
+      catch { case _: Exception => None }
+    def cap(series: Seq[TrendPoint]): Seq[TrendPoint] = {
+      val aged = cutoff match {
+        case Some(cut) => series.filter { p =>
+          try !java.time.Instant.parse(p.timestamp).isBefore(cut)
+          catch { case _: Exception => true }
+        }
+        case None => series
+      }
+      aged.takeRight(math.max(maxHistory, 1))
+    }
     def pointsFor(c: String): Seq[TrendPoint] = {
       val base = prior.nullRates.getOrElse(c, Nil)
       val withHist = historical.completeness.get(c)
@@ -141,12 +160,12 @@ object ProfileCompare {
     }
     val cols = prior.nullRates.keySet ++ historical.completeness.keySet ++ current.completeness.keySet
     Trends(
-      rowCounts = appendOnce(
+      rowCounts = cap(appendOnce(
         appendOnce(prior.rowCounts, TrendPoint(historical.timestamp, historical.rowCount.toDouble)),
-        TrendPoint(current.timestamp, current.rowCount.toDouble)),
-      nullRates = cols.map(c => c -> pointsFor(c)).toMap,
-      duplicates = appendOnce(
+        TrendPoint(current.timestamp, current.rowCount.toDouble))),
+      nullRates = cols.map(c => c -> cap(pointsFor(c))).toMap,
+      duplicates = cap(appendOnce(
         appendOnce(prior.duplicates, TrendPoint(historical.timestamp, historical.duplicateCount.toDouble)),
-        TrendPoint(current.timestamp, current.duplicateCount.toDouble)))
+        TrendPoint(current.timestamp, current.duplicateCount.toDouble))))
   }
 }

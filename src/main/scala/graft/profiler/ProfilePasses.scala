@@ -292,9 +292,24 @@ object ProfilePasses {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
-  /** P11: sample rows (deterministic head; CollectLimitExec stops the
-    * scan after `n` rows — no full pass). */
-  def samples(df: DataFrame, n: Int = 10): DataFrame = df.limit(n)
+  /** P11: sample rows.
+    *
+    *   - `head` (deterministic): CollectLimitExec stops the scan after
+    *     `n` rows — no full pass.
+    *   - `random` (representative, seed-stable): `ORDER BY rand(seed)
+    *     LIMIT n` plans as TakeOrderedAndProject — a per-partition
+    *     top-n heap merged on the driver, NOT a full sort; the scan
+    *     reads every row once but holds only n rows per partition.
+    *     Mirrors the reference's random sampling dialects
+    *     (reference: sparvi/db/adapters.py:204-206,290-292,321-323).
+    */
+  def samples(df: DataFrame, n: Int = 10, method: String = "head",
+      seed: Long = 42L): DataFrame = method match {
+    case "head" => df.limit(n)
+    case "random" => df.orderBy(rand(seed)).limit(n)
+    case other => throw new IllegalArgumentException(
+      s"unknown sample method: $other (head|random)")
+  }
 
   /** P12: completeness percentages as a relational result:
     * (column, nulls, null_percentage, distinct_count,

@@ -32,6 +32,17 @@ final case class ProfilerConfig(
     exact: Boolean = true,
     includeSamples: Boolean = false,
     sampleRows: Int = 10,
+    /** `head` (deterministic prefix) or `random` (seed-stable
+      * representative sample via per-partition top-n on rand). The
+      * config layer's `profiling.sample_method` default is `random`,
+      * matching the reference; the engine default stays `head` so
+      * direct API profiles are reproducible row-for-row. */
+    sampleMethod: String = "head",
+    sampleSeed: Long = 42L,
+    /** Trend-series caps, enforced in ProfileCompare.appendTrends
+      * (reference: config.py:19-20,56-60). */
+    maxHistory: Int = 50,
+    historyRetentionDays: Int = 30,
     outlierLimit: Int = 10,
     anomalyThreshold: Double = 3.0,
     frequentValuesRowLimit: Option[Long] = None,
@@ -273,7 +284,8 @@ object Profiler {
     // ---- Pass E: samples.
     val samples: Seq[Map[String, Any]] = timed("E_samples") {
       if (!cfg.includeSamples) Nil
-      else ProfilePasses.samples(df, cfg.sampleRows).collect().toSeq.map { r =>
+      else ProfilePasses.samples(df, cfg.sampleRows, cfg.sampleMethod, cfg.sampleSeed)
+        .collect().toSeq.map { r =>
         r.schema.fields.map(_.name).zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
       }
     }
@@ -301,7 +313,8 @@ object Profiler {
         current.copy(
           anomalies = ProfileCompare.detectAnomalies(current, h, cfg.anomalyThreshold),
           schemaShifts = ProfileCompare.detectSchemaShifts(current, h),
-          trends = ProfileCompare.appendTrends(h.trends, h, current))
+          trends = ProfileCompare.appendTrends(h.trends, h, current,
+            cfg.maxHistory, cfg.historyRetentionDays))
       case None => current
     }
   }

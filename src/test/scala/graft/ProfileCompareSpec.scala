@@ -129,6 +129,41 @@ class ProfileCompareSpec extends AnyFunSuite with Matchers with SparkTestBase {
     t2b.rowCounts.last.value shouldBe 13.0
   }
 
+  test("trends: series are truncated to maxHistory newest points") {
+    val prior = Trends(
+      rowCounts = (1 to 8).map(i => TrendPoint(f"2026-01-0${i}T00:00:00Z", i.toDouble)),
+      nullRates = Map.empty, duplicates = Nil)
+    val t = ProfileCompare.appendTrends(prior,
+      bareProfile(ts = "2026-01-09T00:00:00Z", rowCount = 9),
+      bareProfile(ts = "2026-01-10T00:00:00Z", rowCount = 10),
+      maxHistory = 4)
+    t.rowCounts should have size 4
+    t.rowCounts.map(_.value) shouldBe Seq(7.0, 8.0, 9.0, 10.0)
+  }
+
+  test("trends: points older than the retention window are pruned") {
+    val prior = Trends(
+      rowCounts = Seq(
+        TrendPoint("2026-01-01T00:00:00Z", 1.0),   // 40 days before current
+        TrendPoint("2026-02-01T00:00:00Z", 2.0)),  // 9 days before current
+      nullRates = Map.empty, duplicates = Nil)
+    val t = ProfileCompare.appendTrends(prior,
+      bareProfile(ts = "2026-02-09T00:00:00Z", rowCount = 3),
+      bareProfile(ts = "2026-02-10T00:00:00Z", rowCount = 4),
+      historyRetentionDays = 30)
+    t.rowCounts.map(_.value) shouldBe Seq(2.0, 3.0, 4.0)
+  }
+
+  test("trends: non-ISO timestamps skip age pruning but still truncate") {
+    val prior = Trends(
+      rowCounts = (1 to 6).map(i => TrendPoint(s"t$i", i.toDouble)),
+      nullRates = Map.empty, duplicates = Nil)
+    val t = ProfileCompare.appendTrends(prior,
+      bareProfile(ts = "t7", rowCount = 7), bareProfile(ts = "t8", rowCount = 8),
+      maxHistory = 3)
+    t.rowCounts.map(_.value) shouldBe Seq(6.0, 7.0, 8.0)
+  }
+
   test("null-rate trends keep series for columns absent from one profile") {
     val histC = Map("a" -> ColumnCompleteness(1, 10.0, 1, 1))
     val curC = Map("b" -> ColumnCompleteness(2, 20.0, 1, 1))

@@ -67,6 +67,28 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     p.duplicateCount shouldBe 2L
   }
 
+  test("random sampling is seed-stable and returns n distinct rows") {
+    import graft.profiler.ProfilePasses
+    val a = ProfilePasses.samples(employeesDf, 5, "random").collect()
+    val b = ProfilePasses.samples(employeesDf, 5, "random").collect()
+    a should have length 5
+    a.map(_.getLong(0)).distinct should have length 5
+    // Same seed, same input partitioning -> identical sample.
+    a.map(_.getLong(0)).toSeq shouldBe b.map(_.getLong(0)).toSeq
+    // A different seed draws a different sample (deterministically).
+    val c = ProfilePasses.samples(employeesDf, 5, "random", seed = 7L).collect()
+    c.map(_.getLong(0)).toSeq should not be a.map(_.getLong(0)).toSeq
+    an[IllegalArgumentException] should be thrownBy
+      ProfilePasses.samples(employeesDf, 5, "bogus")
+  }
+
+  test("profile with random sampleMethod carries n sample rows") {
+    val p = Profiler.profile(employeesDf, "employees",
+      ProfilerConfig(persist = false, includeSamples = true,
+        sampleRows = 4, sampleMethod = "random"))
+    p.samples should have size 4
+  }
+
   test("duplicate hash-projection path agrees with full-row groupBy") {
     val s = spark
     import s.implicits._
