@@ -464,6 +464,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- LLM-pipeline: near-dup removal (lower id survives; every
+    // id on the right of a surviving pair is dropped). Emits the full
+    // survivor id list — a strong gate against the brute-force oracle.
+    "ll8_drop_near_dups" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      Dedup.dropNearDuplicates(df, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: SimHash near-dup pairs (band-blocked, exact
     // Hamming verify). The gate runs the md5-derived sketch mode, which
     // DuckDB replays nibble-for-nibble; and because maxHamming (7) <
@@ -977,6 +986,22 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ll8_drop_near_dups" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |              ELSE [array_to_string(w, ' ')] END AS ts
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), losers AS (
+        |  SELECT DISTINCT b.doc_id AS id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+        |)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_array_profile" ->
       """SELECT CAST(min(len(embedding)) AS BIGINT) AS embedding_min_size,

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** SQL surface for graft's native expressions.
+  *
+  * Wire-up options:
+  *   - session config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *     (the standard `SparkSessionExtensions` injection point), or
+  *   - an existing session: `GraftFunctions.register(spark)`.
+  *
+  * Registered functions:
+  *   - `graft_nearest_cells(vec, matrix, n)` → array<int> of the n
+  *     matrix-row indices with the highest dot product, best first
+  *   - `graft_sign_bucket(vec, planes)` → int hyperplane sign bucket
+  *
+  * The matrix/planes argument must be a LITERAL array<array<numeric>>
+  * — it is folded at plan time into the expression's reference-object
+  * matrix, which is the entire point: the generated code loops over a
+  * compact runtime object instead of inlining k×dim literal terms.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def matrixOf(e: Expression, fn: String): Array[Array[Double]] = {
+    require(e.foldable, s"$fn: the matrix argument must be a literal array<array<numeric>>")
+    val elemType = e.dataType match {
+      case ArrayType(ArrayType(t, _), _) => t
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected array<array<numeric>> matrix, got $other")
+    }
+    def cell(row: ArrayData, j: Int): Double = elemType match {
+      case DoubleType => row.getDouble(j)
+      case FloatType => row.getFloat(j).toDouble
+      case IntegerType => row.getInt(j).toDouble
+      case LongType => row.getLong(j).toDouble
+      case d: DecimalType => row.getDecimal(j, d.precision, d.scale).toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: non-numeric matrix element type $other")
+    }
+    val data = e.eval().asInstanceOf[ArrayData]
+    (0 until data.numElements()).map { i =>
+      val row = data.getArray(i)
+      (0 until row.numElements()).map(cell(row, _)).toArray
+    }.toArray
+  }
+
+  private def intOf(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: n must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(s"$fn: n must be an integer, got $other")
+    }
+  }
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val nearestCells: FunctionDescription = (
+    FunctionIdentifier("graft_nearest_cells"),
+    new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"graft_nearest_cells(vec, matrix, n) takes 3 arguments, got ${args.length}")
+      NearestCells(args(0), matrixOf(args(1), "graft_nearest_cells"),
+        intOf(args(2), "graft_nearest_cells"))
+    })
+
+  val signBucket: FunctionDescription = (
+    FunctionIdentifier("graft_sign_bucket"),
+    new ExpressionInfo(classOf[SignBucketExpr].getName, "graft_sign_bucket"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"graft_sign_bucket(vec, planes) takes 2 arguments, got ${args.length}")
+      SignBucketExpr(args(0), matrixOf(args(1), "graft_sign_bucket"))
+    })
+
+  def all: Seq[FunctionDescription] = Seq(nearestCells, signBucket)
+
+  /** Register on an already-built session (no extensions config). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -78,6 +78,25 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
     rows.map(_.getInt(1)).toSeq shouldBe Seq(3, 4, 0)
   }
 
+  test("SQL functions register via GraftFunctions/GraftExtensions") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, Seq(3.0, 2.0, 1.0))).toDF("id", "v").createOrReplaceTempView("vex_vecs")
+    val r = spark.sql(
+      """SELECT graft_nearest_cells(v, array(array(1.0d, 0.0d, 0.0d), array(0.0d, 1.0d, 0.0d)), 2) AS cells,
+        |       graft_sign_bucket(v, array(array(1.0d, 0.0d, 0.0d), array(-1.0d, 0.0d, 0.0d))) AS b
+        |FROM vex_vecs""".stripMargin).collect()
+    r(0).getSeq[Int](0) shouldBe Seq(0, 1)
+    r(0).getInt(1) shouldBe 1
+    // The extensions class injects the same builders.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+    // Non-literal matrix is rejected at plan time.
+    an[Exception] should be thrownBy spark.sql(
+      "SELECT graft_sign_bucket(v, array(array(v[0]))) FROM vex_vecs").collect()
+  }
+
   test("codegen and interpreted paths agree") {
     val s = spark
     import s.implicits._
