@@ -29,7 +29,12 @@ object Partitioning {
     * whole binary, so multiplying tasks multiplies that fixed cost,
     * which dominates jobs whose actual data is small. */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Streaming plans expose no RDD to inspect (and micro-batch
+    // partitioning is the source's business) — pass them through.
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 }

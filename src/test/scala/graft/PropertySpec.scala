@@ -139,4 +139,29 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows(0).getDouble(0) shouldBe 1.0
     rows(2).getDouble(0) shouldBe 0.0
   }
+
+  test("NearestCells/SignBucketExpr agree with a Scala brute force on random inputs") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11L)
+    val dim = 7
+    val matrix = Seq.fill(5)(Seq.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 40).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    def dots(v: Seq[Double]): Seq[Double] =
+      matrix.map(row => row.zip(v).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b })
+    val expected = vecs.map { case (id, v) =>
+      val d = dots(v)
+      val top2 = d.zipWithIndex.sortBy { case (x, i) => (-x, i) }.take(2).map(_._2)
+      val bucket = d.zipWithIndex.collect { case (x, i) if x > 0 => 1 << i }.sum
+      (id, top2, bucket)
+    }
+    val got = vecs.toDF("id", "v").select(
+        col("id"),
+        graft.functions.VectorFunctions.nearestCells(col("v"), matrix, 2).as("cells"),
+        graft.functions.VectorFunctions.signBucket(col("v"), matrix).as("b"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2))).toSeq
+    got shouldBe expected
+  }
 }
