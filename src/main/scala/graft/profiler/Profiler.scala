@@ -151,10 +151,15 @@ object Profiler {
     def getPct(colName: String, idx: Int): Option[Double] =
       quartileMap.get(colName).flatMap(_(idx))
 
-    // ---- Pass A': distinct counts (exact → Expand; approx → HLL).
-    val distRow = timed("A1_distinct")(
-      ProfilePasses.distinctCounts(df, b.all, exact = cfg.exact,
-        rsd = cfg.distinctRsd).head())
+    // ---- Pass A': distinct counts. Exact mode plans an Expand (one
+    // row copy per distinct aggregate), so it runs quarantined in its
+    // own pass; approx mode's HLL sketches are plain declarative
+    // aggregates and were FUSED into pass A above — no extra scan.
+    val distRow =
+      if (cfg.exact)
+        timed("A1_distinct")(
+          ProfilePasses.distinctCounts(df, b.all, exact = true).head())
+      else row
     val distinctCounts = b.all.map { n =>
       n -> (if (distRow.isNullAt(distRow.fieldIndex(s"${n}_distinct"))) 0L
             else distRow.getLong(distRow.fieldIndex(s"${n}_distinct")))
@@ -343,19 +348,33 @@ object Profiler {
   }
 
   /** Pass A fused: null counts + numeric stats + text lengths +
-    * text patterns + date stats in a single Aggregate (one scan).
+    * text patterns + date stats in a single Aggregate (one scan) —
+    * plus, in approx mode, the per-column HLL distinct sketches
+    * (declarative, fused-safe; one fewer full scan per profile).
     * Percentiles are deliberately NOT here — their
     * TypedImperativeAggregate would force the whole pass off
     * WholeStageCodegen into ObjectHashAggregate; they run in their own
-    * quarantined pass (ProfilePasses.percentiles). Every expression
-    * below is a codegen'd declarative aggregate. */
+    * quarantined pass (ProfilePasses.percentiles). Exact
+    * countDistinct is also excluded: its Expand would multiply every
+    * input row once per distinct aggregate. Every expression below is
+    * a codegen'd declarative aggregate. */
   private def fusedWideAgg(df: DataFrame, b: ColumnBuckets.Buckets,
       cfg: ProfilerConfig): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
     def c(n: String) = col(s"`$n`")
+    // MapType is not hashable/comparable — sketch its JSON rendering,
+    // matching ProfilePasses.comparable.
+    def distinctKey(n: String) =
+      df.schema.fields.find(_.name == n).map(_.dataType) match {
+        case Some(_: org.apache.spark.sql.types.MapType) => to_json(c(n))
+        case _ => c(n)
+      }
     val exprs: Seq[org.apache.spark.sql.Column] =
       Seq(count(lit(1)).as("row_count")) ++
+        (if (cfg.exact) Nil
+         else b.all.map(n =>
+           approx_count_distinct(distinctKey(n), cfg.distinctRsd).as(s"${n}_distinct"))) ++
         b.all.map(n => count(when(c(n).isNull, lit(1))).as(s"${n}_nulls")) ++
         b.numeric.flatMap { n =>
           Seq(
