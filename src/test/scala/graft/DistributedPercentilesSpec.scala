@@ -71,4 +71,22 @@ class DistributedPercentilesSpec extends AnyFunSuite with Matchers with SparkTes
       q(c).map(_.get).zip(want).foreach { case (g, w) => g shouldBe w +- 1e-9 }
     }
   }
+
+  test("batched ofAll equals per-column of, including mixed null columns") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1.0, Some(10.0), Option.empty[Double]),
+      (2.0, None, None),
+      (2.0, Some(30.0), None),
+      (9.0, Some(20.0), None),
+      (4.5, Some(40.0), None))
+      .toDF("a", "b", "allnull")
+      .repartition(3)
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val batched = DistributedPercentiles.ofAll(df, Seq("a", "b", "allnull"), ps)
+    for (c <- Seq("a", "b", "allnull"))
+      batched(c) shouldBe DistributedPercentiles.of(df, c, ps)
+    batched("allnull") shouldBe ps.map(_ => None)
+  }
 }
