@@ -218,8 +218,11 @@ object Dedup {
           sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
         }
       case "md5" =>
-        val nibbles = shingled.select(col("id") +: (0 until 16).map { j =>
-          (expr(s"locate(substring(md5(sh), ${j + 1}, 1), '0123456789abcdef')") - 1).as(s"n$j")
+        // Bind the digest once per shingle; the 16 nibble projections
+        // then read the bound `hex` attribute (not 16 md5 calls).
+        val hexed = shingled.select(col("id"), md5(col("sh")).as("hex"))
+        val nibbles = hexed.select(col("id") +: (0 until 16).map { j =>
+          (expr(s"locate(substring(hex, ${j + 1}, 1), '0123456789abcdef')") - 1).as(s"n$j")
         }: _*)
         nibbles -> (0 until 64).map { b =>
           sum(when(shiftright(col(s"n${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1, 1)
