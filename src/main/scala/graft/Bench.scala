@@ -33,6 +33,14 @@ object Bench {
     // nondeterministic first query and adding cross-round noise.
     // Optional positional args narrow the run to the named queries —
     // for timing one operator in isolation; the driver passes none.
+    // Unknown names are a hard error (a typo must not bench as an
+    // empty, 0-second run).
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap

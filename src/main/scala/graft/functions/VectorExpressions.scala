@@ -73,15 +73,16 @@ private[graft] trait MatrixDotExpression extends UnaryExpression {
     val d0 = ctx.freshName("d0")
     val s = ctx.freshName("s")
     val len = ctx.freshName("len")
+    val rowVar = ctx.freshName("matRow")
     s"""
        |double[][] $mv = $m;
        |final int $len = $childVar.numElements();
        |final double[] $dotsVar = new double[$mv.length];
        |for (int $c = 0; $c < $mv.length; $c++) {
-       |  final double[] row = $mv[$c];
-       |  final int $d0 = row.length < $len ? row.length : $len;
+       |  final double[] $rowVar = $mv[$c];
+       |  final int $d0 = $rowVar.length < $len ? $rowVar.length : $len;
        |  double $s = 0.0;
-       |  for (int $d = 0; $d < $d0; $d++) { $s += row[$d] * $childVar.$getter($d); }
+       |  for (int $d = 0; $d < $d0; $d++) { $s += $rowVar[$d] * $childVar.$getter($d); }
        |  $dotsVar[$c] = $s;
        |}
      """.stripMargin

@@ -34,7 +34,7 @@ object ProfilePasses {
     * columns are keyed by their JSON rendering instead. Documented
     * caveat: two maps with different insertion order render
     * differently — acceptable for profiling counts. */
-  private def comparable(df: DataFrame, name: String): Column =
+  private[profiler] def comparable(df: DataFrame, name: String): Column =
     df.schema.fields.find(_.name == name).map(_.dataType) match {
       case Some(_: MapType) => to_json(c(name))
       case _ => c(name)
@@ -77,7 +77,13 @@ object ProfilePasses {
     val grouped =
       if (projectToHash) {
         // `comparable` keeps MapType hashable (xxhash64 rejects maps).
-        val keys = df.columns.toSeq.map(n => comparable(df, n))
+        // Each column contributes an explicit null-indicator BEFORE its
+        // value: xxhash64 SKIPS null arguments (the hash state is
+        // unchanged), so without the indicators two distinct rows
+        // differing only in WHICH column is null — ("x", null) vs
+        // (null, "x") — would fold the identical argument stream and
+        // collide on both digests deterministically.
+        val keys = df.columns.toSeq.flatMap(n => Seq(c(n).isNull, comparable(df, n)))
         df.groupBy(
           xxhash64(keys: _*).as("digest_lo"),
           xxhash64(lit(0x9E3779B97F4A7C15L) +: keys: _*).as("digest_hi")).count()
@@ -139,7 +145,7 @@ object ProfilePasses {
     }
     val out = cols.flatMap { n =>
       Seq((1, "q1"), (2, "median"), (3, "q3")).map { case (i, alias) =>
-        element_at(col(s"${n}_qs"), i).cast(DoubleType).as(s"${n}_$alias")
+        element_at(col(s"`${n}_qs`"), i).cast(DoubleType).as(s"${n}_$alias")
       }
     }
     df.agg(aggs.head, aggs.tail: _*).select(out: _*)

@@ -363,18 +363,13 @@ object Profiler {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
     def c(n: String) = col(s"`$n`")
-    // MapType is not hashable/comparable — sketch its JSON rendering,
-    // matching ProfilePasses.comparable.
-    def distinctKey(n: String) =
-      df.schema.fields.find(_.name == n).map(_.dataType) match {
-        case Some(_: org.apache.spark.sql.types.MapType) => to_json(c(n))
-        case _ => c(n)
-      }
     val exprs: Seq[org.apache.spark.sql.Column] =
       Seq(count(lit(1)).as("row_count")) ++
         (if (cfg.exact) Nil
          else b.all.map(n =>
-           approx_count_distinct(distinctKey(n), cfg.distinctRsd).as(s"${n}_distinct"))) ++
+           // comparable() keeps MapType sketchable (JSON rendering).
+           approx_count_distinct(ProfilePasses.comparable(df, n), cfg.distinctRsd)
+             .as(s"${n}_distinct"))) ++
         b.all.map(n => count(when(c(n).isNull, lit(1))).as(s"${n}_nulls")) ++
         b.numeric.flatMap { n =>
           Seq(

@@ -150,6 +150,9 @@ object Similarity {
       .select(col(vecCol).as("v")).orderBy(xxhash64(col("v")), col("v").cast("string"))
       .limit(k).collect()
       .map(_.getSeq[Any](0).map(x => x.toString.toDouble).toSeq).toSeq
+    // Fewer vectors than k (or an empty corpus) yields fewer (or zero)
+    // centroids; iterating over an empty centroid set is meaningless.
+    if (centroids.isEmpty) return centroids
     for (_ <- 0 until iterations) {
       val cell = nearestCell(col(vecCol), centroids)
       val updated = df.select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -190,6 +193,15 @@ object Similarity {
     val centroids =
       try kmeansCentroids(cached, vecCol, nCells, kmeansIterations)
       finally { cached.unpersist(blocking = false); () }
+    // Degenerate corpora: fewer vectors than nCells yields fewer
+    // centroids (clamp the probe count); an empty corpus yields none —
+    // return the empty result with the right schema instead of
+    // building an unsatisfiable NearestCells(n > rows).
+    if (centroids.isEmpty)
+      return queries.select(col(queryIdCol).as("query_id")).limit(0)
+        .crossJoin(df.select(col(idCol).as("neighbor_id")).limit(0))
+        .select(col("query_id"), lit(0L).as("rank"), col("neighbor_id"), lit(0.0).as("sim"))
+    val probeN = math.min(nProbe, centroids.length)
     val data = spread(df).select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v"),
       nearestCell(col(vecCol), centroids).as("cell"))
@@ -197,7 +209,7 @@ object Similarity {
     val probes = queries.select(
         col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
         explode(graft.functions.VectorFunctions.nearestCells(
-          col(queryVecCol), centroids.map(normalized), nProbe)).as("cell"))
+          col(queryVecCol), centroids.map(normalized), probeN)).as("cell"))
     val cand = data.join(probes, "cell")
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("sim", cosine(col("qv"), col("v")))

@@ -172,7 +172,10 @@ object TextAnalysis {
     // short string copy + hash per gram, no char-array / zipped-slice
     // materialization. A document shorter than k characters yields one
     // whole-text gram (substr clamps at the end of the string).
-    val normed = spread(df).select(col(idCol).as("id"), norm.as("t"))
+    // Null texts produce no fingerprints (greatest() skips nulls, so
+    // without the filter a null doc would emit one null-fp row).
+    val normed = spread(df).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), norm.as("t"))
     val hashed = normed.select(col("id"),
       transform(
         sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))),

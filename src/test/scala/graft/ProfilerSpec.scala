@@ -100,6 +100,27 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     hashed shouldBe 1L
   }
 
+  test("digest duplicates distinguish rows differing only in null position") {
+    val s = spark
+    import s.implicits._
+    // xxhash64 skips null arguments, so without explicit per-column
+    // null indicators ("x", null) and (null, "x") would fold the same
+    // argument stream and collide on both digest halves.
+    val df = Seq((Some("x"), Option.empty[String]), (Option.empty[String], Some("x")))
+      .toDF("a", "b")
+    val full = Profiler.profile(df, "t", ProfilerConfig(persist = false)).duplicateCount
+    val hashed = Profiler.profile(df, "t",
+      ProfilerConfig(persist = false, duplicateHashProjection = true)).duplicateCount
+    full shouldBe 0L
+    hashed shouldBe 0L
+    // True duplicates with nulls still group.
+    val dups = Seq((Some("x"), Option.empty[String]), (Some("x"), Option.empty[String]))
+      .toDF("a", "b")
+    Profiler.profile(dups, "t",
+      ProfilerConfig(persist = false, duplicateHashProjection = true))
+      .duplicateCount shouldBe 1L
+  }
+
   test("frequent values: department top-1 has frequency 3") {
     // HR, IT, Finance each appear 3 times — the winner is tie-broken
     // deterministically; its frequency must be 3 regardless.

@@ -116,6 +116,21 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     recall should be >= 0.9
   }
 
+  test("ivfTopK degrades gracefully on tiny and empty corpora") {
+    val tiny = vecs((1L, Seq.fill(4)(1.0)), (2L, Seq.fill(4)(0.5)))
+    val q = tiny.filter(col("vec_id") === 1L)
+    // Fewer vectors than nCells/nProbe: centroid count clamps the probes.
+    val r = Similarity.ivfTopK(tiny, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 4, kmeansIterations = 1).collect()
+    r.map(_.getAs[Long]("neighbor_id")).toSet shouldBe Set(2L)
+    // Empty corpus: empty result with the right schema, no exception.
+    val empty = tiny.filter(col("vec_id") > 100L)
+    val r2 = Similarity.ivfTopK(empty, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 4, kmeansIterations = 1)
+    r2.columns.toSeq shouldBe Seq("query_id", "rank", "neighbor_id", "sim")
+    r2.collect() should have length 0
+  }
+
   test("nearDupByEmbedding finds planted near-identical vectors only") {
     val rnd = new scala.util.Random(11)
     val v = Seq.fill(16)(rnd.nextGaussian())

@@ -112,6 +112,16 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     (fps(1L) intersect fps(3L)).size shouldBe 0
   }
 
+  test("winnowing: null texts produce no fingerprint rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("a real document with enough text to fingerprint")),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
+    val fps = graft.text.TextAnalysis.winnowingFingerprints(df, "text", "doc_id").collect()
+    fps.map(_.getAs[Long]("id")).toSet shouldBe Set(1L)
+    all(fps.map(r => r.isNullAt(r.fieldIndex("fp")))) shouldBe false
+  }
+
   test("contentHash64 agrees with fingerprint on equality structure") {
     val df = docs((1L, "A  b"), (2L, "a b"), (3L, "ab"))
     val hs = df.select(TextAnalysis.contentHash64(df("text")).as("h"))
