@@ -53,32 +53,26 @@ object Dedup {
     * standard construction.
     *
     * Deliberately relational — explode to (id, shingle) rows, then ONE
-    * wide codegen'd aggregate of k `min` columns with map-side combine
-    * — rather than nested array lambdas: a higher-order-function
-    * lambda re-evaluates any non-attribute subtree it captures once
-    * PER ELEMENT (interpreted, no codegen), which turns nested
-    * transform(transform(...)) minhashing into k × |shingles|
-    * re-tokenizations of the document. The explode+agg shape keeps
-    * every expression on bound attributes and the shuffle at k longs
+    * aggregate — rather than nested array lambdas: a higher-order-
+    * function lambda re-evaluates any non-attribute subtree it
+    * captures once PER ELEMENT (interpreted, no codegen), which turns
+    * nested transform(transform(...)) minhashing into k × |shingles|
+    * re-tokenizations of the document. Each shingle is string-hashed
+    * ONCE; the k families then hash the resulting fixed-width long
+    * with k seeds inside the native [[graft.functions.MinHashAgg]]
+    * (an Array[Long]-buffered aggregate — the earlier k-COLUMN min
+    * formulation generated an update method with 128 inlined branches,
+    * seconds of janino per plan shape). The shuffle stays at k longs
     * per document after partial aggregation. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128): DataFrame = {
-    // Each shingle is string-hashed ONCE; the k families then hash the
-    // resulting fixed-width long with k seeds — one variable-length
-    // string hash plus k single-block hashes per shingle, rather than
-    // k string hashes. (Affine a·h+b mixing would be cheaper still but
-    // ANSI mode rejects wrapping long multiplication.)
     val shingled = spread(df).select(
         col(idCol).as("id"),
         explode(wordShingles(col(textCol), shingleSize)).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
-    val mins = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"h$i")
-    }
     shingled.groupBy("id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .agg(graft.functions.VectorFunctions.minhashAgg(col("h"), numHashes).as("sig"))
   }
 
   /** LSH band keys over a BOUND signature attribute: the signature is

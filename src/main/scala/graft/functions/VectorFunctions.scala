@@ -17,4 +17,9 @@ object VectorFunctions {
   /** Sign-bucket id against hyperplane rows. See [[SignBucketExpr]]. */
   def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(SignBucketExpr(ColumnBridge.expression(vec), mat(planes)))
+
+  /** MinHash signature aggregate over 64-bit hashes. See [[MinHashAgg]]. */
+  def minhashAgg(hash: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashAgg(ColumnBridge.expression(hash), numHashes).toAggregateExpression())
 }

@@ -78,6 +78,25 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
     rows.map(_.getInt(1)).toSeq shouldBe Seq(3, 4, 0)
   }
 
+  test("MinHashAgg is value-identical to the k-column min(xxhash64(lit(i), h)) form") {
+    val s = spark
+    import s.implicits._
+    val k = 16
+    val hashed = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"), (3L, "a b c x y z q"))
+      .toDF("id", "text")
+      .select(col("id"), explode(graft.dedup.Dedup.wordShingles(col("text"), 3)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val legacy = hashed.groupBy("id")
+      .agg((0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i")).head,
+        (1 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val native = hashed.groupBy("id")
+      .agg(graft.functions.VectorFunctions.minhashAgg(col("h"), k).as("sig"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    native shouldBe legacy
+  }
+
   test("SQL functions register via GraftFunctions/GraftExtensions") {
     val s = spark
     import s.implicits._
