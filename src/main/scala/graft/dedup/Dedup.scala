@@ -200,35 +200,22 @@ object Dedup {
       shingleSize: Int = 3, hashMode: String = "xxhash64"): DataFrame = {
     val shingled = spread(df)
       .select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleSize)).as("sh"))
-    // Per-shingle 64-bit fields to vote over. `md5` is the
-    // engine-reproducible gate mode: bit b is bit (b mod 4) of hex
-    // nibble (b div 4) of the md5 digest — a definition DuckDB can
-    // replay character-for-character (both engines emit identical
+    // Per-shingle 64-bit fields to vote over, folded by the native
+    // [[graft.functions.SimHashAgg]] (one Array[Int] buffer — the
+    // earlier 64-COLUMN sum form generated an update method with 64
+    // inlined branches, seconds of janino per plan shape). `md5` is
+    // the engine-reproducible gate mode: bit b is bit (b mod 4) of
+    // hex nibble (b div 4) of the digest — a definition DuckDB
+    // replays character-for-character (both engines emit identical
     // lowercase hex). `xxhash64` (default) is the cheaper scale mode.
-    val bitSums = hashMode match {
-      case "xxhash64" =>
-        val hashed = shingled.select(col("id"), xxhash64(col("sh")).as("h"))
-        hashed -> (0 until 64).map { b =>
-          sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
-        }
-      case "md5" =>
-        // Bind the digest once per shingle; the 16 nibble projections
-        // then read the bound `hex` attribute (not 16 md5 calls).
-        val hexed = shingled.select(col("id"), md5(col("sh")).as("hex"))
-        val nibbles = hexed.select(col("id") +: (0 until 16).map { j =>
-          (expr(s"locate(substring(hex, ${j + 1}, 1), '0123456789abcdef')") - 1).as(s"n$j")
-        }: _*)
-        nibbles -> (0 until 64).map { b =>
-          sum(when(shiftright(col(s"n${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1, 1)
-            .otherwise(-1)).as(s"b$b")
-        }
+    val field = hashMode match {
+      case "xxhash64" => xxhash64(col("sh"))
+      case "md5" => md5(col("sh"))
       case other => throw new IllegalArgumentException(s"unknown hashMode: $other")
     }
-    val sk = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-    bitSums._1.groupBy("id").agg(bitSums._2.head, bitSums._2.tail: _*)
-      .select(col("id"), sk.as("sk"))
+    shingled.select(col("id"), field.as("f"))
+      .groupBy("id")
+      .agg(graft.functions.VectorFunctions.simhashAgg(col("f")).as("sk"))
   }
 
   /** Hamming distance between two 64-bit sketches. */

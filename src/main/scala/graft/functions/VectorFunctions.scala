@@ -22,4 +22,10 @@ object VectorFunctions {
   def minhashAgg(hash: Column, numHashes: Int): Column =
     ColumnBridge.column(
       MinHashAgg(ColumnBridge.expression(hash), numHashes).toAggregateExpression())
+
+  /** SimHash-64 sketch aggregate over long hashes or md5 hex strings.
+    * See [[SimHashAgg]]. */
+  def simhashAgg(hashOrHex: Column): Column =
+    ColumnBridge.column(
+      SimHashAgg(ColumnBridge.expression(hashOrHex)).toAggregateExpression())
 }

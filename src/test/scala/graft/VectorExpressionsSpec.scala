@@ -97,6 +97,43 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
     native shouldBe legacy
   }
 
+  test("SimHashAgg is value-identical to the 64-column vote form, both hash modes") {
+    val s = spark
+    import s.implicits._
+    val shingled = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n o p q"))
+      .toDF("id", "text")
+      .select(col("id"), explode(graft.dedup.Dedup.wordShingles(col("text"), 3)).as("sh"))
+
+    def legacy(field: org.apache.spark.sql.Column, md5Mode: Boolean): Map[Long, Long] = {
+      val prepared =
+        if (!md5Mode) shingled.select(col("id"), field.as("h"))
+        else shingled.select(col("id"), field.as("hex"))
+          .select(col("id") +: (0 until 16).map { j =>
+            (expr(s"locate(substring(hex, ${j + 1}, 1), '0123456789abcdef')") - 1).as(s"n$j")
+          }: _*)
+      val bitSums = (0 until 64).map { b =>
+        if (!md5Mode)
+          sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
+        else
+          sum(when(shiftright(col(s"n${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1, 1)
+            .otherwise(-1)).as(s"b$b")
+      }
+      val sk = (0 until 64).map { b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      prepared.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("id"), sk.as("sk"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def native(field: org.apache.spark.sql.Column): Map[Long, Long] =
+      shingled.select(col("id"), field.as("f")).groupBy("id")
+        .agg(graft.functions.VectorFunctions.simhashAgg(col("f")).as("sk"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    native(xxhash64(col("sh"))) shouldBe legacy(xxhash64(col("sh")), md5Mode = false)
+    native(md5(col("sh"))) shouldBe legacy(md5(col("sh")), md5Mode = true)
+  }
+
   test("SQL functions register via GraftFunctions/GraftExtensions") {
     val s = spark
     import s.implicits._
