@@ -545,6 +545,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- LLM-pipeline: embedding-space near-duplicate pairs (sign-
+    // bucket LSH candidates verified with exact cosine). The synthetic
+    // embeddings corpus has no planted near-dups (max pairwise cosine
+    // ~0.51), so the gate fixture lowers the threshold to 0.3 with 4
+    // planes to exercise the bucket join + verify path on real rows;
+    // the seed-42 hyperplanes are replayed as literals in the oracle,
+    // making this a full hash-checked gate like ll4.
+    "ll9_embedding_near_dups" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      Similarity.nearDupByEmbedding(df, "vec_id", "embedding", dim = 64,
+          threshold = 0.3, nPlanes = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 4).as("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- LLM-pipeline: per-document content fingerprints (md5 of the
     // normalized text — byte-identical across engines by construction).
     "txt_fingerprints" -> ((s, dir) => {
@@ -1071,6 +1086,28 @@ object SparkEntry {
          |)
          |SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Same literal-hyperplane replay as ll4: the oracle recomputes the
+    // 4-plane sign bucket per vector, joins on bucket equality, and
+    // verifies with the exact cosine — the full candidate-then-verify
+    // semantics of Similarity.nearDupByEmbedding in SQL.
+    "ll9_embedding_near_dups" -> {
+      val planes = graft.similarity.Similarity.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
+      val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_dot_product(embedding[1:64]::DOUBLE[], ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(a.embedding) + 1)]) /
+         |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE for i in range(1, len(a.embedding) + 1)])) *
+         |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(b.embedding) + 1)]))) AS cosine_sim
+         |  FROM d a JOIN d b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, round(cosine_sim, 4) AS cosine_sim
+         |FROM pairs WHERE cosine_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
     },
 
     // Replays the md5-derived simhash sketch (gate hash mode) bit for
