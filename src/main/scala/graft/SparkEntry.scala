@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.model.TableMeta
+import graft.multimodal.Multimodal
 import graft.profiler.{ProfilePasses, Profiler, ProfilerConfig}
 import graft.similarity.Similarity
 import graft.streaming.StreamProfiler
@@ -594,6 +595,28 @@ object SparkEntry {
       }: _*)
     }),
 
+    // ---- Multimodal: magic-byte format sniffing + byte-size metadata
+    // over a binary column synthesized deterministically from the
+    // documents table (container-format magic prefix chosen by
+    // doc_id % 4, then the UTF-8 text bytes). The oracle derives the
+    // expected format from the ground-truth doc_id rule while the
+    // engine sniffs it from the bytes — so the gate actually verifies
+    // the sniffer's magic-byte decoding, not just the aggregation.
+    "mm_binary_metadata" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+      val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+      val wav = "RIFF0000WAVE".getBytes("UTF-8")
+      val bin = concat(
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(png))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit(jpeg))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(wav))
+          .otherwise(lit(Array.emptyByteArray)),
+        encode(col("text"), "UTF-8"))
+      Multimodal.binaryMetadata(df.withColumn("bin", bin), "bin")
+        .orderBy("format")
+    }),
+
     // ---- Streaming-profile plan, verified through its batch fixpoint:
     // the same windowedCompleteness plan runs incrementally under a
     // watermark on a stream (see StreamProfiler/StreamingSpec).
@@ -601,6 +624,20 @@ object SparkEntry {
       val df = eventsWithTs(s, dir)
       StreamProfiler.windowedCompleteness(df, "ts", "event_type", "1 day",
         watermarkDelay = None, valueCols = Seq("value", "props"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // ---- Streaming numeric-drift profile (avg/stddev/min/max per
+    // tumbling window and key), verified through its batch fixpoint —
+    // the identical plan runs incrementally under a watermark on a
+    // stream (StreamingSpec runs it as a real MemoryStream query).
+    "ev_windowed_numeric" -> ((s, dir) => {
+      val df = eventsWithTs(s, dir)
+      StreamProfiler.windowedNumericProfile(df, "ts", "event_type", "value", "1 day")
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          round(col("avg_value"), 4).as("avg_value"),
+          round(col("stdev_value"), 4).as("stdev_value"),
+          col("min_value"), col("max_value"))
         .orderBy("window_start", "event_type")
     }),
 
@@ -1033,6 +1070,35 @@ object SparkEntry {
         |       round(CAST(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*) AS DOUBLE), 4) AS value_null_rate,
         |       count(*) FILTER (WHERE props IS NULL) AS props_nulls,
         |       round(CAST(count(*) FILTER (WHERE props IS NULL) * 100.0 / count(*) AS DOUBLE), 4) AS props_null_rate
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The oracle derives each file's expected format from the GROUND
+    // TRUTH doc_id % 4 rule that synthesized the magic prefix, while
+    // the engine sniffs it back out of the bytes — byte-size stats are
+    // prefix length + UTF-8 text length.
+    "mm_binary_metadata" ->
+      """WITH b AS (
+        |  SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |              WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
+        |         CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 4
+        |              WHEN 2 THEN 12 ELSE 0 END + octet_length(encode(text)) AS n_bytes
+        |  FROM documents
+        |)
+        |SELECT format,
+        |       count(*) AS n_files,
+        |       CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+        |       CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+        |       round(CAST(avg(n_bytes) AS DOUBLE), 2) AS avg_bytes,
+        |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        |FROM b GROUP BY format ORDER BY format""".stripMargin,
+
+    "ev_windowed_numeric" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       round(CAST(avg(value) AS DOUBLE), 4) AS avg_value,
+        |       round(CAST(stddev_samp(value) AS DOUBLE), 4) AS stdev_value,
+        |       min(value) AS min_value,
+        |       max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ll3_ann_topk" ->

@@ -88,10 +88,14 @@ object Dedup {
         b.as("band"),
         xxhash64(slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))).as("bucket")))
 
-  /** Exact Jaccard similarity of two shingle-set columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact Jaccard similarity of two shingle-set columns. Inputs must
+    * be duplicate-free (as [[wordShingles]] emits); the union size is
+    * then |A| + |B| − |A∩B|, which skips materializing a second hash
+    * set per pair — array_intersect is the only set build. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
 
   /** Exact-duplicate groups by normalized-content fingerprint:
     * (fingerprint, dup_count) for every group occurring more than

@@ -86,7 +86,16 @@ object GraftFunctions {
       SignBucketExpr(args(0), matrixOf(args(1), "graft_sign_bucket"))
     })
 
-  def all: Seq[FunctionDescription] = Seq(nearestCells, signBucket)
+  val cosineSim: FunctionDescription = (
+    FunctionIdentifier("graft_cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine_sim"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"graft_cosine_sim(a, b) takes 2 arguments, got ${args.length}")
+      CosineSim(args(0), args(1))
+    })
+
+  def all: Seq[FunctionDescription] = Seq(nearestCells, signBucket, cosineSim)
 
   /** Register on an already-built session (no extensions config). */
   def register(spark: SparkSession): Unit =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -187,4 +187,90 @@ case class SignBucketExpr(child: Expression, matrix: Array[Array[Double]])
     copy(child = newChild)
 
   override def prettyName: String = "sign_bucket"
+}
+
+/** Cosine similarity of two vector columns in ONE fused primitive loop
+  * (dot product and both squared norms accumulated together), value-
+  * identical to the higher-order-function formulation it replaces —
+  * `aggregate(zip_with(a,b,_*_))/(sqrt(aggregate(a²))*sqrt(aggregate(b²)))`
+  * — which walks each pair of arrays three times through interpreted
+  * lambdas and allocates the zipped array. Per the HOF's zip_with-null
+  * semantics, vectors of different lengths yield null. Array elements
+  * must be non-null (embedding columns; not enforced). */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs two array<float|double> inputs, got $other")
+  }
+
+  private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+      // Spark's Divide yields null on a zero divisor (all numeric
+      // types, non-ANSI) — mirror it for zero-norm/empty vectors.
+      val div = math.sqrt(na) * math.sqrt(nb)
+      if (div == 0.0) null else dot / div
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (aVar, bVar) => {
+      val lGet = if (leftIsFloat) "getFloat" else "getDouble"
+      val rGet = if (rightIsFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val div = ctx.freshName("div")
+      s"""
+         |final int $n = $aVar.numElements();
+         |if ($n != $bVar.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = (double) $aVar.$lGet($i);
+         |    final double $y = (double) $bVar.$rGet($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  final double $div = Math.sqrt($na) * Math.sqrt($nb);
+         |  if ($div == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $div; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
 }

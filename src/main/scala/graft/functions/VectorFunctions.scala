@@ -28,4 +28,9 @@ object VectorFunctions {
   def simhashAgg(hashOrHex: Column): Column =
     ColumnBridge.column(
       SimHashAgg(ColumnBridge.expression(hashOrHex)).toAggregateExpression())
+
+  /** Cosine similarity of two vector columns, one fused loop.
+    * See [[CosineSim]]. */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -36,9 +36,13 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity of two vector columns. */
+  /** Cosine similarity of two vector columns. Backed by the native
+    * [[graft.functions.CosineSim]] — one fused codegen'd loop instead
+    * of three interpreted higher-order-function traversals per pair
+    * (value-identical, including the length-mismatch → null and
+    * zero-divisor → null semantics of the HOF form). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Deterministic pseudo-random Gaussian hyperplanes (fixed seed) for
     * sign-bucket LSH. */

@@ -169,4 +169,69 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
     }
     run("CODEGEN_ONLY") shouldBe run("NO_CODEGEN")
   }
+
+  test("cosineSim is bit-identical to the HOF formulation it replaces") {
+    val s = spark
+    import s.implicits._
+    import graft.similarity.Similarity
+    val df = Seq(
+      (1L, Seq(3.0f, -2.0f, 1.0f), Seq(0.5f, 0.25f, -1.0f)),
+      (2L, Seq(0.1f, 0.2f, 0.3f), Seq(0.1f, 0.2f, 0.3f)),
+      (3L, Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("id", "a", "b")
+    val hof = Similarity.dot(col("a"), col("b")) /
+      (Similarity.l2Norm(col("a")) * Similarity.l2Norm(col("b")))
+    val rows = df.select(
+        VectorFunctions.cosineSim(col("a"), col("b")).as("native"), hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+    }
+  }
+
+  test("cosineSim nulls: null input, length mismatch, zero norm") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Option.empty[Seq[Double]], Some(Seq(1.0, 2.0))),
+      (2L, Some(Seq(1.0, 2.0, 3.0)), Some(Seq(1.0, 2.0))),
+      (3L, Some(Seq(0.0, 0.0)), Some(Seq(1.0, 2.0))),
+      (4L, Some(Seq(1.0, 0.0)), Some(Seq(1.0, 0.0))))
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"), VectorFunctions.cosineSim(col("a"), col("b")).as("sim"))
+      .orderBy("id").collect()
+    rows(0).isNullAt(1) shouldBe true  // null input
+    rows(1).isNullAt(1) shouldBe true  // length mismatch (zip_with-null semantics)
+    rows(2).isNullAt(1) shouldBe true  // zero divisor (Divide semantics)
+    rows(3).getDouble(1) shouldBe 1.0
+  }
+
+  test("cosineSim codegen and interpreted paths agree") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some(Seq(3.0, -2.0, 1.0)), Some(Seq(0.5, 0.25, -1.0))),
+      (2L, Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0, 3.0))),
+      (3L, Option.empty[Seq[Double]], Some(Seq(1.0))))
+      .toDF("id", "a", "b")
+    def run(codegen: String): Seq[Option[Long]] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(col("id"), VectorFunctions.cosineSim(col("a"), col("b")).as("sim"))
+        .orderBy("id").collect()
+        .map(r => if (r.isNullAt(1)) None
+                  else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(1)))).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    run("CODEGEN_ONLY") shouldBe run("NO_CODEGEN")
+  }
+
+  test("graft_cosine_sim registers as a SQL function") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b").createOrReplaceTempView("vex_cos")
+    spark.sql("SELECT graft_cosine_sim(a, b) AS sim FROM vex_cos")
+      .collect()(0).getDouble(0) shouldBe 1.0
+  }
 }
