@@ -100,6 +100,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("LeftSemi")
   }
 
+  test("embedding near-dup pairing is bucket-equi-keyed, never a cartesian product") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 8).map(i => (i.toLong, Seq.fill(4)(i.toDouble + 1)))
+      .toDF("vec_id", "embedding")
+    val plan = physical(Similarity.nearDupByEmbedding(vecs, "vec_id", "embedding", dim = 4))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("two-phase top-k has no Window and no global sort of candidates") {
     val s = spark
     import s.implicits._
