@@ -33,4 +33,9 @@ object VectorFunctions {
     * See [[CosineSim]]. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Distinct sliding-window minima of character k-gram hashes — the
+    * winnowing fingerprint inner loop. See [[WinnowingMins]]. */
+  def winnowingMins(text: Column, k: Int, w: Int, hashMode: String): Column =
+    ColumnBridge.column(WinnowingMins(ColumnBridge.expression(text), k, w, hashMode))
 }

@@ -142,49 +142,31 @@ object TextAnalysis {
     * whole-document similarity (Jaccard/SimHash) cannot see.
     *
     * Output: (id, fp) distinct fingerprint hashes per document.
-    * Plan shape: ENTIRELY map-side until the final distinct — char-gram
-    * hashes and their sliding-window minima are computed over bound
-    * array attributes within each row, and only the per-document
-    * distinct minima are exploded. (An earlier formulation exploded one
-    * row per character k-gram and ran a `Window.partitionBy(id)` min —
-    * a corpus-sized shuffle plus a per-document sort, and the dominant
-    * cost of the overlap-pairs bench entry. The sliding min over the
-    * materialized hash array costs O(|text|·w) interpreted steps per
-    * document with NO shuffle, and w is a small constant.) Each array
-    * stage is bound in its own projection so no HOF lambda captures —
-    * and re-evaluates per element — an unbound subtree. */
+    * Plan shape: ENTIRELY map-side until the final distinct — the
+    * gram-hash + sliding-min + distinct inner loop is one native
+    * [[graft.functions.WinnowingMins]] evaluation per row, and only
+    * the per-document distinct minima are exploded. (Two earlier
+    * formulations document the path here: exploding one row per
+    * character k-gram with a `Window.partitionBy(id)` min — a
+    * corpus-sized shuffle plus per-document sort — and then the
+    * shuffle-free higher-order-function pipeline, whose interpreted
+    * per-element lambdas and per-gram md5 allocations still dominated
+    * the overlap-pairs gate query.)
+    *
+    * Winnowing needs any TOTAL ORDER on gram hashes, not a numeric
+    * one: `md5` mode keeps the fingerprints as hex strings whose
+    * lexicographic minima DuckDB reproduces bit-for-bit (both engines
+    * compute identical md5 and compare ASCII identically) — the
+    * engine-reproducible gate mode. `xxhash64` (default) is the scale
+    * mode: fixed-width longs, cheaper to hash, shuffle, and compare.
+    * Null texts produce no fingerprints. */
   def winnowingFingerprints(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 4, hashMode: String = "xxhash64"): DataFrame = {
-    // Winnowing needs any TOTAL ORDER on gram hashes, not a numeric
-    // one: `md5` mode keeps the fingerprints as hex strings whose
-    // lexicographic minima DuckDB reproduces bit-for-bit (both engines
-    // compute identical md5 and compare ASCII identically) — the
-    // engine-reproducible gate mode. `xxhash64` (default) is the scale
-    // mode: fixed-width longs, cheaper to hash, shuffle, and compare.
-    val gramHash: Column => Column = hashMode match {
-      case "xxhash64" => xxhash64(_)
-      case "md5" => md5(_)
-      case other => throw new IllegalArgumentException(s"unknown hashMode: $other")
-    }
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    // k-grams by direct substring over the BOUND normalized text — one
-    // short string copy + hash per gram, no char-array / zipped-slice
-    // materialization. A document shorter than k characters yields one
-    // whole-text gram (substr clamps at the end of the string).
-    // Null texts produce no fingerprints (greatest() skips nulls, so
-    // without the filter a null doc would emit one null-fp row).
-    val normed = spread(df).filter(col(textCol).isNotNull)
+    spread(df).filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), norm.as("t"))
-    val hashed = normed.select(col("id"),
-      transform(
-        sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))),
-        i => gramHash(col("t").substr(i, lit(k)))).as("hs"))
-    // Window p covers hashes p..p+w-1; slice clamps at the array end,
-    // so tail windows shorten exactly like the rowsBetween(current,
-    // w-1) frame they replace.
-    val mins = transform(sequence(lit(1), size(col("hs"))),
-      i => array_min(slice(col("hs"), i, lit(w))))
-    hashed.select(col("id"), explode(array_distinct(mins)).as("fp"))
+      .select(col("id"),
+        explode(graft.functions.VectorFunctions.winnowingMins(col("t"), k, w, hashMode)).as("fp"))
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -120,6 +121,40 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val fps = graft.text.TextAnalysis.winnowingFingerprints(df, "text", "doc_id").collect()
     fps.map(_.getAs[Long]("id")).toSet shouldBe Set(1L)
     all(fps.map(r => r.isNullAt(r.fieldIndex("fp")))) shouldBe false
+  }
+
+  test("winnowingMins is value-identical to the HOF formulation, both hash modes") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "short",
+      "",
+      "exactly8",
+      "naïve café déjà-vu — unicode résumé ﬁ ligature text",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // repeated content → heavy dedup
+      "a b a b a b a b a b a b a b a b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (mode <- Seq("xxhash64", "md5")) {
+      // The replaced formulation, verbatim: k-gram hashes via substr,
+      // sliding array_min over slices, array_distinct.
+      val k = 8
+      val w = 4
+      val gramHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (mode == "md5") md5(_) else xxhash64(_)
+      val hashed = df.select(col("id"),
+        transform(
+          sequence(lit(1), greatest(org.apache.spark.sql.functions.length(col("t")) - (k - 1), lit(1))),
+          i => gramHash(col("t").substr(i, lit(k)))).as("hs"))
+      val mins = transform(sequence(lit(1), org.apache.spark.sql.functions.size(col("hs"))),
+        i => array_min(slice(col("hs"), i, lit(w))))
+      val legacy = hashed.select(col("id"), array_distinct(mins).as("fps"))
+        .orderBy("id").collect().map(_.getSeq[Any](1)).toSeq
+      val native = df.select(col("id"),
+          graft.functions.VectorFunctions.winnowingMins(col("t"), k, w, mode).as("fps"))
+        .orderBy("id").collect().map(_.getSeq[Any](1)).toSeq
+      withClue(s"mode=$mode: ") { native shouldBe legacy }
+    }
   }
 
   test("contentHash64 agrees with fingerprint on equality structure") {
