@@ -47,33 +47,51 @@ object Dedup {
     array_distinct(when(size(w) >= n, grams).otherwise(array(concat_ws(" ", w))))
   }
 
+  /** Whitespace normalization shared by the hash-based shingle paths:
+    * under it every word n-gram is a contiguous byte range (see
+    * [[graft.functions.ShingleHashes]]). `concat_ws(" ", split(trim(t),
+    * "\\s+"))` ≡ `regexp_replace(trim(t), "\\s+", " ")`. */
+  private def wsNormalized(text: Column): Column =
+    regexp_replace(trim(text), "\\s+", " ")
+
+  /** Distinct 64-bit shingle hashes per document: (id, sh: array<long>).
+    * The native [[graft.functions.ShingleHashes]] hashes each word
+    * n-gram's byte range in place — no per-gram string materialization,
+    * and downstream joins shuffle fixed-width longs instead of gram
+    * strings. Hash-distinctness ≡ string-distinctness modulo 64-bit
+    * collisions, which MinHash/Jaccard consumers absorb by design. */
+  def shingleHashes(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame =
+    spread(df).select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.shingleHashes(
+        wsNormalized(col(textCol)), shingleSize).as("sh"))
+
   /** MinHash signatures as a DataFrame: (id, sig: array<long>) where
     * sig(s) = min over shingles of xxhash64(s, shingle) — k
     * independent-enough hash families from one seeded hash, the
     * standard construction.
     *
-    * Deliberately relational — explode to (id, shingle) rows, then ONE
+    * Deliberately relational — explode to (id, hash) rows, then ONE
     * aggregate — rather than nested array lambdas: a higher-order-
     * function lambda re-evaluates any non-attribute subtree it
     * captures once PER ELEMENT (interpreted, no codegen), which turns
     * nested transform(transform(...)) minhashing into k × |shingles|
-    * re-tokenizations of the document. Each shingle is string-hashed
-    * ONCE; the k families then hash the resulting fixed-width long
-    * with k seeds inside the native [[graft.functions.MinHashAgg]]
-    * (an Array[Long]-buffered aggregate — the earlier k-COLUMN min
-    * formulation generated an update method with 128 inlined branches,
-    * seconds of janino per plan shape). The shuffle stays at k longs
-    * per document after partial aggregation. */
+    * re-tokenizations of the document. Each shingle is hashed ONCE
+    * from its byte range ([[shingleHashes]]); the k families then hash
+    * the resulting fixed-width long with k seeds inside the native
+    * [[graft.functions.MinHashAgg]] (an Array[Long]-buffered
+    * aggregate — the earlier k-COLUMN min formulation generated an
+    * update method with 128 inlined branches, seconds of janino per
+    * plan shape). The shuffle stays at k longs per document after
+    * partial aggregation. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 128): DataFrame = {
-    val shingled = spread(df).select(
-        col(idCol).as("id"),
-        explode(wordShingles(col(textCol), shingleSize)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    shingled.groupBy("id")
+      shingleSize: Int = 3, numHashes: Int = 128): DataFrame =
+    shingleHashes(df, idCol, textCol, shingleSize)
+      .select(col("id"), explode(col("sh")).as("h"))
+      .groupBy("id")
       .agg(graft.functions.VectorFunctions.minhashAgg(col("h"), numHashes).as("sig"))
-  }
 
   /** LSH band keys over a BOUND signature attribute: the signature is
     * cut into `bands` runs of `rowsPerBand` and each run is hashed to
@@ -140,11 +158,12 @@ object Dedup {
     // array ships through both join shuffles. The candidate subplan
     // appears three times below, but its final distinct ends in an
     // exchange, so Spark's exchange reuse runs the expensive
-    // minhash+bucket shuffle once.
+    // minhash+bucket shuffle once. Verification intersects the
+    // fixed-width HASH sets — the exact gram-set Jaccard modulo 64-bit
+    // collisions — so the join ships array<long>, not gram strings.
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
-    val shingled = spread(df)
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+    val shingled = shingleHashes(df, idCol, textCol, shingleSize)
       .join(candIds, Seq("id"), "left_semi")
     candidates
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -194,33 +213,27 @@ object Dedup {
   def simhash64(text: Column): Column = simhash64FromHashes(tokenHashes(text))
 
   /** SimHash sketches as a DataFrame: (id, sk: long) over word-shingle
-    * hashes — the relational formulation (explode + one wide codegen'd
-    * aggregate of 64 signed bit-counts, then a linear bit-assembly
-    * projection). The Column-expression [[simhash64]] evaluates 64
-    * interpreted array traversals per row, fine for short token lists;
-    * this shape is the one to use over a corpus. */
+    * hashes — ONE map-side [[graft.functions.SimHashSketch]] eval per
+    * document: distinct gram fields → 64 signed bit votes → sketch,
+    * with no explode, no aggregate, no shuffle. (Two earlier
+    * formulations document the path here: a 64-COLUMN sum aggregate —
+    * seconds of janino per plan shape — then the explode +
+    * [[graft.functions.SimHashAgg]] relational form, which still paid
+    * per-gram-row aggregate machinery and a per-document partial-
+    * sketch shuffle.) `md5` is the engine-reproducible gate mode: bit
+    * b is bit (b mod 4) of hex nibble (b div 4) of the gram digest —
+    * a definition DuckDB replays character-for-character. `xxhash64`
+    * (default) is the cheaper scale mode. The Column-expression
+    * [[simhash64]] evaluates 64 interpreted array traversals per row,
+    * fine for short token lists; this shape is the one to use over a
+    * corpus. */
   def simhashSketches(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, hashMode: String = "xxhash64"): DataFrame = {
-    val shingled = spread(df)
-      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleSize)).as("sh"))
-    // Per-shingle 64-bit fields to vote over, folded by the native
-    // [[graft.functions.SimHashAgg]] (one Array[Int] buffer — the
-    // earlier 64-COLUMN sum form generated an update method with 64
-    // inlined branches, seconds of janino per plan shape). `md5` is
-    // the engine-reproducible gate mode: bit b is bit (b mod 4) of
-    // hex nibble (b div 4) of the digest — a definition DuckDB
-    // replays character-for-character (both engines emit identical
-    // lowercase hex). `xxhash64` (default) is the cheaper scale mode.
-    val field = hashMode match {
-      case "xxhash64" => xxhash64(col("sh"))
-      case "md5" => md5(col("sh"))
-      case other => throw new IllegalArgumentException(s"unknown hashMode: $other")
-    }
-    shingled.select(col("id"), field.as("f"))
-      .groupBy("id")
-      .agg(graft.functions.VectorFunctions.simhashAgg(col("f")).as("sk"))
-  }
+      shingleSize: Int = 3, hashMode: String = "xxhash64"): DataFrame =
+    spread(df).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.VectorFunctions.simhashSketch(
+          wsNormalized(col(textCol)), shingleSize, hashMode).as("sk"))
 
   /** Hamming distance between two 64-bit sketches. */
   def hammingDistance(a: Column, b: Column): Column =

@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingle hashes of a WHITESPACE-NORMALIZED
+  * document in one native pass: 64-bit xxhash64 (Spark's seed-42
+  * XXH64, identical to `xxhash64(gram)`) of every word n-gram, distinct
+  * in first-occurrence order, with NO per-gram string materialization.
+  *
+  * The input must already be `regexp_replace(trim(text), "\\s+", " ")`
+  * — single spaces, no leading/trailing whitespace. Under that
+  * normalization every word n-gram `concat_ws(" ", w(i..i+n-1))` is a
+  * CONTIGUOUS byte range of the input, so each gram hash is one
+  * `XXH64.hashUnsafeBytes` over the shared buffer: zero allocations
+  * per gram, versus the column formulation
+  * (`array_distinct(transform(arrays_zip(slices), concat_ws))` then
+  * `xxhash64` per exploded row) which materializes the zipped struct
+  * array, every gram string, and runs its lambdas interpreted.
+  *
+  * Semantics replicated from [[graft.dedup.Dedup.wordShingles]]:
+  * fewer than n tokens (including the empty document) collapse to one
+  * whole-text gram; distinct keeps the first occurrence. Distinctness
+  * is by HASH here rather than by string — identical modulo 64-bit
+  * collisions, which downstream MinHash/Jaccard treats as what they
+  * are: the same hash. Null input yields null.
+  */
+private[functions] object WordGrams {
+
+  /** Token start offsets of a whitespace-normalized byte string:
+    * starts(t) is the byte offset of token t, and starts(nTokens) is
+    * `bytes.length + 1` — a virtual space after the last token, so a
+    * gram spanning tokens [from, until) is the byte range
+    * [starts(from), starts(until) − 1). The normalized empty document
+    * is ONE empty token, matching `split("", "\\s+")`. A space byte
+    * (0x20) never occurs inside a multi-byte UTF-8 sequence, so the
+    * raw byte scan is character-safe. */
+  def tokenStarts(bytes: Array[Byte]): Array[Int] = {
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') nTokens += 1
+      i += 1
+    }
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = bytes.length + 1
+    starts
+  }
+}
+
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"n must be positive: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs a string input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val starts = WordGrams.tokenStarts(bytes)
+    val nTokens = starts.length - 1
+    def gramHash(fromTok: Int, untilTok: Int): Long = {
+      val from = starts(fromTok)
+      val until = starts(untilTok) - 1 // drop the trailing (virtual) space
+      XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
+    }
+    if (nTokens < n) {
+      new GenericArrayData(Array(gramHash(0, nTokens)))
+    } else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]
+      var g = 0
+      while (g <= nTokens - n) {
+        seen.add(gramHash(g, g + n))
+        g += 1
+      }
+      val out = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** The whole SimHash-64 sketch of a whitespace-normalized document as
+  * ONE map-side expression: distinct word n-gram fields → 64 signed
+  * bit votes → sketch, with no explode, no aggregate, and no shuffle
+  * (the relational explode + [[SimHashAgg]] formulation shuffles one
+  * partial sketch per document and pays the per-gram-row aggregate
+  * machinery; this pays one eval per document).
+  *
+  * Value-identical to `simhashSketches`'s explode + SimHashAgg over
+  * `wordShingles` in both hash modes:
+  *   - `xxhash64`: gram field = seed-42 XXH64 of the gram's byte
+  *     range (≡ `xxhash64(gram)`); bit b of the field votes ±1 on
+  *     sketch bit b;
+  *   - `md5`: gram field = the first 16 hex chars of the gram's md5
+  *     as a big-endian unsigned long; bit b is bit (b mod 4) of hex
+  *     nibble (b div 4) — [[SimHashAgg]]'s engine-reproducible
+  *     definition, read here straight from the digest's first 8 bytes.
+  *
+  * Gram distinctness is by 64-bit gram hash rather than by gram
+  * string — identical modulo collisions (the [[ShingleHashes]]
+  * argument); in md5 mode the cheap XXH64 also gates which grams get
+  * the expensive digest. Ties vote to 0 (bit clear). Fewer than n
+  * tokens collapse to one whole-text gram. Null input yields null —
+  * callers filter, matching the explode form where a null document
+  * simply vanishes.
+  */
+case class SimHashSketch(child: Expression, n: Int, hashMode: String)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"n must be positive: $n")
+
+  private val isMd5 = hashMode match {
+    case "md5" => true
+    case "xxhash64" => false
+    case other => throw new IllegalArgumentException(s"unknown hashMode: $other")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sketch needs a string input, got $other")
+  }
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val starts = WordGrams.tokenStarts(bytes)
+    val nTokens = starts.length - 1
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[java.lang.Long]
+    def vote(fromTok: Int, untilTok: Int): Unit = {
+      val from = starts(fromTok)
+      val until = starts(untilTok) - 1
+      val gh = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
+      if (!seen.add(gh)) return
+      val field: Long =
+        if (isMd5) {
+          md.update(bytes, from, until - from)
+          val d = md.digest() // resets the instance
+          // First 8 digest bytes, big-endian ≡ parseUnsignedLong of
+          // the first 16 lowercase-hex chars.
+          var f = 0L
+          var i = 0
+          while (i < 8) { f = (f << 8) | (d(i) & 0xffL); i += 1 }
+          f
+        } else gh
+      var b = 0
+      while (b < 64) {
+        val set =
+          if (isMd5) ((field >>> (4 * (15 - b / 4))) >> (b % 4) & 1L) == 1L
+          else (field >> b & 1L) == 1L
+        votes(b) += (if (set) 1 else -1)
+        b += 1
+      }
+    }
+    if (nTokens < n) vote(0, nTokens)
+    else {
+      var g = 0
+      while (g <= nTokens - n) { vote(g, g + n); g += 1 }
+    }
+    var sk = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sk |= (1L << b)
+      b += 1
+    }
+    sk
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSketch =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_sketch"
+}

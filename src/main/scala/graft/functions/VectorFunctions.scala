@@ -38,4 +38,14 @@ object VectorFunctions {
     * winnowing fingerprint inner loop. See [[WinnowingMins]]. */
   def winnowingMins(text: Column, k: Int, w: Int, hashMode: String): Column =
     ColumnBridge.column(WinnowingMins(ColumnBridge.expression(text), k, w, hashMode))
+
+  /** Distinct word n-gram shingle hashes of a whitespace-normalized
+    * document. See [[ShingleHashes]]. */
+  def shingleHashes(normText: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(normText), n))
+
+  /** Whole-document SimHash-64 sketch over word n-gram shingles of a
+    * whitespace-normalized document. See [[SimHashSketch]]. */
+  def simhashSketch(normText: Column, n: Int, hashMode: String): Column =
+    ColumnBridge.column(SimHashSketch(ColumnBridge.expression(normText), n, hashMode))
 }

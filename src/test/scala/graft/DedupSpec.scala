@@ -32,6 +32,47 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       Seq("only two")
   }
 
+  test("shingleHashes is value-identical to xxhash64 over wordShingles") {
+    val df = docs(
+      (1L, base),
+      (2L, "  leading and   internal\twhitespace\n runs collapse  "),
+      (3L, "only two"),
+      (4L, ""),
+      (5L, "naïve café déjà-vu unicode résumé tokens here"),
+      (6L, "rep rep rep rep rep rep"), // repeated grams → heavy dedup
+      (7L, "a b c d"))
+    val legacy = df.select(col("doc_id"),
+        transform(Dedup.wordShingles(col("text"), 3), s => xxhash64(s)).as("hs"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq
+    val native = Dedup.shingleHashes(df, "doc_id", "text", 3)
+      .orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+    native shouldBe legacy
+  }
+
+  test("simhashSketches is value-identical to the explode+SimHashAgg form, both modes") {
+    val df = docs(
+      (1L, base),
+      (2L, "  leading and   internal\twhitespace\n runs collapse  "),
+      (3L, "only two"),
+      (4L, ""),
+      (5L, "naïve café déjà-vu unicode résumé tokens here"),
+      (6L, "rep rep rep rep rep rep"),
+      (7L, "a b c d"))
+    for (mode <- Seq("xxhash64", "md5")) {
+      val field: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (mode == "md5") md5(_) else xxhash64(_)
+      val legacy = df
+        .select(col("doc_id").as("id"), explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
+        .select(col("id"), field(col("sh")).as("f"))
+        .groupBy("id")
+        .agg(graft.functions.VectorFunctions.simhashAgg(col("f")).as("sk"))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val native = Dedup.simhashSketches(df, "doc_id", "text", 3, mode)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      withClue(s"mode=$mode: ") { native shouldBe legacy }
+    }
+  }
+
   test("minhash signatures are identical for identical shingle sets") {
     val df = docs((1L, "a b c d"), (2L, "a b c d"))
     val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 16)
