@@ -17,6 +17,13 @@ import org.apache.spark.sql.types._
   *   - `graft_nearest_cells(vec, matrix, n)` → array<int> of the n
   *     matrix-row indices with the highest dot product, best first
   *   - `graft_sign_bucket(vec, planes)` → int hyperplane sign bucket
+  *   - `graft_cosine_sim(a, b)` → double cosine similarity
+  *   - `graft_shingle_hashes(norm_text, n)` → array<bigint> distinct
+  *     word n-gram hashes of a whitespace-normalized document
+  *   - `graft_simhash_sketch(norm_text, n, mode)` → bigint SimHash-64
+  *   - `graft_winnowing_mins(text, k, w, mode)` → winnowing
+  *     fingerprints (array<string> for 'md5', array<bigint> for
+  *     'xxhash64')
   *
   * The matrix/planes argument must be a LITERAL array<array<numeric>>
   * — it is folded at plan time into the expression's reference-object
@@ -95,7 +102,46 @@ object GraftFunctions {
       CosineSim(args(0), args(1))
     })
 
-  def all: Seq[FunctionDescription] = Seq(nearestCells, signBucket, cosineSim)
+  private def stringOf(e: Expression, fn: String, what: String): String = {
+    require(e.foldable, s"$fn: $what must be a literal string")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(s"$fn: $what must be a string, got $other")
+    }
+  }
+
+  val shingleHashes: FunctionDescription = (
+    FunctionIdentifier("graft_shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"graft_shingle_hashes(norm_text, n) takes 2 arguments, got ${args.length}")
+      ShingleHashes(args(0), intOf(args(1), "graft_shingle_hashes"))
+    })
+
+  val simhashSketch: FunctionDescription = (
+    FunctionIdentifier("graft_simhash_sketch"),
+    new ExpressionInfo(classOf[SimHashSketch].getName, "graft_simhash_sketch"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"graft_simhash_sketch(norm_text, n, mode) takes 3 arguments, got ${args.length}")
+      SimHashSketch(args(0), intOf(args(1), "graft_simhash_sketch"),
+        stringOf(args(2), "graft_simhash_sketch", "mode"))
+    })
+
+  val winnowingMins: FunctionDescription = (
+    FunctionIdentifier("graft_winnowing_mins"),
+    new ExpressionInfo(classOf[WinnowingMins].getName, "graft_winnowing_mins"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        s"graft_winnowing_mins(text, k, w, mode) takes 4 arguments, got ${args.length}")
+      WinnowingMins(args(0), intOf(args(1), "graft_winnowing_mins"),
+        intOf(args(2), "graft_winnowing_mins"),
+        stringOf(args(3), "graft_winnowing_mins", "mode"))
+    })
+
+  def all: Seq[FunctionDescription] =
+    Seq(nearestCells, signBucket, cosineSim, shingleHashes, simhashSketch, winnowingMins)
 
   /** Register on an already-built session (no extensions config). */
   def register(spark: SparkSession): Unit =

@@ -234,4 +234,24 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
     spark.sql("SELECT graft_cosine_sim(a, b) AS sim FROM vex_cos")
       .collect()(0).getDouble(0) shouldBe 1.0
   }
+
+  test("text sketch functions register in SQL and agree with the Column API") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, "a b c d e f g h i j")).toDF("id", "t").createOrReplaceTempView("vex_txt")
+    val r = spark.sql(
+      """SELECT graft_shingle_hashes(t, 3) AS sh,
+        |       graft_simhash_sketch(t, 3, 'md5') AS sk,
+        |       graft_winnowing_mins(t, 8, 4, 'md5') AS fps
+        |FROM vex_txt""".stripMargin).collect()(0)
+    val c = spark.table("vex_txt").select(
+      graft.functions.VectorFunctions.shingleHashes(col("t"), 3).as("sh"),
+      graft.functions.VectorFunctions.simhashSketch(col("t"), 3, "md5").as("sk"),
+      graft.functions.VectorFunctions.winnowingMins(col("t"), 8, 4, "md5").as("fps"))
+      .collect()(0)
+    r.getSeq[Long](0) shouldBe c.getSeq[Long](0)
+    r.getLong(1) shouldBe c.getLong(1)
+    r.getSeq[String](2) shouldBe c.getSeq[String](2)
+  }
 }
