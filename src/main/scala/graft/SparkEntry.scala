@@ -607,12 +607,14 @@ object SparkEntry {
       val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
       val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
       val wav = "RIFF0000WAVE".getBytes("UTF-8")
+      // coalesce: a null text must still yield a sniffable prefix-only
+      // blob (the oracle derives format from doc_id, never null).
       val bin = concat(
         when(pmod(col("doc_id"), lit(4)) === 0, lit(png))
           .when(pmod(col("doc_id"), lit(4)) === 1, lit(jpeg))
           .when(pmod(col("doc_id"), lit(4)) === 2, lit(wav))
           .otherwise(lit(Array.emptyByteArray)),
-        encode(col("text"), "UTF-8"))
+        encode(coalesce(col("text"), lit("")), "UTF-8"))
       Multimodal.binaryMetadata(df.withColumn("bin", bin), "bin")
         .orderBy("format")
     }),
@@ -1081,7 +1083,7 @@ object SparkEntry {
         |  SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |              WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
         |         CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 4
-        |              WHEN 2 THEN 12 ELSE 0 END + octet_length(encode(text)) AS n_bytes
+        |              WHEN 2 THEN 12 ELSE 0 END + octet_length(encode(coalesce(text, ''))) AS n_bytes
         |  FROM documents
         |)
         |SELECT format,

@@ -28,7 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-text gram; distinct keeps the first occurrence. Distinctness
   * is by HASH here rather than by string — identical modulo 64-bit
   * collisions, which downstream MinHash/Jaccard treats as what they
-  * are: the same hash. Null input yields null.
+  * are: the same hash. Null input yields null, so a null document
+  * drops out of explode-based pipelines — a DELIBERATE change from
+  * wordShingles, whose when/otherwise collapsed null text to the
+  * empty-string shingle and thereby made every null document a
+  * jaccard-1.0 "near-duplicate" of every empty document.
   */
 private[functions] object WordGrams {
 
@@ -57,6 +61,19 @@ private[functions] object WordGrams {
     starts(nTokens) = bytes.length + 1
     starts
   }
+
+  /** Byte range [from, until) of the gram spanning tokens
+    * [fromTok, untilTok): starts(fromTok) up to the byte before the
+    * (possibly virtual) space that follows token untilTok − 1. */
+  @inline def gramFrom(starts: Array[Int], fromTok: Int): Int = starts(fromTok)
+  @inline def gramUntil(starts: Array[Int], untilTok: Int): Int = starts(untilTok) - 1
+
+  /** Seed-42 XXH64 of the gram's byte range ≡ `xxhash64(gram)`. */
+  def gramXxHash(bytes: Array[Byte], starts: Array[Int], fromTok: Int, untilTok: Int): Long = {
+    val from = gramFrom(starts, fromTok)
+    val until = gramUntil(starts, untilTok)
+    XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
+  }
 }
 
 case class ShingleHashes(child: Expression, n: Int)
@@ -76,11 +93,8 @@ case class ShingleHashes(child: Expression, n: Int)
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val starts = WordGrams.tokenStarts(bytes)
     val nTokens = starts.length - 1
-    def gramHash(fromTok: Int, untilTok: Int): Long = {
-      val from = starts(fromTok)
-      val until = starts(untilTok) - 1 // drop the trailing (virtual) space
-      XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
-    }
+    def gramHash(fromTok: Int, untilTok: Int): Long =
+      WordGrams.gramXxHash(bytes, starts, fromTok, untilTok)
     if (nTokens < n) {
       new GenericArrayData(Array(gramHash(0, nTokens)))
     } else {
@@ -125,9 +139,11 @@ case class ShingleHashes(child: Expression, n: Int)
   * string — identical modulo collisions (the [[ShingleHashes]]
   * argument); in md5 mode the cheap XXH64 also gates which grams get
   * the expensive digest. Ties vote to 0 (bit clear). Fewer than n
-  * tokens collapse to one whole-text gram. Null input yields null —
-  * callers filter, matching the explode form where a null document
-  * simply vanishes.
+  * tokens collapse to one whole-text gram. Null input yields null;
+  * [[graft.dedup.Dedup.simhashSketches]] filters null documents out
+  * entirely — a DELIBERATE change from the explode form, which
+  * collapsed null text to the empty-string shingle and gave null and
+  * empty documents identical sketches.
   */
 case class SimHashSketch(child: Expression, n: Int, hashMode: String)
     extends UnaryExpression with CodegenFallback {
@@ -157,13 +173,12 @@ case class SimHashSketch(child: Expression, n: Int, hashMode: String)
     val votes = new Array[Int](64)
     val seen = new java.util.HashSet[java.lang.Long]
     def vote(fromTok: Int, untilTok: Int): Unit = {
-      val from = starts(fromTok)
-      val until = starts(untilTok) - 1
-      val gh = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
+      val gh = WordGrams.gramXxHash(bytes, starts, fromTok, untilTok)
       if (!seen.add(gh)) return
       val field: Long =
         if (isMd5) {
-          md.update(bytes, from, until - from)
+          val from = WordGrams.gramFrom(starts, fromTok)
+          md.update(bytes, from, WordGrams.gramUntil(starts, untilTok) - from)
           val d = md.digest() // resets the instance
           // First 8 digest bytes, big-endian ≡ parseUnsignedLong of
           // the first 16 lowercase-hex chars.
@@ -174,10 +189,7 @@ case class SimHashSketch(child: Expression, n: Int, hashMode: String)
         } else gh
       var b = 0
       while (b < 64) {
-        val set =
-          if (isMd5) ((field >>> (4 * (15 - b / 4))) >> (b % 4) & 1L) == 1L
-          else (field >> b & 1L) == 1L
-        votes(b) += (if (set) 1 else -1)
+        votes(b) += (if (SimHashBits.isSet(field, b, isMd5)) 1 else -1)
         b += 1
       }
     }

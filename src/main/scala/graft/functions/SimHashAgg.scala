@@ -6,6 +6,19 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** THE SimHash bit-extraction rule, shared by [[SimHashAgg]] and
+  * [[SimHashSketch]] so the definition the DuckDB oracle replays
+  * character-for-character exists exactly once:
+  *   - hexMode: `field` is the first 16 hex chars of an md5 digest as
+  *     a big-endian unsigned long; bit b is bit (b mod 4) of hex
+  *     nibble (b div 4), counting nibbles from the FIRST hex char;
+  *   - otherwise `field` is a 64-bit hash and bit b is bit b. */
+private[functions] object SimHashBits {
+  def isSet(field: Long, b: Int, hexMode: Boolean): Boolean =
+    if (hexMode) ((field >>> (4 * (15 - b / 4))) >> (b % 4) & 1L) == 1L
+    else (field >> b & 1L) == 1L
+}
+
 /** SimHash-64 sketch aggregate: per group, 64 signed bit-vote
   * counters folded in one `Array[Int]` buffer; bit b of the result is
   * set iff strictly more inputs had bit b set than clear — identical
@@ -48,10 +61,7 @@ case class SimHashAgg(
       } else v.asInstanceOf[Long]
       var b = 0
       while (b < 64) {
-        val set =
-          if (hexInput) ((bits >>> (4 * (15 - b / 4))) >> (b % 4) & 1L) == 1L
-          else (bits >> b & 1L) == 1L
-        buf(b) += (if (set) 1 else -1)
+        buf(b) += (if (SimHashBits.isSet(bits, b, hexInput)) 1 else -1)
         b += 1
       }
     }

@@ -194,25 +194,56 @@ case class SignBucketExpr(child: Expression, matrix: Array[Array[Double]])
   * identical to the higher-order-function formulation it replaces —
   * `aggregate(zip_with(a,b,_*_))/(sqrt(aggregate(a²))*sqrt(aggregate(b²)))`
   * — which walks each pair of arrays three times through interpreted
-  * lambdas and allocates the zipped array. Per the HOF's zip_with-null
-  * semantics, vectors of different lengths yield null. Array elements
-  * must be non-null (embedding columns; not enforced). */
+  * lambdas and allocates the zipped array. Null semantics match the
+  * HOF form throughout: vectors of different lengths yield null
+  * (zip_with's null padding), a null ELEMENT on either side yields
+  * null (null propagates through the lambda products and sums), and a
+  * zero divisor yields null (Spark's Divide). Element null checks are
+  * skipped entirely when both array types declare containsNull=false.
+  * Accepts any numeric element type, cast to double per element like
+  * the HOF form. */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim needs two array<float|double> inputs, got $other")
+  private def primitiveNumeric(t: DataType): Boolean = t match {
+    case FloatType | DoubleType | IntegerType | LongType | ShortType | ByteType => true
+    case _ => false
   }
 
-  private lazy val leftIsFloat =
-    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  private lazy val rightIsFloat =
-    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(le, _), ArrayType(re, _)) if primitiveNumeric(le) && primitiveNumeric(re) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs two array<primitive numeric> inputs, got $other")
+  }
+
+  private def getterName(t: DataType): String = t match {
+    case FloatType => "getFloat"
+    case DoubleType => "getDouble"
+    case IntegerType => "getInt"
+    case LongType => "getLong"
+    case ShortType => "getShort"
+    case ByteType => "getByte"
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  private lazy val leftType = left.dataType.asInstanceOf[ArrayType]
+  private lazy val rightType = right.dataType.asInstanceOf[ArrayType]
+  private lazy val anyElementNullable = leftType.containsNull || rightType.containsNull
+
+  private def elem(
+      a: org.apache.spark.sql.catalyst.util.ArrayData, t: DataType, i: Int): Double =
+    t match {
+      case FloatType => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case IntegerType => a.getInt(i).toDouble
+      case LongType => a.getLong(i).toDouble
+      case ShortType => a.getShort(i).toDouble
+      case ByteType => a.getByte(i).toDouble
+      case other => throw new IllegalStateException(s"unsupported element type $other")
+    }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -225,8 +256,9 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       var nb = 0.0
       var i = 0
       while (i < n) {
-        val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        if (anyElementNullable && (a.isNullAt(i) || b.isNullAt(i))) return null
+        val x = elem(a, leftType.elementType, i)
+        val y = elem(b, rightType.elementType, i)
         dot += x * y
         na += x * x
         nb += y * y
@@ -241,8 +273,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (aVar, bVar) => {
-      val lGet = if (leftIsFloat) "getFloat" else "getDouble"
-      val rGet = if (rightIsFloat) "getFloat" else "getDouble"
+      val lGet = getterName(leftType.elementType)
+      val rGet = getterName(rightType.elementType)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
@@ -251,6 +283,10 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val div = ctx.freshName("div")
+      val nullCheck =
+        if (anyElementNullable)
+          s"if ($aVar.isNullAt($i) || $bVar.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = $aVar.numElements();
          |if ($n != $bVar.numElements()) {
@@ -258,12 +294,15 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    final double $x = (double) $aVar.$lGet($i);
          |    final double $y = (double) $bVar.$rGet($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  final double $div = Math.sqrt($na) * Math.sqrt($nb);
-         |  if ($div == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $div; }
+         |  if (!${ev.isNull}) {
+         |    final double $div = Math.sqrt($na) * Math.sqrt($nb);
+         |    if ($div == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $div; }
+         |  }
          |}
        """.stripMargin
     })

@@ -73,6 +73,22 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("null-text documents drop out of hash-shingle pipelines; empty ones stay") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("a real document here")), (2L, Option.empty[String]),
+      (3L, Some(""))).toDF("doc_id", "text")
+    // Deliberate semantics (vs the legacy wordShingles form, which
+    // collapsed null to the empty-string shingle and made null docs
+    // jaccard-1.0 "near-dups" of empty docs): a null document has no
+    // shingles, no signature, and no sketch; the empty document keeps
+    // its whole-text shingle.
+    Dedup.minhashSignatures(df, "doc_id", "text", 3, 8)
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+    Dedup.simhashSketches(df, "doc_id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+  }
+
   test("minhash signatures are identical for identical shingle sets") {
     val df = docs((1L, "a b c d"), (2L, "a b c d"))
     val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 16)

@@ -190,14 +190,15 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
     }
   }
 
-  test("cosineSim nulls: null input, length mismatch, zero norm") {
+  test("cosineSim nulls: null input, length mismatch, zero norm, null element") {
     val s = spark
     import s.implicits._
     val df = Seq(
-      (1L, Option.empty[Seq[Double]], Some(Seq(1.0, 2.0))),
-      (2L, Some(Seq(1.0, 2.0, 3.0)), Some(Seq(1.0, 2.0))),
-      (3L, Some(Seq(0.0, 0.0)), Some(Seq(1.0, 2.0))),
-      (4L, Some(Seq(1.0, 0.0)), Some(Seq(1.0, 0.0))))
+      (1L, Option.empty[Seq[Double]], Some(Seq[Option[Double]](Some(1.0), Some(2.0)))),
+      (2L, Some(Seq(1.0, 2.0, 3.0)), Some(Seq[Option[Double]](Some(1.0), Some(2.0)))),
+      (3L, Some(Seq(0.0, 0.0)), Some(Seq[Option[Double]](Some(1.0), Some(2.0)))),
+      (4L, Some(Seq(1.0, 0.0)), Some(Seq[Option[Double]](Some(1.0), Some(0.0)))),
+      (5L, Some(Seq(1.0, 1.0)), Some(Seq[Option[Double]](Some(1.0), None))))
       .toDF("id", "a", "b")
     val rows = df.select(col("id"), VectorFunctions.cosineSim(col("a"), col("b")).as("sim"))
       .orderBy("id").collect()
@@ -205,6 +206,15 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
     rows(1).isNullAt(1) shouldBe true  // length mismatch (zip_with-null semantics)
     rows(2).isNullAt(1) shouldBe true  // zero divisor (Divide semantics)
     rows(3).getDouble(1) shouldBe 1.0
+    rows(4).isNullAt(1) shouldBe true  // null ELEMENT (HOF null propagation)
+  }
+
+  test("cosineSim accepts integer element arrays like the HOF form it replaced") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((Seq(1, 0), Seq(1, 0))).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b")).as("sim")).collect()
+    rows(0).getDouble(0) shouldBe 1.0
   }
 
   test("cosineSim codegen and interpreted paths agree") {
