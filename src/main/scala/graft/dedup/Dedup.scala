@@ -17,9 +17,10 @@ import graft.util.Partitioning.spread
   *
   * Scale design — the whole point is to NEVER materialize the O(N²)
   * pair space:
-  *   - shingling + minhash signatures are pure map-side column
-  *     expressions (codegen'd higher-order functions, no UDFs, no
-  *     shuffle);
+  *   - shingling + minhash signatures are pure map-side work: one
+  *     native [[graft.functions.ShingleHashes]] eval per document
+  *     hashes each word n-gram's byte range in place (no UDFs, no
+  *     gram-string materialization, no shuffle);
   *   - candidate generation shuffles each doc once per band keyed by
   *     (band, bucket-hash) and self-joins equi-keyed — only docs
   *     agreeing on a full band of minhashes ever meet;

@@ -121,4 +121,22 @@ object Multimodal {
       .select(col("id"),
         explode(sequence(lit(0), col("n_frames") - 1,
           greatest((col("n_frames") / n).cast("long"), lit(1L)))).as("frame_index"))
+
+  /** Resize plan over decoded features: fit each (width, height) into
+    * a maxW × maxH box preserving aspect ratio, never upscaling —
+    * emits (id, format, width, height, out_width, out_height). Pure
+    * integer/double column math (the geometry a resize kernel
+    * consumes); the pixel transform itself belongs to the decoder plug
+    * point like every other codec operation. Output dims round to
+    * nearest and clamp to ≥ 1. */
+  def resizePlan(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW >= 1 && maxH >= 1, s"target box must be positive: ${maxW}x$maxH")
+    val scale = least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
+      lit(1.0))
+    features.select(col("id"), col("format"), col("width"), col("height"),
+      greatest(round(col("width") * scale).cast("int"), lit(1)).as("out_width"),
+      greatest(round(col("height") * scale).cast("int"), lit(1)).as("out_height"))
+  }
 }

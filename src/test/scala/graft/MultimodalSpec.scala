@@ -78,6 +78,24 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     idx shouldBe idx.sorted
   }
 
+  test("resizePlan fits into the box preserving aspect, never upscales") {
+    val s = spark
+    import s.implicits._
+    val features = Seq(
+      (1L, "png", 4096, 2048),  // downscale, width-bound
+      (2L, "jpeg", 100, 4000),  // downscale, height-bound
+      (3L, "png", 100, 50),     // already fits: untouched
+      (4L, "jpeg", 3, 4000))    // extreme aspect: clamps to >= 1
+      .toDF("id", "format", "width", "height")
+    val out = Multimodal.resizePlan(features, 512, 512)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("out_width"), r.getAs[Int]("out_height")))).toMap
+    out(1L) shouldBe ((512, 256))
+    out(2L) shouldBe ((13, 512))
+    out(3L) shouldBe ((100, 50))
+    out(4L) shouldBe ((1, 512))
+  }
+
   test("a custom decoder plugs in without touching the plumbing") {
     object ConstDecoder extends Multimodal.BinaryDecoder {
       def decode(format: String, bytes: Array[Byte]): Multimodal.MediaFeatures =
