@@ -100,6 +100,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("LeftSemi")
   }
 
+  test("simhash sketching is map-side: no exchange, no aggregate in the plan") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l"))
+      .toDF("doc_id", "text")
+    // One SimHashSketch eval per document — the explode+agg form this
+    // replaced shuffled a partial sketch per doc.
+    val plan = physical(Dedup.simhashSketches(docs, "doc_id", "text"))
+    plan should not include "Exchange"
+    plan should not include "Aggregate"
+    plan should not include "Generate"
+  }
+
   test("embedding near-dup pairing is bucket-equi-keyed, never a cartesian product") {
     val s = spark
     import s.implicits._
