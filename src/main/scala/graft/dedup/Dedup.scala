@@ -73,26 +73,24 @@ object Dedup {
     * independent-enough hash families from one seeded hash, the
     * standard construction.
     *
-    * Deliberately relational — explode to (id, hash) rows, then ONE
-    * aggregate — rather than nested array lambdas: a higher-order-
-    * function lambda re-evaluates any non-attribute subtree it
-    * captures once PER ELEMENT (interpreted, no codegen), which turns
-    * nested transform(transform(...)) minhashing into k × |shingles|
-    * re-tokenizations of the document. Each shingle is hashed ONCE
-    * from its byte range ([[shingleHashes]]); the k families then hash
-    * the resulting fixed-width long with k seeds inside the native
-    * [[graft.functions.MinHashAgg]] (an Array[Long]-buffered
-    * aggregate — the earlier k-COLUMN min formulation generated an
-    * update method with 128 inlined branches, seconds of janino per
-    * plan shape). The shuffle stays at k longs per document after
-    * partial aggregation. */
+    * Entirely map-side: each shingle is hashed ONCE from its byte
+    * range ([[shingleHashes]]) and the whole signature folds in one
+    * [[graft.functions.MinHashSignature]] eval per document — no
+    * explode, no aggregate, no shuffle. (The path here: a k-COLUMN min
+    * formulation — 128 inlined janino branches per plan shape — then
+    * explode + the [[graft.functions.MinHashAgg]] relational form,
+    * which still materialized one row per shingle and shuffled a
+    * partial signature per document to group by a key that was the
+    * row id all along. Nested array-lambda minhashing was never an
+    * option: a HOF lambda re-evaluates captured subtrees per element.)
+    * Null-text documents yield no signature. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128): DataFrame =
     shingleHashes(df, idCol, textCol, shingleSize)
-      .select(col("id"), explode(col("sh")).as("h"))
-      .groupBy("id")
-      .agg(graft.functions.VectorFunctions.minhashAgg(col("h"), numHashes).as("sig"))
+      .select(col("id"),
+        graft.functions.VectorFunctions.minhashSignature(col("sh"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** LSH band keys over a BOUND signature attribute: the signature is
     * cut into `bands` runs of `rowsPerBand` and each run is hashed to

@@ -118,6 +118,67 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** The whole MinHash signature of a document's distinct shingle-hash
+  * array in ONE map-side expression: sig(i) = min over input hashes h
+  * of `XXH64.hashLong(h, seed(i))` with seed(i) ≡ Spark's hash state
+  * after folding the literal int i into xxhash64's default seed 42 —
+  * bit-identical to [[MinHashAgg]] over the exploded rows (same k
+  * seed-hash construction over the same distinct hash values), which
+  * in turn is value-identical to the k-column
+  * `min(xxhash64(lit(i), h))` form.
+  *
+  * Why an expression and not the aggregate: the group key of that
+  * aggregate IS the row id, so it isn't really an aggregate — the
+  * explode materializes one row per shingle and the groupBy shuffles
+  * a partial signature per document, all to compute something each
+  * row already holds. One eval per document keeps the k×|shingles|
+  * seed-hash loop tight and the plan shuffle-free; pair with
+  * [[ShingleHashes]] for the input. [[MinHashAgg]] remains the right
+  * tool when the grouping is genuinely coarser than a row.
+  *
+  * An empty input array yields null (the aggregate's no-input
+  * semantics); null input yields null. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1, s"numHashes must be positive: $numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature needs an array<bigint> input, got $other")
+  }
+
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = a.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val hv = XXH64.hashLong(h, seeds(i))
+        if (hv < sig(i)) sig(i) = hv
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
 /** The whole SimHash-64 sketch of a whitespace-normalized document as
   * ONE map-side expression: distinct word n-gram fields → 64 signed
   * bit votes → sketch, with no explode, no aggregate, and no shuffle

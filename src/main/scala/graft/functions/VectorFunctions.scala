@@ -48,4 +48,9 @@ object VectorFunctions {
     * whitespace-normalized document. See [[SimHashSketch]]. */
   def simhashSketch(normText: Column, n: Int, hashMode: String): Column =
     ColumnBridge.column(SimHashSketch(ColumnBridge.expression(normText), n, hashMode))
+
+  /** Whole-document MinHash signature over a distinct shingle-hash
+    * array. See [[MinHashSignature]]. */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), numHashes))
 }

@@ -49,6 +49,23 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     native shouldBe legacy
   }
 
+  test("minhashSignatures is value-identical to the explode+MinHashAgg form") {
+    val df = docs(
+      (1L, base),
+      (2L, "  leading and   internal\twhitespace\n runs collapse  "),
+      (3L, "only two"),
+      (4L, ""),
+      (5L, "rep rep rep rep rep rep"))
+    val legacy = Dedup.shingleHashes(df, "doc_id", "text", 3)
+      .select(col("id"), explode(col("sh")).as("h"))
+      .groupBy("id")
+      .agg(graft.functions.VectorFunctions.minhashAgg(col("h"), 32).as("sig"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val native = Dedup.minhashSignatures(df, "doc_id", "text", 3, 32)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    native shouldBe legacy
+  }
+
   test("simhashSketches is value-identical to the explode+SimHashAgg form, both modes") {
     val df = docs(
       (1L, base),

@@ -100,6 +100,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("LeftSemi")
   }
 
+  test("minhash signatures are map-side: no exchange, no aggregate in the plan") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l"))
+      .toDF("doc_id", "text")
+    val plan = physical(Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16))
+    plan should not include "Exchange"
+    plan should not include "Aggregate"
+    plan should not include "Generate"
+  }
+
   test("simhash sketching is map-side: no exchange, no aggregate in the plan") {
     val s = spark
     import s.implicits._
