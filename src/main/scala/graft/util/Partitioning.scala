@@ -1,6 +1,8 @@
 package graft.util
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Partition-count hygiene for CPU-heavy map-side operators.
   *
@@ -16,12 +18,23 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
 
   /** Round-robin repartition `df` up to the session's default
-    * parallelism — only when the current partition count is below it.
-    * Row order changes (round-robin), so use only ahead of
+    * parallelism — only when the estimated file-scan split count is
+    * below it. Row order changes (round-robin), so use only ahead of
     * order-insensitive work (aggregates, joins, per-row projections).
     * The repartition shuffles raw input rows once; for the operators
     * here that is far cheaper than leaving cores idle, and it never
     * triggers when the source is already well-split.
+    *
+    * The split count is ESTIMATED from the analyzed logical plan's
+    * file-scan leaf (size-in-bytes through Spark's own max-split-bytes
+    * formula) — deliberately NOT via `df.rdd.getNumPartitions`, which
+    * physically plans the whole subtree once here and again at the
+    * real action: pure driver overhead on every operator call. Plans
+    * that are not a narrow chain (project/filter/alias) over a single
+    * file relation — in-memory test fixtures, unions, anything already
+    * shuffled — pass through untouched, matching the old behavior
+    * (local relations already parallelize to the session default, and
+    * shuffled plans already have `spark.sql.shuffle.partitions` tasks).
     *
     * Caveat: do NOT spread a plan whose task binary embeds a huge
     * literal expression tree (e.g. unrolled k-means centroid argmax —
@@ -29,12 +42,44 @@ object Partitioning {
     * whole binary, so multiplying tasks multiplies that fixed cost,
     * which dominates jobs whose actual data is small. */
   def spread(df: DataFrame): DataFrame = {
-    // Streaming plans expose no RDD to inspect (and micro-batch
+    // Streaming plans expose no file index to inspect (and micro-batch
     // partitioning is the source's business) — pass them through.
     if (df.isStreaming) df
     else {
-      val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+      val spark = df.sparkSession
+      val target = spark.sparkContext.defaultParallelism
+      estimatedScanSplits(df.queryExecution.analyzed, spark) match {
+        case Some(n) if n < target => df.repartition(target)
+        case _ => df
+      }
     }
   }
+
+  /** Estimated split count of the plan's single file-scan leaf, via the
+    * same formula `FilePartition.maxSplitBytes` uses (bytes-per-core
+    * floor, open-cost floor, max-partition-bytes ceiling) over the file
+    * index's total size. Ignores per-file rounding, so corpora of many
+    * tiny files UNDER-estimate — erring toward a cheap extra
+    * repartition, never toward idle cores. None when the plan is not a
+    * narrow chain over one file relation. */
+  private def estimatedScanSplits(plan: LogicalPlan, spark: SparkSession): Option[Long] =
+    plan match {
+      case Project(_, child) => estimatedScanSplits(child, spark)
+      case Filter(_, child) => estimatedScanSplits(child, spark)
+      case SubqueryAlias(_, child) => estimatedScanSplits(child, spark)
+      case l: LogicalRelation =>
+        l.relation match {
+          case fs: HadoopFsRelation =>
+            val conf = spark.sessionState.conf
+            val totalBytes = fs.location.sizeInBytes
+            val bytesPerCore =
+              totalBytes / math.max(1, spark.sparkContext.defaultParallelism)
+            val maxSplit = math.min(
+              conf.filesMaxPartitionBytes,
+              math.max(conf.filesOpenCostInBytes, bytesPerCore))
+            Some(math.max(1L, (totalBytes + maxSplit - 1) / math.max(1L, maxSplit)))
+          case _ => None
+        }
+      case _ => None
+    }
 }

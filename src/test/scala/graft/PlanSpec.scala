@@ -165,4 +165,29 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val plan = physical(ProfilePasses.nestedStats(df, Seq("arr")))
     plan should not include "Generate" // explode would multiply rows
   }
+
+  test("spread triggers on a one-split parquet scan without physically planning the probe") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spread").toString
+    (1 to 100).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir)
+    val out = graft.util.Partitioning.spread(one.select("id", "text"))
+    // Estimated from the file index (tiny file → 1 split < local[2]):
+    // the plan gains a round-robin repartition up to default parallelism.
+    physical(out) should include("RoundRobinPartitioning(2")
+    out.rdd.getNumPartitions shouldBe 2
+  }
+
+  test("spread passes through non-file and already-shuffled plans") {
+    val s = spark
+    import s.implicits._
+    val local = (1 to 10).map(i => (i.toLong, s"d$i")).toDF("id", "text")
+    // In-memory fixture: LocalTableScan already parallelizes to the
+    // session default; spread must not inject a shuffle.
+    graft.util.Partitioning.spread(local) should be theSameInstanceAs local
+    val agged = lineitem.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    graft.util.Partitioning.spread(agged) should be theSameInstanceAs agged
+  }
 }
