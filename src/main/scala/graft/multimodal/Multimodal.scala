@@ -92,25 +92,32 @@ object Multimodal {
   /** Feature extraction over a binary column — the `mapInPandas`
     * analogue: per-partition iterator, decoder constructed once per
     * partition, output rows (id, format, width, height, n_frames,
-    * embedding). Media bytes never leave their input partition. */
+    * embedding). Media bytes never leave their input partition. The id
+    * passes through with its source type (long, string/UUID, …) via a
+    * Row encoder — no silent cast. */
   def extractFeatures(
       df: DataFrame, idCol: String, binCol: String,
       decoder: BinaryDecoder = StubDecoder): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val withFormat = df.select(
-      col(idCol).cast("long").as("id"),
+      col(idCol).as("id"),
       sniffFormat(col(binCol)).as("format"),
       col(binCol).as("bytes"))
-    withFormat.as[(Long, String, Array[Byte])]
-      .mapPartitions { it =>
-        // Per-partition decoder setup happens here (stub: nothing).
-        it.map { case (id, format, bytes) =>
-          val f = decoder.decode(format, bytes)
-          (id, f.format, f.width, f.height, f.nFrames, f.embedding)
-        }
+    val outSchema = StructType(Seq(
+      StructField("id", withFormat.schema("id").dataType),
+      StructField("format", StringType),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    withFormat.mapPartitions { it =>
+      // Per-partition decoder setup happens here (stub: nothing).
+      it.map { row =>
+        val f = decoder.decode(row.getString(1), row.getAs[Array[Byte]](2))
+        Row(row.get(0), f.format, f.width, f.height, f.nFrames, f.embedding)
       }
-      .toDF("id", "format", "width", "height", "n_frames", "embedding")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Frame sampling plan for video rows: emits (id, frame_index) pairs

@@ -47,6 +47,19 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     png.getAs[Long]("min_bytes") shouldBe (8 + "imagedata-1".length).toLong
   }
 
+  test("extractFeatures passes string/UUID ids through with their type") {
+    val s = spark
+    import s.implicits._
+    val stringIds = Seq(
+      ("a-1", pngBytes("imagedata-1")),
+      ("b95b8c15-0a9f-4d5e-9f5e-2b8c15f0a9f4", jpegBytes("photo-2"))
+    ).toDF("media_id", "content")
+    val out = Multimodal.extractFeatures(stringIds, "media_id", "content")
+    out.schema("id").dataType shouldBe org.apache.spark.sql.types.StringType
+    out.select("id").collect().map(_.getString(0)).sorted shouldBe
+      Array("a-1", "b95b8c15-0a9f-4d5e-9f5e-2b8c15f0a9f4")
+  }
+
   test("extractFeatures: declared schema, one row per input, deterministic") {
     val f1 = Multimodal.extractFeatures(mediaDf, "media_id", "content")
     f1.columns shouldBe Array("id", "format", "width", "height", "n_frames", "embedding")
