@@ -643,6 +643,55 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ---- Stateful per-key drift (flatMapGroupsWithState carrying
+    // Welford moments across micro-batches), verified through a
+    // deterministic replay: each event day becomes one micro-batch fed
+    // to a MemoryStream in date order, so the state evolution is a
+    // pure function of the data. Three (key, day) mean shifts are
+    // injected deterministically (z ≈ 3.8–6.0; the largest natural day
+    // sits at z ≈ 0.37) so the gate emits actual drift events. The
+    // driver-side collect here is the REPLAY HARNESS feeding the
+    // stream at gate scale, not the operator: meanDrift itself keeps
+    // O(keys) distributed state. The oracle replays the same day
+    // sequence as an expanding window in SQL.
+    "ev_mean_drift" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val day = to_date(col("ts"))
+      val shifted = eventsWithTs(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("key"), day.as("d"),
+          (col("value") +
+            when(col("event_type") === "click" && day === lit("2024-01-25").cast("date"), 200.0)
+              .when(col("event_type") === "view" && day === lit("2024-01-28").cast("date"), -200.0)
+              .when(col("event_type") === "purchase" && day === lit("2024-01-15").cast("date"), 300.0)
+              .otherwise(0.0)).as("v"))
+      val days = shifted.select("d").distinct().orderBy("d")
+        .as[java.sql.Date].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stream = MemoryStream[(String, Double)]
+      val sinkName = s"ev_mean_drift_sink_${System.nanoTime()}"
+      val q = StreamProfiler.meanDrift(stream.toDS())
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        days.foreach { d =>
+          val batch = shifted.filter(col("d") === lit(d))
+            .select("key", "v").as[(String, Double)].collect().toSeq
+          stream.addData(batch)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sinkName).select(
+        col("key"),
+        col("batchCount").as("batch_count"),
+        round(col("batchMean"), 4).as("batch_mean"),
+        round(col("runningMean"), 4).as("running_mean"),
+        round(col("runningStdev"), 4).as("running_stdev"),
+        round(col("zScore"), 4).as("z_score"))
+        .orderBy("key")
+    }),
+
     // ---- Validator with COUNT-WHERE fusion: same results as the
     // sequential path, one scan per table instead of one per rule.
     "validator_batched" -> ((s, dir) => {
@@ -1102,6 +1151,36 @@ object SparkEntry {
         |       min(value) AS min_value,
         |       max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Replays meanDrift's day-ordered micro-batch sequence as an
+    // expanding window: the Welford prior state at batch k equals the
+    // moments of all values in days 1..k-1 (sum/sum-of-squares form is
+    // algebraically identical; 4dp rounding absorbs float noise).
+    "ev_mean_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |         value + CASE WHEN event_type = 'click' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-25' THEN 200.0
+        |                      WHEN event_type = 'view' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-28' THEN -200.0
+        |                      WHEN event_type = 'purchase' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-15' THEN 300.0
+        |                      ELSE 0.0 END AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), batches AS (
+        |  SELECT key, d, count(*) AS bc, avg(v) AS bm, sum(v) AS s1, sum(v * v) AS s2
+        |  FROM ev GROUP BY key, d
+        |), hist AS (
+        |  SELECT key, d, bc, bm,
+        |    sum(bc) OVER w AS pn, sum(s1) OVER w AS ps1, sum(s2) OVER w AS ps2
+        |  FROM batches
+        |  WINDOW w AS (PARTITION BY key ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT key, bc AS batch_count, round(bm, 4) AS batch_mean,
+        |  round(ps1 / pn, 4) AS running_mean,
+        |  round(sqrt((ps2 - ps1 * ps1 / pn) / (pn - 1)), 4) AS running_stdev,
+        |  round(abs(bm - ps1 / pn) / sqrt((ps2 - ps1 * ps1 / pn) / (pn - 1)), 4) AS z_score
+        |FROM hist
+        |WHERE pn >= 10 AND (ps2 - ps1 * ps1 / pn) > 0
+        |  AND abs(bm - ps1 / pn) / sqrt((ps2 - ps1 * ps1 / pn) / (pn - 1)) > 3.0
+        |ORDER BY key""".stripMargin,
 
     "ll3_ann_topk" ->
       """WITH q AS (
