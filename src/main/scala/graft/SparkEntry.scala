@@ -483,7 +483,7 @@ object SparkEntry {
     // (and the xxhash64 scale mode).
     "ll6_simhash_pairs" -> ((s, dir) => {
       val df = t(s, dir, "documents")
-      Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 7, bands = 8,
+      Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 7, blocks = 8,
           hashMode = "md5")
         .orderBy("id_a", "id_b")
     }),

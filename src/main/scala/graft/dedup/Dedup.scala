@@ -261,14 +261,51 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
-  /** SimHash near-dup pairs via band blocking: the 64-bit sketch is
-    * cut into `bands` fixed bit-fields; by pigeonhole, any pair within
-    * Hamming distance < bands agrees exactly on at least one band, so
-    * candidates come from an equi-join on (band, field value) — never
-    * all-pairs — and are then verified with the exact Hamming
-    * distance. Output: (id_a, id_b, hamming) with hamming ≤
-    * maxHamming. Guaranteed-recall blocking when maxHamming < bands
-    * (the standard simhash dedup construction).
+  /** Blocking keys for a 64-bit sketch, Manku-style (Manku/Jain/Sarma,
+    * WWW'07 §3): the sketch is cut into `blocks` contiguous bit-fields;
+    * a pair within Hamming distance `maxHamming` differs in at most
+    * `maxHamming` blocks, so by pigeonhole it agrees EXACTLY on some
+    * set of `m = blocks - maxHamming` blocks. One table per m-block
+    * combination, keyed on those blocks' bits concatenated — key width
+    * ≈ 64·m/blocks bits, so the bucket space GROWS with corpus-scale
+    * parameters instead of being capped by a single block's width
+    * (the old one-block banding capped it at 2^16 for 4 bands, which
+    * is quadratic-blowup territory at 10^9+ documents; the default
+    * blocks=6 / maxHamming=3 gives C(6,3)=20 tables on ~32-bit keys,
+    * ~4·10^9 buckets per table). Returns array<struct<tbl:int,
+    * key:bigint>> — one entry per table. */
+  def simhashBlockKeys(sk: Column, maxHamming: Int, blocks: Int): Column = {
+    require(blocks > 0 && blocks <= 64, s"blocks must be in [1,64]: $blocks")
+    // Distribute the 64 bits: the first (64 mod blocks) blocks get the
+    // extra bit. m clamps to ≥ 1 so maxHamming ≥ blocks degrades to
+    // single-block tables (recall then relies on the verify step's
+    // callers choosing maxHamming < blocks — asserted below).
+    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val m = math.max(1, blocks - maxHamming)
+    val combos = (0 until blocks).combinations(m).toSeq
+    require(combos.size <= 70,
+      s"C($blocks, $m) = ${combos.size} tables — too many; pick blocks closer to maxHamming")
+    array(combos.zipWithIndex.map { case (combo, ci) =>
+      val key = combo.foldLeft(lit(0L): Column) { (acc, bi) =>
+        shiftleft(acc, widths(bi)).bitwiseOR(
+          shiftrightunsigned(sk, starts(bi)).bitwiseAND(
+            lit(if (widths(bi) == 64) -1L else (1L << widths(bi)) - 1)))
+      }
+      struct(lit(ci), key).cast("struct<tbl:int,key:bigint>")
+    }: _*)
+  }
+
+  /** SimHash near-dup pairs via Manku multi-table blocking: candidates
+    * come from equi-joins on [[simhashBlockKeys]] — never all-pairs —
+    * and are then verified with the exact Hamming distance. Output:
+    * (id_a, id_b, hamming) with hamming ≤ maxHamming. Recall is
+    * GUARANTEED when maxHamming < blocks (pigeonhole over the block
+    * tables); the bucket space is ~2^(64·(blocks-maxHamming)/blocks)
+    * per table, so occupancy stays sub-quadratic as long as corpus
+    * size ≪ bucket count — at defaults (~2^32) that covers ~10^9
+    * documents with O(1) expected bucket size; for larger corpora
+    * raise `blocks` toward 2·maxHamming to widen keys further.
     *
     * The sketch is over word n-gram SHINGLES, not bare tokens: on
     * corpora with a shared vocabulary a bag-of-words simhash collapses
@@ -276,21 +313,15 @@ object Dedup {
     * Sketches come from the relational [[simhashSketches]]. */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4, shingleSize: Int = 3,
+      maxHamming: Int = 3, blocks: Int = 6, shingleSize: Int = 3,
       hashMode: String = "xxhash64"): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
-    val width = 64 / bands
     val sketched = simhashSketches(df, idCol, textCol, shingleSize, hashMode)
-    val banded = sketched.select(col("id"), col("sk"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b), shiftrightunsigned(col("sk"), b * width)
-          .bitwiseAND(lit((1L << width) - 1)))
-          .cast("struct<band:int,field:bigint>")
-      }: _*)).as("bk"))
-      .select(col("id"), col("sk"), col("bk.band").as("band"), col("bk.field").as("field"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.field") === col("b.field") &&
+    val keyed = sketched.select(col("id"), col("sk"),
+      explode(simhashBlockKeys(col("sk"), maxHamming, blocks)).as("bk"))
+      .select(col("id"), col("sk"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDistance(col("a.sk"), col("b.sk")).as("hamming"))

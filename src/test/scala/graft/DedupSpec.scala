@@ -184,12 +184,12 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // Measure the actual sketch distances (8-bit bands collide freely,
     // so every pair surfaces), then assert the threshold separates the
     // near pair from the far ones.
-    val all = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 64, bands = 8)
+    val all = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 64, blocks = 8)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
     val near = all.getOrElse((1L, 2L), 0)
     val far = all.getOrElse((1L, 3L), 64)
     near should be < far
-    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = near, bands = 8)
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = near, blocks = 8)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     pairs should contain((1L, 2L))
     pairs should not contain ((1L, 3L))
@@ -198,8 +198,52 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
   test("simhash band blocking guarantees recall below the band count") {
     // Identical docs: hamming 0 < bands, must always be found.
     val df = docs((1L, base), (2L, base))
-    Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 3, bands = 4)
+    Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 3, blocks = 4)
       .count() shouldBe 1L
+  }
+
+  test("Manku block keys: every pair within maxHamming shares a table key") {
+    // Pigeonhole recall property at the default blocking (blocks=6,
+    // maxHamming=3, C(6,3)=20 tables on ~32-bit keys): flip ≤ 3
+    // random bits of random sketches and assert the key arrays
+    // intersect — the property the candidate equi-join relies on.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val fixture = (1 to 300).map { _ =>
+      val a = rnd.nextLong()
+      val flips = rnd.nextInt(4) // 0..3 flipped bits
+      val b = (0 until flips).foldLeft(a)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+      (a, b)
+    }
+    val out = fixture.toDF("a", "b").select(
+      arrays_overlap(
+        Dedup.simhashBlockKeys(col("a"), maxHamming = 3, blocks = 6),
+        Dedup.simhashBlockKeys(col("b"), maxHamming = 3, blocks = 6)).as("hit"),
+      bit_count(col("a").bitwiseXOR(col("b"))).as("ham")).collect()
+    out.count(_.getInt(1) <= 3) should be > 200 // fixture sanity
+    out.filter(_.getInt(1) <= 3).foreach(_.getBoolean(0) shouldBe true)
+  }
+
+  test("simhashNearDupPairs at the default multi-table blocking matches brute force") {
+    val longBase = (base + " ") * 4
+    val df = docs(
+      (1L, longBase),
+      (2L, longBase + "with a few extra trailing words"),
+      (3L, longBase),
+      (4L, "wholly different content concerning spark catalyst optimizer rules " * 4),
+      (5L, "another unrelated body of text about streaming watermarks and state " * 4))
+    val sk = Dedup.simhashSketches(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("sk")).toMap
+    val maxHamming = 3
+    val brute = (for {
+      a <- sk.keys; b <- sk.keys if a < b
+      h = java.lang.Long.bitCount(sk(a) ^ sk(b)) if h <= maxHamming
+    } yield (a, b, h)).toSet
+    brute should not be empty // fixture sanity: 1-3 identical, 1-2 near
+    val got = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = maxHamming)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming"))).toSet
+    got shouldBe brute
   }
 
   test("overlapPairs finds the pair sharing a passage, nothing else") {
