@@ -465,6 +465,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- Same operator in the one-permutation-hashing scale mode:
+    // ONE hash per shingle instead of 128 (the map-side cost that
+    // dominates dedup at corpus scale). LSH still only shapes the
+    // candidate set and the emitted pairs are exact Jaccard, so the
+    // same brute-force oracle applies while recall holds — the bench
+    // delta vs ll2 is the measured OPH map-side saving at equal
+    // output.
+    "ll2b_near_dup_pairs_oph" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.8, signatureMode = "oph")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- LLM-pipeline: near-dup removal (lower id survives; every
     // id on the right of a surviving pair is dropped). Emits the full
     // survivor id list — a strong gate against the brute-force oracle.
@@ -1077,6 +1091,23 @@ object SparkEntry {
       """WITH sh AS (
         |  -- Sub-3-token documents collapse to one whole-text shingle,
         |  -- mirroring wordShingles' fallback (Dedup.scala).
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |              ELSE [array_to_string(w, ' ')] END AS ts
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // OPH changes only the LSH candidate generation; emitted pairs are
+    // the same exact-Jaccard set, so the oracle is ll2's verbatim.
+    "ll2b_near_dup_pairs_oph" ->
+      """WITH sh AS (
         |  SELECT doc_id,
         |         CASE WHEN len(w) >= 3
         |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])

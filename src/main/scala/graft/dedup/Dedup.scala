@@ -83,14 +83,31 @@ object Dedup {
     * partial signature per document to group by a key that was the
     * row id all along. Nested array-lambda minhashing was never an
     * option: a HOF lambda re-evaluates captured subtrees per element.)
-    * Null-text documents yield no signature. */
+    * Null-text documents yield no signature.
+    *
+    * `signatureMode` picks the construction: `"k-hash"` (default, the
+    * gate mode above) pays k seed-hashes per shingle; `"oph"` is
+    * one-permutation hashing with optimal densification
+    * ([[graft.functions.OnePermSignature]]) — ONE hash per shingle,
+    * the scale mode for 10^9+-document corpora where the k×|shingles|
+    * arithmetic dominates the map side. Both emit array<long> of
+    * length k and band identically; their values are not mutually
+    * comparable, so pick one mode per corpus. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 128): DataFrame =
+      shingleSize: Int = 3, numHashes: Int = 128,
+      signatureMode: String = "k-hash"): DataFrame = {
+    val sh = col("sh")
+    val sig = signatureMode match {
+      case "k-hash" => graft.functions.VectorFunctions.minhashSignature(sh, numHashes)
+      case "oph" => graft.functions.VectorFunctions.onePermSignature(sh, numHashes)
+      case other => throw new IllegalArgumentException(
+        s"unknown signatureMode: $other (expected k-hash or oph)")
+    }
     shingleHashes(df, idCol, textCol, shingleSize)
-      .select(col("id"),
-        graft.functions.VectorFunctions.minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), sig.as("sig"))
       .filter(col("sig").isNotNull)
+  }
 
   /** LSH band keys over a BOUND signature attribute: the signature is
     * cut into `bands` runs of `rowsPerBand` and each run is hashed to
@@ -127,10 +144,11 @@ object Dedup {
     * `numHashes` must be bands × rowsPerBand. */
   def candidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      signatureMode: String = "k-hash"): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
     val rowsPerBand = numHashes / bands
-    val bucketed = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+    val bucketed = minhashSignatures(df, idCol, textCol, shingleSize, numHashes, signatureMode)
       .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
@@ -149,8 +167,10 @@ object Dedup {
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val candidates = candidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+      numHashes: Int = 128, bands: Int = 32,
+      signatureMode: String = "k-hash"): DataFrame = {
+    val candidates =
+      candidatePairs(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode)
     // Semi-join the corpus against the candidate id set BEFORE the two
     // verification joins: candidates are a tiny fraction of the corpus
     // at scale, and without the prune every document's full shingle
@@ -180,8 +200,10 @@ object Dedup {
   def dropNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val losers = nearDupPairs(df, idCol, textCol, threshold, shingleSize, numHashes, bands)
+      numHashes: Int = 128, bands: Int = 32,
+      signatureMode: String = "k-hash"): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, threshold, shingleSize, numHashes,
+      bands, signatureMode)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -24,6 +24,8 @@ import org.apache.spark.sql.types._
   *   - `graft_winnowing_mins(text, k, w, mode)` → winnowing
   *     fingerprints (array<string> for 'md5', array<bigint> for
   *     'xxhash64')
+  *   - `graft_oph_signature(hashes, k)` → array<bigint>
+  *     one-permutation MinHash signature with optimal densification
   *
   * The matrix/planes argument must be a LITERAL array<array<numeric>>
   * — it is folded at plan time into the expression's reference-object
@@ -140,8 +142,18 @@ object GraftFunctions {
         stringOf(args(3), "graft_winnowing_mins", "mode"))
     })
 
+  val ophSignature: FunctionDescription = (
+    FunctionIdentifier("graft_oph_signature"),
+    new ExpressionInfo(classOf[OnePermSignature].getName, "graft_oph_signature"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"graft_oph_signature(hashes, k) takes 2 arguments, got ${args.length}")
+      OnePermSignature(args(0), intOf(args(1), "graft_oph_signature"))
+    })
+
   def all: Seq[FunctionDescription] =
-    Seq(nearestCells, signBucket, cosineSim, shingleHashes, simhashSketch, winnowingMins)
+    Seq(nearestCells, signBucket, cosineSim, shingleHashes, simhashSketch, winnowingMins,
+      ophSignature)
 
   /** Register on an already-built session (no extensions config). */
   def register(spark: SparkSession): Unit =

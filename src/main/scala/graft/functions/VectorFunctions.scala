@@ -53,4 +53,9 @@ object VectorFunctions {
     * array. See [[MinHashSignature]]. */
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), numHashes))
+
+  /** One-permutation MinHash signature with optimal densification —
+    * the O(1)-per-shingle scale mode. See [[OnePermSignature]]. */
+  def onePermSignature(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(OnePermSignature(ColumnBridge.expression(hashes), numHashes))
 }

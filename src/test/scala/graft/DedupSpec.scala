@@ -202,6 +202,59 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .count() shouldBe 1L
   }
 
+  test("OPH signature match fraction estimates Jaccard (distribution property)") {
+    // Shingle-hash sets with engineered overlap: 200 shared + 50+50
+    // unique → J = 2/3. The densified-OPH slot-match fraction is an
+    // unbiased Jaccard estimator; with k=128 the standard error is
+    // ~sqrt(J(1-J)/k) ≈ 0.042, so ±0.15 is a > 3σ acceptance band.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val shared = Seq.fill(200)(rnd.nextLong())
+    val a = (shared ++ Seq.fill(50)(rnd.nextLong())).distinct
+    val b = (shared ++ Seq.fill(50)(rnd.nextLong())).distinct
+    val df = Seq((a, b)).toDF("a", "b")
+    val row = df.select(
+        graft.functions.VectorFunctions.onePermSignature(col("a"), 128),
+        graft.functions.VectorFunctions.onePermSignature(col("b"), 128))
+      .head()
+    val sa = row.getSeq[Long](0)
+    val sb = row.getSeq[Long](1)
+    sa.length shouldBe 128
+    val matches = sa.zip(sb).count { case (x, y) => x == y }
+    val j = a.intersect(b).size.toDouble / a.union(b).distinct.size
+    matches.toDouble / 128 shouldBe j +- 0.15
+  }
+
+  test("OPH densification is deterministic and fills every slot") {
+    // 5 shingles into 128 bins: most bins are empty and must densify
+    // to copies of filled bins, identically on every evaluation.
+    val s = spark
+    import s.implicits._
+    val hashes = Seq(11L, -42L, 7777L, Long.MinValue + 5, 999999L)
+    val df = Seq(Tuple1(hashes), Tuple1(hashes)).toDF("h")
+    val sigs = df.select(
+        graft.functions.VectorFunctions.onePermSignature(col("h"), 128).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    sigs(0) shouldBe sigs(1)
+    sigs(0).length shouldBe 128
+    // Every slot holds one of the input hashes (bins or densified copies).
+    sigs(0).toSet.subsetOf(hashes.toSet) shouldBe true
+  }
+
+  test("nearDupPairs in OPH mode finds the same pairs as the k-hash gate mode") {
+    val mutated = base.replace("quick", "speedy")
+    val df = docs(
+      (1L, base), (2L, base), (3L, mutated),
+      (4L, "wholly different content concerning catalyst optimizer rules and planning"),
+      (5L, base + " extra trailing tail"))
+    def pairs(mode: String) =
+      Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.5, signatureMode = mode)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          BigDecimal(r.getAs[Double]("jaccard")).setScale(4, BigDecimal.RoundingMode.HALF_UP))).toSet
+    pairs("oph") shouldBe pairs("k-hash")
+  }
+
   test("Manku block keys: every pair within maxHamming shares a table key") {
     // Pigeonhole recall property at the default blocking (blocks=6,
     // maxHamming=3, C(6,3)=20 tables on ~32-bit keys): flip ≤ 3
