@@ -552,9 +552,16 @@ object SparkEntry {
       val q = df.filter(col("vec_id") < 5)
       // One refinement iteration: each k-means iteration recompiles
       // its assignment expression (fixed janino cost that dominates at
-      // gate scale and amortizes at cluster scale).
+      // gate scale and amortizes at cluster scale). Centroid init is
+      // ordered by vec_id — same algorithm, but an ordering DuckDB can
+      // reproduce, which lets the oracle replay the whole Lloyd
+      // iteration in SQL (the distributed mean update diverges from
+      // DuckDB's only in summation order, ~1e-14 relative — absorbed
+      // by the 4dp rounding as long as no assignment sits at an exact
+      // tie, which the recall spec's margin checks make implausible).
       Similarity.ivfTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
-        k = 5, nCells = 8, nProbe = 3, kmeansIterations = 1)
+        k = 5, nCells = 8, nProbe = 3, kmeansIterations = 1,
+        centroidInitOrder = Some(Seq(col("vec_id"))))
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("sim"), 4).as("cosine_sim"))
         .orderBy("query_id", "rank")
@@ -1265,6 +1272,75 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // Full Lloyd replay of the IVF gate: init = the 8 lowest vec_ids
+    // (the gate's centroidInitOrder, chosen so an external engine can
+    // reproduce it), one assignment+mean iteration, then cell
+    // assignment, 3-cell probing, exact cosine, top-5. Spark's
+    // distributed mean and DuckDB's avg differ only in summation order
+    // (~1e-14 relative) and the float->double init repr by ~3e-9 —
+    // both orders of magnitude inside the 4dp rounding, and the
+    // argmax/rank comparisons they feed are nowhere near ties on this
+    // data (the recall spec pins the margins).
+    "ll5_ann_ivf_topk" ->
+      """WITH emb AS (
+        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+        |), c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+        |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+        |), c0n AS (
+        |  SELECT cell, CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS vn
+        |  FROM (SELECT cell, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM c0)
+        |), a1 AS (
+        |  SELECT vec_id, (list(cell ORDER BY dot DESC, cell ASC))[1] AS cell
+        |  FROM (
+        |    SELECT e.vec_id, c.cell,
+        |           list_sum([e.v[i] * c.vn[i] for i in range(1, len(e.v) + 1)]) AS dot
+        |    FROM emb e CROSS JOIN c0n c
+        |  ) GROUP BY vec_id
+        |), c1m AS (
+        |  SELECT cell, list(m ORDER BY pos) AS v
+        |  FROM (
+        |    SELECT a1.cell AS cell, t.pos AS pos, avg(e.v[t.pos]) AS m
+        |    FROM a1 JOIN emb e USING (vec_id), range(1, 65) t(pos)
+        |    GROUP BY a1.cell, t.pos
+        |  ) GROUP BY cell
+        |), c1 AS (
+        |  SELECT c0.cell, COALESCE(c1m.v, c0.v) AS v FROM c0 LEFT JOIN c1m USING (cell)
+        |), c1n AS (
+        |  SELECT cell, CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS vn
+        |  FROM (SELECT cell, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM c1)
+        |), cells AS (
+        |  SELECT vec_id, (list(cell ORDER BY dot DESC, cell ASC))[1] AS cell
+        |  FROM (
+        |    SELECT e.vec_id, c.cell,
+        |           list_sum([e.v[i] * c.vn[i] for i in range(1, len(e.v) + 1)]) AS dot
+        |    FROM emb e CROSS JOIN c1n c
+        |  ) GROUP BY vec_id
+        |), probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT e.vec_id AS query_id, c.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_sum([e.v[i] * c.vn[i] for i in range(1, len(e.v) + 1)]) DESC, c.cell ASC) AS rn
+        |    FROM emb e CROSS JOIN c1n c WHERE e.vec_id < 5
+        |  ) WHERE rn <= 3
+        |), cand AS (
+        |  SELECT p.query_id, d.vec_id AS neighbor_id,
+        |    list_sum([qe.v[i] * de.v[i] for i in range(1, len(qe.v) + 1)]) /
+        |    (sqrt(list_sum([qe.v[i] * qe.v[i] for i in range(1, len(qe.v) + 1)])) *
+        |     sqrt(list_sum([de.v[i] * de.v[i] for i in range(1, len(de.v) + 1)]))) AS sim
+        |  FROM probes p
+        |  JOIN cells d USING (cell)
+        |  JOIN emb qe ON qe.vec_id = p.query_id
+        |  JOIN emb de ON de.vec_id = d.vec_id
+        |  WHERE d.vec_id <> p.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM cand
+        |)
+        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS cosine_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Same literal-hyperplane replay as ll4: the oracle recomputes the
     // 4-plane sign bucket per vector, joins on bucket equality, and

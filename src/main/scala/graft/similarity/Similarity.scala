@@ -149,9 +149,19 @@ object Similarity {
     * shipped multi-megabyte task binaries.) */
   def kmeansCentroids(
       df: DataFrame, vecCol: String, k: Int,
-      iterations: Int = 3): Seq[Seq[Double]] = {
-    var centroids: Seq[Seq[Double]] = df
-      .select(col(vecCol).as("v")).orderBy(xxhash64(col("v")), col("v").cast("string"))
+      iterations: Int = 3,
+      initOrder: Option[Seq[Column]] = None): Seq[Seq[Double]] = {
+    // Default init: the k vectors with the smallest value hash — a
+    // cheap deterministic spread. `initOrder` overrides the ordering
+    // (e.g. by an id column) when the caller needs an init an external
+    // system can reproduce without Spark's xxhash64 — the gate oracle
+    // replays k-means in SQL from `ORDER BY vec_id`.
+    val ordered = initOrder match {
+      case Some(cols) => df.orderBy(cols: _*).select(col(vecCol).as("v"))
+      case None => df.select(col(vecCol).as("v"))
+        .orderBy(xxhash64(col("v")), col("v").cast("string"))
+    }
+    var centroids: Seq[Seq[Double]] = ordered
       .limit(k).collect()
       .map(_.getSeq[Any](0).map(x => x.toString.toDouble).toSeq).toSeq
     // Fewer vectors than k (or an empty corpus) yields fewer (or zero)
@@ -187,7 +197,8 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
-      kmeansIterations: Int = 3, excludeSelf: Boolean = true): DataFrame = {
+      kmeansIterations: Int = 3, excludeSelf: Boolean = true,
+      centroidInitOrder: Option[Seq[Column]] = None): DataFrame = {
     // kmeans iterates over the vectors twice per round — cache them for
     // its duration only, and unpersist before returning: the final
     // search plan reads the source once more, which is cheaper than a
@@ -195,7 +206,7 @@ object Similarity {
     // driver-side literals, so nothing below re-runs kmeans).
     val cached = spread(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids =
-      try kmeansCentroids(cached, vecCol, nCells, kmeansIterations)
+      try kmeansCentroids(cached, vecCol, nCells, kmeansIterations, centroidInitOrder)
       finally { cached.unpersist(blocking = false); () }
     // Degenerate corpora: fewer vectors than nCells yields fewer
     // centroids (clamp the probe count); an empty corpus yields none —
