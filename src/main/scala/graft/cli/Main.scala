@@ -147,11 +147,12 @@ object Main {
         historyRetentionDays = Config.getInt(cfg, "history_retention_days").getOrElse(30)),
       historical)
 
-    resolve(flags, "--format", "-f").getOrElse("default") match {
-      case "minimal" => renderMinimal(profile)
-      case "detailed" => renderDetailed(profile)
-      case _ => renderDefault(profile)
-    }
+    val verbose = flags.contains("--verbose") || flags.contains("-v")
+    print(resolve(flags, "--format", "-f").getOrElse("default") match {
+      case "minimal" => Render.minimal(profile)
+      case "detailed" => Render.detailed(profile, verbose)
+      case _ => Render.default(profile)
+    })
     resolve(flags, "--output", "-o").foreach { out =>
       Option(Paths.get(out).getParent).foreach(Files.createDirectories(_))
       Files.writeString(Paths.get(out), Json.profile(profile))
@@ -231,51 +232,4 @@ object Main {
     0
   }
 
-  // ---- renderers (plain-text analogues of cli/profile.py:122-455) ----
-
-  private def renderMinimal(p: TableProfile): Unit = {
-    println(s"Profile Summary: ${p.table}")
-    println(s"  rows=${p.rowCount} duplicates=${p.duplicateCount} " +
-      s"columns=${p.completeness.size} anomalies=${p.anomalies.size}")
-  }
-
-  private def renderDefault(p: TableProfile): Unit = {
-    renderMinimal(p)
-    println("  Completeness:")
-    p.completeness.toSeq.sortBy(_._1).foreach { case (c, cc) =>
-      println(f"    $c%-24s nulls=${cc.nulls}%-8d (${cc.nullPercentage}%.2f%%)  distinct=${cc.distinctCount}")
-    }
-    if (p.anomalies.nonEmpty) {
-      println("  Anomalies:")
-      p.anomalies.foreach(a => println(s"    [${a.severity}] ${a.anomalyType}: ${a.description}"))
-    }
-    if (p.schemaShifts.nonEmpty) {
-      println("  Schema shifts:")
-      p.schemaShifts.foreach(sh => println(s"    [${sh.severity}] ${sh.shiftType}: ${sh.description}"))
-    }
-  }
-
-  private def renderDetailed(p: TableProfile): Unit = {
-    renderDefault(p)
-    if (p.numericStats.nonEmpty) {
-      println("  Numeric stats:")
-      p.numericStats.toSeq.sortBy(_._1).foreach { case (c, n) =>
-        println(s"    $c: min=${n.min.getOrElse("-")} max=${n.max.getOrElse("-")} " +
-          s"avg=${n.avg.getOrElse("-")} stdev=${n.stdev.getOrElse("-")} median=${n.median.getOrElse("-")}")
-      }
-    }
-    if (p.textLengthStats.nonEmpty) {
-      println("  Text lengths:")
-      p.textLengthStats.toSeq.sortBy(_._1).foreach { case (c, n) =>
-        println(s"    $c: min=${n.minLength.getOrElse("-")} max=${n.maxLength.getOrElse("-")} avg=${n.avgLength.getOrElse("-")}")
-      }
-    }
-    if (p.nestedStats.nonEmpty) {
-      println("  Nested columns:")
-      p.nestedStats.toSeq.sortBy(_._1).foreach { case (c, n) =>
-        println(s"    $c (${n.kind}): sizes=${n.minSize.getOrElse("-")}..${n.maxSize.getOrElse("-")} " +
-          s"elements=${n.totalElements.getOrElse("-")}")
-      }
-    }
-  }
 }
