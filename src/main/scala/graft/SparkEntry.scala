@@ -673,8 +673,12 @@ object SparkEntry {
     // sits at z ≈ 0.37) so the gate emits actual drift events. The
     // driver-side collect here is the REPLAY HARNESS feeding the
     // stream at gate scale, not the operator: meanDrift itself keeps
-    // O(keys) distributed state. The oracle replays the same day
-    // sequence as an expanding window in SQL.
+    // O(keys) distributed state. One scan: the shifted events are
+    // collected once and grouped into per-day batches driver-side
+    // (same batches, same date order as the old per-day filter —
+    // identical oracle semantics, 1 scan instead of one per day).
+    // The oracle replays the same day sequence as an expanding
+    // window in SQL.
     "ev_mean_drift" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -687,23 +691,44 @@ object SparkEntry {
               .when(col("event_type") === "view" && day === lit("2024-01-28").cast("date"), -200.0)
               .when(col("event_type") === "purchase" && day === lit("2024-01-15").cast("date"), 300.0)
               .otherwise(0.0)).as("v"))
-      val days = shifted.select("d").distinct().orderBy("d")
-        .as[java.sql.Date].collect()
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = shifted.select(col("d").cast("string"), col("key"), col("v"))
+        .as[(String, String, Double)].collect()
+      val batches = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rs) => rs.toSeq.map(r => (r._2, r._3)) }
+      // The stream runs in a child session with few shuffle partitions:
+      // state-partition count is fixed from shuffle.partitions at query
+      // start, and 32 state-store tasks per micro-batch × ~31 batches
+      // for a 3-key stream is pure scheduling/state overhead (~160
+      // CPU·s measured). Per-key grouping is exact at any partition
+      // count, so the result is identical. At real scale the key count
+      // dictates this knob upward again.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "1")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
       val stream = MemoryStream[(String, Double)]
       val sinkName = s"ev_mean_drift_sink_${System.nanoTime()}"
+      // Checkpoint on tmpfs when available: ~31 micro-batches × (offset
+      // log + commit log + state files) are pure fsync overhead on a
+      // replay whose durability nobody needs.
+      val ckpt = if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_$sinkName"
+                 else s"${System.getProperty("java.io.tmpdir")}/graft_$sinkName"
       val q = StreamProfiler.meanDrift(stream.toDS())
         .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
         .outputMode("append").start()
       try {
-        days.foreach { d =>
-          val batch = shifted.filter(col("d") === lit(d))
-            .select("key", "v").as[(String, Double)].collect().toSeq
+        batches.foreach { batch =>
           stream.addData(batch)
           q.processAllAvailable()
         }
-      } finally q.stop()
-      s.table(sinkName).select(
+      } finally {
+        q.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(ckpt))
+      }
+      s2.table(sinkName).select(
         col("key"),
         col("batchCount").as("batch_count"),
         round(col("batchMean"), 4).as("batch_mean"),
