@@ -200,4 +200,47 @@ object Render {
     }
     sb.toString
   }
+
+  /** validate.py:187-206: rule-type summary before the run — the type
+    * is the first `_`-segment of the rule name (`other` when the name
+    * has no underscore), counted and listed by descending count.
+    * Python's stable sort keeps first-seen insertion order among equal
+    * counts; a LinkedHashMap plus Scala's stable sortBy mirrors that. */
+  def rulesSummary(rules: Seq[graft.model.ValidationRule]): String = {
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    rules.foreach { r =>
+      val t = if (r.name.contains('_')) r.name.takeWhile(_ != '_') else "other"
+      counts.update(t, counts.getOrElse(t, 0) + 1)
+    }
+    s"\nValidation Rules Summary (${rules.size} total):\n" +
+      table(Seq("Type" -> false, "Count" -> true),
+        counts.toSeq.sortBy(-_._2).map { case (t, c) => Seq(t, c.toString) },
+        showHeader = false)
+  }
+
+  /** validate.py:209-245: results table — Rule, Status (`✓ PASS` /
+    * `✗ FAIL`), Expected and Actual rendered as JSON scalars
+    * (`json.dumps` parity via Json.any: strings quoted, None → null,
+    * integral floats keep `.0`), Description; an errored rule shows
+    * `Error: <message>` in its Actual cell. */
+  def validationResults(results: Seq[graft.model.ValidationResult]): String =
+    "\nValidation Results:\n" +
+      table(
+        Seq("Rule" -> false, "Status" -> false, "Expected" -> true,
+          "Actual" -> true, "Description" -> false),
+        results.map { r =>
+          val status = if (r.isValid) "✓ PASS" else "✗ FAIL"
+          val actual = r.error.map(e => s"Error: $e")
+            .getOrElse(graft.model.Json.any(r.actualValue))
+          Seq(r.ruleName, status, graft.model.Json.any(r.expectedValue),
+            actual, r.description)
+        })
+
+  /** validate.py:169-174: the post-run pass/fail summary line. */
+  def validationSummary(results: Seq[graft.model.ValidationResult]): String = {
+    val passed = results.count(_.isValid)
+    val failed = results.size - passed
+    if (failed > 0) s"\nValidation summary: $passed passed, $failed failed\n"
+    else s"\nValidation summary: All $passed validations passed!\n"
+  }
 }
