@@ -23,10 +23,20 @@ import org.apache.spark.sql.SparkSession
   * and (b) is emitted compactly at the END of the line: a
   * `"slowest"` map (top-10 by wall, each with wall+cpu — wall ≈ cpu
   * on a 32-core-parallel query proves starvation directly), a
-  * `"starved"` list (queries with cpu > 1 s whose wall exceeded
-  * ~3× cpu/cores while the sampled load was above half the cores),
-  * `"load_max"`, and `"contended"` (true when either the load max
-  * crossed half the cores or any query starved).
+  * `"starved"` list, `"load_max"` / `"ext_load_max"`, and
+  * `"contended"`.
+  *
+  * The raw 1-min load average counts this benchmark's OWN runnable
+  * threads — a heavy parallel query pushes it past cores/2 on an
+  * otherwise-idle host, which falsely flagged clean runs. Each
+  * sample is therefore discounted by the process's own trailing-60s
+  * CPU rate (its expected contribution to a 1-min load average,
+  * interpolated from cumulative-CPU readings at query boundaries):
+  * `ext_load` ≈ demand from OTHER processes. A query is `starved`
+  * when it burned real CPU (> 1 s), its wall exceeded ~3× the
+  * perfectly-parallel floor (cpu/cores), AND the external load showed
+  * competing demand for over half the cores. `contended` requires
+  * actual starvation evidence — `load_max` alone is informational.
   */
 object Bench {
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -83,9 +93,30 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
-    // (name, wall, cpuDelta, gcDelta, 1-min load sampled right after
-    // the query — a mid-run contention signature the start-of-run
-    // sample cannot provide).
+    // Cumulative (elapsed-sec, process-CPU-sec) at every query
+    // boundary: the process's own expected contribution to a 1-min
+    // load average is its CPU rate over the trailing 60 s,
+    // interpolated from these points (CPU is assumed uniform within a
+    // query — boundaries are the only cheap sample sites).
+    val runStart = System.nanoTime()
+    val cpuPoints = scala.collection.mutable.ArrayBuffer((0.0, processCpuSec()))
+    def ownTrailingRate(): Double = {
+      val now = (System.nanoTime() - runStart) / 1e9
+      val cpuNow = processCpuSec()
+      if (cpuNow.isNaN) return 0.0
+      val horizon = math.max(0.0, now - 60.0)
+      val cpuAtHorizon = cpuPoints.lastIndexWhere(_._1 <= horizon) match {
+        case -1 => cpuPoints.head._2
+        case i if i == cpuPoints.length - 1 => cpuPoints(i)._2
+        case i =>
+          val (t0, c0) = cpuPoints(i); val (t1, c1) = cpuPoints(i + 1)
+          c0 + (c1 - c0) * (horizon - t0) / (t1 - t0)
+      }
+      val window = now - horizon
+      if (window <= 0) 0.0 else math.max(0.0, (cpuNow - cpuAtHorizon) / window)
+    }
+    final case class QueryResult(name: String, wall: Double, cpu: Double,
+        gc: Double, load: Double, extLoad: Double)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val cpu0 = processCpuSec()
@@ -95,43 +126,55 @@ object Bench {
         errors += name -> String.valueOf(e.getMessage)
         System.err.println(s"[bench] $name FAILED: $e")
       }
-      (name, (System.nanoTime() - t0) / 1e9, processCpuSec() - cpu0,
-        gcSec() - gc0, osBean.getSystemLoadAverage)
+      // 1-min load sampled right after the query — a mid-run
+      // contention signature the start-of-run sample cannot provide —
+      // and the same sample net of this process's own trailing CPU
+      // rate: the demand from OTHER processes.
+      val load = osBean.getSystemLoadAverage
+      val extLoad = if (load < 0) Double.NaN else math.max(0.0, load - ownTrailingRate())
+      cpuPoints += (((System.nanoTime() - runStart) / 1e9, processCpuSec()))
+      QueryResult(name, (System.nanoTime() - t0) / 1e9, processCpuSec() - cpu0,
+        gcSec() - gc0, load, extLoad)
     }
     // JSON has no NaN literal: an unsupported CPU bean reports -1.
     def num(v: Double): String = if (v.isNaN || v.isInfinite) "-1" else f"$v%.3f"
-    def jmap(f: ((String, Double, Double, Double, Double)) => Double): String =
-      results.map { r => "\"" + r._1 + "\":" + num(f(r)) }
+    def jmap(f: QueryResult => Double): String =
+      results.map { r => "\"" + r.name + "\":" + num(f(r)) }
         .mkString("{", ",", "}")
-    val qs = jmap(_._2)
-    val cpuQs = jmap(_._3)
-    val gcQs = jmap(_._4)
-    val total = results.map(_._2).sum
-    val cpuTotal = results.map(_._3).sum
-    val gcTotal = results.map(_._4).sum
+    val qs = jmap(_.wall)
+    val cpuQs = jmap(_.cpu)
+    val gcQs = jmap(_.gc)
+    val total = results.map(_.wall).sum
+    val cpuTotal = results.map(_.cpu).sum
+    val gcTotal = results.map(_.gc).sum
     val cores = Runtime.getRuntime.availableProcessors()
     // Whole-run core utilization — diagnostic context for the per-query
     // cpu_sec map (a CPU-bound query whose wall ≫ cpu was starved).
     val util = if (total > 0 && !cpuTotal.isNaN) cpuTotal / (total * cores) else Double.NaN
     val loadEnd = osBean.getSystemLoadAverage
-    val loadSamples = (loadStart +: results.map(_._5)).filterNot(_.isNaN)
+    val loadSamples = (loadStart +: results.map(_.load)).filterNot(_.isNaN)
     val loadMax = if (loadSamples.nonEmpty) loadSamples.max else Double.NaN
+    val extSamples = results.map(_.extLoad).filterNot(_.isNaN)
+    val extLoadMax = if (extSamples.nonEmpty) extSamples.max else Double.NaN
     // A query was starved when it burned real CPU (> 1 s) yet its wall
     // exceeded ~3× the perfectly-parallel floor (cpu/cores) WHILE the
-    // sampled load showed competing demand for over half the cores.
-    // The load condition keeps quiet-host low-parallelism queries
-    // (driver-side diffs, streaming micro-batches) out of the list.
+    // EXTERNAL load showed competing demand for over half the cores.
+    // Raw load would count this run's own threads (a clean heavy run
+    // drove load to 12 on an idle 32-core host) and false-positive
+    // inherently driver-heavy queries like the streaming replay.
     val starved = results.filter { r =>
-      !r._3.isNaN && r._3 > 1.0 && r._2 > 3.0 * r._3 / cores &&
-        !r._5.isNaN && r._5 > cores / 2.0
-    }.map(_._1)
+      !r.cpu.isNaN && r.cpu > 1.0 && r.wall > 3.0 * r.cpu / cores &&
+        !r.extLoad.isNaN && r.extLoad > cores / 2.0
+    }.map(_.name)
     val starvedJson = starved.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Top-10 by wall, each with wall+cpu: the compact starvation proof
     // (wall ≈ cpu on a parallel query ⇒ it got ~1 core's cycles).
-    val slowest = results.sortBy(-_._2).take(10)
-      .map(r => "\"" + r._1 + "\":{\"w\":" + num(r._2) + ",\"c\":" + num(r._3) + "}")
+    val slowest = results.sortBy(-_.wall).take(10)
+      .map(r => "\"" + r.name + "\":{\"w\":" + num(r.wall) + ",\"c\":" + num(r.cpu) + "}")
       .mkString("{", ",", "}")
-    val contended = (!loadMax.isNaN && loadMax > cores / 2.0) || starved.nonEmpty
+    // Contended requires starvation EVIDENCE; load_max alone is
+    // informational (self-load can cross any fixed threshold).
+    val contended = starved.nonEmpty
     // Contention diagnostics go at the END of the line: the driver's
     // artifact keeps only the tail, and evidence that gets truncated
     // away cannot flag a polluted run.
@@ -139,7 +182,8 @@ object Bench {
       s""""cpu_sec":$cpuQs,"gc_sec":$gcQs,""" +
       s""""cpu_total":${num(cpuTotal)},"gc_total":${num(gcTotal)},"cpu_util":${num(util)},""" +
       s""""cores":$cores,"load_start":${num(loadStart)},"load_end":${num(loadEnd)},""" +
-      s""""load_max":${num(loadMax)},"slowest":$slowest,"starved":$starvedJson,"contended":$contended}""")
+      s""""load_max":${num(loadMax)},"ext_load_max":${num(extLoadMax)},""" +
+      s""""slowest":$slowest,"starved":$starvedJson,"contended":$contended}""")
     spark.stop()
     val errs = errors.result()
     if (errs.nonEmpty) {

@@ -691,7 +691,11 @@ object SparkEntry {
               .when(col("event_type") === "view" && day === lit("2024-01-28").cast("date"), -200.0)
               .when(col("event_type") === "purchase" && day === lit("2024-01-15").cast("date"), 300.0)
               .otherwise(0.0)).as("v"))
-      val rows = shifted.select(col("d").cast("string"), col("key"), col("v"))
+      // Null-day rows are dropped explicitly (the old per-day `d ===
+      // lit(day)` filter dropped them silently; groupBy/sortBy on a
+      // null string key would NPE instead).
+      val rows = shifted.filter(col("d").isNotNull)
+        .select(col("d").cast("string"), col("key"), col("v"))
         .as[(String, String, Double)].collect()
       val batches = rows.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (_, rs) => rs.toSeq.map(r => (r._2, r._3)) }
@@ -722,11 +726,13 @@ object SparkEntry {
           q.processAllAvailable()
         }
       } finally {
-        q.stop()
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
         }
-        rm(new java.io.File(ckpt))
+        // stop() can throw on an already-failed stream; the tmpfs
+        // checkpoint must be removed regardless or repeated runs leak
+        // into the size-limited /dev/shm.
+        try q.stop() finally rm(new java.io.File(ckpt))
       }
       s2.table(sinkName).select(
         col("key"),

@@ -115,6 +115,19 @@ object Main {
   private def resolve(flags: Map[String, String], names: String*): Option[String] =
     names.flatMap(flags.get).headOption
 
+  /** Mask credentials before a source string is echoed anywhere
+    * (reference: sparvi/cli/main.py:56-81 `sanitize_connection_string`):
+    * URL `user:pass@` (which subsumes the reference's snowflake-specific
+    * duplicate of the same pattern) and `password=`/`pwd=` query
+    * parameters. The user part excludes `/` so a path segment with a
+    * colon is never mistaken for credentials. */
+  def sanitizeSource(source: String): String =
+    Seq(
+      "(://[^:/]+:)([^@]+)(@)" -> "$1*****$3",
+      "(password=)([^&]+)(&|$)" -> "$1*****$3",
+      "(pwd=)([^&]+)(&|$)" -> "$1*****$3")
+      .foldLeft(source) { case (acc, (p, r)) => acc.replaceAll(p, r) }
+
   private def sourceAndTable(pos: Seq[String]): (String, String) = pos match {
     case Seq(src, table) => (src, table)
     case Seq(table) => (sys.env.getOrElse("SPARVI_SOURCE",
@@ -176,24 +189,28 @@ object Main {
       RuleFiles.export(generated, out, "yaml")
       println(s"Default rules saved to: $out")
     }
-    val fromFile = resolve(flags, "--rules", "-r").map(RuleFiles.load).getOrElse(Nil)
+    val fromFile = resolve(flags, "--rules", "-r").map { f =>
+      val loaded = RuleFiles.load(f)
+      // validate.py:125: echo how many rules came from the file.
+      println(s"Loaded ${loaded.size} rules from: $f")
+      loaded
+    }.getOrElse(Nil)
     val rules = generated ++ fromFile
     if (rules.isEmpty) {
       System.err.println("No rules to run (use --rules or --generate-defaults)")
       return 2
     }
 
-    println(s"Running ${rules.size} validation rules against: $table")
+    // Reference flow (validate.py:140-173): rule-type summary before
+    // the run, results table after, then the pass/fail summary line.
+    print(Render.rulesSummary(rules))
+    println(s"\nRunning ${rules.size} validation rules against: $table")
     // COUNT-WHERE rules fuse into one aggregate per table — identical
     // results, one scan per table instead of one per rule.
     val results = Validator.runBatched(s, rules)
     val failed = results.filterNot(_.isValid)
-    results.foreach { r =>
-      val status = if (r.isValid) "PASS" else "FAIL"
-      val err = r.error.map(e => s" [error: $e]").getOrElse("")
-      println(f"  $status  ${r.ruleName}%-45s actual=${r.actualValue}$err")
-    }
-    println(s"\n${results.size - failed.size} passed, ${failed.size} failed")
+    print(Render.validationResults(results))
+    print(Render.validationSummary(results))
 
     resolve(flags, "--output", "-o").foreach { out =>
       Option(Paths.get(out).getParent).foreach(Files.createDirectories(_))
@@ -209,7 +226,7 @@ object Main {
       .getOrElse(throw new IllegalArgumentException("expected: <source>"))
     val s = spark()
     val df = Source.parse(src).load(s)
-    println(s"Connection OK: $src")
+    println(s"Connection OK: ${sanitizeSource(src)}")
     println(s"Columns (${df.schema.fields.length}):")
     df.schema.fields.foreach(f => println(s"  ${f.name}: ${f.dataType.simpleString}"))
     // Mirror the reference's table listing (cli/main.py:79-123): show
@@ -228,7 +245,7 @@ object Main {
     println("graft - Spark-native sparvi-core engine")
     println(s"  Scala: ${util.Properties.versionNumberString}")
     println(s"  Spark: ${org.apache.spark.SPARK_VERSION}")
-    sys.env.get("SPARVI_SOURCE").foreach(v => println(s"  Default source: $v"))
+    sys.env.get("SPARVI_SOURCE").foreach(v => println(s"  Default source: ${sanitizeSource(v)}"))
     0
   }
 
