@@ -517,6 +517,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- The cap audit for ll7 ("no silent caps"): every fingerprint
+    // the df<=100 pruning step dropped, with how many documents carry
+    // it. Nonzero even at sf0.01 (12 fps) — the cap genuinely binds,
+    // and at sf0.1 it swallows whole near-dup clusters (1615 fps;
+    // overlapPairs finds 2 pairs at cap=100 vs 101 at cap=250), which
+    // is why this surface exists as a first-class operator.
+    "ll7b_capped_fingerprints" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      Dedup.cappedFingerprints(df, "doc_id", "text", hashMode = "md5")
+        .orderBy(col("df_count").desc, col("fp"))
+    }),
+
     // ---- LLM-pipeline: exact brute-force cosine top-k (the ANN
     // baseline; queries broadcast, two-phase top-k, no window funnel).
     "ll3_ann_topk" -> ((s, dir) => {
@@ -1446,6 +1458,20 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fingerprints
         |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 40 ORDER BY 1, 2""".stripMargin,
+
+    "ll7b_capped_fingerprints" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
+        |), h AS (
+        |  SELECT doc_id, [md5(substr(t, i, 8)) for i in range(1, greatest(length(t) - 7, 1) + 1)] AS hs FROM n
+        |), m AS (
+        |  SELECT doc_id, list_distinct([list_aggregate(hs[i:least(i + 3, len(hs))], 'min') for i in range(1, len(hs) + 1)]) AS fps FROM h
+        |), f AS (
+        |  SELECT doc_id, unnest(fps) AS fp FROM m
+        |)
+        |SELECT fp, count(*) AS df_count FROM f
+        |GROUP BY fp HAVING count(*) > 100
+        |ORDER BY df_count DESC, fp""".stripMargin,
 
     "txt_fingerprints" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

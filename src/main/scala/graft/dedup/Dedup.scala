@@ -266,7 +266,21 @@ object Dedup {
     * different documents — invisible to whole-document Jaccard or
     * SimHash. The join is equi-keyed on the fingerprint hash; a
     * frequency cap drops ubiquitous fingerprints (boilerplate) before
-    * pairing, bounding join fan-out. */
+    * pairing, bounding join fan-out.
+    *
+    * The cap is load-bearing at scale AND a recall tradeoff: each
+    * fingerprint contributes O(df²) rows to the self-join, so an
+    * uncapped ubiquitous fingerprint is quadratic blowup (df=500 on
+    * one fp already OOMs a 1 GB driver at 5000 docs) — but a passage
+    * shared by MORE than `maxDocFrequency` documents becomes
+    * invisible to this operator. Measured on the sf0.1 fixture
+    * (5000 docs, minShared=40): cap=100 → 2 pairs, cap=250 → 101
+    * pairs — the corpus's near-dup clusters span >100 docs, so the
+    * absolute cap silently swallowed them. Run [[cappedFingerprints]]
+    * alongside to make that drop visible; when it returns rows,
+    * either raise the cap (cost ~df² per fingerprint) or collapse
+    * the big clusters first with exact / MinHash dedup, which is the
+    * scale-correct order for a 100 TB pipeline anyway. */
   def overlapPairs(
       df: DataFrame, idCol: String, textCol: String,
       minShared: Int = 2, k: Int = 8, w: Int = 4,
@@ -282,6 +296,22 @@ object Dedup {
       .agg(count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
   }
+
+  /** The audit for [[overlapPairs]]'s frequency cap — "no silent
+    * caps": the fingerprints the cap DROPS, i.e. those appearing in
+    * more than `maxDocFrequency` documents, as (fp, df_count). Empty
+    * output means the cap bound nothing and overlapPairs saw every
+    * fingerprint; rows here are passages the operator cannot pair,
+    * each quantified by how many documents carry it. One groupBy over
+    * the map-side fingerprint set — same cost shape as the pruning
+    * step inside overlapPairs itself, scale-safe at any corpus size. */
+  def cappedFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDocFrequency: Int = 100,
+      hashMode: String = "xxhash64"): DataFrame =
+    TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w, hashMode)
+      .groupBy("fp").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") > maxDocFrequency)
 
   /** Blocking keys for a 64-bit sketch, Manku-style (Manku/Jain/Sarma,
     * WWW'07 §3): the sketch is cut into `blocks` contiguous bit-fields;

@@ -310,6 +310,29 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     pairs.head.getAs[Long]("shared_fingerprints") should be > 1L
   }
 
+  test("cappedFingerprints surfaces what the overlapPairs frequency cap drops") {
+    // A passage shared by 5 documents: with maxDocFrequency=4 its
+    // fingerprints exceed the cap, so overlapPairs sees NONE of the
+    // C(5,2)=10 pairs — and the audit must report exactly the
+    // fingerprints that were dropped, each carried by all 5 docs.
+    val passage = "this exact shared passage is long enough to leave fingerprints behind"
+    val cluster = (1L to 5L).map(i => (i, s"doc number $i says $passage plus unique suffix token$i"))
+    val df = docs(cluster :+ (9L, "nothing in common with the cluster documents at all whatsoever"): _*)
+
+    val capped = Dedup.overlapPairs(df, "doc_id", "text", minShared = 2, maxDocFrequency = 4)
+    capped.count() shouldBe 0L
+
+    val audit = Dedup.cappedFingerprints(df, "doc_id", "text", maxDocFrequency = 4).collect()
+    audit should not be empty
+    all(audit.map(_.getAs[Long]("df_count"))) shouldBe 5L
+
+    // Raising the cap past the cluster size recovers every pair, and
+    // empties the audit — the cap bound nothing.
+    Dedup.overlapPairs(df, "doc_id", "text", minShared = 2, maxDocFrequency = 5)
+      .count() shouldBe 10L
+    Dedup.cappedFingerprints(df, "doc_id", "text", maxDocFrequency = 5).count() shouldBe 0L
+  }
+
   test("hammingDistance column matches bitCount of xor") {
     val s = spark
     import s.implicits._
