@@ -37,6 +37,14 @@ import org.apache.spark.sql.SparkSession
   * perfectly-parallel floor (cpu/cores), AND the external load showed
   * competing demand for over half the cores. `contended` requires
   * actual starvation evidence — `load_max` alone is informational.
+  *
+  * Load- and starvation-based detection is still blind to SMT
+  * co-tenancy and cgroup throttling, which inflate CPU-seconds along
+  * with wall. `cal_mops_start` / `cal_mops_end` measure effective core
+  * throughput directly (all-core fixed spin loop, ~400 ms); a drop vs
+  * other rounds' artifacts on the same host is pollution proof even
+  * when every load/starvation signal stays quiet, and an intra-run
+  * collapse (end < 0.6 × start) flips `contended` by itself.
   */
 object Bench {
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -55,6 +63,39 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
   }
+
+  /** Effective-core-throughput calibration: every core spins a fixed
+    * integer mixer for ~400 ms; returns aggregate Mops/s. This is the
+    * contention signal the load/starvation detectors CANNOT provide:
+    * SMT co-tenancy and cgroup throttling inflate CPU-seconds along
+    * with wall (the round-9 artifact burned 1.85× the CPU of a quiet
+    * run at load_max 12 — wall ≫ cpu/cores never triggers), but they
+    * cut ops/s on a fixed workload directly. Compare across rounds on
+    * the same host, and start-vs-end within a run. */
+  private def calibrateMops(): Double = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val durNs = 400L * 1000 * 1000
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    val threads = (0 until cores).map { i =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        var ops = 0L
+        val t0 = System.nanoTime()
+        while (System.nanoTime() - t0 < durNs) {
+          var j = 0
+          while (j < 4096) { x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 29; j += 1 }
+          ops += 4096
+        }
+        sink.addAndGet(x) // keep the mixer live past the JIT
+        total.addAndGet(ops); ()
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    total.get / ((System.nanoTime() - t0) / 1e9) / 1e6
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,6 +112,9 @@ object Bench {
     // average near/above the core count here means OTHER processes own
     // the cores and the wall times below are not comparable.
     val loadStart = osBean.getSystemLoadAverage
+    // Calibrate BEFORE warmup (cold JIT is fine — the spin loop JITs in
+    // its first milliseconds) and again after the last query.
+    val calStart = calibrateMops()
 
     // Warmup: pay JVM/codegen/parquet-footer costs once, outside timing.
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -172,9 +216,12 @@ object Bench {
     val slowest = results.sortBy(-_.wall).take(10)
       .map(r => "\"" + r.name + "\":{\"w\":" + num(r.wall) + ",\"c\":" + num(r.cpu) + "}")
       .mkString("{", ",", "}")
-    // Contended requires starvation EVIDENCE; load_max alone is
-    // informational (self-load can cross any fixed threshold).
-    val contended = starved.nonEmpty
+    // Contended requires starvation EVIDENCE or a direct throughput
+    // collapse between the start and end calibrations; load_max alone
+    // is informational (self-load can cross any fixed threshold).
+    val calEnd = calibrateMops()
+    val calRatio = if (calStart > 0) calEnd / calStart else Double.NaN
+    val contended = starved.nonEmpty || (!calRatio.isNaN && calRatio < 0.6)
     // Contention diagnostics go at the END of the line: the driver's
     // artifact keeps only the tail, and evidence that gets truncated
     // away cannot flag a polluted run.
@@ -183,6 +230,7 @@ object Bench {
       s""""cpu_total":${num(cpuTotal)},"gc_total":${num(gcTotal)},"cpu_util":${num(util)},""" +
       s""""cores":$cores,"load_start":${num(loadStart)},"load_end":${num(loadEnd)},""" +
       s""""load_max":${num(loadMax)},"ext_load_max":${num(extLoadMax)},""" +
+      s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +
       s""""slowest":$slowest,"starved":$starvedJson,"contended":$contended}""")
     spark.stop()
     val errs = errors.result()
