@@ -143,14 +143,20 @@ object Main {
     val df = Source.parse(src).load(s)
     df.createOrReplaceTempView(table)
 
+    // profile.py:70-71,79: table + sanitized connection echo, then the
+    // comparison-file echo when --compare is given.
+    println(s"Profiling table: $table")
+    println(s"Connection: ${sanitizeSource(src)}")
     val historical: Option[TableProfile] =
-      resolve(flags, "--compare", "-c").map(Json.readProfileFile)
+      resolve(flags, "--compare", "-c").map { f =>
+        println(s"Comparing with previous profile: $f")
+        Json.readProfileFile(f)
+      }
     val includeSamples = !flags.contains("--no-samples")
     // The layered config drives sampling + anomaly knobs
     // (reference: sparvi/config.py:19-20; profiling.sample_method
     // default `random`, adapters.py:204-206).
     val cfg = Config.load()
-    println(s"Profiling table: $table")
     val profile = Profiler.profile(df, table,
       ProfilerConfig(
         includeSamples = includeSamples,
@@ -181,6 +187,9 @@ object Main {
     val df = Source.parse(src).load(s)
     df.createOrReplaceTempView(table)
 
+    // validate.py:90-91: table + sanitized connection echo.
+    println(s"Validating table: $table")
+    println(s"Connection: ${sanitizeSource(src)}")
     val generated =
       if (flags.contains("--generate-defaults") || flags.contains("-g"))
         DefaultValidations.generate(df.schema, table, TableMeta.empty)
@@ -215,7 +224,8 @@ object Main {
     resolve(flags, "--output", "-o").foreach { out =>
       Option(Paths.get(out).getParent).foreach(Files.createDirectories(_))
       Files.writeString(Paths.get(out), Json.validationResults(results))
-      println(s"Results saved to: $out")
+      // validate.py:180 wording.
+      println(s"Validation results saved to: $out")
     }
     if (failed.nonEmpty && (flags.contains("--fail-on-error") || flags.contains("-f"))) 1 else 0
   }
