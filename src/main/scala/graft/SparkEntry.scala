@@ -756,6 +756,61 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // ---- Streaming exact dedup (first-arrival-wins dropDuplicates on
+    // the content fingerprint), verified by deterministic replay: the
+    // documents table arrives as 5 micro-batches keyed by doc_id % 5
+    // (fed in order), then a 6th batch of whitespace/case-mangled
+    // copies of every doc_id % 10 == 0 document — all of which must be
+    // suppressed, because their normalized digest was seen in an
+    // earlier batch. The output projects (fingerprint, batch): which
+    // physical row survives an intra-batch tie is irrelevant after the
+    // projection, so the result is a pure function of the data. The
+    // oracle is first-occurrence-by-batch in SQL: min(doc_id % 5) per
+    // digest (the mangled batch adds nothing — every mangled digest
+    // already appeared in batch doc_id % 5 = 0).
+    "ll10_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      val originals = docs
+        .select((col("doc_id") % 5).cast("long").as("batch"), col("text"))
+        .as[(Long, String)].collect()
+      val mangled = docs.filter(col("doc_id") % 10 === 0)
+        .select(concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+        .as[String].collect().map(t => (5L, t))
+      val batches = (originals ++ mangled).groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, rs) => rs.toSeq.map { case (_, t) => (t, b) } }
+      // Same 1-partition child-session + tmpfs checkpoint rationale as
+      // ev_mean_drift: a few hundred state keys need no 32-way state
+      // sharding, and the replay's durability is worthless.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "1")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+      val stream = MemoryStream[(String, Long)]
+      val sinkName = s"ll10_sink_${System.nanoTime()}"
+      val ckpt = if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_$sinkName"
+                 else s"${System.getProperty("java.io.tmpdir")}/graft_$sinkName"
+      val deduped = graft.streaming.StreamDedup.dropExactDuplicates(
+        stream.toDS().toDF("text", "batch"), "text")
+      val q = deduped.select(col("fingerprint"), col("batch").as("first_batch"))
+        .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        batches.foreach { batch =>
+          stream.addData(batch)
+          q.processAllAvailable()
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try q.stop() finally rm(new java.io.File(ckpt))
+      }
+      s2.table(sinkName).orderBy("fingerprint")
+    }),
+
     // ---- Validator with COUNT-WHERE fusion: same results as the
     // sequential path, one scan per table instead of one per rule.
     "validator_batched" -> ((s, dir) => {
@@ -1472,6 +1527,12 @@ object SparkEntry {
         |SELECT fp, count(*) AS df_count FROM f
         |GROUP BY fp HAVING count(*) > 100
         |ORDER BY df_count DESC, fp""".stripMargin,
+
+    "ll10_stream_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |       CAST(min(doc_id % 5) AS BIGINT) AS first_batch
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY fingerprint""".stripMargin,
 
     "txt_fingerprints" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

@@ -88,6 +88,73 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first arrival wins across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val deduped = graft.streaming.StreamDedup.dropExactDuplicates(
+      input.toDS().toDF("text", "batch"), "text")
+    val q = deduped.select(col("fingerprint"), col("batch"))
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(("alpha doc", 1L), ("beta doc", 1L))
+      q.processAllAvailable()
+      // Batch 2: "  ALPHA   DOC " normalizes to batch 1's "alpha doc"
+      // → suppressed by cross-batch state; "gamma doc" is new.
+      input.addData(("  ALPHA   DOC ", 2L), ("gamma doc", 2L))
+      q.processAllAvailable()
+      val got = spark.table("stream_dedup").as[(String, Long)].collect().toSet
+      got.map(_._2) shouldBe Set(1L, 2L)
+      got should have size 3
+      // The surviving batch-2 row is gamma, not the mangled alpha.
+      val batchOf = got.toMap
+      import graft.text.TextAnalysis
+      val fp = Seq("alpha doc", "beta doc", "gamma doc")
+        .toDF("t").select(TextAnalysis.fingerprint(col("t"))).as[String].collect()
+      batchOf(fp(0)) shouldBe 1L
+      batchOf(fp(1)) shouldBe 1L
+      batchOf(fp(2)) shouldBe 2L
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: batch mode is the stream's fixpoint") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a doc", "A   DOC", "b doc", " b  doc ", "c doc")
+      .toDF("text")
+    val out = graft.streaming.StreamDedup.dropExactDuplicates(df, "text")
+      .select("fingerprint").as[String].collect()
+    out.length shouldBe 3
+    out.distinct.length shouldBe 3
+  }
+
+  test("streaming exact dedup: watermarked state suppresses within the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = graft.streaming.StreamDedup.dropExactDuplicates(
+      input.toDS().toDF("text", "ts"), "text",
+      tsCol = Some("ts"), watermarkDelay = Some("1 hour"))
+    val q = deduped.select("fingerprint")
+      .writeStream.format("memory").queryName("stream_dedup_wm")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:10:00")
+      input.addData(("doc one", t0))
+      q.processAllAvailable()
+      // Ten minutes later — well inside the 1-hour horizon → dropped.
+      input.addData(("DOC   ONE", t1), ("doc two", t1))
+      q.processAllAvailable()
+      spark.table("stream_dedup_wm").count() shouldBe 2
+    } finally q.stop()
+  }
+
   test("windowed completeness: null rates are per-window percentages") {
     val s = spark
     import s.implicits._
