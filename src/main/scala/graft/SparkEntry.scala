@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -28,6 +28,48 @@ object SparkEntry {
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.createOrReplaceTempView(name)
     df
+  }
+
+  /** Deterministic-replay harness shared by the streaming gates
+    * (`ev_mean_drift`, `ll10_stream_dedup`): feed `batches` through a
+    * MemoryStream one micro-batch at a time into a memory sink and
+    * return the sink table. The stream runs in a child session with
+    * ONE shuffle partition — state-partition count is fixed from
+    * shuffle.partitions at query start, and 32 state-store tasks per
+    * micro-batch for a few-hundred-key replay is pure scheduling/state
+    * overhead (~160 CPU·s measured on the drift gate before this); at
+    * real scale the key count dictates that knob upward again. The
+    * checkpoint goes on tmpfs when available (offset/commit/state
+    * fsyncs are waste on a replay whose durability nobody needs) and
+    * is removed even when stop() throws, or repeated runs would leak
+    * into the size-limited /dev/shm. */
+  private def replayToMemory[A: Encoder](
+      s: SparkSession, name: String, batches: Seq[Seq[A]])(
+      build: Dataset[A] => DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "1")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val stream = MemoryStream[A]
+    val sinkName = s"${name}_sink_${System.nanoTime()}"
+    val ckpt = if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_$sinkName"
+               else s"${System.getProperty("java.io.tmpdir")}/graft_$sinkName"
+    val q = build(stream.toDS())
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      batches.foreach { batch =>
+        stream.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try q.stop() finally rm(new java.io.File(ckpt))
+    }
+    s2.table(sinkName)
   }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark can only read
@@ -693,7 +735,6 @@ object SparkEntry {
     // window in SQL.
     "ev_mean_drift" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val day = to_date(col("ts"))
       val shifted = eventsWithTs(s, dir)
         .filter(col("value").isNotNull)
@@ -711,42 +752,8 @@ object SparkEntry {
         .as[(String, String, Double)].collect()
       val batches = rows.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (_, rs) => rs.toSeq.map(r => (r._2, r._3)) }
-      // The stream runs in a child session with few shuffle partitions:
-      // state-partition count is fixed from shuffle.partitions at query
-      // start, and 32 state-store tasks per micro-batch × ~31 batches
-      // for a 3-key stream is pure scheduling/state overhead (~160
-      // CPU·s measured). Per-key grouping is exact at any partition
-      // count, so the result is identical. At real scale the key count
-      // dictates this knob upward again.
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "1")
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
-      val stream = MemoryStream[(String, Double)]
-      val sinkName = s"ev_mean_drift_sink_${System.nanoTime()}"
-      // Checkpoint on tmpfs when available: ~31 micro-batches × (offset
-      // log + commit log + state files) are pure fsync overhead on a
-      // replay whose durability nobody needs.
-      val ckpt = if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_$sinkName"
-                 else s"${System.getProperty("java.io.tmpdir")}/graft_$sinkName"
-      val q = StreamProfiler.meanDrift(stream.toDS())
-        .writeStream.format("memory").queryName(sinkName)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
-      try {
-        batches.foreach { batch =>
-          stream.addData(batch)
-          q.processAllAvailable()
-        }
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        // stop() can throw on an already-failed stream; the tmpfs
-        // checkpoint must be removed regardless or repeated runs leak
-        // into the size-limited /dev/shm.
-        try q.stop() finally rm(new java.io.File(ckpt))
-      }
-      s2.table(sinkName).select(
+      replayToMemory(s, "ev_mean_drift", batches)(
+        ds => StreamProfiler.meanDrift(ds).toDF()).select(
         col("key"),
         col("batchCount").as("batch_count"),
         round(col("batchMean"), 4).as("batch_mean"),
@@ -770,7 +777,6 @@ object SparkEntry {
     // already appeared in batch doc_id % 5 = 0).
     "ll10_stream_dedup" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
       val originals = docs
@@ -781,34 +787,11 @@ object SparkEntry {
         .as[String].collect().map(t => (5L, t))
       val batches = (originals ++ mangled).groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (b, rs) => rs.toSeq.map { case (_, t) => (t, b) } }
-      // Same 1-partition child-session + tmpfs checkpoint rationale as
-      // ev_mean_drift: a few hundred state keys need no 32-way state
-      // sharding, and the replay's durability is worthless.
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "1")
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
-      val stream = MemoryStream[(String, Long)]
-      val sinkName = s"ll10_sink_${System.nanoTime()}"
-      val ckpt = if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_$sinkName"
-                 else s"${System.getProperty("java.io.tmpdir")}/graft_$sinkName"
-      val deduped = graft.streaming.StreamDedup.dropExactDuplicates(
-        stream.toDS().toDF("text", "batch"), "text")
-      val q = deduped.select(col("fingerprint"), col("batch").as("first_batch"))
-        .writeStream.format("memory").queryName(sinkName)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
-      try {
-        batches.foreach { batch =>
-          stream.addData(batch)
-          q.processAllAvailable()
-        }
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        try q.stop() finally rm(new java.io.File(ckpt))
-      }
-      s2.table(sinkName).orderBy("fingerprint")
+      replayToMemory(s, "ll10_stream_dedup", batches) { ds =>
+        graft.streaming.StreamDedup.dropExactDuplicates(
+          ds.toDF("text", "batch"), "text")
+          .select(col("fingerprint"), col("batch").as("first_batch"))
+      }.orderBy("fingerprint")
     }),
 
     // ---- Validator with COUNT-WHERE fusion: same results as the

@@ -64,6 +64,7 @@ object Main {
       |    --include-samples          include sample rows (default)
       |    --no-samples               omit sample rows
       |    --format/-f <style>        default | detailed | minimal
+      |    --verbose/-v               detailed format: add outliers + samples
       |  validate <source> <table>  Validate a table
       |    --rules/-r <file>          YAML/JSON rule file
       |    --output/-o <file>         write results JSON
