@@ -36,7 +36,9 @@ import org.apache.spark.sql.SparkSession
   * when it burned real CPU (> 1 s), its wall exceeded ~3× the
   * perfectly-parallel floor (cpu/cores), AND the external load showed
   * competing demand for over half the cores. `contended` requires
-  * actual starvation evidence — `load_max` alone is informational.
+  * positive evidence — a starved query, sustained ext_load above half
+  * the cores, or a calibration collapse; raw `load_max` alone is
+  * informational.
   *
   * Load- and starvation-based detection is still blind to SMT
   * co-tenancy and cgroup throttling, which inflate CPU-seconds along
@@ -149,11 +151,19 @@ object Bench {
       val cpuNow = processCpuSec()
       if (cpuNow.isNaN) return 0.0
       val horizon = math.max(0.0, now - 60.0)
-      val cpuAtHorizon = cpuPoints.lastIndexWhere(_._1 <= horizon) match {
-        case -1 => cpuPoints.head._2
-        case i if i == cpuPoints.length - 1 => cpuPoints(i)._2
+      // Interpolate over the recorded boundaries PLUS a virtual point
+      // at (now, cpuNow): without it, a query walled past 60 s would
+      // read the CPU at its own start as "the CPU 60 s ago" and
+      // attribute its whole delta to one minute — overestimating the
+      // own rate (and underestimating external load) by ~wall/60×,
+      // exactly on the long inflated queries starvation detection is
+      // for.
+      val pts = cpuPoints :+ ((now, cpuNow))
+      val cpuAtHorizon = pts.lastIndexWhere(_._1 <= horizon) match {
+        case -1 => pts.head._2
+        case i if i == pts.length - 1 => pts(i)._2
         case i =>
-          val (t0, c0) = cpuPoints(i); val (t1, c1) = cpuPoints(i + 1)
+          val (t0, c0) = pts(i); val (t1, c1) = pts(i + 1)
           c0 + (c1 - c0) * (horizon - t0) / (t1 - t0)
       }
       val window = now - horizon
@@ -216,12 +226,15 @@ object Bench {
     val slowest = results.sortBy(-_.wall).take(10)
       .map(r => "\"" + r.name + "\":{\"w\":" + num(r.wall) + ",\"c\":" + num(r.cpu) + "}")
       .mkString("{", ",", "}")
-    // Contended requires starvation EVIDENCE or a direct throughput
-    // collapse between the start and end calibrations; load_max alone
-    // is informational (self-load can cross any fixed threshold).
+    // Contended requires positive evidence: per-query starvation, an
+    // intra-run calibration collapse, or sustained EXTERNAL demand for
+    // over half the cores (ext_load is self-load-discounted, so unlike
+    // raw load_max it cannot be tripped by this benchmark's own
+    // threads — which is what makes it safe to act on here).
     val calEnd = calibrateMops()
     val calRatio = if (calStart > 0) calEnd / calStart else Double.NaN
-    val contended = starved.nonEmpty || (!calRatio.isNaN && calRatio < 0.6)
+    val contended = starved.nonEmpty || (!calRatio.isNaN && calRatio < 0.6) ||
+      (!extLoadMax.isNaN && extLoadMax > cores / 2.0)
     // Contention diagnostics go at the END of the line: the driver's
     // artifact keeps only the tail, and evidence that gets truncated
     // away cannot flag a polluted run.

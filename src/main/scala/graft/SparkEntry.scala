@@ -766,8 +766,8 @@ object SparkEntry {
     // ---- Streaming exact dedup (first-arrival-wins dropDuplicates on
     // the content fingerprint), verified by deterministic replay: the
     // documents table arrives as 5 micro-batches keyed by doc_id % 5
-    // (fed in order), then a 6th batch of whitespace/case-mangled
-    // copies of every doc_id % 10 == 0 document — all of which must be
+    // (fed in order), then a 6th batch of whitespace-mangled copies of
+    // every doc_id % 10 == 0 document — all of which must be
     // suppressed, because their normalized digest was seen in an
     // earlier batch. The output projects (fingerprint, batch): which
     // physical row survives an intra-batch tie is irrelevant after the
@@ -777,14 +777,19 @@ object SparkEntry {
     // already appeared in batch doc_id % 5 = 0).
     "ll10_stream_dedup" -> ((s, dir) => {
       import s.implicits._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
-      val originals = docs
-        .select((col("doc_id") % 5).cast("long").as("batch"), col("text"))
+      // One scan + one collect; batches and the mangled copies derive
+      // driver-side. The mangling is whitespace-only (pad, collapse-
+      // safe) so digest equality with the original holds for ANY
+      // corpus content — an upper() mangle would silently break on
+      // non-ASCII case pairs (ß→SS) where lower∘upper ≠ lower, turning
+      // a data regeneration into a gate failure; case-insensitivity of
+      // the digest itself is pinned by ll1 and StreamingSpec.
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
         .as[(Long, String)].collect()
-      val mangled = docs.filter(col("doc_id") % 10 === 0)
-        .select(concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
-        .as[String].collect().map(t => (5L, t))
+      val originals = rows.map { case (id, t) => (id % 5, t) }
+      val mangled = rows.collect { case (id, t) if id % 10 == 0 => (5L, s"  $t ") }
       val batches = (originals ++ mangled).groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (b, rs) => rs.toSeq.map { case (_, t) => (t, b) } }
       replayToMemory(s, "ll10_stream_dedup", batches) { ds =>

@@ -120,13 +120,18 @@ object Main {
     * (reference: sparvi/cli/main.py:56-81 `sanitize_connection_string`):
     * URL `user:pass@` (which subsumes the reference's snowflake-specific
     * duplicate of the same pattern) and `password=`/`pwd=` query
-    * parameters. The user part excludes `/` so a path segment with a
-    * colon is never mistaken for credentials. */
+    * parameters. Hardened past the reference's patterns, which leak:
+    * user and password parts exclude `/`, so a credential-free
+    * `host:port/path?x=a@b` URL is never mangled as a fake password;
+    * the password part spans embedded `@`s to the LAST `@` so
+    * `alice:p@ss@host` masks fully instead of leaking the tail; and
+    * the `password=`/`pwd=` keys match case-insensitively
+    * (`Password=` is standard in SQLServer/ODBC strings). */
   def sanitizeSource(source: String): String =
     Seq(
-      "(://[^:/]+:)([^@]+)(@)" -> "$1*****$3",
-      "(password=)([^&]+)(&|$)" -> "$1*****$3",
-      "(pwd=)([^&]+)(&|$)" -> "$1*****$3")
+      "(://[^:/@]+:)((?:[^/@]+@)*[^/@]+)(@)" -> "$1*****$3",
+      "(?i)(password=)([^&;]+)([&;]|$)" -> "$1*****$3",
+      "(?i)(pwd=)([^&;]+)([&;]|$)" -> "$1*****$3")
       .foldLeft(source) { case (acc, (p, r)) => acc.replaceAll(p, r) }
 
   private def sourceAndTable(pos: Seq[String]): (String, String) = pos match {

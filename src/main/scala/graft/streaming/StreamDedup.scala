@@ -44,6 +44,12 @@ object StreamDedup {
       df: DataFrame, textCol: String,
       tsCol: Option[String] = None,
       watermarkDelay: Option[String] = None): DataFrame = {
+    // Half-specifying the watermark would silently fall through to
+    // unbounded state — the OOM surfaces days later, far from the
+    // mistake. Fail at plan time instead.
+    require(tsCol.isDefined == watermarkDelay.isDefined,
+      s"tsCol and watermarkDelay must be given together (got tsCol=$tsCol, " +
+        s"watermarkDelay=$watermarkDelay)")
     val digested = df.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
     (tsCol, watermarkDelay) match {
       case (Some(t), Some(d)) =>

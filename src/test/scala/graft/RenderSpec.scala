@@ -39,9 +39,17 @@ class RenderSpec extends AnyFunSuite with Matchers {
         val eLines = expected.linesIterator.toSeq
         val firstDiff = aLines.zipAll(eLines, "<missing>", "<missing>")
           .indexWhere { case (a, e) => a != e }
-        fail(s"output drifted at line ${firstDiff + 1}:\n" +
-          s"  expected: ${eLines.lift(firstDiff).getOrElse("<missing>")}\n" +
-          s"  actual:   ${aLines.lift(firstDiff).getOrElse("<missing>")}")
+        // Equal line sequences but unequal strings = trailing
+        // whitespace/newline drift (e.g. an editor's final-newline
+        // setting touched the golden file); say so instead of
+        // reporting a meaningless line 0.
+        if (firstDiff == -1)
+          fail(s"output differs only in trailing whitespace/newlines " +
+            s"(actual ${actual.length} chars vs expected ${expected.length})")
+        else
+          fail(s"output drifted at line ${firstDiff + 1}:\n" +
+            s"  expected: ${eLines.lift(firstDiff).getOrElse("<missing>")}\n" +
+            s"  actual:   ${aLines.lift(firstDiff).getOrElse("<missing>")}")
       }
     }
   }
