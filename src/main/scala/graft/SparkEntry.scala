@@ -136,7 +136,7 @@ object SparkEntry {
       val stats = ProfilePasses.numericStats(df,
         Seq("l_quantity", "l_extendedprice", "l_discount"), exactPercentiles = true)
       // Round cross-engine-noisy aggregates; min/max are exact.
-      stats.select(stats.columns.map { n =>
+      stats.select(stats.columns.toIndexedSeq.map { n =>
         if (n.endsWith("_sum")) round(col(n), 2).as(n)
         else if (n.endsWith("_avg") || n.endsWith("_stdev") || n.endsWith("_q1")
           || n.endsWith("_median") || n.endsWith("_q3")) round(col(n), 4).as(n)
@@ -148,7 +148,7 @@ object SparkEntry {
     "p6_text_lengths" -> ((s, dir) => {
       val df = t(s, dir, "customer")
       val stats = ProfilePasses.textLengthStats(df, Seq("c_name", "c_mktsegment"))
-      stats.select(stats.columns.map { n =>
+      stats.select(stats.columns.toIndexedSeq.map { n =>
         if (n.endsWith("_avg_length")) round(col(n), 4).as(n) else col(n)
       }: _*)
     }),
@@ -665,7 +665,7 @@ object SparkEntry {
     "mm_array_profile" -> ((s, dir) => {
       val df = t(s, dir, "embeddings")
       val stats = ProfilePasses.nestedStats(df, Seq("embedding"))
-      stats.select(stats.columns.map { n =>
+      stats.select(stats.columns.toIndexedSeq.map { n =>
         if (n.endsWith("_avg_size")) round(col(n), 4).as(n) else col(n)
       }: _*)
     }),

@@ -88,7 +88,7 @@ object ProfilePasses {
           xxhash64(keys: _*).as("digest_lo"),
           xxhash64(lit(0x9E3779B97F4A7C15L) +: keys: _*).as("digest_hi")).count()
       } else
-        df.groupBy(df.columns.map(n => comparable(df, n)): _*).count()
+        df.groupBy(df.columns.toIndexedSeq.map(n => comparable(df, n)): _*).count()
     grouped.filter(col("count") > 1)
       .agg(count(lit(1)).as("duplicate_count"))
   }
