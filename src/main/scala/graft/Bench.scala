@@ -66,6 +66,39 @@ object Bench {
       .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
   }
 
+  /** Linear interpolation of a cumulative-CPU series at time `t`:
+    * `points` is (elapsed-sec, cpu-sec) in increasing time order;
+    * values clamp to the first/last point outside the recorded range.
+    * Pure — extracted so the trailing-rate math is unit-testable (an
+    * off-by-one here silently disabled starvation detection for >60 s
+    * queries once already). */
+  private[graft] def cpuAt(points: IndexedSeq[(Double, Double)], t: Double): Double =
+    points.lastIndexWhere(_._1 <= t) match {
+      case -1 => points.head._2
+      case i if i == points.length - 1 => points(i)._2
+      case i =>
+        val (t0, c0) = points(i); val (t1, c1) = points(i + 1)
+        c0 + (c1 - c0) * (t - t0) / (t1 - t0)
+    }
+
+  /** The process's average CPU rate (cores) over the trailing 60 s
+    * ending at `now`: its expected contribution to a 1-min load
+    * average. `points` must include the current instant as its last
+    * entry. */
+  private[graft] def trailingRate(points: IndexedSeq[(Double, Double)], now: Double): Double = {
+    val horizon = math.max(0.0, now - 60.0)
+    val window = now - horizon
+    if (window <= 0) 0.0
+    else math.max(0.0, (points.last._2 - cpuAt(points, horizon)) / window)
+  }
+
+  /** A query starved when it burned real CPU (> 1 s), its wall
+    * exceeded ~3× the perfectly-parallel floor, and the EXTERNAL load
+    * showed competing demand for over half the cores. */
+  private[graft] def isStarved(wall: Double, cpu: Double, extLoad: Double, cores: Int): Boolean =
+    !cpu.isNaN && cpu > 1.0 && wall > 3.0 * cpu / cores &&
+      !extLoad.isNaN && extLoad > cores / 2.0
+
   /** Effective-core-throughput calibration: every core spins a fixed
     * integer mixer for ~400 ms; returns aggregate Mops/s. This is the
     * contention signal the load/starvation detectors CANNOT provide:
@@ -150,24 +183,13 @@ object Bench {
       val now = (System.nanoTime() - runStart) / 1e9
       val cpuNow = processCpuSec()
       if (cpuNow.isNaN) return 0.0
-      val horizon = math.max(0.0, now - 60.0)
-      // Interpolate over the recorded boundaries PLUS a virtual point
-      // at (now, cpuNow): without it, a query walled past 60 s would
-      // read the CPU at its own start as "the CPU 60 s ago" and
-      // attribute its whole delta to one minute — overestimating the
-      // own rate (and underestimating external load) by ~wall/60×,
-      // exactly on the long inflated queries starvation detection is
-      // for.
-      val pts = cpuPoints :+ ((now, cpuNow))
-      val cpuAtHorizon = pts.lastIndexWhere(_._1 <= horizon) match {
-        case -1 => pts.head._2
-        case i if i == pts.length - 1 => pts(i)._2
-        case i =>
-          val (t0, c0) = pts(i); val (t1, c1) = pts(i + 1)
-          c0 + (c1 - c0) * (horizon - t0) / (t1 - t0)
-      }
-      val window = now - horizon
-      if (window <= 0) 0.0 else math.max(0.0, (cpuNow - cpuAtHorizon) / window)
+      // Recorded boundaries PLUS a virtual point at (now, cpuNow):
+      // without it, a query walled past 60 s would read the CPU at its
+      // own start as "the CPU 60 s ago" and attribute its whole delta
+      // to one minute — overestimating the own rate (and
+      // underestimating external load) by ~wall/60×, exactly on the
+      // long inflated queries starvation detection is for.
+      trailingRate((cpuPoints :+ ((now, cpuNow))).toIndexedSeq, now)
     }
     final case class QueryResult(name: String, wall: Double, cpu: Double,
         gc: Double, load: Double, extLoad: Double)
@@ -210,16 +232,13 @@ object Bench {
     val loadMax = if (loadSamples.nonEmpty) loadSamples.max else Double.NaN
     val extSamples = results.map(_.extLoad).filterNot(_.isNaN)
     val extLoadMax = if (extSamples.nonEmpty) extSamples.max else Double.NaN
-    // A query was starved when it burned real CPU (> 1 s) yet its wall
-    // exceeded ~3× the perfectly-parallel floor (cpu/cores) WHILE the
-    // EXTERNAL load showed competing demand for over half the cores.
     // Raw load would count this run's own threads (a clean heavy run
     // drove load to 12 on an idle 32-core host) and false-positive
-    // inherently driver-heavy queries like the streaming replay.
-    val starved = results.filter { r =>
-      !r.cpu.isNaN && r.cpu > 1.0 && r.wall > 3.0 * r.cpu / cores &&
-        !r.extLoad.isNaN && r.extLoad > cores / 2.0
-    }.map(_.name)
+    // inherently driver-heavy queries like the streaming replay —
+    // isStarved therefore tests the self-load-discounted extLoad.
+    val starved = results
+      .filter(r => isStarved(r.wall, r.cpu, r.extLoad, cores))
+      .map(_.name)
     val starvedJson = starved.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Top-10 by wall, each with wall+cpu: the compact starvation proof
     // (wall ≈ cpu on a parallel query ⇒ it got ~1 core's cycles).

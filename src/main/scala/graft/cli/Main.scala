@@ -129,7 +129,7 @@ object Main {
     * (`Password=` is standard in SQLServer/ODBC strings). */
   def sanitizeSource(source: String): String =
     Seq(
-      "(://[^:/@]+:)((?:[^/@]+@)*[^/@]+)(@)" -> "$1*****$3",
+      "(://[^:/@]+:)((?:[^/@]*@)*[^/@]+)(@)" -> "$1*****$3",
       "(?i)(password=)([^&;]+)([&;]|$)" -> "$1*****$3",
       "(?i)(pwd=)([^&;]+)([&;]|$)" -> "$1*****$3")
       .foldLeft(source) { case (acc, (p, r)) => acc.replaceAll(p, r) }
