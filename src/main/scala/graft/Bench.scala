@@ -94,10 +94,16 @@ object Bench {
 
   /** A query starved when it burned real CPU (> 1 s), its wall
     * exceeded ~3× the perfectly-parallel floor, and the EXTERNAL load
-    * showed competing demand for over half the cores. */
-  private[graft] def isStarved(wall: Double, cpu: Double, extLoad: Double, cores: Int): Boolean =
-    !cpu.isNaN && cpu > 1.0 && wall > 3.0 * cpu / cores &&
-      !extLoad.isNaN && extLoad > cores / 2.0
+    * showed competing demand for over half the host's cores. The
+    * floor divides by the SESSION's worker-thread count, not the host
+    * core count: a query running under local[4] on a 32-core host
+    * cannot wall faster than cpu/4, and a cores-denominator floor
+    * would mark every normally-executing query as inflated. */
+  private[graft] def isStarved(
+      wall: Double, cpu: Double, extLoad: Double,
+      workers: Int, hostCores: Int): Boolean =
+    !cpu.isNaN && cpu > 1.0 && wall > 3.0 * cpu / workers &&
+      !extLoad.isNaN && extLoad > hostCores / 2.0
 
   /** Effective-core-throughput calibration: every core spins a fixed
     * integer mixer for ~400 ms; returns aggregate Mops/s. This is the
@@ -235,9 +241,11 @@ object Bench {
     // Raw load would count this run's own threads (a clean heavy run
     // drove load to 12 on an idle 32-core host) and false-positive
     // inherently driver-heavy queries like the streaming replay —
-    // isStarved therefore tests the self-load-discounted extLoad.
+    // isStarved therefore tests the self-load-discounted extLoad, with
+    // the session's worker count as the parallel floor.
+    val workers = cpus.toIntOption.getOrElse(cores)
     val starved = results
-      .filter(r => isStarved(r.wall, r.cpu, r.extLoad, cores))
+      .filter(r => isStarved(r.wall, r.cpu, r.extLoad, workers, cores))
       .map(_.name)
     val starvedJson = starved.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Top-10 by wall, each with wall+cpu: the compact starvation proof
@@ -246,14 +254,16 @@ object Bench {
       .map(r => "\"" + r.name + "\":{\"w\":" + num(r.wall) + ",\"c\":" + num(r.cpu) + "}")
       .mkString("{", ",", "}")
     // Contended requires positive evidence: per-query starvation, an
-    // intra-run calibration collapse, or sustained EXTERNAL demand for
-    // over half the cores (ext_load is self-load-discounted, so unlike
-    // raw load_max it cannot be tripped by this benchmark's own
-    // threads — which is what makes it safe to act on here).
+    // intra-run calibration collapse, or SUSTAINED external demand for
+    // over half the cores. Sustained means 3+ samples: ext_load
+    // discounts only the process's CPU rate, not its runnable-but-
+    // unscheduled or D-state threads, and a single boundary sample can
+    // catch a transient blip — neither should condemn a whole run, but
+    // demand that persists across several query boundaries is real.
     val calEnd = calibrateMops()
     val calRatio = if (calStart > 0) calEnd / calStart else Double.NaN
-    val contended = starved.nonEmpty || (!calRatio.isNaN && calRatio < 0.6) ||
-      (!extLoadMax.isNaN && extLoadMax > cores / 2.0)
+    val extHot = results.count(r => !r.extLoad.isNaN && r.extLoad > cores / 2.0)
+    val contended = starved.nonEmpty || (!calRatio.isNaN && calRatio < 0.6) || extHot >= 3
     // Contention diagnostics go at the END of the line: the driver's
     // artifact keeps only the tail, and evidence that gets truncated
     // away cannot flag a polluted run.

@@ -121,15 +121,18 @@ object Main {
     * URL `user:pass@` (which subsumes the reference's snowflake-specific
     * duplicate of the same pattern) and `password=`/`pwd=` query
     * parameters. Hardened past the reference's patterns, which leak:
-    * user and password parts exclude `/`, so a credential-free
-    * `host:port/path?x=a@b` URL is never mangled as a fake password;
-    * the password part spans embedded `@`s to the LAST `@` so
-    * `alice:p@ss@host` masks fully instead of leaking the tail; and
-    * the `password=`/`pwd=` keys match case-insensitively
+    * the password part excludes `/`, so a credential-free
+    * `host:port/path?x=a@b` URL is never mangled as a fake password
+    * (RFC 3986 forbids a raw `/` in userinfo, so a real password
+    * carries it percent-encoded as `%2F`, which IS masked); the user
+    * part admits `@` (email-style usernames are standard for cloud
+    * warehouses); the password part spans embedded `@`s to the LAST
+    * `@` so `alice:p@ss@host` masks fully instead of leaking the
+    * tail; and the `password=`/`pwd=` keys match case-insensitively
     * (`Password=` is standard in SQLServer/ODBC strings). */
   def sanitizeSource(source: String): String =
     Seq(
-      "(://[^:/@]+:)((?:[^/@]*@)*[^/@]+)(@)" -> "$1*****$3",
+      "(://[^:/]+:)((?:[^/@]*@)*[^/@]+)(@)" -> "$1*****$3",
       "(?i)(password=)([^&;]+)([&;]|$)" -> "$1*****$3",
       "(?i)(pwd=)([^&;]+)([&;]|$)" -> "$1*****$3")
       .foldLeft(source) { case (acc, (p, r)) => acc.replaceAll(p, r) }

@@ -46,17 +46,27 @@ class BenchMathSpec extends AnyFunSuite with Matchers {
 
   test("isStarved needs real cpu, inflated wall, AND external demand") {
     val cores = 32
-    // The canonical starved query: 8 s wall for 16 cpu·s (floor 0.5 s)
-    // under external load 20.
-    Bench.isStarved(8.0, 16.0, 20.0, cores) shouldBe true
+    // The canonical starved query: 8 s wall for 16 cpu·s on 32 workers
+    // (floor 0.5 s) under external load 20.
+    Bench.isStarved(8.0, 16.0, 20.0, 32, cores) shouldBe true
     // Same query on a quiet host: not starved, merely driver-heavy.
-    Bench.isStarved(8.0, 16.0, 0.0, cores) shouldBe false
-    // Perfectly-parallel query (wall ≈ cpu/cores) is never starved.
-    Bench.isStarved(1.1, 32.0, 20.0, cores) shouldBe false
+    Bench.isStarved(8.0, 16.0, 0.0, 32, cores) shouldBe false
+    // Perfectly-parallel query (wall ≈ cpu/workers) is never starved.
+    Bench.isStarved(1.1, 32.0, 20.0, 32, cores) shouldBe false
     // Sub-second cpu never qualifies (scheduling noise).
-    Bench.isStarved(5.0, 0.5, 20.0, cores) shouldBe false
+    Bench.isStarved(5.0, 0.5, 20.0, 32, cores) shouldBe false
     // NaNs (unsupported beans) never qualify.
-    Bench.isStarved(8.0, Double.NaN, 20.0, cores) shouldBe false
-    Bench.isStarved(8.0, 16.0, Double.NaN, cores) shouldBe false
+    Bench.isStarved(8.0, Double.NaN, 20.0, 32, cores) shouldBe false
+    Bench.isStarved(8.0, 16.0, Double.NaN, 32, cores) shouldBe false
+  }
+
+  test("isStarved floor uses session workers, not host cores") {
+    // local[4] on a 32-core host: 16 cpu·s cannot wall under ~4 s, so
+    // a 5 s wall is NORMAL (floor 3*16/4 = 12 s), not starvation —
+    // a host-cores denominator (floor 1.5 s) would flag every
+    // correctly-executing query once external load appears.
+    Bench.isStarved(5.0, 16.0, 20.0, 4, 32) shouldBe false
+    // The same 4-worker query walled past 3× its own floor IS starved.
+    Bench.isStarved(13.0, 16.0, 20.0, 4, 32) shouldBe true
   }
 }
