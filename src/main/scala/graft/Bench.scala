@@ -160,6 +160,24 @@ object Bench {
     // Warmup: pay JVM/codegen/parquet-footer costs once, outside timing.
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Warmup 2: the micro-batch streaming stack (incremental planner,
+    // state store, offset/commit logs, memory sink) JITs on first use —
+    // ~2.5 s that would otherwise land on whichever streaming gate the
+    // alphabet puts first. Two 2-batch replays cover both stateful
+    // codepaths the suite uses (flatMapGroupsWithState, streaming
+    // dropDuplicates).
+    try {
+      import graft.streaming.{StreamDedup, StreamProfiler}
+      import spark.implicits._
+      SparkEntry.replayToMemory(spark, "warmup_drift", Seq(
+        Seq(StreamProfiler.BatchMoments("w", 20, 0.0, 1.0)),
+        Seq(StreamProfiler.BatchMoments("w", 20, 10.0, 1.0))))(
+        ds => StreamProfiler.meanDriftFromMoments(ds).toDF()).collect()
+      SparkEntry.replayToMemory(spark, "warmup_dedup", Seq(
+        Seq(("alpha", 1L)), Seq(("beta", 2L))))(
+        ds => StreamDedup.dropExactDuplicates(ds.toDF("text", "batch"), "text")).collect()
+      ()
+    } catch { case e: Throwable => System.err.println(s"[bench] stream warmup failed: ${e.getMessage}") }
 
     val errors = Map.newBuilder[String, String]
     // Sorted by name: an unordered Map would hash-shuffle the timing

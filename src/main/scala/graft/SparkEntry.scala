@@ -43,12 +43,18 @@ object SparkEntry {
     * fsyncs are waste on a replay whose durability nobody needs) and
     * is removed even when stop() throws, or repeated runs would leak
     * into the size-limited /dev/shm. */
-  private def replayToMemory[A: Encoder](
+  private[graft] def replayToMemory[A: Encoder](
       s: SparkSession, name: String, batches: Seq[Seq[A]])(
       build: Dataset[A] => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "1")
+    // The replayed operators keep state under NoTimeout and no
+    // watermark, so the engine's trailing no-data micro-batch (which
+    // exists to fire timeouts / advance watermarks) does nothing here
+    // — skip it rather than paying an empty planning+commit cycle
+    // after every fed batch.
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
     val stream = MemoryStream[A]
     val sinkName = s"${name}_sink_${System.nanoTime()}"
@@ -220,7 +226,7 @@ object SparkEntry {
     // historical document is synthesized.
     "p13_anomaly_detection" -> ((s, dir) => {
       val df = t(s, dir, "orders")
-      val current = Profiler.profile(df, "orders", ProfilerConfig(persist = false))
+      val current = Profiler.profile(df, "orders", ProfilerConfig())
       val historical = current.copy(rowCount = current.rowCount / 2)
       val anomalies = graft.compare.ProfileCompare.detectAnomalies(current, historical)
       import s.implicits._
@@ -724,15 +730,15 @@ object SparkEntry {
     // to a MemoryStream in date order, so the state evolution is a
     // pure function of the data. Three (key, day) mean shifts are
     // injected deterministically (z ≈ 3.8–6.0; the largest natural day
-    // sits at z ≈ 0.37) so the gate emits actual drift events. The
-    // driver-side collect here is the REPLAY HARNESS feeding the
-    // stream at gate scale, not the operator: meanDrift itself keeps
-    // O(keys) distributed state. One scan: the shifted events are
-    // collected once and grouped into per-day batches driver-side
-    // (same batches, same date order as the old per-day filter —
-    // identical oracle semantics, 1 scan instead of one per day).
-    // The oracle replays the same day sequence as an expanding
-    // window in SQL.
+    // sits at z ≈ 0.37) so the gate emits actual drift events.
+    // The stream carries PRE-AGGREGATED (key, day) moments, not raw
+    // events: one distributed groupBy reduces each day to a
+    // fixed-width row per key, so the driver-side replay collect is
+    // O(days × keys) scalars — the same shape the operator shuffles at
+    // any scale — and meanDriftFromMoments merges them into state with
+    // Chan's formula (algebraically what folding the raw values
+    // computes). The oracle replays the same day sequence as an
+    // expanding window over per-day sums in SQL.
     "ev_mean_drift" -> ((s, dir) => {
       import s.implicits._
       val day = to_date(col("ts"))
@@ -747,13 +753,20 @@ object SparkEntry {
       // Null-day rows are dropped explicitly (the old per-day `d ===
       // lit(day)` filter dropped them silently; groupBy/sortBy on a
       // null string key would NPE instead).
-      val rows = shifted.filter(col("d").isNotNull)
-        .select(col("d").cast("string"), col("key"), col("v"))
-        .as[(String, String, Double)].collect()
-      val batches = rows.groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (_, rs) => rs.toSeq.map(r => (r._2, r._3)) }
+      val momentRows = shifted.filter(col("d").isNotNull)
+        .groupBy(col("d"), col("key"))
+        .agg(count(lit(1)).as("n"), avg(col("v")).as("mean"),
+          // M2 = var_samp × (n−1); a single-value group has null
+          // var_samp and zero M2.
+          coalesce(var_samp(col("v")) * (count(lit(1)) - 1), lit(0.0)).as("m2"))
+        .select(col("d").cast("string"), col("key"), col("n"), col("mean"), col("m2"))
+        .as[(String, String, Long, Double, Double)].collect()
+      val batches = momentRows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rs) =>
+          rs.toSeq.map(r => StreamProfiler.BatchMoments(r._2, r._3, r._4, r._5))
+        }
       replayToMemory(s, "ev_mean_drift", batches)(
-        ds => StreamProfiler.meanDrift(ds).toDF()).select(
+        ds => StreamProfiler.meanDriftFromMoments(ds).toDF()).select(
         col("key"),
         col("batchCount").as("batch_count"),
         round(col("batchMean"), 4).as("batch_mean"),

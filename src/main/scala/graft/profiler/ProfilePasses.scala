@@ -163,7 +163,10 @@ object ProfilePasses {
   }
 
   /** P7: text pattern counts ({col}_{email,numeric,date}_count) over
-    * non-null values, the reference's three regexes verbatim. */
+    * non-null values, the reference's three regexes verbatim. Regex
+    * matching is the most CPU-expensive metric in the profile, so the
+    * standalone pass spreads a poorly-split input across the session's
+    * cores first (no-op once the scan has enough splits). */
   def textPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { n =>
       Seq(
@@ -171,7 +174,7 @@ object ProfilePasses {
         count(when(c(n).rlike(NumericPattern), lit(1))).as(s"${n}_numeric_count"),
         count(when(c(n).rlike(DatePattern), lit(1))).as(s"${n}_date_count"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    graft.util.Partitioning.spread(df).agg(aggs.head, aggs.tail: _*)
   }
 
   /** P8: date stats ({col}_{min_date,max_date,distinct_dates,range_days}).

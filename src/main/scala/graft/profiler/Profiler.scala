@@ -56,6 +56,12 @@ final case class ProfilerConfig(
       * distinct count exceeds this share of rows — the melt would
       * shuffle ~every value to learn that the winner occurs ~once. */
     frequentValuesMaxDistinctShare: Double = 0.9,
+    /** Spread a poorly-split, large-enough input across the session's
+      * cores before persisting (see Partitioning.spreadIfLarge) — a
+      * no-op whenever the scan already has at least as many splits as
+      * cores, i.e. always at scale. Off = profile the input
+      * partitioning as-is. */
+    spreadInput: Boolean = true,
     /** Per-pass wall-clock sink: invoked as (passName, seconds) after
       * each profiling job completes. Default drops the timings; wire a
       * collector here to see where a profile's time goes. */
@@ -92,8 +98,18 @@ object Profiler {
       historical: Option[TableProfile] = None): TableProfile = {
 
     val b = ColumnBuckets.of(df.schema)
-    val persisted = if (config.persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
-    try buildProfile(persisted, table, b, config, historical)
+    // Spread BEFORE persist: a mid-size table arrives as one parquet
+    // split, and caching would freeze that single-partition layout
+    // into every pass — serializing the whole profile (regex scans,
+    // percentile merges, melts) onto one core. Size-gated: tables a
+    // single task finishes faster than the exchange's fixed cost pass
+    // through, and at scale the input has more splits than cores so
+    // nothing is shuffled where it matters. Samples (pass E) still
+    // read the ORIGINAL df: head sampling stays input-order stable
+    // instead of picking up round-robin placement.
+    val input = if (config.spreadInput) graft.util.Partitioning.spreadIfLarge(df) else df
+    val persisted = if (config.persist) input.persist(StorageLevel.MEMORY_AND_DISK) else input
+    try buildProfile(persisted, df, table, b, config, historical)
     finally if (config.persist) { persisted.unpersist(blocking = false); () }
   }
 
@@ -101,6 +117,7 @@ object Profiler {
 
   private def buildProfile(
       df: DataFrame,
+      sampleSource: DataFrame,
       table: String,
       b: ColumnBuckets.Buckets,
       cfg: ProfilerConfig,
@@ -289,7 +306,7 @@ object Profiler {
     // ---- Pass E: samples.
     val samples: Seq[Map[String, Any]] = timed("E_samples") {
       if (!cfg.includeSamples) Nil
-      else ProfilePasses.samples(df, cfg.sampleRows, cfg.sampleMethod, cfg.sampleSeed)
+      else ProfilePasses.samples(sampleSource, cfg.sampleRows, cfg.sampleMethod, cfg.sampleSeed)
         .collect().toSeq.map { r =>
         r.schema.fields.map(_.name).zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
       }

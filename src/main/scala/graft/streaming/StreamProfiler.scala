@@ -109,7 +109,25 @@ object StreamProfiler {
         val mu1 = mu + d / n1
         KeyMoments(n1, mu1, m2v + d * (x - mu1))
       }
+    /** Chan's parallel-variance merge: combining two moment summaries
+      * equals folding the underlying values one by one (exact
+      * arithmetic). */
+    def merge(o: KeyMoments): KeyMoments =
+      if (count == 0) o
+      else if (o.count == 0) this
+      else {
+        val n = count + o.count
+        val d = o.mean - mean
+        KeyMoments(n, mean + d * o.count / n,
+          m2 + o.m2 + d * d * count.toDouble * o.count / n)
+      }
   }
+
+  /** One micro-batch's pre-aggregated moments for a key: the upstream
+    * stage computes (count, mean, M2) per (key, batch) with an
+    * ordinary grouped aggregate, so only O(keys) fixed-width rows —
+    * not raw events — flow into the stateful operator. */
+  final case class BatchMoments(key: String, n: Long, mean: Double, m2: Double)
 
   /** A micro-batch whose mean deviates from the key's history. */
   final case class DriftEvent(
@@ -148,6 +166,44 @@ object StreamProfiler {
                 else Iterator.empty
               } else Iterator.empty
             state.update(prior.add(values))
+            out
+          }
+      }
+  }
+
+  /** [[meanDrift]] over PRE-AGGREGATED micro-batch moments instead of
+    * raw (key, value) pairs — the shape that scales: a grouped
+    * aggregate upstream reduces each micro-batch to one fixed-width
+    * row per key map-side, so the stateful shuffle moves O(keys) rows
+    * no matter how many events the batch carries. State math is
+    * Chan's merge, algebraically identical to folding the raw values;
+    * emission semantics (threshold on the batch mean's z-score against
+    * the PRIOR running moments, after `minHistory` observations) match
+    * [[meanDrift]] exactly. */
+  def meanDriftFromMoments(
+      batches: Dataset[BatchMoments],
+      threshold: Double = 3.0,
+      minHistory: Long = 10): Dataset[DriftEvent] = {
+    implicit val stateEnc: Encoder[KeyMoments] = Encoders.product[KeyMoments]
+    implicit val outEnc: Encoder[DriftEvent] = Encoders.product[DriftEvent]
+    batches.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[KeyMoments, DriftEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[BatchMoments], state: GroupState[KeyMoments]) =>
+          val batch = rows.map(m => KeyMoments(m.n, m.mean, m.m2))
+            .foldLeft(KeyMoments(0, 0.0, 0.0))(_.merge(_))
+          if (batch.count == 0) Iterator.empty
+          else {
+            val prior = state.getOption.getOrElse(KeyMoments(0, 0.0, 0.0))
+            val out =
+              if (prior.count >= minHistory && prior.stdev > 0) {
+                val z = math.abs(batch.mean - prior.mean) / prior.stdev
+                if (z > threshold)
+                  Iterator.single(DriftEvent(key, batch.count, batch.mean,
+                    prior.mean, prior.stdev, z))
+                else Iterator.empty
+              } else Iterator.empty
+            state.update(prior.merge(batch))
             out
           }
       }

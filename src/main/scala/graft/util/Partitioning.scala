@@ -41,32 +41,48 @@ object Partitioning {
     * megabytes of serialized literals): every task deserializes the
     * whole binary, so multiplying tasks multiplies that fixed cost,
     * which dominates jobs whose actual data is small. */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame): DataFrame = spreadImpl(df, 0L)
+
+  /** [[spread]] gated on input size: only fan out when the scan is
+    * poorly split AND carries at least `minBytes`. For generic
+    * columnar aggregation the local exchange has a real fixed cost
+    * (task fan-out plus a splits×partitions shuffle-file matrix), so
+    * spreading a table a single task chews through in well under that
+    * cost is a net loss; ~8 MB of compressed parquet is the measured
+    * break-even on a 32-core local session. Operators whose per-byte
+    * CPU is orders of magnitude higher than columnar aggregation
+    * (regex matching, k-gram hashing, vector math) should call the
+    * ungated [[spread]] instead — for them even a sub-MB input is
+    * minutes of single-core work. */
+  def spreadIfLarge(df: DataFrame, minBytes: Long = 8L << 20): DataFrame =
+    spreadImpl(df, minBytes)
+
+  private def spreadImpl(df: DataFrame, minBytes: Long): DataFrame = {
     // Streaming plans expose no file index to inspect (and micro-batch
     // partitioning is the source's business) — pass them through.
     if (df.isStreaming) df
     else {
       val spark = df.sparkSession
       val target = spark.sparkContext.defaultParallelism
-      estimatedScanSplits(df.queryExecution.analyzed, spark) match {
-        case Some(n) if n < target => df.repartition(target)
+      estimatedScan(df.queryExecution.analyzed, spark) match {
+        case Some((n, bytes)) if n < target && bytes >= minBytes => df.repartition(target)
         case _ => df
       }
     }
   }
 
-  /** Estimated split count of the plan's single file-scan leaf, via the
-    * same formula `FilePartition.maxSplitBytes` uses (bytes-per-core
-    * floor, open-cost floor, max-partition-bytes ceiling) over the file
-    * index's total size. Ignores per-file rounding, so corpora of many
-    * tiny files UNDER-estimate — erring toward a cheap extra
-    * repartition, never toward idle cores. None when the plan is not a
-    * narrow chain over one file relation. */
-  private def estimatedScanSplits(plan: LogicalPlan, spark: SparkSession): Option[Long] =
+  /** Estimated (split count, total bytes) of the plan's single
+    * file-scan leaf, via the same formula `FilePartition.maxSplitBytes`
+    * uses (bytes-per-core floor, open-cost floor, max-partition-bytes
+    * ceiling) over the file index's total size. Ignores per-file
+    * rounding, so corpora of many tiny files UNDER-estimate — erring
+    * toward a cheap extra repartition, never toward idle cores. None
+    * when the plan is not a narrow chain over one file relation. */
+  private def estimatedScan(plan: LogicalPlan, spark: SparkSession): Option[(Long, Long)] =
     plan match {
-      case Project(_, child) => estimatedScanSplits(child, spark)
-      case Filter(_, child) => estimatedScanSplits(child, spark)
-      case SubqueryAlias(_, child) => estimatedScanSplits(child, spark)
+      case Project(_, child) => estimatedScan(child, spark)
+      case Filter(_, child) => estimatedScan(child, spark)
+      case SubqueryAlias(_, child) => estimatedScan(child, spark)
       case l: LogicalRelation =>
         l.relation match {
           case fs: HadoopFsRelation =>
@@ -77,7 +93,7 @@ object Partitioning {
             val maxSplit = math.min(
               conf.filesMaxPartitionBytes,
               math.max(conf.filesOpenCostInBytes, bytesPerCore))
-            Some(math.max(1L, (totalBytes + maxSplit - 1) / math.max(1L, maxSplit)))
+            Some((math.max(1L, (totalBytes + maxSplit - 1) / math.max(1L, maxSplit)), totalBytes))
           case _ => None
         }
       case _ => None

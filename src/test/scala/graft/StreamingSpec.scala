@@ -88,6 +88,61 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("meanDriftFromMoments: pre-aggregated feed emits the same events as raw meanDrift") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // Deterministic multi-key batch sequence with one engineered jump
+    // per key and uneven batch sizes (including a singleton batch,
+    // whose M2 is 0 — the var_samp null edge upstream).
+    val rng = new scala.util.Random(7)
+    val batches: Seq[Seq[(String, Double)]] = (0 until 8).map { b =>
+      val a = (0 until 12).map(_ => ("a", 5.0 + rng.nextGaussian() + (if (b == 6) 40.0 else 0.0)))
+      val c = (0 until (if (b == 3) 1 else 9)).map(_ => ("c", -2.0 + rng.nextGaussian() * 0.5 + (if (b == 7) -25.0 else 0.0)))
+      a ++ c
+    }
+
+    val rawIn = MemoryStream[(String, Double)]
+    val rawQ = StreamProfiler.meanDrift(rawIn.toDS(), threshold = 3.0, minHistory = 10)
+      .writeStream.format("memory").queryName("drift_raw").outputMode("append").start()
+    val momIn = MemoryStream[StreamProfiler.BatchMoments]
+    val momQ = StreamProfiler.meanDriftFromMoments(momIn.toDS(), threshold = 3.0, minHistory = 10)
+      .writeStream.format("memory").queryName("drift_mom").outputMode("append").start()
+    try {
+      batches.foreach { batch =>
+        rawIn.addData(batch)
+        // The moment rows a distributed groupBy would produce — split
+        // each key's values in two to exercise the within-batch merge.
+        val moments = batch.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+          rows.map(_._2).grouped(math.max(1, rows.size / 2 + 1)).map { vs =>
+            val n = vs.size.toLong
+            val mean = vs.sum / n
+            val m2 = vs.map(v => (v - mean) * (v - mean)).sum
+            StreamProfiler.BatchMoments(k, n, mean, m2)
+          }
+        }
+        momIn.addData(moments)
+        rawQ.processAllAvailable()
+        momQ.processAllAvailable()
+      }
+      val raw = spark.table("drift_raw").as[StreamProfiler.DriftEvent].collect()
+        .sortBy(e => (e.key, e.batchCount))
+      val mom = spark.table("drift_mom").as[StreamProfiler.DriftEvent].collect()
+        .sortBy(e => (e.key, e.batchCount))
+      raw.length should be > 0
+      mom.length shouldBe raw.length
+      raw.zip(mom).foreach { case (r, m) =>
+        m.key shouldBe r.key
+        m.batchCount shouldBe r.batchCount
+        m.batchMean shouldBe r.batchMean +- 1e-9
+        m.runningMean shouldBe r.runningMean +- 1e-9
+        m.runningStdev shouldBe r.runningStdev +- 1e-9
+        m.zScore shouldBe r.zScore +- 1e-9
+      }
+    } finally { rawQ.stop(); momQ.stop() }
+  }
+
   test("streaming exact dedup: first arrival wins across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
