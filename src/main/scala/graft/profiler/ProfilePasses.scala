@@ -54,12 +54,17 @@ object ProfilePasses {
     * HLL++ via approx_count_distinct, single pass, no Expand. */
   def distinctCounts(df: DataFrame, cols: Seq[String], exact: Boolean = true,
       rsd: Double = 0.01): DataFrame = {
+    // Exact mode plans an Expand: every input row is replicated once
+    // per column before the partial aggregate, so per-input-byte CPU
+    // is ~|cols|× a plain scan — worth fanning a poorly-split input
+    // out (approx HLL sketches are a plain scan; leave them be).
+    val input = if (exact) graft.util.Partitioning.spreadIfLarge(df) else df
     val aggs = cols.map { n =>
       val key = comparable(df, n)
       if (exact) countDistinct(key).as(s"${n}_distinct")
       else approx_count_distinct(key, rsd).as(s"${n}_distinct")
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    input.agg(aggs.head, aggs.tail: _*)
   }
 
   /** P4: duplicate-row count = number of full-row groups occurring more

@@ -190,4 +190,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val agged = lineitem.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     graft.util.Partitioning.spread(agged) should be theSameInstanceAs agged
   }
+
+  test("spreadIfLarge leaves sub-threshold files alone but spreads them when the gate is 0") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spreadgate").toString
+    (1 to 100).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir)
+    // A few-KB file is far below the default ~8 MB gate: the exchange's
+    // fixed cost would exceed any parallelism win, so no repartition.
+    graft.util.Partitioning.spreadIfLarge(one) should be theSameInstanceAs one
+    // Gate dropped to zero → behaves like the ungated spread.
+    physical(graft.util.Partitioning.spreadIfLarge(one, minBytes = 0L))
+      .should(include("RoundRobinPartitioning(2"))
+  }
 }
