@@ -536,6 +536,21 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // ---- LLM-pipeline: connected components over the near-dup pair
+    // graph (alternating large-star/small-star) — the cluster-exact
+    // canonicalization step: every paired document labeled with its
+    // component's minimum doc_id. The pair set is ll2's (hash-verified
+    // exact Jaccard ≥ 0.8), so the oracle rebuilds the same edges in
+    // SQL and closes them with a recursive min-label CTE — reachable-
+    // set minimum ≡ component minimum on an undirected graph.
+    "ll11_dedup_components" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: SimHash near-dup pairs (band-blocked, exact
     // Hamming verify). The gate runs the md5-derived sketch mode, which
     // DuckDB replays nibble-for-nibble; and because maxHamming (7) <
@@ -1209,6 +1224,35 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The pair graph is ll2's exact-Jaccard edge set; the closure is a
+    // recursive min-label propagation (UNION = set semantics, so the
+    // CTE converges): each node accumulates every label it can reach
+    // over undirected edges, and the minimum reachable label IS the
+    // component minimum.
+    "ll11_dedup_components" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |              ELSE [array_to_string(w, ' ')] END AS ts
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+        |)
+        |SELECT id AS doc_id, min(lbl) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // OPH changes only the LSH candidate generation; emitted pairs are
     // the same exact-Jaccard set, so the oracle is ll2's verbatim.

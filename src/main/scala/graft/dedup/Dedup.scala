@@ -192,11 +192,100 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components of a near-dup pair graph: (id, component)
+    * for every node that appears in a pair, where `component` is the
+    * smallest node id in the node's component — the canonical
+    * representative a dedup pipeline keeps per cluster.
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round is two
+    * grouped aggregates + joins over the edge list, and the edge set
+    * provably converges to per-component stars centered at the
+    * minimum id in O(log n) rounds — this is the scale-correct
+    * replacement for label propagation, whose round count is the
+    * component DIAMETER (a chain of pairwise-similar documents makes
+    * that linear). No driver-side graph state: the driver loop only
+    * compares an (edge-count, edge-checksum) pair per round to detect
+    * the fixpoint.
+    *
+    * Each round materializes its edge set through `persist` +
+    * `count`; lineage grows linearly with rounds, so for graphs that
+    * need many rounds at cluster scale set a checkpoint dir and swap
+    * the persist for `localCheckpoint` — the loop structure is
+    * unchanged. Self-pairs are ignored; nodes never paired are absent
+    * (they are their own singleton component by definition). */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val canonical = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+    // (count, checksum) fingerprint of a canonical edge set: order-
+    // independent (XOR fold — no ANSI overflow, unlike sum), collision
+    // odds ~n²/2⁶⁴ per round — and a collision costs correctness only
+    // if it masks the LAST round's change, so treat it as negligible.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // Large-star: every node connects its strictly-larger neighbors to
+    // the minimum of its closed neighborhood. Small-star: every node
+    // connects its smaller-or-equal neighbors (edges are kept directed
+    // u > v between rounds) and itself to that minimum.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u").as("x"), col("v").as("n"))
+        .union(e.select(col("v").as("x"), col("u").as("n")))
+      val mins = nbrs.groupBy("x").agg(least(min(col("n")), col("x")).as("m"))
+      nbrs.join(mins, "x").filter(col("n") > col("x"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val members = e.join(mins, "u")
+        .select(col("v").as("n"), col("m"), col("u"))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      members.union(self)
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+
+    var edges = canonical.persist()
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).persist()
+      val nfp = fingerprint(next)
+      edges.unpersist(blocking = false)
+      edges = next
+      converged = nfp == fp
+      fp = nfp
+      rounds += 1
+    }
+    // At the fixpoint every canonical edge is (member, center) with
+    // center = component minimum; centers map to themselves.
+    val out = edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** Greedy near-dup removal: for every surviving pair the lower id is
     * the kept representative; any id appearing on the right side of a
     * pair is dropped. (Not full connected components — the standard
     * cheap policy: at worst a chain keeps more than one member, never
-    * drops all members of a group.) */
+    * drops all members of a group; [[connectedComponents]] is the full
+    * policy when cluster-exact canonicalization matters.) */
   def dropNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,

@@ -340,4 +340,43 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     df.select(Dedup.hammingDistance(col("a"), col("b"))).collect()
       .map(_.getInt(0)) shouldBe Array(4, 0, 64)
   }
+
+  test("connectedComponents matches union-find on chains, cycles, stars and a random graph") {
+    val s = spark
+    import s.implicits._
+    // Chain 1-2-3-4 (diameter > 1 forces multiple star rounds), a
+    // cycle 10-11-12-10, a star 20-{21,22,23}, an isolated pair, a
+    // self-loop (must be ignored), plus a seeded random graph.
+    val fixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (30L, 31L), (40L, 40L))
+    val rng = new scala.util.Random(11)
+    val random = Seq.fill(120)((rng.nextInt(60) + 100L, rng.nextInt(60) + 100L))
+    val pairs = (fixed ++ random).toDF("id_a", "id_b")
+
+    // In-memory union-find reference.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (fixed ++ random).foreach { case (a, b) =>
+      if (a != b) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap -- Seq(40L) // self-loop-only node absent
+
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b").as[(Long, Long)]
+      .collect().toMap
+    got shouldBe expected
+    // Every label is its component's minimum member.
+    got.groupBy(_._2).foreach { case (comp, members) =>
+      comp shouldBe members.keys.min
+    }
+  }
+
+  test("connectedComponents of an empty pair set is empty") {
+    val s = spark
+    import s.implicits._
+    Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      "id_a", "id_b").count() shouldBe 0L
+  }
 }
