@@ -280,20 +280,31 @@ object Dedup {
     out
   }
 
-  /** Greedy near-dup removal: for every surviving pair the lower id is
-    * the kept representative; any id appearing on the right side of a
-    * pair is dropped. (Not full connected components — the standard
-    * cheap policy: at worst a chain keeps more than one member, never
-    * drops all members of a group; [[connectedComponents]] is the full
-    * policy when cluster-exact canonicalization matters.) */
+  /** Near-dup removal. `policy` picks the representative rule:
+    *   - `greedy` (default): for every pair the lower id is kept; any
+    *     id appearing on the right side of a pair is dropped. One
+    *     anti-join — at worst a chain keeps more than one member,
+    *     never drops all members of a group.
+    *   - `components`: cluster-exact — [[connectedComponents]] labels
+    *     each paired doc with its component minimum and exactly that
+    *     one survives per cluster, at the cost of the O(log n) star
+    *     rounds. */
   def dropNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
-      signatureMode: String = "k-hash"): DataFrame = {
-    val losers = nearDupPairs(df, idCol, textCol, threshold, shingleSize, numHashes,
+      signatureMode: String = "k-hash", policy: String = "greedy"): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleSize, numHashes,
       bands, signatureMode)
-      .select(col("id_b").as(idCol)).distinct()
+    val losers = policy match {
+      case "greedy" => pairs.select(col("id_b").as(idCol)).distinct()
+      case "components" =>
+        connectedComponents(pairs, "id_a", "id_b")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").cast(df.schema(idCol).dataType).as(idCol))
+      case other => throw new IllegalArgumentException(
+        s"unknown policy: $other (greedy|components)")
+    }
     df.join(losers, Seq(idCol), "left_anti")
   }
 

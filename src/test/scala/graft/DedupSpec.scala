@@ -373,6 +373,26 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("dropNearDuplicates components policy keeps exactly one doc per cluster") {
+    val s = spark
+    import s.implicits._
+    // a≈b≈c form one near-dup cluster under LSH even if a-c alone
+    // might not pair; greedy could keep both endpoints of a chain,
+    // components keeps only the minimum.
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tailA"),
+      (3L, base + " tailA tailB"),
+      (9L, "completely different content that stands alone")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.7, policy = "components")
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 9L)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.dropNearDuplicates(docs, "doc_id", "text", policy = "nope")
+  }
+
   test("connectedComponents of an empty pair set is empty") {
     val s = spark
     import s.implicits._
