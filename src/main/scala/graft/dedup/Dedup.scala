@@ -208,12 +208,18 @@ object Dedup {
     * compares an (edge-count, edge-checksum) pair per round to detect
     * the fixpoint.
     *
-    * Each round materializes its edge set through `persist` +
-    * `count`; lineage grows linearly with rounds, so for graphs that
-    * need many rounds at cluster scale set a checkpoint dir and swap
-    * the persist for `localCheckpoint` — the loop structure is
-    * unchanged. Self-pairs are ignored; nodes never paired are absent
-    * (they are their own singleton component by definition). */
+    * Each round materializes its edge set through an EAGER
+    * `localCheckpoint`, which truncates lineage to an RDD-backed leaf.
+    * That is load-bearing twice over: the star transforms reference
+    * their input 3–4 times, so an unmaterialized loop re-plans (and on
+    * a cache miss recomputes) a plan tree that grows ~4^rounds — the
+    * first uncached collect of a 2-round run was measured recomputing
+    * the upstream LSH join sixteen-fold. Local checkpoints live in
+    * executor block storage; on a cluster with executor loss or
+    * dynamic allocation swap in `SparkContext.setCheckpointDir` +
+    * `Dataset.checkpoint` (reliable storage) — loop shape unchanged.
+    * Self-pairs are ignored; nodes never paired are absent (they are
+    * their own singleton component by definition). */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {
@@ -258,26 +264,26 @@ object Dedup {
         .distinct()
     }
 
-    var edges = canonical.persist()
+    var edges = canonical.localCheckpoint(true)
     var fp = fingerprint(edges)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).persist()
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nfp = fingerprint(next)
-      edges.unpersist(blocking = false)
       edges = next
       converged = nfp == fp
       fp = nfp
       rounds += 1
     }
     // At the fixpoint every canonical edge is (member, center) with
-    // center = component minimum; centers map to themselves.
-    val out = edges.select(col("u").as("id"), col("v").as("component"))
-      .union(edges.select(col("v").as("id"), col("v").as("component")))
+    // center = component minimum; centers map to themselves. The
+    // result reads the final checkpoint's blocks — no recomputation,
+    // whatever the caller does with it; superseded round checkpoints
+    // are freed by the context cleaner once unreferenced.
+    edges.select(col("u").as("id"), col("v").as("component")).union(
+      edges.select(col("v").as("id"), col("v").as("component")))
       .distinct()
-    edges.unpersist(blocking = false)
-    out
   }
 
   /** Near-dup removal. `policy` picks the representative rule:
