@@ -226,7 +226,9 @@ object SparkEntry {
     // historical document is synthesized.
     "p13_anomaly_detection" -> ((s, dir) => {
       val df = t(s, dir, "orders")
-      val current = Profiler.profile(df, "orders", ProfilerConfig())
+      // persist=false: a 2.7 MB table re-scans cheaper than the
+      // columnar-cache machinery warms up.
+      val current = Profiler.profile(df, "orders", ProfilerConfig(persist = false))
       val historical = current.copy(rowCount = current.rowCount / 2)
       val anomalies = graft.compare.ProfileCompare.detectAnomalies(current, historical)
       import s.implicits._
