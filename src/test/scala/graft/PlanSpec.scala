@@ -191,6 +191,35 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     graft.util.Partitioning.spread(agged) should be theSameInstanceAs agged
   }
 
+  test("co-bucketed tables join without an exchange on either side") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val orders = (1L to 200L).map(k => (k, s"clerk${k % 7}")).toDF("o_orderkey", "o_clerk")
+    val items = (1L to 200L).flatMap(k => Seq((k, k * 2.0), (k, k * 3.0)))
+      .toDF("l_orderkey", "l_price")
+    graft.sources.Bucketing.write(orders, s"$base/o", "bkt_orders",
+      Seq("o_orderkey"), buckets = 4, sortCols = Seq("o_orderkey"))
+    graft.sources.Bucketing.write(items, s"$base/l", "bkt_items",
+      Seq("l_orderkey"), buckets = 4, sortCols = Seq("l_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a non-broadcast join
+      val joined = graft.sources.Bucketing.table(spark, "bkt_orders")
+        .join(graft.sources.Bucketing.table(spark, "bkt_items"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_clerk").agg(sum("l_price").as("rev"))
+      joined.collect().length shouldBe 7
+      // The join itself is exchange-free: everything BELOW the
+      // SortMergeJoin node (its two bucketed scans — the text after it
+      // in the tree print) has no Exchange; the only shuffle in the
+      // plan is the one the groupBy on a DIFFERENT key must add above.
+      val plan = physical(joined)
+      plan should include("SortMergeJoin")
+      plan.split("SortMergeJoin").last should not include "Exchange"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("spreadIfLarge leaves sub-threshold files alone but spreads them when the gate is 0") {
     val s = spark
     import s.implicits._
