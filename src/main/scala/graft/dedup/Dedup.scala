@@ -286,6 +286,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Canonical component id for EVERY document: [[connectedComponents]]
+    * over `pairs` left-joined back onto the corpus, with unpaired
+    * documents labeled as their own singleton component — the full
+    * cluster-assignment a dedup pipeline materializes before choosing
+    * survivors. One broadcast-or-shuffle join beyond the component
+    * computation itself. */
+  def componentIds(
+      df: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      componentCol: String = "component"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").cast(df.schema(idCol).dataType).as(idCol),
+        col("component").cast(df.schema(idCol).dataType).as(componentCol))
+    df.join(comps, Seq(idCol), "left")
+      .withColumn(componentCol, coalesce(col(componentCol), col(s"`$idCol`")))
+  }
+
   /** Near-dup removal. `policy` picks the representative rule:
     *   - `greedy` (default): for every pair the lower id is kept; any
     *     id appearing on the right side of a pair is dropped. One

@@ -393,6 +393,16 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       Dedup.dropNearDuplicates(docs, "doc_id", "text", policy = "nope")
   }
 
+  test("componentIds labels every doc; unpaired docs are their own singleton component") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.componentIds(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L)
+  }
+
   test("connectedComponents of an empty pair set is empty") {
     val s = spark
     import s.implicits._
