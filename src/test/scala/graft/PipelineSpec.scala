@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** End-to-end composition check: the canonical training-data cleanup
+  * flow — exact dedup → near-dup components → canonicalize → quality +
+  * language filters → token accounting — runs as ONE composed
+  * DataFrame program over the documents fixture. Pins the invariants
+  * a pipeline author relies on (stage monotonicity, loss accounting,
+  * schema joinability), not specific corpus values.
+  */
+class PipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  test("dedup → canonicalize → filter → count composes and conserves documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val n0 = docs.count()
+
+    // Stage 1: exact dedup (first occurrence by content digest wins).
+    val exact = docs.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("fp", "rn")
+    val n1 = exact.count()
+    n1 should be <= n0
+
+    // Stage 2: near-dup components + canonical survivor per cluster.
+    val pairs = Dedup.nearDupPairs(exact, "doc_id", "text", threshold = 0.8)
+    val labeled = Dedup.componentIds(exact, "doc_id", pairs)
+    labeled.count() shouldBe n1 // labeling loses nothing
+    val canonical = labeled.filter(col("doc_id") === col("component"))
+    val n2 = canonical.count()
+    n2 should be <= n1
+    // Survivor set ≡ the components policy of dropNearDuplicates.
+    val viaPolicy = Dedup.dropNearDuplicates(exact, "doc_id", "text",
+      threshold = 0.8, policy = "components")
+    viaPolicy.count() shouldBe n2
+
+    // Stage 3: language + quality filters join on doc_id.
+    val lang = TextAnalysis.languageId(canonical, "text", "doc_id")
+    val quality = TextAnalysis.qualityScore(canonical, "text", "doc_id")
+    val kept = canonical
+      .join(lang.filter(col("lang_pred") =!= "unknown"), "doc_id")
+      .join(quality.filter(col("quality_score") > 0.1), "doc_id")
+    val n3 = kept.count()
+    n3 should be <= n2
+    n3 should be > 0L
+
+    // Stage 4: token accounting over the surviving corpus.
+    val tokens = TextAnalysis.tokenStats(kept, "text", "doc_id")
+    tokens.count() shouldBe n3
+    val totals = tokens.agg(sum("n_tokens_ws"), sum("n_tokens_bpe")).head()
+    totals.getLong(0) should be > 0L
+    totals.getLong(1) should be >= totals.getLong(0) // BPE ≥ whitespace splits
+  }
+}
