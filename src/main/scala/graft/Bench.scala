@@ -153,6 +153,14 @@ object Bench {
     // average near/above the core count here means OTHER processes own
     // the cores and the wall times below are not comparable.
     val loadStart = osBean.getSystemLoadAverage
+    // The own-CPU series starts BEFORE calibration and warmup: both
+    // burn real CPU whose contribution is still decaying out of the
+    // 1-min load average at the first query boundaries, and
+    // ownTrailingRate can only discount CPU recorded after its first
+    // sample — starting it later would misread warmup leftovers as
+    // external demand and re-create the self-load false positive.
+    val runStart = System.nanoTime()
+    val cpuPoints = scala.collection.mutable.ArrayBuffer((0.0, processCpuSec()))
     // Calibrate BEFORE warmup (cold JIT is fine — the spin loop JITs in
     // its first milliseconds) and again after the last query.
     val calStart = calibrateMops()
@@ -200,9 +208,11 @@ object Bench {
     // boundary: the process's own expected contribution to a 1-min
     // load average is its CPU rate over the trailing 60 s,
     // interpolated from these points (CPU is assumed uniform within a
-    // query — boundaries are the only cheap sample sites).
-    val runStart = System.nanoTime()
-    val cpuPoints = scala.collection.mutable.ArrayBuffer((0.0, processCpuSec()))
+    // segment — boundaries are the only cheap sample sites). The
+    // series opened before calibration/warmup; this boundary closes
+    // that pre-run segment so its heavy CPU isn't smeared into the
+    // first queries.
+    cpuPoints += (((System.nanoTime() - runStart) / 1e9, processCpuSec()))
     def ownTrailingRate(): Double = {
       val now = (System.nanoTime() - runStart) / 1e9
       val cpuNow = processCpuSec()

@@ -122,9 +122,10 @@ object Main {
     * duplicate of the same pattern) and `password=`/`pwd=` query
     * parameters. Hardened past the reference's patterns, which leak:
     * the password part excludes `/`, so a credential-free
-    * `host:port/path?x=a@b` URL is never mangled as a fake password
-    * (RFC 3986 forbids a raw `/` in userinfo, so a real password
-    * carries it percent-encoded as `%2F`, which IS masked); the user
+    * `host:port/path?x=a@b` or path-less `host:port?x=a@b` URL is
+    * never mangled as a fake password (RFC 3986 forbids raw `/` and
+    * `?` in userinfo, so a real password carries them percent-encoded
+    * as `%2F`/`%3F`, which ARE masked); the user
     * part admits `@` (email-style usernames are standard for cloud
     * warehouses); the password part spans embedded `@`s to the LAST
     * `@` so `alice:p@ss@host` masks fully instead of leaking the
@@ -132,7 +133,7 @@ object Main {
     * (`Password=` is standard in SQLServer/ODBC strings). */
   def sanitizeSource(source: String): String =
     Seq(
-      "(://[^:/]+:)((?:[^/@]*@)*[^/@]+)(@)" -> "$1*****$3",
+      "(://[^:/?]+:)((?:[^/@?]*@)*[^/@?]+)(@)" -> "$1*****$3",
       "(?i)(password=)([^&;]+)([&;]|$)" -> "$1*****$3",
       "(?i)(pwd=)([^&;]+)([&;]|$)" -> "$1*****$3")
       .foldLeft(source) { case (acc, (p, r)) => acc.replaceAll(p, r) }

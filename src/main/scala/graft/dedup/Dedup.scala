@@ -223,8 +223,12 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {
+    // Ids keep their NATIVE type: the algorithm needs only a total
+    // order (greatest/least/min), which strings and UUIDs satisfy as
+    // well as longs — a forced numeric cast would null out string ids
+    // and silently drop every edge.
     val canonical = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()

@@ -53,12 +53,15 @@ object ProfilePasses {
     * acceptable to ~16 columns); approx mode is the 100 TB path:
     * HLL++ via approx_count_distinct, single pass, no Expand. */
   def distinctCounts(df: DataFrame, cols: Seq[String], exact: Boolean = true,
-      rsd: Double = 0.01): DataFrame = {
+      rsd: Double = 0.01, spreadInput: Boolean = true): DataFrame = {
     // Exact mode plans an Expand: every input row is replicated once
     // per column before the partial aggregate, so per-input-byte CPU
     // is ~|cols|× a plain scan — worth fanning a poorly-split input
     // out (approx HLL sketches are a plain scan; leave them be).
-    val input = if (exact) graft.util.Partitioning.spreadIfLarge(df) else df
+    // `spreadInput = false` honors a caller's as-is partitioning
+    // (ProfilerConfig.spreadInput threads through here).
+    val input =
+      if (exact && spreadInput) graft.util.Partitioning.spreadIfLarge(df) else df
     val aggs = cols.map { n =>
       val key = comparable(df, n)
       if (exact) countDistinct(key).as(s"${n}_distinct")

@@ -175,7 +175,8 @@ object Profiler {
     val distRow =
       if (cfg.exact)
         timed("A1_distinct")(
-          ProfilePasses.distinctCounts(df, b.all, exact = true).head())
+          ProfilePasses.distinctCounts(df, b.all, exact = true,
+            spreadInput = cfg.spreadInput).head())
       else row
     val distinctCounts = b.all.map { n =>
       n -> (if (distRow.isNullAt(distRow.fieldIndex(s"${n}_distinct"))) 0L

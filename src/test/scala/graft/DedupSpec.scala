@@ -393,6 +393,16 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       Dedup.dropNearDuplicates(docs, "doc_id", "text", policy = "nope")
   }
 
+  test("connectedComponents works on string ids (native ordering, no numeric cast)") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    got shouldBe Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "x" -> "x", "y" -> "x")
+  }
+
   test("componentIds labels every doc; unpaired docs are their own singleton component") {
     val s = spark
     import s.implicits._
