@@ -216,7 +216,12 @@ object Bench {
     def ownTrailingRate(): Double = {
       val now = (System.nanoTime() - runStart) / 1e9
       val cpuNow = processCpuSec()
-      if (cpuNow.isNaN) return 0.0
+      // No process-CPU bean → the self-load discount is UNKNOWN, not
+      // zero: returning 0 would report the raw load average as
+      // external demand and let a clean heavy run flip `contended`.
+      // NaN propagates through the subtraction and max into extLoad,
+      // which every consumer already filters.
+      if (cpuNow.isNaN) return Double.NaN
       // Recorded boundaries PLUS a virtual point at (now, cpuNow):
       // without it, a query walled past 60 s would read the CPU at its
       // own start as "the CPU 60 s ago" and attribute its whole delta

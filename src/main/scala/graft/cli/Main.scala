@@ -133,7 +133,9 @@ object Main {
     * (`Password=` is standard in SQLServer/ODBC strings). */
   def sanitizeSource(source: String): String =
     Seq(
-      "(://[^:/?]+:)((?:[^/@?]*@)*[^/@?]+)(@)" -> "$1*****$3",
+      // `[^:/?]*` (not `+`): an empty username (`scheme://:pass@host`,
+      // legal in libpq/JDBC URIs) must still mask its password.
+      "(://[^:/?]*:)((?:[^/@?]*@)*[^/@?]+)(@)" -> "$1*****$3",
       "(?i)(password=)([^&;]+)([&;]|$)" -> "$1*****$3",
       "(?i)(pwd=)([^&;]+)([&;]|$)" -> "$1*****$3")
       .foldLeft(source) { case (acc, (p, r)) => acc.replaceAll(p, r) }

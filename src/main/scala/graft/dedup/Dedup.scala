@@ -280,6 +280,13 @@ object Dedup {
       fp = nfp
       rounds += 1
     }
+    // Fail fast rather than reinterpret a mid-iteration edge set as
+    // stars: a non-converged readout would hand back silently WRONG
+    // component ids (two "canonical" survivors from one cluster). The
+    // default budget is far above the O(log n) bound, so tripping this
+    // means maxRounds was set too low for the graph.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds; raise maxRounds")
     // At the fixpoint every canonical edge is (member, center) with
     // center = component minimum; centers map to themselves. The
     // result reads the final checkpoint's blocks — no recomputation,
@@ -300,6 +307,8 @@ object Dedup {
       df: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       componentCol: String = "component"): DataFrame = {
+    require(!df.columns.contains(componentCol),
+      s"input already has a '$componentCol' column — pass componentCol to relabel under a different name")
     val comps = connectedComponents(pairs, aCol, bCol)
       .select(col("id").cast(df.schema(idCol).dataType).as(idCol),
         col("component").cast(df.schema(idCol).dataType).as(componentCol))
@@ -411,8 +420,15 @@ object Dedup {
   def overlapPairs(
       df: DataFrame, idCol: String, textCol: String,
       minShared: Int = 2, k: Int = 8, w: Int = 4,
-      maxDocFrequency: Int = 100, hashMode: String = "xxhash64"): DataFrame = {
-    val fps = TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w, hashMode)
+      maxDocFrequency: Int = 100, hashMode: String = "xxhash64",
+      precomputedFps: Option[DataFrame] = None): DataFrame = {
+    // Fingerprinting is the dominant per-byte cost here; a caller
+    // running the cap audit alongside should compute the (id, fp) set
+    // once — persist winnowingFingerprints and pass it to BOTH this
+    // and [[cappedFingerprints]] — instead of paying the map-side scan
+    // twice.
+    val fps = precomputedFps.getOrElse(
+      TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w, hashMode))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDocFrequency)
       .select("fp")
@@ -435,8 +451,10 @@ object Dedup {
   def cappedFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDocFrequency: Int = 100,
-      hashMode: String = "xxhash64"): DataFrame =
-    TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w, hashMode)
+      hashMode: String = "xxhash64",
+      precomputedFps: Option[DataFrame] = None): DataFrame =
+    precomputedFps.getOrElse(
+      TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w, hashMode))
       .groupBy("fp").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") > maxDocFrequency)
 

@@ -33,7 +33,7 @@ import graft.text.TextAnalysis
 object StreamDedup {
 
   /** Drop rows whose normalized content was already seen, keeping the
-    * first arrival. Output = input columns + `fingerprint`.
+    * first arrival. Output = input columns + `fingerprintCol`.
     *
     * @param tsCol event-time column; with `watermarkDelay` switches to
     *   watermark-scoped state (`dropDuplicatesWithinWatermark`):
@@ -43,19 +43,24 @@ object StreamDedup {
   def dropExactDuplicates(
       df: DataFrame, textCol: String,
       tsCol: Option[String] = None,
-      watermarkDelay: Option[String] = None): DataFrame = {
+      watermarkDelay: Option[String] = None,
+      fingerprintCol: String = "fingerprint"): DataFrame = {
     // Half-specifying the watermark would silently fall through to
     // unbounded state — the OOM surfaces days later, far from the
     // mistake. Fail at plan time instead.
     require(tsCol.isDefined == watermarkDelay.isDefined,
       s"tsCol and watermarkDelay must be given together (got tsCol=$tsCol, " +
         s"watermarkDelay=$watermarkDelay)")
-    val digested = df.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    // withColumn would silently REPLACE a caller's same-named column
+    // and dedup on a different digest than the column they see.
+    require(!df.columns.contains(fingerprintCol),
+      s"input already has a '$fingerprintCol' column — pass fingerprintCol to use another name")
+    val digested = df.withColumn(fingerprintCol, TextAnalysis.fingerprint(col(textCol)))
     (tsCol, watermarkDelay) match {
       case (Some(t), Some(d)) =>
-        digested.withWatermark(t, d).dropDuplicatesWithinWatermark("fingerprint")
+        digested.withWatermark(t, d).dropDuplicatesWithinWatermark(fingerprintCol)
       case _ =>
-        digested.dropDuplicates("fingerprint")
+        digested.dropDuplicates(fingerprintCol)
     }
   }
 }

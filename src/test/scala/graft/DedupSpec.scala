@@ -413,6 +413,25 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L)
   }
 
+  test("connectedComponents fails fast instead of mislabeling when maxRounds is too low") {
+    val s = spark
+    import s.implicits._
+    // A 4-chain needs more than one star round; a silent exit would
+    // label node 4 with component 2.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    an[IllegalStateException] should be thrownBy
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxRounds = 1)
+  }
+
+  test("componentIds rejects an input that already carries the component column") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, 10L)).toDF("doc_id", "component")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.componentIds(docs, "doc_id", pairs)
+  }
+
   test("connectedComponents of an empty pair set is empty") {
     val s = spark
     import s.implicits._
