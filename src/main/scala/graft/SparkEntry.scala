@@ -44,17 +44,20 @@ object SparkEntry {
     * is removed even when stop() throws, or repeated runs would leak
     * into the size-limited /dev/shm. */
   private[graft] def replayToMemory[A: Encoder](
-      s: SparkSession, name: String, batches: Seq[Seq[A]])(
+      s: SparkSession, name: String, batches: Seq[Seq[A]],
+      noDataBatches: Boolean = false)(
       build: Dataset[A] => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "1")
-    // The replayed operators keep state under NoTimeout and no
+    // Most replayed operators keep state under NoTimeout and no
     // watermark, so the engine's trailing no-data micro-batch (which
-    // exists to fire timeouts / advance watermarks) does nothing here
-    // — skip it rather than paying an empty planning+commit cycle
-    // after every fed batch.
-    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // exists to fire timeouts / advance watermarks) does nothing for
+    // them — skip it rather than paying an empty planning+commit cycle
+    // after every fed batch. Watermarked plans NEED it: the final
+    // no-data batch is what advances the watermark past the last fed
+    // data and flushes the windows it closed.
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
     val stream = MemoryStream[A]
     val sinkName = s"${name}_sink_${System.nanoTime()}"
@@ -741,6 +744,38 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ---- Windowed completeness driven as a REAL watermarked append-
+    // mode stream (the ev_windowed_* gates verify the shared plan's
+    // batch fixpoint; this one gates the STREAMING semantics): events
+    // arrive as 14-day chunks in date order through a MemoryStream, the
+    // 1-day windows close as the watermark (delay 0) passes their end,
+    // and append mode emits exactly the closed windows. Windows still
+    // open when the stream ends — the last day's — are never emitted,
+    // which is the documented append-mode contract and precisely what
+    // the oracle excludes.
+    "ev_windowed_stream_append" -> ((s, dir) => {
+      import s.implicits._
+      // Watermarks accept TIMESTAMP, not TIMESTAMP_NTZ; the session TZ
+      // is pinned UTC, so the cast preserves the instant and the day
+      // boundaries.
+      val rows = eventsWithTs(s, dir).filter(col("ts").isNotNull)
+        .select(to_date(col("ts")).cast("string").as("d"),
+          col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+        .as[(String, java.sql.Timestamp, String, Option[Double])].collect()
+      val minDay = java.time.LocalDate.parse(rows.map(_._1).min)
+      def chunk(d: String): Long =
+        java.time.temporal.ChronoUnit.DAYS.between(minDay, java.time.LocalDate.parse(d)) / 14
+      val batches = rows.groupBy(r => chunk(r._1)).toSeq.sortBy(_._1)
+        .map { case (_, rs) => rs.toSeq.map(r => (r._2, r._3, r._4)) }
+      replayToMemory(s, "ev_windowed_stream", batches, noDataBatches = true) { ds =>
+        StreamProfiler.windowedCompleteness(ds.toDF("ts", "event_type", "value"),
+          "ts", "event_type", "1 day", watermarkDelay = Some("0 seconds"),
+          valueCols = Seq("value"))
+      }.select(to_date(col("window_start")).cast("string").as("day"),
+          col("event_type"), col("n_events"), col("value_nulls"), col("value_null_rate"))
+        .orderBy("day", "event_type")
+    }),
+
     // ---- Stateful per-key drift (flatMapGroupsWithState carrying
     // Welford moments across micro-batches), verified through a
     // deterministic replay: each event day becomes one micro-batch fed
@@ -1305,6 +1340,22 @@ object SparkEntry {
         |       count(*) FILTER (WHERE props IS NULL) AS props_nulls,
         |       round(CAST(count(*) FILTER (WHERE props IS NULL) * 100.0 / count(*) AS DOUBLE), 4) AS props_null_rate
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Append-mode contract: a window emits only once the watermark
+    // passes its end, so the windows still open when the stream runs
+    // dry — the final day's — never appear. The oracle is the per-day
+    // aggregate minus exactly that last day.
+    "ev_windowed_stream_append" ->
+      """WITH ev AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, value
+        |  FROM events WHERE ts IS NOT NULL
+        |)
+        |SELECT CAST(day AS VARCHAR) AS day, event_type,
+        |       count(*) AS n_events,
+        |       count(*) FILTER (WHERE value IS NULL) AS value_nulls,
+        |       round(CAST(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*) AS DOUBLE), 4) AS value_null_rate
+        |FROM ev WHERE day < (SELECT max(day) FROM ev)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The oracle derives each file's expected format from the GROUND
     // TRUTH doc_id % 4 rule that synthesized the magic prefix, while
