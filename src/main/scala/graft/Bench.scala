@@ -171,9 +171,10 @@ object Bench {
     // Warmup 2: the micro-batch streaming stack (incremental planner,
     // state store, offset/commit logs, memory sink) JITs on first use —
     // ~2.5 s that would otherwise land on whichever streaming gate the
-    // alphabet puts first. Two 2-batch replays cover both stateful
-    // codepaths the suite uses (flatMapGroupsWithState, streaming
-    // dropDuplicates).
+    // alphabet puts first. Three 2-batch replays cover the three
+    // stateful codepaths the suite uses (flatMapGroupsWithState,
+    // streaming dropDuplicates, watermarked windowed aggregation with
+    // its no-data flush batch).
     try {
       import graft.streaming.{StreamDedup, StreamProfiler}
       import spark.implicits._
@@ -184,6 +185,13 @@ object Bench {
       SparkEntry.replayToMemory(spark, "warmup_dedup", Seq(
         Seq(("alpha", 1L)), Seq(("beta", 2L))))(
         ds => StreamDedup.dropExactDuplicates(ds.toDF("text", "batch"), "text")).collect()
+      SparkEntry.replayToMemory(spark, "warmup_window", Seq(
+        Seq((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "k", Some(1.0))),
+        Seq((java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), "k", Option.empty[Double]))),
+        noDataBatches = true)(
+        ds => StreamProfiler.windowedCompleteness(ds.toDF("ts", "event_type", "value"),
+          "ts", "event_type", "1 day", watermarkDelay = Some("0 seconds"),
+          valueCols = Seq("value"))).collect()
       ()
     } catch { case e: Throwable => System.err.println(s"[bench] stream warmup failed: ${e.getMessage}") }
 

@@ -762,18 +762,27 @@ object SparkEntry {
         .select(to_date(col("ts")).cast("string").as("d"),
           col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
         .as[(String, java.sql.Timestamp, String, Option[Double])].collect()
-      val minDay = java.time.LocalDate.parse(rows.map(_._1).min)
-      def chunk(d: String): Long =
-        java.time.temporal.ChronoUnit.DAYS.between(minDay, java.time.LocalDate.parse(d)) / 14
-      val batches = rows.groupBy(r => chunk(r._1)).toSeq.sortBy(_._1)
-        .map { case (_, rs) => rs.toSeq.map(r => (r._2, r._3, r._4)) }
-      replayToMemory(s, "ev_windowed_stream", batches, noDataBatches = true) { ds =>
-        StreamProfiler.windowedCompleteness(ds.toDF("ts", "event_type", "value"),
-          "ts", "event_type", "1 day", watermarkDelay = Some("0 seconds"),
-          valueCols = Seq("value"))
-      }.select(to_date(col("window_start")).cast("string").as("day"),
-          col("event_type"), col("n_events"), col("value_nulls"), col("value_null_rate"))
-        .orderBy("day", "event_type")
+      // All-null-ts / empty fixture → empty result (the oracle's WHERE
+      // yields the same), not an opaque empty.min crash. (An `if`
+      // expression, NOT an early `return` — that would be a non-local
+      // return out of this lambda.)
+      if (rows.isEmpty)
+        Seq.empty[(String, String, Long, Long, Double)]
+          .toDF("day", "event_type", "n_events", "value_nulls", "value_null_rate")
+      else {
+        val minDay = java.time.LocalDate.parse(rows.map(_._1).min)
+        def chunk(d: String): Long =
+          java.time.temporal.ChronoUnit.DAYS.between(minDay, java.time.LocalDate.parse(d)) / 14
+        val batches = rows.groupBy(r => chunk(r._1)).toSeq.sortBy(_._1)
+          .map { case (_, rs) => rs.toSeq.map(r => (r._2, r._3, r._4)) }
+        replayToMemory(s, "ev_windowed_stream", batches, noDataBatches = true) { ds =>
+          StreamProfiler.windowedCompleteness(ds.toDF("ts", "event_type", "value"),
+            "ts", "event_type", "1 day", watermarkDelay = Some("0 seconds"),
+            valueCols = Seq("value"))
+        }.select(to_date(col("window_start")).cast("string").as("day"),
+            col("event_type"), col("n_events"), col("value_nulls"), col("value_null_rate"))
+          .orderBy("day", "event_type")
+      }
     }),
 
     // ---- Stateful per-key drift (flatMapGroupsWithState carrying
