@@ -662,6 +662,44 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- The occupancy audit for ll9's sign-bucket join ("no silent
+    // caps", the LSH counterpart of ll7b): every sign bucket holding
+    // more than 25 vectors, with its occupancy — the buckets a capped
+    // nearDupByEmbedding would prune, each one a candidate cluster the
+    // join cannot pair. The seed-42 hyperplanes replay as literals in
+    // the oracle, so bucket ids AND occupancies are fully hash-checked.
+    "ll12_capped_buckets" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      Similarity.cappedBuckets(df, "vec_id", "embedding", dim = 64,
+          nPlanes = 4, maxBucketOccupancy = 25)
+        .orderBy("bucket")
+    }),
+
+    // ---- The occupancy audit for the MinHash band join (the hazard
+    // class: n documents sharing a band signature meet as ~n²/2 join
+    // rows). The corpus is made degenerate ON PURPOSE — every even
+    // doc_id gets one constant text (the uncollapsed-exact-duplicate
+    // shape real corpora have), odd doc_ids get pairwise-disjoint
+    // token sets — so the ground truth is derivable without replaying
+    // xxhash64: the duplicate cluster occupies exactly one bucket in
+    // each of the 32 bands (identical docs ⇒ identical signatures),
+    // every singleton bucket stays at occupancy 1, and the audit must
+    // report exactly 32 hot buckets, each at the cluster's size.
+    "ll12b_capped_band_buckets" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      val corpus = df.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("the quick brown fox jumps over the lazy dog"))
+          .otherwise(concat_ws(" ",
+            concat(lit("u"), col("doc_id"), lit("a")),
+            concat(lit("u"), col("doc_id"), lit("b")),
+            concat(lit("u"), col("doc_id"), lit("c")))).as("text"))
+      Dedup.cappedBuckets(corpus, "doc_id", "text", maxBucketOccupancy = 100)
+        .agg(count(lit(1)).as("n_hot_buckets"),
+          min("occupancy").as("min_occupancy"),
+          max("occupancy").as("max_occupancy"))
+    }),
+
     // ---- LLM-pipeline: per-document content fingerprints (md5 of the
     // normalized text — byte-identical across engines by construction).
     "txt_fingerprints" -> ((s, dir) => {
@@ -1568,6 +1606,29 @@ object SparkEntry {
          |SELECT id_a, id_b, round(cosine_sim, 4) AS cosine_sim
          |FROM pairs WHERE cosine_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
     },
+
+    // Same literal-hyperplane replay as ll9, aggregated to bucket
+    // occupancy: sign buckets holding more than 25 vectors.
+    "ll12_capped_buckets" -> {
+      val planes = graft.similarity.Similarity.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
+      val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_dot_product(embedding[1:64]::DOUBLE[], ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"""SELECT bucket, count(*) AS occupancy
+         |FROM (SELECT $bucketExpr AS bucket FROM embeddings)
+         |GROUP BY bucket HAVING count(*) > 25
+         |ORDER BY bucket""".stripMargin
+    },
+
+    // Ground-truth derivation instead of an xxhash64 replay (DuckDB
+    // has no xxhash64): the synthesized corpus pins the answer — the
+    // constant-text cluster (even doc_ids) is the only occupant of one
+    // bucket per band, disjoint odd docs can never share its buckets,
+    // so the audit's shape is exactly (32 buckets, cluster size each).
+    "ll12b_capped_band_buckets" ->
+      """SELECT CAST(32 AS BIGINT) AS n_hot_buckets,
+        |       (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS min_occupancy,
+        |       (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS max_occupancy""".stripMargin,
 
     // Replays the md5-derived simhash sketch (gate hash mode) bit for
     // bit: bit b of a shingle's field is bit (b mod 4) of hex nibble

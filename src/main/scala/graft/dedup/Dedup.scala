@@ -140,25 +140,91 @@ object Dedup {
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
-  /** LSH candidate pairs (id_a < id_b), deduplicated across bands.
-    * `numHashes` must be bands × rowsPerBand. */
-  def candidatePairs(
+  /** Banded (id, band, bucket) LSH keys for every document — the
+    * shared input of [[candidatePairs]] and [[cappedBuckets]]. A caller
+    * running the audit alongside the join should compute this once
+    * (persist it and pass to both) instead of paying the map-side
+    * minhash scan twice — the same sharing contract as
+    * [[overlapPairs]]/[[cappedFingerprints]]'s `precomputedFps`. */
+  def bandBuckets(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       signatureMode: String = "k-hash"): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
     val rowsPerBand = numHashes / bands
-    val bucketed = minhashSignatures(df, idCol, textCol, shingleSize, numHashes, signatureMode)
+    minhashSignatures(df, idCol, textCol, shingleSize, numHashes, signatureMode)
       .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    bucketed.as("a")
-      .join(bucketed.as("b"),
+  }
+
+  /** LSH candidate pairs (id_a < id_b), deduplicated across bands.
+    * `numHashes` must be bands × rowsPerBand.
+    *
+    * `maxBucketOccupancy` bounds the self-join's worst case: every
+    * document pair sharing a (band, bucket) key meets in the join, so a
+    * bucket holding n documents — n copies of one document, or n docs
+    * with identical band signatures (boilerplate, templated text) —
+    * emits ~n²/2 rows BEFORE the downstream Jaccard filter can drop
+    * anything. Buckets hotter than the cap are pruned before pairing
+    * (0 disables the cap). Like [[overlapPairs]]'s frequency cap this
+    * is a recall tradeoff made VISIBLE, never silent: run
+    * [[cappedBuckets]] alongside — rows there are clusters this
+    * operator cannot pair; collapse them with exact dedup first (the
+    * scale-correct order) or raise the cap at O(occupancy²) join cost.
+    *
+    * Plan shape: the occupancy count rides a window partitioned by
+    * (band, bucket) — NOT a per-query funnel: the partition key is the
+    * bucket space itself (high-cardinality by construction), and its
+    * sort order is exactly what the downstream sort-merge self-join
+    * needs. The banded keys shuffle ONCE and both join sides reuse
+    * that exchange, so the cap adds no extra shuffle of the corpus and
+    * the map-side minhash scan still runs once. (A groupBy-based prune
+    * was measured instead re-running the minhash scan for the
+    * occupancy branch: column pruning rewrites that branch's subtree,
+    * defeating exchange reuse.) */
+  def candidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000,
+      precomputedBuckets: Option[DataFrame] = None): DataFrame = {
+    val bucketed = precomputedBuckets.getOrElse(
+      bandBuckets(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode))
+    val kept =
+      if (maxBucketOccupancy <= 0) bucketed
+      else {
+        val perBucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        bucketed
+          .withColumn("occupancy", count(lit(1)).over(perBucket))
+          .filter(col("occupancy") <= maxBucketOccupancy)
+          .drop("occupancy")
+      }
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  /** The audit for [[candidatePairs]]'s occupancy cap — "no silent
+    * caps": every (band, bucket) key holding more than
+    * `maxBucketOccupancy` documents, with its occupancy. Empty output
+    * means the cap bound nothing and the join saw every candidate;
+    * rows here are document clusters the LSH join cannot pair, each
+    * quantified by its size. One groupBy over the banded keys — the
+    * same cost shape as the pruning step inside candidatePairs itself,
+    * scale-safe at any corpus size. Mirrors [[cappedFingerprints]]. */
+  def cappedBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000,
+      precomputedBuckets: Option[DataFrame] = None): DataFrame =
+    precomputedBuckets.getOrElse(
+      bandBuckets(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode))
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("occupancy"))
+      .filter(col("occupancy") > maxBucketOccupancy)
 
   /** Near-duplicate pairs: LSH candidates verified with EXACT word
     * n-gram Jaccard, keeping pairs at or above `threshold`.
@@ -168,9 +234,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
-      signatureMode: String = "k-hash"): DataFrame = {
+      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000): DataFrame = {
     val candidates =
-      candidatePairs(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode)
+      candidatePairs(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode,
+        maxBucketOccupancy)
     // Semi-join the corpus against the candidate id set BEFORE the two
     // verification joins: candidates are a tiny fraction of the corpus
     // at scale, and without the prune every document's full shingle
@@ -235,8 +302,10 @@ object Dedup {
 
     // (count, checksum) fingerprint of a canonical edge set: order-
     // independent (XOR fold — no ANSI overflow, unlike sum), collision
-    // odds ~n²/2⁶⁴ per round — and a collision costs correctness only
-    // if it masks the LAST round's change, so treat it as negligible.
+    // odds ~n²/2⁶⁴ per round. The fingerprint only NOMINATES a
+    // fixpoint; convergence is confirmed with an exact set comparison
+    // below, so a collision costs one wasted comparison, never silent
+    // mislabeling.
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
@@ -275,8 +344,14 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nfp = fingerprint(next)
+      // Fingerprint match nominates the fixpoint; confirm it exactly.
+      // Both sets are distinct() with equal cardinality (the count is
+      // part of the fingerprint), so a one-sided empty difference
+      // proves equality — one anti-join over two checkpointed leaves,
+      // paid once per call at true convergence. A checksum collision
+      // fails this check and the loop simply runs another round.
+      converged = nfp == fp && next.exceptAll(edges).isEmpty
       edges = next
-      converged = nfp == fp
       fp = nfp
       rounds += 1
     }
@@ -303,12 +378,29 @@ object Dedup {
     * cluster-assignment a dedup pipeline materializes before choosing
     * survivors. One broadcast-or-shuffle join beyond the component
     * computation itself. */
+  /** The pair-id → document-id cast in [[componentIds]] and
+    * [[dropNearDuplicates]] must be LOSSLESS: an incompatible cast
+    * (e.g. string pair ids against a long doc id) evaluates to null,
+    * the join matches nothing, and every document silently becomes its
+    * own singleton — wrong cluster assignments with no error. Fail up
+    * front instead: identical types, or a cast Spark itself certifies
+    * as an up-cast (int→long, atomic→string, …). */
+  private def requireIdCastCompatible(
+      pairIdType: org.apache.spark.sql.types.DataType,
+      docIdType: org.apache.spark.sql.types.DataType): Unit =
+    require(pairIdType == docIdType ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(pairIdType, docIdType),
+      s"pair id type $pairIdType is not losslessly castable to document id type " +
+        s"$docIdType — matching on it would null out and silently mislabel; " +
+        "align the id types before joining components back")
+
   def componentIds(
       df: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       componentCol: String = "component"): DataFrame = {
     require(!df.columns.contains(componentCol),
       s"input already has a '$componentCol' column — pass componentCol to relabel under a different name")
+    requireIdCastCompatible(pairs.schema(aCol).dataType, df.schema(idCol).dataType)
     val comps = connectedComponents(pairs, aCol, bCol)
       .select(col("id").cast(df.schema(idCol).dataType).as(idCol),
         col("component").cast(df.schema(idCol).dataType).as(componentCol))
@@ -329,12 +421,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
-      signatureMode: String = "k-hash", policy: String = "greedy"): DataFrame = {
+      signatureMode: String = "k-hash", policy: String = "greedy",
+      maxBucketOccupancy: Int = 1000): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleSize, numHashes,
-      bands, signatureMode)
+      bands, signatureMode, maxBucketOccupancy)
     val losers = policy match {
       case "greedy" => pairs.select(col("id_b").as(idCol)).distinct()
       case "components" =>
+        requireIdCastCompatible(pairs.schema("id_a").dataType, df.schema(idCol).dataType)
         connectedComponents(pairs, "id_a", "id_b")
           .filter(col("id") =!= col("component"))
           .select(col("id").cast(df.schema(idCol).dataType).as(idCol))

@@ -232,20 +232,71 @@ object Similarity {
     topK(cand, k)
   }
 
+  /** (id, v, bucket) sign-bucket assignment of a corpus — the shared
+    * input of [[nearDupByEmbedding]] and [[cappedBuckets]]. Compute it
+    * once (persist and pass to both) when running the audit alongside
+    * the join. */
+  def signBuckets(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), planes).as("bucket"))
+  }
+
   /** Embedding-space near-duplicate pairs: LSH candidates verified
     * with exact cosine ≥ threshold (id_a < id_b). Like
     * [[graft.dedup.Dedup.nearDupPairs]] but over vectors: LSH shapes
-    * the candidate set, the emitted similarity is exact. */
+    * the candidate set, the emitted similarity is exact.
+    *
+    * `maxBucketOccupancy` bounds the self-join's worst case exactly as
+    * in [[graft.dedup.Dedup.candidatePairs]]: a sign bucket holding n
+    * vectors (n copies of one embedding, or a dense cone of templated
+    * content) meets itself as ~n²/2 rows before the cosine filter
+    * runs. Buckets hotter than the cap are pruned before pairing
+    * (0 disables); run [[cappedBuckets]] alongside to see what was
+    * dropped — rows there are clusters to collapse with exact dedup
+    * first, or to keep at O(occupancy²) join cost by raising the cap.
+    * The occupancy count rides a window partitioned by the bucket key
+    * (high-cardinality, not a funnel), so the bucketed corpus shuffles
+    * once, both join sides reuse that exchange, and the sign-bucket
+    * scan runs once — same plan reasoning as
+    * [[graft.dedup.Dedup.candidatePairs]]. */
   def nearDupByEmbedding(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double = 0.95, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
-    val b = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), planes).as("bucket"))
+      threshold: Double = 0.95, nPlanes: Int = 8, seed: Long = 42L,
+      maxBucketOccupancy: Int = 1000,
+      precomputedBuckets: Option[DataFrame] = None): DataFrame = {
+    val b0 = precomputedBuckets.getOrElse(
+      signBuckets(df, idCol, vecCol, dim, nPlanes, seed))
+    val b =
+      if (maxBucketOccupancy <= 0) b0
+      else {
+        val perBucket = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+        b0.withColumn("occupancy", count(lit(1)).over(perBucket))
+          .filter(col("occupancy") <= maxBucketOccupancy)
+          .drop("occupancy")
+      }
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine(col("a.v"), col("b.v")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
+
+  /** The audit for [[nearDupByEmbedding]]'s occupancy cap — "no silent
+    * caps": every sign bucket holding more than `maxBucketOccupancy`
+    * vectors, as (bucket, occupancy). Empty output means the cap bound
+    * nothing; rows here are embedding clusters the bucket join cannot
+    * pair. One groupBy over the bucketed corpus — the same cost shape
+    * as the prune inside nearDupByEmbedding itself. Mirrors
+    * [[graft.dedup.Dedup.cappedBuckets]]. */
+  def cappedBuckets(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int = 8, seed: Long = 42L, maxBucketOccupancy: Int = 1000,
+      precomputedBuckets: Option[DataFrame] = None): DataFrame =
+    precomputedBuckets.getOrElse(signBuckets(df, idCol, vecCol, dim, nPlanes, seed))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("occupancy"))
+      .filter(col("occupancy") > maxBucketOccupancy)
 }

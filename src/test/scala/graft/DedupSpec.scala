@@ -333,6 +333,45 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Dedup.cappedFingerprints(df, "doc_id", "text", maxDocFrequency = 5).count() shouldBe 0L
   }
 
+  test("candidatePairs occupancy cap bounds the degenerate hot-bucket join; the audit names it") {
+    // 520 identical documents — the single most common real input
+    // (uncollapsed exact duplicates). Every band bucket they share
+    // holds all 520, so the uncapped self-join materializes every one
+    // of the C(520,2) pairs; the capped join prunes those buckets
+    // BEFORE pairing and the audit reports exactly what was dropped.
+    val df = docs(((1L to 520L).map(i => (i, base)) :+
+      (900L, "totally disjoint other words standing alone here")): _*)
+
+    Dedup.candidatePairs(df, "doc_id", "text", maxBucketOccupancy = 0)
+      .count() shouldBe 520L * 519 / 2
+
+    Dedup.candidatePairs(df, "doc_id", "text", maxBucketOccupancy = 100)
+      .count() shouldBe 0L
+
+    // The audit: one hot bucket per band (identical docs share all 32
+    // band buckets), each holding the whole cluster.
+    val audit = Dedup.cappedBuckets(df, "doc_id", "text", maxBucketOccupancy = 100).collect()
+    audit should have length 32
+    all(audit.map(_.getAs[Long]("occupancy"))) shouldBe 520L
+
+    // A cap above the cluster size keeps every pair and empties the audit.
+    Dedup.cappedBuckets(df, "doc_id", "text", maxBucketOccupancy = 600).count() shouldBe 0L
+    Dedup.candidatePairs(df, "doc_id", "text", maxBucketOccupancy = 600)
+      .count() shouldBe 520L * 519 / 2
+  }
+
+  test("candidatePairs shares a precomputed bucket set with the audit (one minhash scan)") {
+    val df = docs((1L, base), (2L, base), (3L, "other unrelated words entirely"))
+    val buckets = Dedup.bandBuckets(df, "doc_id", "text")
+    val viaShared = Dedup.candidatePairs(df, "doc_id", "text",
+      precomputedBuckets = Some(buckets)).collect().toSet
+    val direct = Dedup.candidatePairs(df, "doc_id", "text").collect().toSet
+    viaShared shouldBe direct
+    Dedup.cappedBuckets(df, "doc_id", "text", maxBucketOccupancy = 1,
+      precomputedBuckets = Some(buckets)).collect()
+      .map(_.getAs[Long]("occupancy")) should contain only 2L
+  }
+
   test("hammingDistance column matches bitCount of xor") {
     val s = spark
     import s.implicits._

@@ -124,6 +124,39 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "Generate"
   }
 
+  test("capped LSH paths shuffle the bucketed corpus once: every consumer reuses one exchange") {
+    val s = spark
+    import s.implicits._
+    // With AQE off, ReuseExchangeAndSubquery runs at physical planning
+    // and the reuse is visible in the printed plan (under AQE the same
+    // dedup happens at runtime via shuffle-stage reuse).
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "g h i j k l"))
+        .toDF("doc_id", "text")
+      val dplan = physical(Dedup.candidatePairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 4, maxBucketOccupancy = 10))
+      val dex = dplan.linesIterator.filter(_.contains("hashpartitioning(band")).toSeq
+      withClue(dplan) {
+        // One real shuffle of the banded keys; the self-join's second
+        // side (occupancy window included) reuses it — so the map-side
+        // minhash scan runs exactly once.
+        dex.count(!_.contains("ReusedExchange")) shouldBe 1
+        dex.count(_.contains("ReusedExchange")) should be >= 1
+      }
+      val vecs = (0 until 8).map(i => (i.toLong, Seq.fill(4)(i.toDouble + 1)))
+        .toDF("vec_id", "embedding")
+      val splan = physical(Similarity.nearDupByEmbedding(vecs, "vec_id", "embedding",
+        dim = 4, maxBucketOccupancy = 10))
+      val sex = splan.linesIterator.filter(_.contains("hashpartitioning(bucket")).toSeq
+      withClue(splan) {
+        sex.count(!_.contains("ReusedExchange")) shouldBe 1
+        sex.count(_.contains("ReusedExchange")) should be >= 1
+      }
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("embedding near-dup pairing is bucket-equi-keyed, never a cartesian product") {
     val s = spark
     import s.implicits._

@@ -131,6 +131,34 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     r2.collect() should have length 0
   }
 
+  test("nearDupByEmbedding occupancy cap prunes a degenerate hot bucket; the audit names it") {
+    // 300 copies of one direction land in a single sign bucket — the
+    // uncapped join meets them as C(300,2) pairs at cosine 1.0.
+    val rnd = new scala.util.Random(3)
+    val v = Seq.fill(8)(rnd.nextGaussian())
+    val hot = (1L to 300L).map(i => (i, v.map(_ * (1.0 + i * 1e-9))))
+    val w = Seq.fill(8)(rnd.nextGaussian())
+    val df = vecs((hot :+ (401L, w) :+ (402L, w.map(_ * 1.001))): _*)
+
+    Similarity.nearDupByEmbedding(df, "vec_id", "embedding", dim = 8,
+        threshold = 0.99, maxBucketOccupancy = 0)
+      .count() should be >= 300L * 299 / 2
+
+    // Capped: the hot cluster is pruned before pairing; the planted
+    // pair outside it still surfaces (unless it shares the hot bucket).
+    val capped = Similarity.nearDupByEmbedding(df, "vec_id", "embedding", dim = 8,
+        threshold = 0.99, maxBucketOccupancy = 50)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    capped.filter { case (a, b) => a <= 300 || b <= 300 } shouldBe empty
+
+    val audit = Similarity.cappedBuckets(df, "vec_id", "embedding", dim = 8,
+      maxBucketOccupancy = 50).collect()
+    audit.map(_.getAs[Long]("occupancy")).max should be >= 300L
+    // A cap above the cluster empties the audit.
+    Similarity.cappedBuckets(df, "vec_id", "embedding", dim = 8,
+      maxBucketOccupancy = 400).count() shouldBe 0L
+  }
+
   test("nearDupByEmbedding finds planted near-identical vectors only") {
     val rnd = new scala.util.Random(11)
     val v = Seq.fill(16)(rnd.nextGaussian())
