@@ -758,6 +758,56 @@ object SparkEntry {
         .orderBy("format")
     }),
 
+    // ---- Multimodal: REAL header decoding. Each document synthesizes
+    // a structurally-valid media header whose fields derive from
+    // doc_id — a PNG IHDR (big-endian dims), a JPEG with an APP0
+    // segment the marker scanner must skip before the SOF0 frame
+    // header, or a RIFF/WAVE fmt+data pair (little-endian audio
+    // params) — built with hex/unhex column math. HeaderDecoder parses
+    // the BYTES back out; the oracle recomputes the expected fields
+    // from the doc_id rule, so the gate verifies the byte arithmetic
+    // (endianness, offsets, segment skipping), not just plumbing.
+    "mm2_binary_dimensions" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      def beHex32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      def beHex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def leHex16(c: org.apache.spark.sql.Column) = {
+        val hx = lpad(hex(c), 4, "0")
+        concat(substring(hx, 3, 2), substring(hx, 1, 2))
+      }
+      def leHex32(c: org.apache.spark.sql.Column) = {
+        val hx = lpad(hex(c), 8, "0")
+        concat(substring(hx, 7, 2), substring(hx, 5, 2),
+          substring(hx, 3, 2), substring(hx, 1, 2))
+      }
+      val w = pmod(col("doc_id"), lit(512)) + 16
+      val h = pmod(col("doc_id"), lit(256)) + 16
+      val chans = pmod(col("doc_id"), lit(2)) + 1
+      val rate = when(pmod(col("doc_id"), lit(2)) === 0, lit(16000)).otherwise(lit(44100))
+      val frames = pmod(col("doc_id"), lit(1000)) + 1
+      val blockAlign = chans * 2
+      val dataSize = frames * blockAlign
+      val pngHex = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        beHex32(w), beHex32(h), lit("0806000000"))
+      val jpegHex = concat(
+        lit("FFD8" + "FFE00010" + "4A46494600010100000100010000" + "FFC0001108"),
+        beHex16(h), beHex16(w), lit("03"))
+      val wavHex = concat(
+        lit("52494646"), leHex32(dataSize + 36),
+        lit("57415645" + "666D7420" + "10000000" + "0100"),
+        leHex16(chans), leHex32(rate), leHex32(rate * blockAlign),
+        leHex16(blockAlign), lit("1000" + "64617461"), leHex32(dataSize))
+      val bin = unhex(
+        when(pmod(col("doc_id"), lit(3)) === 0, pngHex)
+          .when(pmod(col("doc_id"), lit(3)) === 1, jpegHex)
+          .otherwise(wavHex))
+      Multimodal.extractFeatures(df.withColumn("bin", bin), "doc_id", "bin")
+        .select(col("id").as("doc_id"), col("format"), col("width"), col("height"),
+          col("n_frames"), col("channels"), col("sample_rate"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Streaming-profile plan, verified through its batch fixpoint:
     // the same windowedCompleteness plan runs incrementally under a
     // watermark on a stream (see StreamProfiler/StreamingSpec).
@@ -1408,6 +1458,19 @@ object SparkEntry {
     // TRUTH doc_id % 4 rule that synthesized the magic prefix, while
     // the engine sniffs it back out of the bytes — byte-size stats are
     // prefix length + UTF-8 text length.
+    // The expected fields derive from the GROUND-TRUTH doc_id rule the
+    // gate synthesized the headers from; the engine parses them back
+    // out of the bytes.
+    "mm2_binary_dimensions" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE doc_id % 512 + 16 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE doc_id % 256 + 16 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 1000 + 1 ELSE 1 END AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1 ELSE 0 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN (CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END) ELSE 0 END AS INTEGER) AS sample_rate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "mm_binary_metadata" ->
       """WITH b AS (
         |  SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

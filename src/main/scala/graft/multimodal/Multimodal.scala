@@ -51,12 +51,17 @@ object Multimodal {
         round(avg(col("n_bytes")), 2).as("avg_bytes"),
         sum(col("n_bytes")).as("total_bytes"))
 
-  /** Decoded-media features: what a real decoder would produce. */
+  /** Decoded-media features: what a real decoder would produce.
+    * `width`/`height` apply to images, `channels`/`sampleRate` to
+    * audio; `nFrames` is video frames or audio sample frames. Fields a
+    * decoder cannot determine are 0. */
   final case class MediaFeatures(
       format: String,
       width: Int,
       height: Int,
       nFrames: Int,
+      channels: Int,
+      sampleRate: Int,
       embedding: Array[Float])
 
   /** Decoder plug point. Implementations must be serializable (shipped
@@ -77,27 +82,127 @@ object Multimodal {
       while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
       h
     }
-    def decode(format: String, bytes: Array[Byte]): MediaFeatures = {
-      val h = fnv1a(bytes, 0L)
-      def dim(seed: Int, lo: Int, hi: Int): Int =
-        lo + math.floorMod(fnv1a(bytes, seed.toLong), (hi - lo).toLong).toInt
-      val emb = Array.tabulate(16) { i =>
+    /** The deterministic pseudo-embedding, shared with [[HeaderDecoder]]
+      * (a real embedding needs pixel/sample decode — codec territory). */
+    private[multimodal] def pseudoEmbedding(bytes: Array[Byte]): Array[Float] =
+      Array.tabulate(16) { i =>
         (math.floorMod(fnv1a(bytes, 1000L + i), 2000L) - 1000L).toFloat / 1000f
       }
+    def decode(format: String, bytes: Array[Byte]): MediaFeatures = {
+      def dim(seed: Int, lo: Int, hi: Int): Int =
+        lo + math.floorMod(fnv1a(bytes, seed.toLong), (hi - lo).toLong).toInt
       MediaFeatures(format, dim(1, 16, 4096), dim(2, 16, 4096),
-        if (format == "mp4" || format == "mkv") dim(3, 1, 1000) else 1, emb)
+        if (format == "mp4" || format == "mkv") dim(3, 1, 1000) else 1, 0, 0,
+        pseudoEmbedding(bytes))
+    }
+  }
+
+  /** Header-parsing decoder — THE DEFAULT for [[extractFeatures]]:
+    * real dimensions/audio parameters for the formats whose headers
+    * are pure public byte arithmetic, no codec required:
+    *   - PNG: IHDR width/height (big-endian u32 at offsets 16/20 —
+    *     the IHDR chunk is mandatory-first per the PNG spec);
+    *   - JPEG: marker scan to the first SOFn frame header (skipping
+    *     APPn/DQT/… segments by their declared lengths); height/width
+    *     are the big-endian u16s after the precision byte;
+    *   - GIF: logical-screen width/height (little-endian u16 at 6/8);
+    *   - RIFF/WAVE: chunk walk for `fmt ` (channels, sample rate,
+    *     block align) and `data` (byte length); nFrames = sample
+    *     frames = data length / block align.
+    * Container-video formats (mp4/mkv/ogg) and unknown bytes carry no
+    * codec-free header of interest — they delegate to [[StubDecoder]]
+    * (the documented plug point for a codec-backed implementation).
+    * Truncated or corrupt headers yield 0 for the affected fields,
+    * never a fabricated value. The embedding remains the deterministic
+    * pseudo-embedding in all cases. */
+  object HeaderDecoder extends BinaryDecoder {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Long =
+      (be16(b, i).toLong << 16) | be16(b, i + 2)
+    private def le16(b: Array[Byte], i: Int): Int = (u8(b, i + 1) << 8) | u8(b, i)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (le16(b, i + 2).toLong << 16) | le16(b, i)
+    private def clampInt(v: Long): Int = if (v < 0 || v > Int.MaxValue) 0 else v.toInt
+
+    private def png(b: Array[Byte]): (Int, Int) =
+      // 8-byte signature, 4-byte length, "IHDR", then width/height.
+      if (b.length >= 24 && new String(b, 12, 4, "US-ASCII") == "IHDR")
+        (clampInt(be32(b, 16)), clampInt(be32(b, 20)))
+      else (0, 0)
+
+    private def jpeg(b: Array[Byte]): (Int, Int) = {
+      var i = 2 // past SOI
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return (0, 0) // broken marker stream
+        val m = u8(b, i + 1)
+        if (m == 0xff) i += 1 // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
+        else if (m == 0xd9 || m == 0xda) return (0, 0) // EOI/SOS before any SOF
+        else {
+          val len = be16(b, i + 2)
+          if (len < 2) return (0, 0)
+          val sof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (sof)
+            return if (i + 8 < b.length) (be16(b, i + 7), be16(b, i + 5)) else (0, 0)
+          i += 2 + len
+        }
+      }
+      (0, 0)
+    }
+
+    private def gif(b: Array[Byte]): (Int, Int) =
+      if (b.length >= 10) (le16(b, 6), le16(b, 8)) else (0, 0)
+
+    /** (channels, sampleRate, sampleFrames) from the fmt/data chunks. */
+    private def wav(b: Array[Byte]): (Int, Int, Int) = {
+      var off = 12 // past RIFF size WAVE
+      var channels = 0
+      var rate = 0
+      var blockAlign = 0
+      var dataLen = 0L
+      while (off + 8 <= b.length) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val sz = le32(b, off + 4)
+        if (id == "fmt " && sz >= 16 && off + 24 <= b.length) {
+          channels = le16(b, off + 10)
+          rate = clampInt(le32(b, off + 12))
+          blockAlign = le16(b, off + 20)
+        } else if (id == "data") dataLen = sz
+        if (sz < 0 || sz > Int.MaxValue - 9) return (channels, rate, 0)
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      (channels, rate, if (blockAlign > 0) clampInt(dataLen / blockAlign) else 0)
+    }
+
+    def decode(format: String, bytes: Array[Byte]): MediaFeatures = format match {
+      case "png" =>
+        val (w, h) = png(bytes)
+        MediaFeatures(format, w, h, 1, 0, 0, StubDecoder.pseudoEmbedding(bytes))
+      case "jpeg" =>
+        val (w, h) = jpeg(bytes)
+        MediaFeatures(format, w, h, 1, 0, 0, StubDecoder.pseudoEmbedding(bytes))
+      case "gif" =>
+        val (w, h) = gif(bytes)
+        MediaFeatures(format, w, h, 1, 0, 0, StubDecoder.pseudoEmbedding(bytes))
+      case "wav" =>
+        val (c, r, frames) = wav(bytes)
+        MediaFeatures(format, 0, 0, frames, c, r, StubDecoder.pseudoEmbedding(bytes))
+      case _ => StubDecoder.decode(format, bytes)
     }
   }
 
   /** Feature extraction over a binary column — the `mapInPandas`
     * analogue: per-partition iterator, decoder constructed once per
     * partition, output rows (id, format, width, height, n_frames,
-    * embedding). Media bytes never leave their input partition. The id
-    * passes through with its source type (long, string/UUID, …) via a
-    * Row encoder — no silent cast. */
+    * channels, sample_rate, embedding). Media bytes never leave their
+    * input partition. The id passes through with its source type
+    * (long, string/UUID, …) via a Row encoder — no silent cast. The
+    * default [[HeaderDecoder]] parses real dimensions for the
+    * codec-free formats and stubs the rest. */
   def extractFeatures(
       df: DataFrame, idCol: String, binCol: String,
-      decoder: BinaryDecoder = StubDecoder): DataFrame = {
+      decoder: BinaryDecoder = HeaderDecoder): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val withFormat = df.select(
@@ -110,12 +215,15 @@ object Multimodal {
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("n_frames", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
     withFormat.mapPartitions { it =>
       // Per-partition decoder setup happens here (stub: nothing).
       it.map { row =>
         val f = decoder.decode(row.getString(1), row.getAs[Array[Byte]](2))
-        Row(row.get(0), f.format, f.width, f.height, f.nFrames, f.embedding)
+        Row(row.get(0), f.format, f.width, f.height, f.nFrames,
+          f.channels, f.sampleRate, f.embedding)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

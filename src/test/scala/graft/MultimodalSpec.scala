@@ -61,29 +61,87 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("extractFeatures: declared schema, one row per input, deterministic") {
-    val f1 = Multimodal.extractFeatures(mediaDf, "media_id", "content")
-    f1.columns shouldBe Array("id", "format", "width", "height", "n_frames", "embedding")
+    val f1 = Multimodal.extractFeatures(mediaDf, "media_id", "content", Multimodal.StubDecoder)
+    f1.columns shouldBe Array("id", "format", "width", "height", "n_frames",
+      "channels", "sample_rate", "embedding")
     val rows = f1.orderBy("id").collect()
     rows should have length 5
     // Stub decode is deterministic: a second run is bit-identical.
-    val rows2 = Multimodal.extractFeatures(mediaDf, "media_id", "content")
+    val rows2 = Multimodal.extractFeatures(mediaDf, "media_id", "content", Multimodal.StubDecoder)
       .orderBy("id").collect()
     rows.map(_.toSeq.toString) shouldBe rows2.map(_.toSeq.toString)
     // Plausible media dimensions and a fixed-width embedding.
     all(rows.map(_.getAs[Int]("width"))) should (be >= 16 and be < 4096)
-    all(rows.map(_.getSeq[Float](5).length)) shouldBe 16
+    all(rows.map(_.getSeq[Float](7).length)) shouldBe 16
   }
 
-  test("extractFeatures: only video formats get multiple frames") {
-    val byId = Multimodal.extractFeatures(mediaDf, "media_id", "content")
+  test("extractFeatures (stub): only video formats get multiple frames") {
+    val byId = Multimodal.extractFeatures(mediaDf, "media_id", "content", Multimodal.StubDecoder)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("n_frames")).toMap
     byId(4L) should be > 1 // mp4
     byId(1L) shouldBe 1 // png
     byId(3L) shouldBe 1 // wav
   }
 
+  // ---- HeaderDecoder: real byte-arithmetic parsing -------------------
+
+  /** PNG signature + IHDR for the given dimensions. */
+  private def realPng(w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0)
+  }
+
+  /** SOI + APP0(JFIF) + SOF0 — the scanner must skip APP0 by length. */
+  private def realJpeg(w: Int, h: Int): Array[Byte] = {
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      (Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(16) ++
+        "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) ++
+      (Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+        be16(h) ++ be16(w) ++ Array[Byte](3))
+  }
+
+  /** RIFF/WAVE with a 16-byte fmt chunk and an (undelivered) data size. */
+  private def realWav(channels: Int, rate: Int, sampleFrames: Int): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val blockAlign = channels * 2
+    "RIFF".getBytes ++ le32(36 + sampleFrames * blockAlign) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(16) ++
+      "data".getBytes ++ le32(sampleFrames * blockAlign)
+  }
+
+  test("HeaderDecoder parses real PNG/JPEG/GIF/WAV headers, zeros on truncation") {
+    val s = spark
+    import s.implicits._
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xC8.toByte, 0x00) // 320×200
+    val df = Seq(
+      (1L, realPng(640, 480)),
+      (2L, realJpeg(600, 400)),
+      (3L, realWav(2, 44100, 100)),
+      (4L, gif),
+      (5L, pngBytes("truncated")), // sniffs png, header incomplete
+      (6L, mp4Bytes("video"))) // no codec-free parse → stub delegate
+      .toDF("media_id", "content")
+    val rows = Multimodal.extractFeatures(df, "media_id", "content")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    (rows(1L).getAs[Int]("width"), rows(1L).getAs[Int]("height")) shouldBe ((640, 480))
+    (rows(2L).getAs[Int]("width"), rows(2L).getAs[Int]("height")) shouldBe ((600, 400))
+    rows(3L).getAs[Int]("channels") shouldBe 2
+    rows(3L).getAs[Int]("sample_rate") shouldBe 44100
+    rows(3L).getAs[Int]("n_frames") shouldBe 100 // data bytes / block align
+    (rows(4L).getAs[Int]("width"), rows(4L).getAs[Int]("height")) shouldBe ((320, 200))
+    // Truncated header: honest zeros, never fabricated dimensions.
+    (rows(5L).getAs[Int]("width"), rows(5L).getAs[Int]("height")) shouldBe ((0, 0))
+    // Unsupported container: stub features (the codec plug point).
+    rows(6L).getAs[Int]("n_frames") should be > 1
+  }
+
   test("sampleFramePlan emits evenly spaced frame indices for videos only") {
-    val features = Multimodal.extractFeatures(mediaDf, "media_id", "content")
+    val features = Multimodal.extractFeatures(mediaDf, "media_id", "content", Multimodal.StubDecoder)
     val plan = Multimodal.sampleFramePlan(features, n = 4).collect()
     plan.map(_.getAs[Long]("id")).distinct shouldBe Array(4L)
     val idx = plan.map(_.getAs[Long]("frame_index"))
@@ -112,7 +170,7 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
   test("a custom decoder plugs in without touching the plumbing") {
     object ConstDecoder extends Multimodal.BinaryDecoder {
       def decode(format: String, bytes: Array[Byte]): Multimodal.MediaFeatures =
-        Multimodal.MediaFeatures(format, 100, 100, 1, Array.fill(16)(0.5f))
+        Multimodal.MediaFeatures(format, 100, 100, 1, 0, 0, Array.fill(16)(0.5f))
     }
     val rows = Multimodal.extractFeatures(mediaDf, "media_id", "content", ConstDecoder)
       .select("width").distinct().collect()
