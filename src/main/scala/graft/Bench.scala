@@ -47,6 +47,16 @@ import org.apache.spark.sql.SparkSession
   * other rounds' artifacts on the same host is pollution proof even
   * when every load/starvation signal stays quiet, and an intra-run
   * collapse (end < 0.6 × start) flips `contended` by itself.
+  *
+  * The run SELF-HEALS: queries whose boundary samples show
+  * contamination (starved, or external demand above half the cores)
+  * are re-queued once at run end and replaced by their rerun when it
+  * comes back clean or faster; `"requeued"` lists what was retried and
+  * `"dirty"` what stayed contaminated — every per-query entry in the
+  * artifact is clean-or-flagged, with no prose needed to interpret it.
+  * `"warmup_failed"` flags a skipped warmup (its JIT cost lands on the
+  * first query of the affected family, which would otherwise read as a
+  * regression).
   */
 object Bench {
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -104,6 +114,19 @@ object Bench {
       workers: Int, hostCores: Int): Boolean =
     !cpu.isNaN && cpu > 1.0 && wall > 3.0 * cpu / workers &&
       !extLoad.isNaN && extLoad > hostCores / 2.0
+
+  /** A query's timing is CONTAMINATED when it starved, or when the
+    * boundary sample right after it showed external demand for over
+    * half the cores (the timing may be inflated even if the query's
+    * own shape didn't trip the starvation test). Contaminated queries
+    * are re-queued once at run end; ones still dirty after the rerun
+    * are flagged in the artifact so a reader never has to guess which
+    * per-query numbers to trust. */
+  private[graft] def isDirty(
+      wall: Double, cpu: Double, extLoad: Double,
+      workers: Int, hostCores: Int): Boolean =
+    isStarved(wall, cpu, extLoad, workers, hostCores) ||
+      (!extLoad.isNaN && extLoad > hostCores / 2.0)
 
   /** Effective-core-throughput calibration: every core spins a fixed
     * integer mixer for ~400 ms; returns aggregate Mops/s. This is the
@@ -165,9 +188,17 @@ object Bench {
     // its first milliseconds) and again after the last query.
     val calStart = calibrateMops()
 
+    // Warmup failures are RECORDED in the artifact, not just stderr: a
+    // failed streaming warmup lands ~2.5 s of micro-batch-stack JIT on
+    // whichever streaming gate runs first, and without the flag that
+    // first-query inflation is indistinguishable from a regression.
+    val warmupFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Warmup: pay JVM/codegen/parquet-footer costs once, outside timing.
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    catch { case e: Throwable =>
+      warmupFailed += "parquet"
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     // Warmup 2: the micro-batch streaming stack (incremental planner,
     // state store, offset/commit logs, memory sink) JITs on first use —
     // ~2.5 s that would otherwise land on whichever streaming gate the
@@ -193,9 +224,12 @@ object Bench {
           "ts", "event_type", "1 day", watermarkDelay = Some("0 seconds"),
           valueCols = Seq("value"))).collect()
       ()
-    } catch { case e: Throwable => System.err.println(s"[bench] stream warmup failed: ${e.getMessage}") }
+    } catch { case e: Throwable =>
+      warmupFailed += "streaming"
+      System.err.println(s"[bench] stream warmup failed: ${e.getMessage}")
+    }
 
-    val errors = Map.newBuilder[String, String]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Sorted by name: an unordered Map would hash-shuffle the timing
     // order between builds, landing residual JIT/IO warmup cost on a
     // nondeterministic first query and adding cross-round noise.
@@ -240,7 +274,7 @@ object Bench {
     }
     final case class QueryResult(name: String, wall: Double, cpu: Double,
         gc: Double, load: Double, extLoad: Double)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QueryResult = {
       val t0 = System.nanoTime()
       val cpu0 = processCpuSec()
       val gc0 = gcSec()
@@ -259,6 +293,26 @@ object Bench {
       QueryResult(name, (System.nanoTime() - t0) / 1e9, processCpuSec() - cpu0,
         gcSec() - gc0, load, extLoad)
     }
+    val cores = Runtime.getRuntime.availableProcessors()
+    val workers = cpus.toIntOption.getOrElse(cores)
+    def dirty(r: QueryResult): Boolean =
+      isDirty(r.wall, r.cpu, r.extLoad, workers, cores)
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) => runQuery(name, fn) }
+    // Self-healing: queries whose boundary samples showed contamination
+    // are re-run ONCE at the end of the run (by which point a transient
+    // co-tenant has often finished). The rerun replaces the original
+    // when it is clean or faster; anything still dirty afterwards is
+    // flagged in the artifact rather than silently recorded. Failed
+    // queries are not re-queued — an error is not contamination.
+    val (toRequeue, clean) = firstPass.partition(r => dirty(r) && !errors.contains(r.name))
+    val healed = toRequeue.map { r =>
+      System.err.println(f"[bench] requeue ${r.name}: boundary ext_load ${r.extLoad}%.1f")
+      val rerun = runQuery(r.name, selected(r.name))
+      if (!dirty(rerun) || rerun.wall < r.wall) rerun else r
+    }
+    val results = (clean ++ healed).sortBy(_.name)
+    val requeued = toRequeue.map(_.name).sorted
+    val stillDirty = healed.filter(dirty).map(_.name).sorted
     // JSON has no NaN literal: an unsupported CPU bean reports -1.
     def num(v: Double): String = if (v.isNaN || v.isInfinite) "-1" else f"$v%.3f"
     def jmap(f: QueryResult => Double): String =
@@ -270,7 +324,6 @@ object Bench {
     val total = results.map(_.wall).sum
     val cpuTotal = results.map(_.cpu).sum
     val gcTotal = results.map(_.gc).sum
-    val cores = Runtime.getRuntime.availableProcessors()
     // Whole-run core utilization — diagnostic context for the per-query
     // cpu_sec map (a CPU-bound query whose wall ≫ cpu was starved).
     val util = if (total > 0 && !cpuTotal.isNaN) cpuTotal / (total * cores) else Double.NaN
@@ -284,7 +337,6 @@ object Bench {
     // inherently driver-heavy queries like the streaming replay —
     // isStarved therefore tests the self-load-discounted extLoad, with
     // the session's worker count as the parallel floor.
-    val workers = cpus.toIntOption.getOrElse(cores)
     val starved = results
       .filter(r => isStarved(r.wall, r.cpu, r.extLoad, workers, cores))
       .map(_.name)
@@ -314,9 +366,13 @@ object Bench {
       s""""cores":$cores,"load_start":${num(loadStart)},"load_end":${num(loadEnd)},""" +
       s""""load_max":${num(loadMax)},"ext_load_max":${num(extLoadMax)},""" +
       s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +
-      s""""slowest":$slowest,"starved":$starvedJson,"contended":$contended}""")
+      s""""slowest":$slowest,"starved":$starvedJson,""" +
+      s""""warmup_failed":${warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""requeued":${requeued.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""dirty":${stillDirty.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""contended":$contended}""")
     spark.stop()
-    val errs = errors.result()
+    val errs = errors.toMap
     if (errs.nonEmpty) {
       System.err.println(s"[bench] ${errs.size} queries failed: ${errs.keys.mkString(", ")}")
       sys.exit(1)

@@ -69,4 +69,17 @@ class BenchMathSpec extends AnyFunSuite with Matchers {
     // The same 4-worker query walled past 3× its own floor IS starved.
     Bench.isStarved(13.0, 16.0, 20.0, 4, 32) shouldBe true
   }
+
+  test("isDirty: starvation or boundary external demand, NaN never flags") {
+    val cores = 32
+    // Starved ⇒ dirty.
+    Bench.isDirty(8.0, 16.0, 20.0, 32, cores) shouldBe true
+    // Not starved (wall fine) but heavy external demand at the
+    // boundary ⇒ still dirty — the timing is suspect either way.
+    Bench.isDirty(1.1, 32.0, 20.0, 32, cores) shouldBe true
+    // Quiet host ⇒ clean, whatever the query's own shape.
+    Bench.isDirty(8.0, 16.0, 3.0, 32, cores) shouldBe false
+    // Unknown external load (no CPU bean) must not condemn the run.
+    Bench.isDirty(8.0, 16.0, Double.NaN, 32, cores) shouldBe false
+  }
 }
