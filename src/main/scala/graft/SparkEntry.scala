@@ -925,6 +925,41 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // ---- The RAW-events drift path through the same oracle: each
+    // day's (key, value) pairs — not pre-aggregated moments — feed
+    // meanDrift's flatMapGroupsWithState, whose Welford fold must
+    // produce the identical drift events (the raw ≡ moments property
+    // the StreamingSpec pins, here pinned against DuckDB instead of
+    // against ourselves). Collecting raw day batches to the driver is
+    // MemoryStream-harness-inherent and bounded at gate scale; the
+    // moments gate above stays the scale-shaped one.
+    "ev_mean_drift_raw" -> ((s, dir) => {
+      import s.implicits._
+      val day = to_date(col("ts"))
+      val shifted = eventsWithTs(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("key"), day.as("d"),
+          (col("value") +
+            when(col("event_type") === "click" && day === lit("2024-01-25").cast("date"), 200.0)
+              .when(col("event_type") === "view" && day === lit("2024-01-28").cast("date"), -200.0)
+              .when(col("event_type") === "purchase" && day === lit("2024-01-15").cast("date"), 300.0)
+              .otherwise(0.0)).as("v"))
+      val rows = shifted.filter(col("d").isNotNull)
+        .select(col("d").cast("string"), col("key"), col("v"))
+        .as[(String, String, Double)].collect()
+      val batches = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rs) => rs.toSeq.map(r => (r._2, r._3)) }
+      replayToMemory(s, "ev_mean_drift_raw", batches)(
+        ds => StreamProfiler.meanDrift(ds).toDF()).select(
+        col("key"),
+        col("batchCount").as("batch_count"),
+        round(col("batchMean"), 4).as("batch_mean"),
+        round(col("runningMean"), 4).as("running_mean"),
+        round(col("runningStdev"), 4).as("running_stdev"),
+        round(col("zScore"), 4).as("z_score"))
+        .orderBy("key")
+    }),
+
     // ---- Streaming exact dedup (first-arrival-wins dropDuplicates on
     // the content fingerprint), verified by deterministic replay: the
     // documents table arrives as 5 micro-batches keyed by doc_id % 5
@@ -1030,6 +1065,32 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query key; the driver executes these on
     * the same parquet tables and hash-compares with the Spark result
     * (columns sorted by name). */
+  private val meanDriftOracle: String =
+    """WITH ev AS (
+        |  SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |         value + CASE WHEN event_type = 'click' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-25' THEN 200.0
+        |                      WHEN event_type = 'view' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-28' THEN -200.0
+        |                      WHEN event_type = 'purchase' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-15' THEN 300.0
+        |                      ELSE 0.0 END AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), batches AS (
+        |  SELECT key, d, count(*) AS bc, avg(v) AS bm, sum(v) AS s1, sum(v * v) AS s2
+        |  FROM ev GROUP BY key, d
+        |), hist AS (
+        |  SELECT key, d, bc, bm,
+        |    sum(bc) OVER w AS pn, sum(s1) OVER w AS ps1, sum(s2) OVER w AS ps2
+        |  FROM batches
+        |  WINDOW w AS (PARTITION BY key ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT key, bc AS batch_count, round(bm, 4) AS batch_mean,
+        |  round(ps1 / pn, 4) AS running_mean,
+        |  round(sqrt((ps2 - ps1 * ps1 / pn) / (pn - 1)), 4) AS running_stdev,
+        |  round(abs(bm - ps1 / pn) / sqrt((ps2 - ps1 * ps1 / pn) / (pn - 1)), 4) AS z_score
+        |FROM hist
+        |WHERE pn >= 10 AND (ps2 - ps1 * ps1 / pn) > 0
+        |  AND abs(bm - ps1 / pn) / sqrt((ps2 - ps1 * ps1 / pn) / (pn - 1)) > 3.0
+        |ORDER BY key""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "p1_row_count" ->
       "SELECT count(*) AS row_count FROM lineitem",
@@ -1500,31 +1561,10 @@ object SparkEntry {
     // expanding window: the Welford prior state at batch k equals the
     // moments of all values in days 1..k-1 (sum/sum-of-squares form is
     // algebraically identical; 4dp rounding absorbs float noise).
-    "ev_mean_drift" ->
-      """WITH ev AS (
-        |  SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
-        |         value + CASE WHEN event_type = 'click' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-25' THEN 200.0
-        |                      WHEN event_type = 'view' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-28' THEN -200.0
-        |                      WHEN event_type = 'purchase' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-15' THEN 300.0
-        |                      ELSE 0.0 END AS v
-        |  FROM events WHERE value IS NOT NULL
-        |), batches AS (
-        |  SELECT key, d, count(*) AS bc, avg(v) AS bm, sum(v) AS s1, sum(v * v) AS s2
-        |  FROM ev GROUP BY key, d
-        |), hist AS (
-        |  SELECT key, d, bc, bm,
-        |    sum(bc) OVER w AS pn, sum(s1) OVER w AS ps1, sum(s2) OVER w AS ps2
-        |  FROM batches
-        |  WINDOW w AS (PARTITION BY key ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |)
-        |SELECT key, bc AS batch_count, round(bm, 4) AS batch_mean,
-        |  round(ps1 / pn, 4) AS running_mean,
-        |  round(sqrt((ps2 - ps1 * ps1 / pn) / (pn - 1)), 4) AS running_stdev,
-        |  round(abs(bm - ps1 / pn) / sqrt((ps2 - ps1 * ps1 / pn) / (pn - 1)), 4) AS z_score
-        |FROM hist
-        |WHERE pn >= 10 AND (ps2 - ps1 * ps1 / pn) > 0
-        |  AND abs(bm - ps1 / pn) / sqrt((ps2 - ps1 * ps1 / pn) / (pn - 1)) > 3.0
-        |ORDER BY key""".stripMargin,
+    // The raw-events gate shares it verbatim: raw fold and moments
+    // merge are algebraically the same state evolution.
+    "ev_mean_drift" -> meanDriftOracle,
+    "ev_mean_drift_raw" -> meanDriftOracle,
 
     "ll3_ann_topk" ->
       """WITH q AS (
