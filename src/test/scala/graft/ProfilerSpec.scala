@@ -164,6 +164,40 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     p.completeness("id").distinctCount shouldBe 10L
   }
 
+  test("approx-mode error stays inside configured bounds on real data") {
+    // The scale-mode profile hash-gates its DETERMINISM
+    // (scale_profile_lineitem); this pins its CLOSENESS TO TRUTH: HLL
+    // distinct counts within 4× the configured rsd (rsd is the
+    // sketch's standard error, so 4σ; observed errors at sf0.1 sit
+    // well inside 1σ — table in BASELINE.md), and percentile_approx
+    // quartiles within Spark's documented RANK guarantee
+    // (|rank(v) − q·n| ≤ n/accuracy at accuracy 10000).
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val n = df.count()
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    for (rsd <- Seq(0.05, 0.01); c <- cols) {
+      val r = df.agg(countDistinct(col(c)), approx_count_distinct(col(c), rsd)).head()
+      val exact = r.getLong(0).toDouble
+      val err = math.abs(r.getLong(1) - exact) / exact
+      withClue(s"$c rsd=$rsd: ") { err should be <= 4 * rsd }
+    }
+    val accuracy = 10000
+    for (c <- Seq("l_quantity", "l_extendedprice")) {
+      val qs = df.agg(expr(s"percentile_approx(`$c`, array(0.25D, 0.5D, 0.75D), $accuracy)"))
+        .head().getSeq[Any](0).map(_.toString.toDouble)
+      for ((v, q) <- qs.zip(Seq(0.25, 0.5, 0.75))) {
+        val lo = df.filter(col(c) < v).count()
+        val hi = df.filter(col(c) <= v).count()
+        val target = q * n
+        withClue(s"$c q=$q v=$v rank[$lo,$hi] target=$target: ") {
+          (lo.toDouble - n.toDouble / accuracy - 1) should be <= target
+          (hi.toDouble + n.toDouble / accuracy + 1) should be >= target
+        }
+      }
+    }
+  }
+
   test("empty DataFrame profiles without error") {
     val df = employeesDf.filter("id < 0")
     val p = Profiler.profile(df, "empty", ProfilerConfig(persist = false))
