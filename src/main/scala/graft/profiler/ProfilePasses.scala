@@ -174,15 +174,19 @@ object ProfilePasses {
     * non-null values, the reference's three regexes verbatim. Regex
     * matching is the most CPU-expensive metric in the profile, so the
     * standalone pass spreads a poorly-split input across the session's
-    * cores first (no-op once the scan has enough splits). */
-  def textPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * cores first (no-op once the scan has enough splits);
+    * `spreadInput = false` honors a caller's as-is partitioning — the
+    * same contract as [[distinctCounts]]. */
+  def textPatterns(df: DataFrame, cols: Seq[String],
+      spreadInput: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { n =>
       Seq(
         count(when(c(n).rlike(EmailPattern), lit(1))).as(s"${n}_email_count"),
         count(when(c(n).rlike(NumericPattern), lit(1))).as(s"${n}_numeric_count"),
         count(when(c(n).rlike(DatePattern), lit(1))).as(s"${n}_date_count"))
     }
-    graft.util.Partitioning.spread(df).agg(aggs.head, aggs.tail: _*)
+    val input = if (spreadInput) graft.util.Partitioning.spread(df) else df
+    input.agg(aggs.head, aggs.tail: _*)
   }
 
   /** P8: date stats ({col}_{min_date,max_date,distinct_dates,range_days}).

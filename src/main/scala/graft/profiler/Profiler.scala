@@ -62,6 +62,13 @@ final case class ProfilerConfig(
       * cores, i.e. always at scale. Off = profile the input
       * partitioning as-is. */
     spreadInput: Boolean = true,
+    /** Minimum scan bytes before spreadInput pays for its exchange.
+      * The default is the break-even measured on a 32-core local
+      * session; the exchange's fixed cost (task fan-out plus the
+      * splits×partitions shuffle-file matrix) differs on other
+      * executor shapes, so cluster deployments should calibrate and
+      * set their own. */
+    spreadMinBytes: Long = 8L << 20,
     /** Per-pass wall-clock sink: invoked as (passName, seconds) after
       * each profiling job completes. Default drops the timings; wire a
       * collector here to see where a profile's time goes. */
@@ -107,7 +114,10 @@ object Profiler {
     // nothing is shuffled where it matters. Samples (pass E) still
     // read the ORIGINAL df: head sampling stays input-order stable
     // instead of picking up round-robin placement.
-    val input = if (config.spreadInput) graft.util.Partitioning.spreadIfLarge(df) else df
+    val input =
+      if (config.spreadInput)
+        graft.util.Partitioning.spreadIfLarge(df, config.spreadMinBytes)
+      else df
     val persisted = if (config.persist) input.persist(StorageLevel.MEMORY_AND_DISK) else input
     try buildProfile(persisted, df, table, b, config, historical)
     finally if (config.persist) { persisted.unpersist(blocking = false); () }

@@ -53,7 +53,13 @@ object Partitioning {
     * CPU is orders of magnitude higher than columnar aggregation
     * (regex matching, k-gram hashing, vector math) should call the
     * ungated [[spread]] instead — for them even a sub-MB input is
-    * minutes of single-core work. */
+    * minutes of single-core work.
+    *
+    * The default is calibrated on ONE shape (32-core local session);
+    * the exchange's fixed cost differs with executor count and size,
+    * so deployments on other shapes should measure their own
+    * break-even and pass it (the profiler threads
+    * `ProfilerConfig.spreadMinBytes` through to here). */
   def spreadIfLarge(df: DataFrame, minBytes: Long = 8L << 20): DataFrame =
     spreadImpl(df, minBytes)
 
