@@ -446,6 +446,43 @@ object SparkEntry {
       }.toDF("rule_name", "is_valid", "actual_value").orderBy("rule_name")
     }),
 
+    // ---- "Rules are arbitrary Spark SQL", pinned with the reference
+    // README's own my_rules.yaml shapes (reference: README.md:236-255):
+    // check_customer_distribution is the verbatim CTE + scalar-subquery
+    // percentage rule (customer_id → o_custkey), and
+    // check_shipping_timeframe exercises a two-table join with interval
+    // arithmetic. The synthetic orders/lineitem dates are uncorrelated,
+    // so the shipping rule genuinely fails — the gate records the
+    // violation count and is_valid=false, proving failures surface with
+    // their actual values rather than as errors.
+    "validator_sql_rules" -> ((s, dir) => {
+      import graft.model.ValidationRule
+      t(s, dir, "orders"); t(s, dir, "lineitem")
+      val rules = Seq(
+        ValidationRule("check_customer_distribution",
+          "Make sure no single customer represents >50% of orders",
+          """WITH customer_counts AS (
+            |  SELECT o_custkey, COUNT(*) AS order_count,
+            |  COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders) AS percentage
+            |  FROM orders
+            |  GROUP BY o_custkey
+            |)
+            |SELECT COUNT(*) FROM customer_counts WHERE percentage > 50""".stripMargin,
+          "equals", 0),
+        ValidationRule("check_shipping_timeframe",
+          "Check if shipping dates make sense",
+          "SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+            "WHERE l_shipdate < o_orderdate OR l_shipdate > o_orderdate + INTERVAL 30 DAY",
+          "equals", 0))
+      val results = Validator.run(s, rules)
+      import s.implicits._
+      results.map { r =>
+        val actual = graft.validation.ScalarCompare.toBigDecimal(r.actualValue)
+          .map(_.toDouble).getOrElse(Double.NaN)
+        (r.ruleName, r.isValid, actual)
+      }.toDF("rule_name", "is_valid", "actual_value").orderBy("rule_name")
+    }),
+
     // ---- Rule-file round trip: export rules to YAML, load them back,
     // and run the loaded set — the gate covers the serialization layer
     // end-to-end (mirroring the reference's my_rules.yaml →
@@ -553,6 +590,19 @@ object SparkEntry {
       val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.8)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Full-corpus cluster assignment: componentIds labels EVERY
+    // document — paired docs with their component minimum (ll11's
+    // surface) AND unpaired docs as their own singleton via the
+    // left-join + coalesce path, which ll11 never exercises. The
+    // oracle wraps the same recursive-CTE closure in a left join
+    // against the corpus.
+    "ll13_component_ids" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.8)
+      Dedup.componentIds(df.select("doc_id"), "doc_id", pairs)
         .orderBy("doc_id")
     }),
 
@@ -1449,6 +1499,35 @@ object SparkEntry {
         |SELECT id AS doc_id, min(lbl) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // ll11's recursive closure left-joined back onto the corpus:
+    // unpaired documents coalesce to themselves (singletons).
+    "ll13_component_ids" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |              ELSE [array_to_string(w, ' ')] END AS ts
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+        |), comp AS (
+        |  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // OPH changes only the LSH candidate generation; emitted pairs are
     // the same exact-Jaccard set, so the oracle is ll2's verbatim.
     "ll2b_near_dup_pairs_oph" ->
@@ -1481,6 +1560,23 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays both README rules: the CTE percentage rule and the
+    // join + interval rule (identical expression semantics in DuckDB).
+    "validator_sql_rules" ->
+      """WITH cc AS (
+        |  SELECT o_custkey, COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders) AS percentage
+        |  FROM orders GROUP BY o_custkey
+        |), vals AS (
+        |  SELECT 'check_customer_distribution' AS rule_name,
+        |         (SELECT COUNT(*) FROM cc WHERE percentage > 50) AS v
+        |  UNION ALL
+        |  SELECT 'check_shipping_timeframe',
+        |         (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |          WHERE l_shipdate < o_orderdate OR l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |)
+        |SELECT rule_name, v = 0 AS is_valid, CAST(v AS DOUBLE) AS actual_value
+        |FROM vals ORDER BY rule_name""".stripMargin,
 
     "mm_array_profile" ->
       """SELECT CAST(min(len(embedding)) AS BIGINT) AS embedding_min_size,
