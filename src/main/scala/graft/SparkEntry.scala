@@ -47,6 +47,15 @@ object SparkEntry {
       s: SparkSession, name: String, batches: Seq[Seq[A]],
       noDataBatches: Boolean = false)(
       build: Dataset[A] => DataFrame): DataFrame = {
+    // MemoryStream replays are driver-side BY CONSTRUCTION (the rows
+    // were collected to build `batches`) — inherent to deterministic
+    // gate harnesses, bounded at fixture scale. Fail loudly rather
+    // than silently degrade if a fixture ever outgrows that envelope;
+    // production streams read from a real source, never through here.
+    val totalRows = batches.iterator.map(_.size.toLong).sum
+    require(totalRows <= 10_000_000L,
+      s"replayToMemory($name): $totalRows rows exceed the driver-side replay " +
+        "envelope — this harness is for gate-scale deterministic replays only")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "1")
