@@ -587,6 +587,17 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // ---- Near-dup removal in the cluster-exact policy: exactly one
+    // survivor (the component-minimum doc) per near-dup cluster, via
+    // the connected-components path — ll8 gates the greedy policy;
+    // this closes the components policy against the same oracle
+    // closure ll11/ll13 replay.
+    "ll8b_drop_near_dups_components" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      Dedup.dropNearDuplicates(df, "doc_id", "text", threshold = 0.8, policy = "components")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: connected components over the near-dup pair
     // graph (alternating large-star/small-star) — the cluster-exact
     // canonicalization step: every paired document labeled with its
@@ -1507,6 +1518,35 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, min(lbl) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // ll11's closure again: survivors are every document that is NOT a
+    // non-minimum member of some component.
+    "ll8b_drop_near_dups_components" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |              ELSE [array_to_string(w, ' ')] END AS ts
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+        |), comp AS (
+        |  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+        |ORDER BY doc_id""".stripMargin,
 
     // ll11's recursive closure left-joined back onto the corpus:
     // unpaired documents coalesce to themselves (singletons).
