@@ -30,6 +30,48 @@ object SparkEntry {
     df
   }
 
+  /** Structurally-valid media headers synthesized from `doc_id` with
+    * hex/unhex column math — shared by the mm2/mm3/mm4 gates: a PNG
+    * IHDR (big-endian dims), a JPEG whose APP0 segment the SOF scanner
+    * must skip, or a RIFF/WAVE fmt+data pair (little-endian audio
+    * params). Every field derives from doc_id, so a DuckDB oracle can
+    * recompute the expected decode without parsing bytes. */
+  private def syntheticMediaBin: org.apache.spark.sql.Column = {
+    def beHex32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def beHex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def leHex16(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c), 4, "0")
+      concat(substring(hx, 3, 2), substring(hx, 1, 2))
+    }
+    def leHex32(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c), 8, "0")
+      concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2))
+    }
+    val w = pmod(col("doc_id"), lit(512)) + 16
+    val h = pmod(col("doc_id"), lit(256)) + 16
+    val chans = pmod(col("doc_id"), lit(2)) + 1
+    val rate = when(pmod(col("doc_id"), lit(2)) === 0, lit(16000)).otherwise(lit(44100))
+    val frames = pmod(col("doc_id"), lit(1000)) + 1
+    val blockAlign = chans * 2
+    val dataSize = frames * blockAlign
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      beHex32(w), beHex32(h), lit("0806000000"))
+    val jpegHex = concat(
+      lit("FFD8" + "FFE00010" + "4A46494600010100000100010000" + "FFC0001108"),
+      beHex16(h), beHex16(w), lit("03"))
+    val wavHex = concat(
+      lit("52494646"), leHex32(dataSize + 36),
+      lit("57415645" + "666D7420" + "10000000" + "0100"),
+      leHex16(chans), leHex32(rate), leHex32(rate * blockAlign),
+      leHex16(blockAlign), lit("1000" + "64617461"), leHex32(dataSize))
+    unhex(
+      when(pmod(col("doc_id"), lit(3)) === 0, pngHex)
+        .when(pmod(col("doc_id"), lit(3)) === 1, jpegHex)
+        .otherwise(wavHex))
+  }
+
   /** Deterministic-replay harness shared by the streaming gates
     * (`ev_mean_drift`, `ll10_stream_dedup`): feed `batches` through a
     * MemoryStream one micro-batch at a time into a memory sink and
@@ -839,43 +881,38 @@ object SparkEntry {
     // (endianness, offsets, segment skipping), not just plumbing.
     "mm2_binary_dimensions" -> ((s, dir) => {
       val df = t(s, dir, "documents")
-      def beHex32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
-      def beHex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
-      def leHex16(c: org.apache.spark.sql.Column) = {
-        val hx = lpad(hex(c), 4, "0")
-        concat(substring(hx, 3, 2), substring(hx, 1, 2))
-      }
-      def leHex32(c: org.apache.spark.sql.Column) = {
-        val hx = lpad(hex(c), 8, "0")
-        concat(substring(hx, 7, 2), substring(hx, 5, 2),
-          substring(hx, 3, 2), substring(hx, 1, 2))
-      }
-      val w = pmod(col("doc_id"), lit(512)) + 16
-      val h = pmod(col("doc_id"), lit(256)) + 16
-      val chans = pmod(col("doc_id"), lit(2)) + 1
-      val rate = when(pmod(col("doc_id"), lit(2)) === 0, lit(16000)).otherwise(lit(44100))
-      val frames = pmod(col("doc_id"), lit(1000)) + 1
-      val blockAlign = chans * 2
-      val dataSize = frames * blockAlign
-      val pngHex = concat(
-        lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
-        beHex32(w), beHex32(h), lit("0806000000"))
-      val jpegHex = concat(
-        lit("FFD8" + "FFE00010" + "4A46494600010100000100010000" + "FFC0001108"),
-        beHex16(h), beHex16(w), lit("03"))
-      val wavHex = concat(
-        lit("52494646"), leHex32(dataSize + 36),
-        lit("57415645" + "666D7420" + "10000000" + "0100"),
-        leHex16(chans), leHex32(rate), leHex32(rate * blockAlign),
-        leHex16(blockAlign), lit("1000" + "64617461"), leHex32(dataSize))
-      val bin = unhex(
-        when(pmod(col("doc_id"), lit(3)) === 0, pngHex)
-          .when(pmod(col("doc_id"), lit(3)) === 1, jpegHex)
-          .otherwise(wavHex))
-      Multimodal.extractFeatures(df.withColumn("bin", bin), "doc_id", "bin")
+      Multimodal.extractFeatures(df.withColumn("bin", syntheticMediaBin), "doc_id", "bin")
         .select(col("id").as("doc_id"), col("format"), col("width"), col("height"),
           col("n_frames"), col("channels"), col("sample_rate"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Resize planning composed end-to-end through the real
+    // decoder: synthesized headers → HeaderDecoder dims → fit into a
+    // 512×512 box preserving aspect, never upscaling. The oracle
+    // recomputes the geometry (least-scale, round, clamp ≥ 1) from the
+    // doc_id ground truth — identical IEEE double math both engines.
+    "mm3_resize_plan" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      val feats = Multimodal.extractFeatures(
+        df.withColumn("bin", syntheticMediaBin), "doc_id", "bin")
+      Multimodal.resizePlan(feats.filter(col("format").isin("png", "jpeg")), 512, 512)
+        .select(col("id").as("doc_id"), col("format"), col("width"), col("height"),
+          col("out_width"), col("out_height"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Frame-sampling plan over the decoded WAV sample-frame
+    // counts: n evenly spaced indices per multi-frame row (step =
+    // max(floor(frames/4), 1), inclusive 0-based sequence) — the
+    // plumbing a real frame decoder consumes.
+    "mm4_frame_plan" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      val feats = Multimodal.extractFeatures(
+        df.withColumn("bin", syntheticMediaBin), "doc_id", "bin")
+      Multimodal.sampleFramePlan(feats, n = 4)
+        .select(col("id").as("doc_id"), col("frame_index"))
+        .orderBy("doc_id", "frame_index")
     }),
 
     // ---- Streaming-profile plan, verified through its batch fixpoint:
@@ -1676,6 +1713,35 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1 ELSE 0 END AS INTEGER) AS channels,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN (CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END) ELSE 0 END AS INTEGER) AS sample_rate
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The resize geometry recomputed from the doc_id ground truth:
+    // scale = min(512/w, 512/h, 1), round half-up (positive values:
+    // identical in both engines), clamp to >= 1.
+    "mm3_resize_plan" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |    CAST(doc_id % 512 + 16 AS INTEGER) AS width,
+        |    CAST(doc_id % 256 + 16 AS INTEGER) AS height
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)
+        |), s AS (
+        |  SELECT *, least(512.0 / width, 512.0 / height, 1.0) AS sc FROM f
+        |)
+        |SELECT doc_id, format, width, height,
+        |  CAST(greatest(round(width * sc), 1) AS INTEGER) AS out_width,
+        |  CAST(greatest(round(height * sc), 1) AS INTEGER) AS out_height
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Evenly spaced 0-based frame indices for every multi-frame row
+    // (the WAV sample-frame counts): step = max(floor(frames/4), 1),
+    // sequence inclusive of 0 up to frames-1.
+    "mm4_frame_plan" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(doc_id % 1000 + 1 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 1000 + 1 > 1
+        |)
+        |SELECT doc_id, CAST(unnest(range(0, n_frames, greatest(n_frames // 4, 1))) AS BIGINT) AS frame_index
+        |FROM f ORDER BY doc_id, frame_index""".stripMargin,
 
     "mm_binary_metadata" ->
       """WITH b AS (
