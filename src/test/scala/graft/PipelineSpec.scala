@@ -30,6 +30,15 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
     n1 should be <= n0
 
     // Stage 2: near-dup components + canonical survivor per cluster.
+    // The occupancy audit runs alongside the join over one shared
+    // banded scan — the "no silent caps" contract: after stage 1's
+    // exact dedup, the default cap must bind nothing on this corpus
+    // (an empty audit proves the pair set saw every candidate).
+    val buckets = Dedup.bandBuckets(exact, "doc_id", "text").persist()
+    try {
+      Dedup.cappedBuckets(exact, "doc_id", "text",
+        precomputedBuckets = Some(buckets)).count() shouldBe 0L
+    } finally { buckets.unpersist(blocking = false); () }
     val pairs = Dedup.nearDupPairs(exact, "doc_id", "text", threshold = 0.8)
     val labeled = Dedup.componentIds(exact, "doc_id", pairs)
     labeled.count() shouldBe n1 // labeling loses nothing
