@@ -812,6 +812,37 @@ object SparkEntry {
           max("occupancy").as("max_occupancy"))
     }),
 
+    // ---- The occupancy audit for the SimHash block-key join — the
+    // last member of the "no silent caps" family (ll7b fingerprints,
+    // ll12 sign buckets, ll12b band buckets). Same derived-ground-truth
+    // construction as ll12b: even doc_ids share one constant text, so
+    // their identical 64-bit sketches occupy the SAME (tbl, key) in
+    // every one of the C(6,3)=20 Manku block tables — the ~2^32 bucket
+    // space bounds only random collisions, never exact-duplicate
+    // clusters — while pairwise-disjoint odd docs stay at occupancy ~1.
+    // The audit must report exactly 20 hot keys, one per table, each at
+    // the cluster size; the capped join must emit 0 candidates.
+    "ll14_capped_block_keys" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      val corpus = df.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("the quick brown fox jumps over the lazy dog"))
+          .otherwise(concat_ws(" ",
+            concat(lit("u"), col("doc_id"), lit("a")),
+            concat(lit("u"), col("doc_id"), lit("b")),
+            concat(lit("u"), col("doc_id"), lit("c")))).as("text"))
+      val keys = Dedup.blockKeys(corpus, "doc_id", "text")
+      val audit = Dedup.cappedBlockKeysFromKeys(keys, maxBucketOccupancy = 100)
+        .agg(count(lit(1)).as("n_hot_keys"),
+          countDistinct(col("tbl")).as("n_tables"),
+          min("occupancy").as("min_occupancy"),
+          max("occupancy").as("max_occupancy"))
+      val capped = Dedup
+        .simhashNearDupPairsFromKeys(keys, maxHamming = 3, maxBucketOccupancy = 100)
+        .agg(count(lit(1)).as("n_capped_pairs"))
+      audit.crossJoin(capped)
+    }),
+
     // ---- LLM-pipeline: per-document content fingerprints (md5 of the
     // normalized text — byte-identical across engines by construction).
     "txt_fingerprints" -> ((s, dir) => {
@@ -1943,6 +1974,19 @@ object SparkEntry {
       """SELECT CAST(32 AS BIGINT) AS n_hot_buckets,
         |       (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS min_occupancy,
         |       (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS max_occupancy""".stripMargin,
+
+    // Ground-truth derivation, SimHash flavor (no xxhash64 in DuckDB):
+    // the constant-text cluster (even doc_ids) is the sole occupant of
+    // exactly one (tbl, key) per block table — C(6,3) = 20 tables at
+    // defaults — disjoint odd docs cannot share its sketch, and the
+    // capped join prunes all 20 hot keys before pairing, so 0
+    // candidate pairs survive.
+    "ll14_capped_block_keys" ->
+      """SELECT CAST(20 AS BIGINT) AS n_hot_keys,
+        |       CAST(20 AS BIGINT) AS n_tables,
+        |       (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS min_occupancy,
+        |       (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS max_occupancy,
+        |       CAST(0 AS BIGINT) AS n_capped_pairs""".stripMargin,
 
     // Replays the md5-derived simhash sketch (gate hash mode) bit for
     // bit: bit b of a shingle's field is bit (b mod 4) of hex nibble

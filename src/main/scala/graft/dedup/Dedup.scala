@@ -186,15 +186,24 @@ object Dedup {
   def candidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000,
-      precomputedBuckets: Option[DataFrame] = None): DataFrame = {
-    val bucketed = precomputedBuckets.getOrElse(
-      bandBuckets(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode))
+      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000): DataFrame =
+    candidatePairsFromBuckets(
+      bandBuckets(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode),
+      maxBucketOccupancy)
+
+  /** [[candidatePairs]] over an already-computed [[bandBuckets]] frame —
+    * the shared-scan path for running the join and the [[cappedBuckets]]
+    * audit off ONE persisted bucket set. Takes ONLY the buckets and the
+    * cap: the signature parameters are baked into the buckets, so this
+    * shape cannot be called with parameters that contradict them. */
+  def candidatePairsFromBuckets(
+      buckets: DataFrame, maxBucketOccupancy: Int = 1000): DataFrame = {
+    requireColumns(buckets, "bandBuckets frame", "id", "band", "bucket")
     val kept =
-      if (maxBucketOccupancy <= 0) bucketed
+      if (maxBucketOccupancy <= 0) buckets
       else {
         val perBucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-        bucketed
+        buckets
           .withColumn("occupancy", count(lit(1)).over(perBucket))
           .filter(col("occupancy") <= maxBucketOccupancy)
           .drop("occupancy")
@@ -205,6 +214,19 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** Shared precondition of the `FromBuckets`/`FromKeys` shapes: the
+    * caller hands a frame THEY built with the paired precompute, so a
+    * missing column means the wrong frame (or one built by a different
+    * operator) — fail with the contract spelled out rather than an
+    * unresolved-column error deep in the join. */
+  private def requireColumns(df: DataFrame, what: String, cols: String*): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$what must carry columns ${cols.mkString("(", ", ", ")")} — " +
+        s"missing ${missing.mkString(", ")}; pass the frame produced by the " +
+        "matching precompute, not a reshaped one")
   }
 
   /** The audit for [[candidatePairs]]'s occupancy cap — "no silent
@@ -218,13 +240,22 @@ object Dedup {
   def cappedBuckets(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000,
-      precomputedBuckets: Option[DataFrame] = None): DataFrame =
-    precomputedBuckets.getOrElse(
-      bandBuckets(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode))
+      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000): DataFrame =
+    cappedBucketsFromBuckets(
+      bandBuckets(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode),
+      maxBucketOccupancy)
+
+  /** [[cappedBuckets]] over an already-computed [[bandBuckets]] frame —
+    * the audit half of the shared-scan contract (see
+    * [[candidatePairsFromBuckets]]). */
+  def cappedBucketsFromBuckets(
+      buckets: DataFrame, maxBucketOccupancy: Int = 1000): DataFrame = {
+    requireColumns(buckets, "bandBuckets frame", "band", "bucket")
+    buckets
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("occupancy"))
       .filter(col("occupancy") > maxBucketOccupancy)
+  }
 
   /** Near-duplicate pairs: LSH candidates verified with EXACT word
     * n-gram Jaccard, keeping pairs at or above `threshold`.
@@ -596,7 +627,12 @@ object Dedup {
     * per table, so occupancy stays sub-quadratic as long as corpus
     * size ≪ bucket count — at defaults (~2^32) that covers ~10^9
     * documents with O(1) expected bucket size; for larger corpora
-    * raise `blocks` toward 2·maxHamming to widen keys further.
+    * raise `blocks` toward 2·maxHamming to widen keys further. That
+    * bound covers RANDOM collisions only — identical documents share
+    * every block key no matter how wide the key space — so the join is
+    * additionally capped by `maxBucketOccupancy` (see
+    * [[simhashNearDupPairsFromKeys]] for the hazard arithmetic and
+    * [[cappedBlockKeys]] for the audit).
     *
     * The sketch is over word n-gram SHINGLES, not bare tokens: on
     * corpora with a shared vocabulary a bag-of-words simhash collapses
@@ -605,18 +641,94 @@ object Dedup {
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, blocks: Int = 6, shingleSize: Int = 3,
-      hashMode: String = "xxhash64"): DataFrame = {
-    val sketched = simhashSketches(df, idCol, textCol, shingleSize, hashMode)
-    val keyed = sketched.select(col("id"), col("sk"),
-      explode(simhashBlockKeys(col("sk"), maxHamming, blocks)).as("bk"))
+      hashMode: String = "xxhash64", maxBucketOccupancy: Int = 1000): DataFrame =
+    simhashNearDupPairsFromKeys(
+      blockKeys(df, idCol, textCol, maxHamming, blocks, shingleSize, hashMode),
+      maxHamming, maxBucketOccupancy)
+
+  /** Exploded (id, sk, tbl, key) Manku block keys for every document —
+    * the shared input of [[simhashNearDupPairsFromKeys]] and
+    * [[cappedBlockKeysFromKeys]]. A caller running the audit alongside
+    * the join computes this once (persist it and pass to both) instead
+    * of paying the map-side sketch scan twice — the same sharing
+    * contract as [[bandBuckets]]. */
+  def blockKeys(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, blocks: Int = 6, shingleSize: Int = 3,
+      hashMode: String = "xxhash64"): DataFrame =
+    simhashSketches(df, idCol, textCol, shingleSize, hashMode)
+      .select(col("id"), col("sk"),
+        explode(simhashBlockKeys(col("sk"), maxHamming, blocks)).as("bk"))
       .select(col("id"), col("sk"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
-    keyed.as("a")
-      .join(keyed.as("b"),
+
+  /** [[simhashNearDupPairs]] over an already-computed [[blockKeys]]
+    * frame. `maxHamming` here is ONLY the verify threshold — the
+    * blocking combinatorics are baked into the keys; recall is
+    * guaranteed when it does not exceed the maxHamming the keys were
+    * built with (a larger verify threshold silently costs recall, never
+    * precision).
+    *
+    * `maxBucketOccupancy` closes the same silent-quadratic hazard as
+    * [[candidatePairsFromBuckets]]: the ~2^32-per-table bucket space
+    * only bounds RANDOM collisions — n identical documents have
+    * identical sketches, hence the same (tbl, key) in every one of the
+    * C(blocks, m) tables, so the join emits ~tables·n²/2 rows before
+    * the Hamming filter can drop one. Keys hotter than the cap are
+    * pruned before pairing (0 disables); run [[cappedBlockKeysFromKeys]]
+    * alongside — rows there are clusters this join cannot pair;
+    * collapse them with exact dedup first (the scale-correct order) or
+    * raise the cap at O(occupancy²) cost. Same plan shape as
+    * candidatePairs: the occupancy count rides a window partitioned by
+    * (tbl, key) — high-cardinality by construction, sorted exactly as
+    * the self-join wants — so the keyed corpus shuffles once and both
+    * join sides reuse that exchange. */
+  def simhashNearDupPairsFromKeys(
+      keys: DataFrame, maxHamming: Int = 3,
+      maxBucketOccupancy: Int = 1000): DataFrame = {
+    requireColumns(keys, "blockKeys frame", "id", "sk", "tbl", "key")
+    val kept =
+      if (maxBucketOccupancy <= 0) keys
+      else {
+        val perKey = org.apache.spark.sql.expressions.Window.partitionBy("tbl", "key")
+        keys.withColumn("occupancy", count(lit(1)).over(perKey))
+          .filter(col("occupancy") <= maxBucketOccupancy)
+          .drop("occupancy")
+      }
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDistance(col("a.sk"), col("b.sk")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The audit for [[simhashNearDupPairs]]'s occupancy cap — "no
+    * silent caps", completing the family ([[cappedBuckets]],
+    * [[cappedFingerprints]], [[graft.similarity.Similarity.cappedBuckets]]):
+    * every (tbl, key) block key holding more than `maxBucketOccupancy`
+    * documents, with its occupancy. Empty output means the cap bound
+    * nothing and the join saw every candidate; rows here are document
+    * clusters the blocked join cannot pair — an exact-duplicate cluster
+    * surfaces as C(blocks, m) rows, one per table, each at the cluster
+    * size. One groupBy over the exploded keys, scale-safe at any
+    * corpus size. */
+  def cappedBlockKeys(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, blocks: Int = 6, shingleSize: Int = 3,
+      hashMode: String = "xxhash64", maxBucketOccupancy: Int = 1000): DataFrame =
+    cappedBlockKeysFromKeys(
+      blockKeys(df, idCol, textCol, maxHamming, blocks, shingleSize, hashMode),
+      maxBucketOccupancy)
+
+  /** [[cappedBlockKeys]] over an already-computed [[blockKeys]] frame —
+    * the audit half of the shared-scan contract. */
+  def cappedBlockKeysFromKeys(
+      keys: DataFrame, maxBucketOccupancy: Int = 1000): DataFrame = {
+    requireColumns(keys, "blockKeys frame", "tbl", "key")
+    keys.groupBy("tbl", "key")
+      .agg(count(lit(1)).as("occupancy"))
+      .filter(col("occupancy") > maxBucketOccupancy)
   }
 }

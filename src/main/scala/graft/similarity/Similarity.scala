@@ -265,15 +265,26 @@ object Similarity {
   def nearDupByEmbedding(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, nPlanes: Int = 8, seed: Long = 42L,
-      maxBucketOccupancy: Int = 1000,
-      precomputedBuckets: Option[DataFrame] = None): DataFrame = {
-    val b0 = precomputedBuckets.getOrElse(
-      signBuckets(df, idCol, vecCol, dim, nPlanes, seed))
+      maxBucketOccupancy: Int = 1000): DataFrame =
+    nearDupByEmbeddingFromBuckets(
+      signBuckets(df, idCol, vecCol, dim, nPlanes, seed),
+      threshold, maxBucketOccupancy)
+
+  /** [[nearDupByEmbedding]] over an already-computed [[signBuckets]]
+    * frame — the shared-scan path for running the join and the
+    * [[cappedBuckets]] audit off ONE persisted bucket set. Takes only
+    * (buckets, threshold, cap): the hyperplane parameters are baked
+    * into the buckets, so this shape cannot be called with parameters
+    * that contradict them. */
+  def nearDupByEmbeddingFromBuckets(
+      buckets: DataFrame, threshold: Double = 0.95,
+      maxBucketOccupancy: Int = 1000): DataFrame = {
+    requireColumns(buckets, "id", "v", "bucket")
     val b =
-      if (maxBucketOccupancy <= 0) b0
+      if (maxBucketOccupancy <= 0) buckets
       else {
         val perBucket = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-        b0.withColumn("occupancy", count(lit(1)).over(perBucket))
+        buckets.withColumn("occupancy", count(lit(1)).over(perBucket))
           .filter(col("occupancy") <= maxBucketOccupancy)
           .drop("occupancy")
       }
@@ -282,6 +293,15 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine(col("a.v"), col("b.v")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** See [[graft.dedup.Dedup]]'s requireColumns — same contract: a
+    * FromBuckets caller hands the frame the paired precompute built. */
+  private def requireColumns(df: DataFrame, cols: String*): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"signBuckets frame must carry columns ${cols.mkString("(", ", ", ")")} — " +
+        s"missing ${missing.mkString(", ")}; pass the frame produced by signBuckets")
   }
 
   /** The audit for [[nearDupByEmbedding]]'s occupancy cap — "no silent
@@ -293,10 +313,20 @@ object Similarity {
     * [[graft.dedup.Dedup.cappedBuckets]]. */
   def cappedBuckets(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nPlanes: Int = 8, seed: Long = 42L, maxBucketOccupancy: Int = 1000,
-      precomputedBuckets: Option[DataFrame] = None): DataFrame =
-    precomputedBuckets.getOrElse(signBuckets(df, idCol, vecCol, dim, nPlanes, seed))
+      nPlanes: Int = 8, seed: Long = 42L,
+      maxBucketOccupancy: Int = 1000): DataFrame =
+    cappedBucketsFromBuckets(
+      signBuckets(df, idCol, vecCol, dim, nPlanes, seed), maxBucketOccupancy)
+
+  /** [[cappedBuckets]] over an already-computed [[signBuckets]] frame —
+    * the audit half of the shared-scan contract (see
+    * [[nearDupByEmbeddingFromBuckets]]). */
+  def cappedBucketsFromBuckets(
+      buckets: DataFrame, maxBucketOccupancy: Int = 1000): DataFrame = {
+    requireColumns(buckets, "bucket")
+    buckets
       .groupBy("bucket")
       .agg(count(lit(1)).as("occupancy"))
       .filter(col("occupancy") > maxBucketOccupancy)
+  }
 }

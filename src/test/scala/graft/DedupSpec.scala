@@ -363,13 +363,54 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
   test("candidatePairs shares a precomputed bucket set with the audit (one minhash scan)") {
     val df = docs((1L, base), (2L, base), (3L, "other unrelated words entirely"))
     val buckets = Dedup.bandBuckets(df, "doc_id", "text")
-    val viaShared = Dedup.candidatePairs(df, "doc_id", "text",
-      precomputedBuckets = Some(buckets)).collect().toSet
+    val viaShared = Dedup.candidatePairsFromBuckets(buckets).collect().toSet
     val direct = Dedup.candidatePairs(df, "doc_id", "text").collect().toSet
     viaShared shouldBe direct
-    Dedup.cappedBuckets(df, "doc_id", "text", maxBucketOccupancy = 1,
-      precomputedBuckets = Some(buckets)).collect()
+    Dedup.cappedBucketsFromBuckets(buckets, maxBucketOccupancy = 1).collect()
       .map(_.getAs[Long]("occupancy")) should contain only 2L
+    // The FromBuckets shapes reject a frame that is not a bandBuckets
+    // product — the provenance guard for the shared-scan contract.
+    val e = intercept[IllegalArgumentException] {
+      Dedup.candidatePairsFromBuckets(df)
+    }
+    e.getMessage should include("band")
+  }
+
+  test("simhashNearDupPairs occupancy cap bounds the degenerate hot-key join; the audit names it") {
+    // Same hazard, SimHash flavor: identical documents have identical
+    // 64-bit sketches, so they share the SAME (tbl, key) in every one
+    // of the C(6,3)=20 block tables — the ~2^32 bucket space bounds
+    // only random collisions, not exact-duplicate clusters.
+    val df = docs(((1L to 520L).map(i => (i, base)) :+
+      (900L, "totally disjoint other words standing alone here")): _*)
+
+    Dedup.simhashNearDupPairs(df, "doc_id", "text", maxBucketOccupancy = 100)
+      .count() shouldBe 0L
+
+    // The audit: one hot key per block table, each holding the cluster.
+    val audit = Dedup.cappedBlockKeys(df, "doc_id", "text", maxBucketOccupancy = 100).collect()
+    audit should have length 20
+    all(audit.map(_.getAs[Long]("occupancy"))) shouldBe 520L
+    audit.map(_.getAs[Int]("tbl")).toSet shouldBe (0 until 20).toSet
+
+    // A cap above the cluster keeps every pair and empties the audit.
+    Dedup.cappedBlockKeys(df, "doc_id", "text", maxBucketOccupancy = 600)
+      .count() shouldBe 0L
+    Dedup.simhashNearDupPairs(df, "doc_id", "text", maxBucketOccupancy = 600)
+      .filter(col("hamming") === 0).count() shouldBe 520L * 519 / 2
+
+    // Shared-scan contract: join + audit off one blockKeys frame agree
+    // with the direct forms, and the provenance guard rejects other
+    // frames.
+    val keys = Dedup.blockKeys(df, "doc_id", "text")
+    Dedup.simhashNearDupPairsFromKeys(keys, maxHamming = 3, maxBucketOccupancy = 100)
+      .count() shouldBe 0L
+    Dedup.cappedBlockKeysFromKeys(keys, maxBucketOccupancy = 100)
+      .count() shouldBe 20L
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairsFromKeys(df)
+    }
+    e.getMessage should include("blockKeys")
   }
 
   test("hammingDistance column matches bitCount of xor") {

@@ -36,8 +36,7 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // (an empty audit proves the pair set saw every candidate).
     val buckets = Dedup.bandBuckets(exact, "doc_id", "text").persist()
     try {
-      Dedup.cappedBuckets(exact, "doc_id", "text",
-        precomputedBuckets = Some(buckets)).count() shouldBe 0L
+      Dedup.cappedBucketsFromBuckets(buckets).count() shouldBe 0L
     } finally { buckets.unpersist(blocking = false); () }
     val pairs = Dedup.nearDupPairs(exact, "doc_id", "text", threshold = 0.8)
     val labeled = Dedup.componentIds(exact, "doc_id", pairs)
