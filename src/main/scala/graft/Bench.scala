@@ -57,6 +57,13 @@ import org.apache.spark.sql.SparkSession
   * `"warmup_failed"` flags a skipped warmup (its JIT cost lands on the
   * first query of the affected family, which would otherwise read as a
   * regression).
+  *
+  * The run also GATES on the start-of-run calibration probe: it
+  * retries (with delay) until the probe clears the host's pollution
+  * floor, because a run that STARTS polluted inflates its first-third
+  * timings without tripping any per-query signal — drift recovery is
+  * not per-query contamination. A run that never clears is flagged
+  * (`cal_below_floor`) and reads as contended.
   */
 object Bench {
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -186,7 +193,37 @@ object Bench {
     val cpuPoints = scala.collection.mutable.ArrayBuffer((0.0, processCpuSec()))
     // Calibrate BEFORE warmup (cold JIT is fine — the spin loop JITs in
     // its first milliseconds) and again after the last query.
-    val calStart = calibrateMops()
+    //
+    // The start-of-run probe is a GATE, not just a recording: the
+    // round-11 artifact started at 9,986 Mops — below the ~10,000
+    // pollution floor this host's quiet runs establish — and the
+    // per-query self-healing never fired because drift RECOVERY isn't
+    // per-query contamination (unchanged early-alphabet queries read
+    // 2–3× hot while late ones ran clean). A run that begins polluted
+    // produces per-query numbers unusable as next-round baselines, so:
+    // retry the probe with a delay until it clears the floor or the
+    // retry budget runs out; a run that never clears is flagged
+    // (`cal_below_floor`) and counts as positive contention evidence.
+    // The floor is env-tunable for other hosts; 0 disables the gate.
+    val calFloor = sys.env.get("SPARK_GRAFT_CAL_FLOOR").flatMap(_.toDoubleOption)
+      .getOrElse(10000.0)
+    // One discarded warm-up probe first: the cold probe reads ~20% low
+    // (thread-start + OSR lag), which sits BELOW the floor on a quiet
+    // host — gating on it would buy a 15 s retry every clean run. The
+    // recorded cal_mops_start is therefore a WARM reading; quiet-host
+    // reference ~12–14k, vs historical cold starts ~10–11k.
+    calibrateMops()
+    var calStart = calibrateMops()
+    var calAttempts = 1
+    val calMaxAttempts = 8
+    while (calStart < calFloor && calAttempts < calMaxAttempts) {
+      System.err.println(
+        f"[bench] cal probe $calAttempts%d read $calStart%.0f Mops < floor $calFloor%.0f — host busy; retrying in 15 s")
+      Thread.sleep(15000)
+      calStart = calibrateMops()
+      calAttempts += 1
+    }
+    val calBelowFloor = calStart < calFloor
 
     // Warmup failures are RECORDED in the artifact, not just stderr: a
     // failed streaming warmup lands ~2.5 s of micro-batch-stack JIT on
@@ -308,7 +345,16 @@ object Bench {
     val healed = toRequeue.map { r =>
       System.err.println(f"[bench] requeue ${r.name}: boundary ext_load ${r.extLoad}%.1f")
       val rerun = runQuery(r.name, selected(r.name))
-      if (!dirty(rerun) || rerun.wall < r.wall) rerun else r
+      if (errors.contains(r.name)) {
+        // The rerun itself threw (runQuery recorded it and returned a
+        // time-to-exception result). The query SUCCEEDED on the first
+        // pass — a failed healing attempt must not replace that valid
+        // measurement (rerun.wall < r.wall is trivially true for a
+        // fast failure) nor flip the whole run to exit 1.
+        errors -= r.name
+        System.err.println(s"[bench] rerun of ${r.name} failed; keeping the first-pass result")
+        r
+      } else if (!dirty(rerun) || rerun.wall < r.wall) rerun else r
     }
     val results = (clean ++ healed).sortBy(_.name)
     val requeued = toRequeue.map(_.name).sorted
@@ -356,7 +402,11 @@ object Bench {
     val calEnd = calibrateMops()
     val calRatio = if (calStart > 0) calEnd / calStart else Double.NaN
     val extHot = results.count(r => !r.extLoad.isNaN && r.extLoad > cores / 2.0)
-    val contended = starved.nonEmpty || (!calRatio.isNaN && calRatio < 0.6) || extHot >= 3
+    // A start probe that never cleared the pollution floor is positive
+    // evidence by itself: the first-third timings are hot even when no
+    // per-query signal fires (drift recovery isn't contamination).
+    val contended = starved.nonEmpty || (!calRatio.isNaN && calRatio < 0.6) ||
+      extHot >= 3 || calBelowFloor
     // Contention diagnostics go at the END of the line: the driver's
     // artifact keeps only the tail, and evidence that gets truncated
     // away cannot flag a polluted run.
@@ -366,6 +416,7 @@ object Bench {
       s""""cores":$cores,"load_start":${num(loadStart)},"load_end":${num(loadEnd)},""" +
       s""""load_max":${num(loadMax)},"ext_load_max":${num(extLoadMax)},""" +
       s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +
+      s""""cal_attempts":$calAttempts,"cal_below_floor":$calBelowFloor,""" +
       s""""slowest":$slowest,"starved":$starvedJson,""" +
       s""""warmup_failed":${warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""requeued":${requeued.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
