@@ -72,6 +72,45 @@ object SparkEntry {
         .otherwise(wavHex))
   }
 
+  /** Structurally-valid VIDEO container headers synthesized from
+    * `doc_id` — the mm5 gate's fixture: an ISO BMFF file (ftyp, then
+    * moov containing an mvhd the box walk must skip and a trak/tkhd
+    * with 16.16 fixed-point dimensions) or a Matroska file (EBML
+    * header, then Segment containing an Info element the EBML walk
+    * must skip and Tracks → TrackEntry → Video → PixelWidth/
+    * PixelHeight). Dimensions derive from doc_id, so the oracle
+    * recomputes the expected decode without parsing bytes. */
+  private def syntheticVideoBin: org.apache.spark.sql.Column = {
+    def beHex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    val w = pmod(col("doc_id"), lit(512)) + 16
+    val h = pmod(col("doc_id"), lit(256)) + 16
+    // tkhd v0: verflags + 5×u32 (track_ID = 1) + 8B reserved + 4×u16 +
+    // unity matrix + width/height as 16.16 fixed point = 84B payload.
+    val tkhdHex = concat(
+      lit("0000005C" + "746B6864" + "00000000" +
+        "00000000" + "00000000" + "00000001" + "00000000" + "00000000" +
+        "0000000000000000" + "0000" + "0000" + "0000" + "0000" +
+        "000100000000000000000000000000000001000000000000000000000000000040000000"),
+      beHex16(w), lit("0000"), beHex16(h), lit("0000"))
+    val mp4Hex = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200" + // ftyp
+        "000000D8" + "6D6F6F76" + // moov (216B)
+        "0000006C" + "6D766864" + "00" * 100 + // mvhd (skipped by size)
+        "00000064" + "7472616B"), // trak (100B)
+      tkhdHex)
+    // EBML: header, then Segment(Info to skip, Tracks → TrackEntry →
+    // Video → PixelWidth/PixelHeight). 1-byte vint sizes (0x80 | len).
+    val mkvHex = concat(
+      lit("1A45DFA3" + "84" + "42868101" + // EBML header
+        "18538067" + "9A" + // Segment (26B)
+        "1549A966" + "84" + "00000000" + // Info (skipped)
+        "1654AE6B" + "8C" + // Tracks (12B)
+        "AE" + "8A" + // TrackEntry (10B)
+        "E0" + "88" + // Video (8B)
+        "B0" + "82"), beHex16(w), lit("BA" + "82"), beHex16(h))
+    unhex(when(pmod(col("doc_id"), lit(2)) === 0, mp4Hex).otherwise(mkvHex))
+  }
+
   /** Deterministic-replay harness shared by the streaming gates
     * (`ev_mean_drift`, `ll10_stream_dedup`): feed `batches` through a
     * MemoryStream one micro-batch at a time into a memory sink and
@@ -946,6 +985,19 @@ object SparkEntry {
         .orderBy("doc_id", "frame_index")
     }),
 
+    // ---- Video-container header decoding: each document synthesizes
+    // a structurally-valid mp4 (box walk must skip mvhd, then read the
+    // 16.16 fixed-point tkhd dimensions) or Matroska file (EBML walk
+    // must skip Info, then read PixelWidth/PixelHeight vints). The
+    // oracle recomputes format and dimensions from the doc_id rule, so
+    // the gate verifies the box/EBML byte arithmetic end-to-end.
+    "mm5_video_dimensions" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      Multimodal.extractFeatures(df.withColumn("bin", syntheticVideoBin), "doc_id", "bin")
+        .select(col("id").as("doc_id"), col("format"), col("width"), col("height"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Streaming-profile plan, verified through its batch fixpoint:
     // the same windowedCompleteness plan runs incrementally under a
     // watermark on a stream (see StreamProfiler/StreamingSpec).
@@ -1773,6 +1825,16 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(unnest(range(0, n_frames, greatest(n_frames // 4, 1))) AS BIGINT) AS frame_index
         |FROM f ORDER BY doc_id, frame_index""".stripMargin,
+
+    // Expected video dimensions from the GROUND-TRUTH doc_id rule the
+    // gate synthesized the mp4/Matroska containers from; the engine
+    // walks the boxes/EBML elements back out of the bytes.
+    "mm5_video_dimensions" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS format,
+        |  CAST(doc_id % 512 + 16 AS INTEGER) AS width,
+        |  CAST(doc_id % 256 + 16 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_binary_metadata" ->
       """WITH b AS (

@@ -109,9 +109,22 @@ object Multimodal {
     *   - RIFF/WAVE: chunk walk for `fmt ` (channels, sample rate,
     *     block align) and `data` (byte length); nFrames = sample
     *     frames = data length / block align.
-    * Container-video formats (mp4/mkv/ogg) and unknown bytes carry no
-    * codec-free header of interest — they delegate to [[StubDecoder]]
-    * (the documented plug point for a codec-backed implementation).
+    *   - MP4 (ISO BMFF): box walk `moov` → `trak` → `tkhd`; width and
+    *     height are 16.16 fixed-point u32s at fixed offsets past the
+    *     version-dependent times/ids/matrix block — the first trak
+    *     with nonzero dimensions (the visual one; audio traks carry
+    *     0×0) wins. Pure size+type arithmetic, 64-bit `largesize`
+    *     honored, no codec.
+    *   - Matroska/WebM: EBML walk Segment → Tracks → TrackEntry →
+    *     Video → PixelWidth/PixelHeight (vint ids/sizes per the
+    *     public EBML spec; unknown-size elements extend to the parent
+    *     end).
+    * Frame COUNTS for container video need the sample tables — codec
+    * territory — so video nFrames is 0 here. Formats with no
+    * codec-free header at all (ogg, unknown bytes) yield all-zero
+    * fields: a header decoder must never fabricate metadata a user
+    * could mistake for real ([[StubDecoder]] remains the explicit
+    * plug-point stand-in for a codec-backed implementation).
     * Truncated or corrupt headers yield 0 for the affected fields,
     * never a fabricated value. The embedding remains the deterministic
     * pseudo-embedding in all cases. */
@@ -175,6 +188,126 @@ object Multimodal {
       (channels, rate, if (blockAlign > 0) clampInt(dataLen / blockAlign) else 0)
     }
 
+    /** First child box of type `typ` in `[start, end)` of an ISO BMFF
+      * stream, as its payload range. Honors 64-bit `largesize`
+      * (size == 1) and to-end boxes (size == 0); any inconsistent size
+      * aborts the walk — zeros, never a guess. */
+    private def findBox(b: Array[Byte], start: Int, end: Int, typ: String): Option[(Int, Int)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val sz = be32(b, off)
+        val tt = new String(b, off + 4, 4, "US-ASCII")
+        var hdr = 8
+        val boxEnd: Long =
+          if (sz == 1L) {
+            if (off + 16 > end) return None
+            hdr = 16
+            off + ((be32(b, off + 8) << 32) | be32(b, off + 12))
+          } else if (sz == 0L) end.toLong
+          else off + sz
+        if (boxEnd < off + hdr || boxEnd > end) return None
+        if (tt == typ) return Some((off + hdr, boxEnd.toInt))
+        off = boxEnd.toInt
+      }
+      None
+    }
+
+    /** (width, height) from the first visual trak's `tkhd`: 16.16
+      * fixed-point u32s after the version-dependent prefix (v0: 76
+      * bytes past the payload start; v1: 88 — the 64-bit times/
+      * duration variant). Audio traks carry 0×0 and are skipped. */
+    private def mp4(b: Array[Byte]): (Int, Int) = {
+      findBox(b, 0, b.length, "moov") match {
+        case None => (0, 0)
+        case Some((moovStart, moovEnd)) =>
+          var off = moovStart
+          while (off < moovEnd) {
+            findBox(b, off, moovEnd, "trak") match {
+              case None => return (0, 0)
+              case Some((trakStart, trakEnd)) =>
+                findBox(b, trakStart, trakEnd, "tkhd").foreach { case (p, pEnd) =>
+                  if (p < b.length) {
+                    val wOff = p + (if (u8(b, p) == 1) 88 else 76)
+                    if (wOff + 8 <= pEnd && wOff + 8 <= b.length) {
+                      val w = clampInt(be32(b, wOff) >> 16)
+                      val h = clampInt(be32(b, wOff + 4) >> 16)
+                      if (w > 0 && h > 0) return (w, h)
+                    }
+                  }
+                }
+                off = trakEnd
+            }
+          }
+          (0, 0)
+      }
+    }
+
+    /** EBML variable-width integer at `off`: (value, width-in-bytes).
+      * Element IDs keep the length-marker bit (the spec compares ids
+      * with it); sizes strip it. */
+    private def vint(b: Array[Byte], off: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (off >= b.length) return None
+      val first = u8(b, off)
+      if (first == 0) return None // > 8-byte vints don't occur in ids/sizes we walk
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+      if (off + len > b.length) return None
+      var v: Long = if (keepMarker) first.toLong else (first & ((1 << (8 - len)) - 1)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | u8(b, off + i); i += 1 }
+      Some((v, len))
+    }
+
+    /** First EBML child element with `id` in `[start, end)`, as its
+      * payload range. An all-ones "unknown size" extends to the parent
+      * end (legal on Segment/Cluster). */
+    private def findEbml(b: Array[Byte], start: Int, end: Int, id: Long): Option[(Int, Int)] = {
+      var off = start
+      while (off < end) {
+        val (idVal, idLen) = vint(b, off, keepMarker = true).getOrElse(return None)
+        val (szVal, szLen) = vint(b, off + idLen, keepMarker = false).getOrElse(return None)
+        val payload = off + idLen + szLen
+        val unknownSize = szVal == (1L << (7 * szLen)) - 1
+        val pEnd: Long = if (unknownSize) end.toLong else payload.toLong + szVal
+        if (pEnd < payload || pEnd > end) return None
+        if (idVal == id) return Some((payload, pEnd.toInt))
+        off = pEnd.toInt
+      }
+      None
+    }
+
+    /** (PixelWidth, PixelHeight) from the first TrackEntry carrying a
+      * Video element: Segment → Tracks → TrackEntry* → Video →
+      * PixelWidth/PixelHeight as big-endian unsigned ints. */
+    private def mkv(b: Array[Byte]): (Int, Int) = {
+      def uint(range: (Int, Int)): Int = {
+        val (s, e) = range
+        if (e - s > 8 || e > b.length) return 0
+        var v = 0L; var i = s
+        while (i < e) { v = (v << 8) | u8(b, i); i += 1 }
+        clampInt(v)
+      }
+      val dims = for {
+        seg <- findEbml(b, 0, b.length, 0x18538067L)
+        tracks <- findEbml(b, seg._1, seg._2, 0x1654AE6BL)
+      } yield {
+        var off = tracks._1
+        while (off < tracks._2) {
+          findEbml(b, off, tracks._2, 0xAEL) match {
+            case None => return (0, 0)
+            case Some((eStart, eEnd)) =>
+              findEbml(b, eStart, eEnd, 0xE0L).foreach { case (vStart, vEnd) =>
+                val w = findEbml(b, vStart, vEnd, 0xB0L).map(uint).getOrElse(0)
+                val h = findEbml(b, vStart, vEnd, 0xBAL).map(uint).getOrElse(0)
+                if (w > 0 && h > 0) return (w, h)
+              }
+              off = eEnd
+          }
+        }
+        (0, 0)
+      }
+      dims.getOrElse((0, 0))
+    }
+
     def decode(format: String, bytes: Array[Byte]): MediaFeatures = format match {
       case "png" =>
         val (w, h) = png(bytes)
@@ -188,7 +321,16 @@ object Multimodal {
       case "wav" =>
         val (c, r, frames) = wav(bytes)
         MediaFeatures(format, 0, 0, frames, c, r, StubDecoder.pseudoEmbedding(bytes))
-      case _ => StubDecoder.decode(format, bytes)
+      case "mp4" =>
+        val (w, h) = mp4(bytes)
+        MediaFeatures(format, w, h, 0, 0, 0, StubDecoder.pseudoEmbedding(bytes))
+      case "mkv" =>
+        val (w, h) = mkv(bytes)
+        MediaFeatures(format, w, h, 0, 0, 0, StubDecoder.pseudoEmbedding(bytes))
+      case _ =>
+        // No codec-free header (ogg, unknown): all-zero fields, never
+        // fabricated metadata. StubDecoder stays available explicitly.
+        MediaFeatures(format, 0, 0, 0, 0, 0, StubDecoder.pseudoEmbedding(bytes))
     }
   }
 

@@ -124,7 +124,7 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (3L, realWav(2, 44100, 100)),
       (4L, gif),
       (5L, pngBytes("truncated")), // sniffs png, header incomplete
-      (6L, mp4Bytes("video"))) // no codec-free parse → stub delegate
+      (6L, mp4Bytes("video"))) // mp4 with no moov: honest zeros
       .toDF("media_id", "content")
     val rows = Multimodal.extractFeatures(df, "media_id", "content")
       .collect().map(r => r.getAs[Long]("id") -> r).toMap
@@ -136,8 +136,74 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     (rows(4L).getAs[Int]("width"), rows(4L).getAs[Int]("height")) shouldBe ((320, 200))
     // Truncated header: honest zeros, never fabricated dimensions.
     (rows(5L).getAs[Int]("width"), rows(5L).getAs[Int]("height")) shouldBe ((0, 0))
-    // Unsupported container: stub features (the codec plug point).
-    rows(6L).getAs[Int]("n_frames") should be > 1
+    // A video container whose header the decoder cannot parse also
+    // yields zeros — never pseudo-metadata a user could mistake for
+    // real (StubDecoder remains available EXPLICITLY as a plug point).
+    (rows(6L).getAs[Int]("width"), rows(6L).getAs[Int]("n_frames")) shouldBe ((0, 0))
+  }
+
+  // ---- Video container headers: pure public byte arithmetic ----------
+
+  private def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+  private def be32a(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32a(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+
+  /** ftyp + moov(mvhd to skip, audio trak with 0×0 to skip, visual
+    * trak) — the walk must skip both before finding the dimensions. */
+  private def realMp4(w: Int, h: Int, version: Int = 0): Array[Byte] = {
+    def tkhd(tw: Int, th: Int): Array[Byte] = {
+      val times = if (version == 1) 32 else 20
+      box("tkhd", Array[Byte](version.toByte, 0, 0, 0) ++
+        Array.fill[Byte](times)(0) ++ Array.fill[Byte](52)(0) ++
+        be16(tw) ++ be16(0) ++ be16(th) ++ be16(0)) // 16.16 fixed point
+    }
+    val audioTrak = box("trak", tkhd(0, 0))
+    val videoTrak = box("trak", tkhd(w, h))
+    val mvhd = box("mvhd", Array.fill[Byte](100)(0))
+    box("ftyp", "isom".getBytes ++ be32a(0x200)) ++
+      box("moov", mvhd ++ audioTrak ++ videoTrak)
+  }
+
+  /** EBML header + Segment(Info to skip, Tracks → audio TrackEntry
+    * without Video → video TrackEntry with PixelWidth/PixelHeight). */
+  private def realMkv(w: Int, h: Int): Array[Byte] = {
+    def el(idBytes: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      idBytes ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    val video = el(Array(0xE0.toByte),
+      el(Array(0xB0.toByte), be16(w)) ++ el(Array(0xBA.toByte), be16(h)))
+    val audioEntry = el(Array(0xAE.toByte), Array[Byte](0xD7.toByte, 0x81.toByte, 1)) // TrackNumber only
+    val videoEntry = el(Array(0xAE.toByte), video)
+    val tracks = el(Array(0x16.toByte, 0x54.toByte, 0xAE.toByte, 0x6B.toByte),
+      audioEntry ++ videoEntry)
+    val info = el(Array(0x15.toByte, 0x49.toByte, 0xA9.toByte, 0x66.toByte), Array[Byte](0, 0))
+    val ebmlHeader = el(Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte),
+      Array[Byte](0x42.toByte, 0x86.toByte, 0x81.toByte, 1))
+    val segment = el(Array(0x18.toByte, 0x53.toByte, 0x80.toByte, 0x67.toByte),
+      info ++ tracks)
+    ebmlHeader ++ segment
+  }
+
+  test("HeaderDecoder parses mp4 tkhd (v0+v1) and Matroska pixel dimensions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, realMp4(1920, 1080)),
+      (2L, realMp4(640, 360, version = 1)), // 64-bit-time tkhd variant
+      (3L, realMkv(1280, 720)),
+      (4L, realMp4(0, 0)), // no visual trak at all → zeros
+      (5L, realMkv(1280, 720).take(30))) // truncated mid-structure → zeros
+      .toDF("media_id", "content")
+    val rows = Multimodal.extractFeatures(df, "media_id", "content")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("format"), r.getAs[Int]("width"), r.getAs[Int]("height")))).toMap
+    rows(1L) shouldBe (("mp4", 1920, 1080))
+    rows(2L) shouldBe (("mp4", 640, 360))
+    rows(3L) shouldBe (("mkv", 1280, 720))
+    rows(4L) shouldBe (("mp4", 0, 0))
+    rows(5L) shouldBe (("mkv", 0, 0))
   }
 
   test("sampleFramePlan emits evenly spaced frame indices for videos only") {
