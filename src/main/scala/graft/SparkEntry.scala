@@ -707,6 +707,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- The composed dedup pipeline from ONE banded scan — the
+    // documented shared-pair-set flow the cookbook prescribes: a single
+    // bandBuckets frame feeds the occupancy audit AND the candidate
+    // join (exchange-reused, PlanSpec-asserted), candidates verify with
+    // exact Jaccard, components label every doc, and the survivor flag
+    // marks the one canonical doc per cluster. The audit count rides
+    // along as a column ("no silent caps" is part of the pipeline's
+    // output contract, not a side channel): 0 hot buckets on this
+    // corpus = the pair set saw every candidate.
+    "ll15_pipeline" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      // Persisted: the component loop materializes eagerly (a separate
+      // action from the final collect), so cache — not same-plan
+      // exchange reuse — is what makes the banded scan run once across
+      // the audit, the candidate join, and the labeling. A few MB at
+      // gate scale; the cookbook unpersists after the pipeline action.
+      val buckets = Dedup.bandBuckets(df, "doc_id", "text").persist()
+      val audit = Dedup.cappedBucketsFromBuckets(buckets)
+        .agg(count(lit(1)).as("n_hot_buckets"))
+      val pairs = Dedup.nearDupPairsFromBuckets(df, "doc_id", "text", buckets,
+        threshold = 0.8)
+      Dedup.componentIds(df.select("doc_id"), "doc_id", pairs)
+        .withColumn("survivor", col("doc_id") === col("component"))
+        .crossJoin(audit)
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: SimHash near-dup pairs (band-blocked, exact
     // Hamming verify). The gate runs the md5-derived sketch mode, which
     // DuckDB replays nibble-for-nibble; and because maxHamming (7) <
@@ -1694,6 +1721,39 @@ object SparkEntry {
         |  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
         |)
         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // ll13's closure plus the survivor flag and the (empty) audit
+    // count: the composed-pipeline semantics are exactly "label every
+    // doc, keep the component minimum", and on this corpus the default
+    // occupancy cap binds nothing.
+    "ll15_pipeline" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |              ELSE [array_to_string(w, ' ')] END AS ts
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+        |), comp AS (
+        |  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+        |       coalesce(c.component, d.doc_id) = d.doc_id AS survivor,
+        |       CAST(0 AS BIGINT) AS n_hot_buckets
         |FROM documents d LEFT JOIN comp c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

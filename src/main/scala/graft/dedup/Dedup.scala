@@ -265,10 +265,22 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
-      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000): DataFrame = {
-    val candidates =
-      candidatePairs(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode,
-        maxBucketOccupancy)
+      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000): DataFrame =
+    nearDupPairsFromBuckets(df, idCol, textCol,
+      bandBuckets(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode),
+      threshold, shingleSize, maxBucketOccupancy)
+
+  /** [[nearDupPairs]] over an already-computed [[bandBuckets]] frame —
+    * the composed-pipeline path: ONE banded scan feeds the candidate
+    * join, the [[cappedBucketsFromBuckets]] audit, AND (via
+    * [[componentIds]]) the cluster labeling. `shingleSize` here
+    * parameterizes only the exact-Jaccard VERIFICATION sets; the
+    * banding parameters are baked into the buckets. */
+  def nearDupPairsFromBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      buckets: DataFrame, threshold: Double = 0.8, shingleSize: Int = 3,
+      maxBucketOccupancy: Int = 1000): DataFrame = {
+    val candidates = candidatePairsFromBuckets(buckets, maxBucketOccupancy)
     // Semi-join the corpus against the candidate id set BEFORE the two
     // verification joins: candidates are a tiny fraction of the corpus
     // at scale, and without the prune every document's full shingle

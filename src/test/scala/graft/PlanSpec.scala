@@ -157,6 +157,29 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("composed pipeline: audit and candidate join both read the ONE persisted banded scan") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "g h i j k l"))
+      .toDF("doc_id", "text")
+    val buckets = Dedup.bandBuckets(docs, "doc_id", "text", numHashes = 16, bands = 4).persist()
+    try {
+      buckets.count() // populate the cache as the pipeline's first action would
+      val pairs = Dedup.candidatePairsFromBuckets(buckets)
+      val audit = Dedup.cappedBucketsFromBuckets(buckets).agg(count(lit(1)).as("n_hot_buckets"))
+      val plan = physical(pairs.crossJoin(audit))
+      withClue(plan) {
+        // Every leaf under the join AND the audit is the cache — the
+        // map-side minhash+banding scan cannot run a second time. (The
+        // InMemoryRelation's stored build plan prints the original
+        // LocalTableScan once inside the cache node; what must NOT
+        // appear is a live ShingleHashes/minhash projection.)
+        plan should include("InMemoryTableScan")
+        plan.toLowerCase should not include "shingle"
+      }
+    } finally { buckets.unpersist(blocking = false); () }
+  }
+
   test("embedding near-dup pairing is bucket-equi-keyed, never a cartesian product") {
     val s = spark
     import s.implicits._
