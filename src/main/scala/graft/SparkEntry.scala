@@ -909,6 +909,54 @@ object SparkEntry {
       audit.crossJoin(capped)
     }),
 
+    // ---- Source factory: the CSV path produces the same profile as
+    // the parquet path. The gate round-trips the nation fixture
+    // through a header'd CSV file, loads it back through
+    // Source.parse("csv:…") (header + inferSchema — the factory's
+    // declared semantics), and aggregates a typed profile the oracle
+    // computes straight off the parquet: identical values prove the
+    // CSV reader's schema inference and value parsing, not just
+    // plumbing. Explicit casts pin the aggregate types on both sides
+    // (inferSchema may narrow ints).
+    "src_csv_profile" -> ((s, dir) => {
+      val supplier = t(s, dir, "supplier")
+      val csvDir = System.getProperty("java.io.tmpdir") +
+        "/graft_src_csv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      supplier.write.mode("overwrite").option("header", "true").csv(csvDir)
+      val df = graft.sources.Source.parse(s"csv:$csvDir").load(s)
+      df.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("s_nationkey")).cast("long").as("n_nations"),
+        min(col("s_suppkey")).cast("long").as("min_key"),
+        max(col("s_suppkey")).cast("long").as("max_key"),
+        sum(col("s_suppkey")).cast("long").as("key_sum"),
+        min(col("s_name")).as("min_name"),
+        max(col("s_name")).as("max_name"),
+        round(sum(col("s_acctbal")), 2).as("acctbal_sum"),
+        round(avg(col("s_acctbal")), 4).as("acctbal_avg"))
+    }),
+
+    // ---- Source factory, JSON path: same round-trip proof as
+    // src_csv_profile (spark JSON lines out, Source.parse("json:…")
+    // back in, typed profile vs the oracle's direct parquet read).
+    "src_json_profile" -> ((s, dir) => {
+      val supplier = t(s, dir, "supplier")
+      val jsonDir = System.getProperty("java.io.tmpdir") +
+        "/graft_src_json_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      supplier.write.mode("overwrite").json(jsonDir)
+      val df = graft.sources.Source.parse(s"json:$jsonDir").load(s)
+      df.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("s_nationkey")).cast("long").as("n_nations"),
+        min(col("s_suppkey")).cast("long").as("min_key"),
+        max(col("s_suppkey")).cast("long").as("max_key"),
+        sum(col("s_suppkey")).cast("long").as("key_sum"),
+        min(col("s_name")).as("min_name"),
+        max(col("s_name")).as("max_name"),
+        round(sum(col("s_acctbal")), 2).as("acctbal_sum"),
+        round(avg(col("s_acctbal")), 4).as("acctbal_avg"))
+    }),
+
     // ---- LLM-pipeline: per-document content fingerprints (md5 of the
     // normalized text — byte-identical across engines by construction).
     "txt_fingerprints" -> ((s, dir) => {
@@ -1885,6 +1933,34 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(unnest(range(0, n_frames, greatest(n_frames // 4, 1))) AS BIGINT) AS frame_index
         |FROM f ORDER BY doc_id, frame_index""".stripMargin,
+
+    // The oracle profiles the parquet fixture DIRECTLY; the engine
+    // profiles it after a CSV round-trip through the Source factory —
+    // equal values prove the CSV reader's schema inference and value
+    // parsing round-trip losslessly.
+    "src_csv_profile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT s_nationkey) AS BIGINT) AS n_nations,
+        |       CAST(min(s_suppkey) AS BIGINT) AS min_key,
+        |       CAST(max(s_suppkey) AS BIGINT) AS max_key,
+        |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |       min(s_name) AS min_name,
+        |       max(s_name) AS max_name,
+        |       round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS acctbal_sum,
+        |       round(CAST(avg(s_acctbal) AS DOUBLE), 4) AS acctbal_avg
+        |FROM supplier""".stripMargin,
+
+    "src_json_profile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT s_nationkey) AS BIGINT) AS n_nations,
+        |       CAST(min(s_suppkey) AS BIGINT) AS min_key,
+        |       CAST(max(s_suppkey) AS BIGINT) AS max_key,
+        |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |       min(s_name) AS min_name,
+        |       max(s_name) AS max_name,
+        |       round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS acctbal_sum,
+        |       round(CAST(avg(s_acctbal) AS DOUBLE), 4) AS acctbal_avg
+        |FROM supplier""".stripMargin,
 
     // Expected video dimensions from the GROUND-TRUTH doc_id rule the
     // gate synthesized the mp4/Matroska containers from; the engine
