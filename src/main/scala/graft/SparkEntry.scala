@@ -126,7 +126,8 @@ object SparkEntry {
     * into the size-limited /dev/shm. */
   private[graft] def replayToMemory[A: Encoder](
       s: SparkSession, name: String, batches: Seq[Seq[A]],
-      noDataBatches: Boolean = false)(
+      noDataBatches: Boolean = false,
+      extraConfs: Map[String, String] = Map.empty)(
       build: Dataset[A] => DataFrame): DataFrame = {
     // MemoryStream replays are driver-side BY CONSTRUCTION (the rows
     // were collected to build `batches`) — inherent to deterministic
@@ -148,6 +149,7 @@ object SparkEntry {
     // no-data batch is what advances the watermark past the last fed
     // data and flushes the windows it closed.
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
+    extraConfs.foreach { case (k, v) => s2.conf.set(k, v) }
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
     val stream = MemoryStream[A]
     val sinkName = s"${name}_sink_${System.nanoTime()}"
@@ -1261,6 +1263,49 @@ object SparkEntry {
       }.orderBy("fingerprint")
     }),
 
+    // ---- Streaming NEAR-dup dedup (watermark-scoped MinHash bucket
+    // claims), verified by deterministic replay with a DERIVED ground
+    // truth (the ll12b/ll14 construction — DuckDB cannot replay
+    // xxhash64 minhashes, but the corpus pins the answer): doc_id % 10
+    // == 0 docs share constant text A, % 10 == 5 share constant text B
+    // (identical signatures ⇒ estimated Jaccard 1), everything else is
+    // pairwise-disjoint (estimate 0). Docs arrive as 5 daily batches
+    // (day = doc_id % 100 / 20, fed in order) under a 1-day horizon,
+    // then a far-future sentinel flushes the append aggregation. The
+    // watermark walk is exact: a cluster's day-0 claim lapses at day 1
+    // but the watermark only REACHES day 1 when the day-3 batch
+    // processes — so each cluster re-emits exactly its first day-3
+    // arrival, and every other cluster member in days 1–4 drops. The
+    // oracle derives precisely that set: all singletons + each
+    // cluster's min doc_id in day 0 and in day 3.
+    "ll16_stream_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val textA = "the quick brown fox jumps over the lazy dog"
+      val textB = "pack my box with five dozen liquor jugs"
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long].collect().sorted
+      def dayTs(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+      val rows = ids.map { id =>
+        val text =
+          if (id % 10 == 0) textA
+          else if (id % 10 == 5) textB
+          else s"u${id}a u${id}b u${id}c"
+        (id, dayTs((id % 100 / 20).toInt), text)
+      }
+      val batches = rows.groupBy(_._2).toSeq.sortBy(_._1.getTime).map(_._2.toSeq) :+
+        Seq((-1L, dayTs(29), "zz1 zz2 zz3")) // sentinel: flushes, never emits
+      replayToMemory(s, "ll16_stream_near_dup", batches, noDataBatches = true,
+        extraConfs = Map(
+          // Verdicts keep their input rows' event time within the same
+          // micro-batch — the checker's documented false positive (see
+          // StreamDedup.dropNearDuplicates).
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false")) { ds =>
+        graft.streaming.StreamDedup.dropNearDuplicates(
+          ds.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", "1 day")
+      }.select(col("id").as("doc_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Validator with COUNT-WHERE fusion: same results as the
     // sequential path, one scan per table instead of one per rule.
     "validator_batched" -> ((s, dir) => {
@@ -2257,6 +2302,26 @@ object SparkEntry {
         |       CAST(min(doc_id % 5) AS BIGINT) AS first_batch
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    // Derived ground truth for the streaming near-dup replay (the
+    // corpus pins the watermark walk — see the gate): every disjoint
+    // singleton survives; each constant-text cluster survives exactly
+    // twice — its first arrival on day 0 and its first arrival on
+    // day 3, where the day-0 claim has lapsed.
+    "ll16_stream_near_dup" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 100 // 20 AS INTEGER) AS day,
+        |         CASE WHEN doc_id % 10 = 0 THEN 'A'
+        |              WHEN doc_id % 10 = 5 THEN 'B' ELSE 'S' END AS cls
+        |  FROM documents
+        |), keep AS (
+        |  SELECT doc_id, day FROM d WHERE cls = 'S'
+        |  UNION ALL
+        |  SELECT min(doc_id) AS doc_id, day FROM d
+        |  WHERE cls IN ('A', 'B') AND day IN (0, 3) GROUP BY cls, day
+        |)
+        |SELECT doc_id, strftime(DATE '2024-01-01' + day, '%Y-%m-%d') AS day
+        |FROM keep ORDER BY doc_id""".stripMargin,
 
     "txt_fingerprints" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.text.TextAnalysis
 
@@ -62,5 +63,149 @@ object StreamDedup {
       case _ =>
         digested.dropDuplicates(fingerprintCol)
     }
+  }
+
+  /** One exploded LSH band-bucket row of a document in flight. */
+  private[streaming] final case class NearDupKeyed(
+      band: Int, bucket: Long, id: Long, ts: java.sql.Timestamp, sig: Array[Long])
+
+  /** Per-bucket state: the first document to CLAIM this (band, bucket),
+    * its signature, and when the claim lapses (claim event time +
+    * watermark delay — the `dropDuplicatesWithinWatermark` horizon). */
+  private[streaming] final case class BucketClaim(
+      id: Long, expiresAtMs: Long, sig: Array[Long])
+
+  /** A document's verdict from ONE of its buckets; the per-document OR
+    * of these is the drop decision. */
+  private[streaming] final case class NearDupVerdict(
+      id: Long, ts: java.sql.Timestamp, dropped: Boolean)
+
+  /** Millis of a Spark interval string ("1 day", "30 minutes", …);
+    * calendar months have no fixed millis and are rejected. */
+  private def delayMillis(delay: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0, s"watermarkDelay must not use calendar months: $delay")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** The per-(band, bucket) group function: the first arrival claims
+    * the bucket; every later arrival while the claim is live is judged
+    * against the claimant's signature (fraction of agreeing minhash
+    * positions — the unbiased Jaccard estimate LSH is built on). A
+    * claim lapses `delayMs` after its event time: in-flight stale
+    * claims are replaced by the batch's first row (re-emit after the
+    * horizon, like dropDuplicatesWithinWatermark), and quiet ones are
+    * evicted by the event-time timeout. In BATCH execution there is no
+    * watermark (getCurrentWatermarkMs throws): claims never lapse and
+    * timeouts never fire — single-batch greedy semantics. */
+  private def claimAndJudge(threshold: Double, delayMs: Long)(
+      key: (Int, Long), rows: Iterator[NearDupKeyed],
+      state: GroupState[BucketClaim]): Iterator[NearDupVerdict] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wmMs = scala.util.Try(state.getCurrentWatermarkMs()).toOption
+    var claim = state.getOption.filter(c => wmMs.forall(_ < c.expiresAtMs))
+    // Arrival order within the micro-batch is (event time, id) — the
+    // deterministic tiebreak that makes "first arrival" well-defined
+    // when a whole cluster lands in one batch.
+    val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).map { r =>
+      claim match {
+        case Some(c) if c.id != r.id =>
+          val k = r.sig.length
+          var eq = 0; var i = 0
+          while (i < k) { if (c.sig(i) == r.sig(i)) eq += 1; i += 1 }
+          NearDupVerdict(r.id, r.ts, eq.toDouble / k >= threshold)
+        case Some(_) => // re-delivery of the claimant itself: not a dup
+          NearDupVerdict(r.id, r.ts, dropped = false)
+        case None =>
+          val c = BucketClaim(r.id, r.ts.getTime + delayMs, r.sig)
+          claim = Some(c)
+          state.update(c)
+          // Registered once per claim; data-carrying groups replace
+          // stale claims inline above, so the timeout only has to
+          // clean up buckets the stream went quiet on.
+          wmMs.foreach(_ => state.setTimeoutTimestamp(c.expiresAtMs))
+          NearDupVerdict(r.id, r.ts, dropped = false)
+      }
+    }
+    out.iterator
+  }
+
+  /** Streaming NEAR-duplicate removal — the watermark-scoped extension
+    * of the batch [[graft.dedup.Dedup.nearDupPairs]] family: drop a
+    * document when it is near-identical to an earlier retained-claim
+    * document within the watermark horizon.
+    *
+    * Mechanics: each document's MinHash signature (the same map-side
+    * [[graft.functions.MinHashSignature]] the batch operators use) is
+    * banded exactly as in [[graft.dedup.Dedup.bandBuckets]]; each
+    * (band, bucket) is a [[flatMapGroupsWithState]] group whose state
+    * is ONE claim — the first document to arrive in that bucket, its
+    * signature, and its lapse time. A later document sharing any
+    * bucket with a live claimant whose signature agrees on ≥
+    * `threshold` of the minhash positions (the unbiased Jaccard
+    * estimate) is dropped; the per-document OR over its bands rides a
+    * downstream watermarked aggregation, which finalizes a document's
+    * retention one watermark step later (append semantics).
+    *
+    * Scale design: state is one signature per DISTINCT occupied
+    * bucket — `bands` × 8·numHashes bytes per retained-claim document,
+    * watermark-evicted; the hot path is the same map-side signature
+    * scan as batch, one shuffle to the bucket groups, one to the
+    * per-document OR. A cluster of n identical documents costs O(n)
+    * state lookups (all n land on the claimant's buckets), never an
+    * O(n²) join — the streaming analogue of the batch occupancy-cap
+    * story. Chain [[dropExactDuplicates]] FIRST (the cookbook order)
+    * so exact floods collapse before signatures are even computed.
+    *
+    * The id column must be losslessly castable to long (state and
+    * verdicts carry fixed-width keys). Output: (id, ts) of RETAINED
+    * documents. On a batch frame the same call degenerates to greedy
+    * single-batch semantics (no watermark → claims never lapse).
+    *
+    * Streaming callers must set
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+    * the static checker flags EVERY stateful-op-after-fMGWS pattern
+    * because it cannot see through the lambda, but this operator's
+    * verdicts carry their input rows' event time UNCHANGED within the
+    * same micro-batch — they are never late to the downstream
+    * aggregation, which is exactly the false-positive case the escape
+    * hatch exists for. */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String, tsCol: String,
+      watermarkDelay: String, threshold: Double = 0.8,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide into bands ($bands)")
+    val idType = df.schema(idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
+          idType, org.apache.spark.sql.types.LongType),
+      s"id column $idCol ($idType) must cast losslessly to long")
+    val delayMs = delayMillis(watermarkDelay)
+    val session = df.sparkSession
+    import session.implicits._
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    val sig = graft.functions.VectorFunctions.minhashSignature(
+      graft.functions.VectorFunctions.shingleHashes(norm, shingleSize), numHashes)
+    val keyed = df
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("id"), col("ts"), col("sig"),
+        explode(graft.dedup.Dedup.lshBandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("id"), col("ts"), col("sig"))
+      .as[NearDupKeyed]
+    val verdicts = keyed
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        claimAndJudge(threshold, delayMs) _)
+    verdicts.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("ts"), col("id"))
+      .agg(max(col("dropped")).as("dropped"))
+      .filter(!col("dropped"))
+      .select(col("id"), col("ts"))
   }
 }

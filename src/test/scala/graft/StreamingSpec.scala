@@ -210,6 +210,72 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: bucket claims drop near-dups in-horizon, lapse re-emits, disjoint docs pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog"
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamDedup.dropNearDuplicates(
+      input.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", "1 hour")
+    // The static checker cannot see that verdicts keep their input
+    // rows' event time (see dropNearDuplicates' scaladoc).
+    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = out.writeStream.format("memory").queryName("stream_near_dup")
+      .outputMode("append").start()
+    try {
+      // 10:00 — doc 1 claims A's buckets (lapse 11:00); doc 2 is a
+      // whitespace mangle of A (identical normalized signature) in the SAME batch
+      // → the (ts, id) order makes 1 the claimant; 3 is disjoint.
+      input.addData((1L, ts("10:00"), a), (2L, ts("10:00"), s"  ${a.replace(" ", "   ")} "),
+        (3L, ts("10:00"), "u3a u3b u3c"))
+      q.processAllAvailable()
+      // 10:30 — inside the claim horizon → dropped.
+      input.addData((4L, ts("10:30"), a))
+      q.processAllAvailable()
+      // 12:00 — disjoint doc; advances the watermark to 11:00.
+      input.addData((7L, ts("12:00"), "u7a u7b u7c"))
+      q.processAllAvailable()
+      // 12:30 — watermark (11:00) has reached the claim's lapse time
+      // (11:00): the stale claim is replaced in-flight → 5 RETAINED.
+      input.addData((5L, ts("12:30"), a))
+      q.processAllAvailable()
+      // 13:00 — inside doc 5's fresh claim (lapse 13:30) → dropped.
+      input.addData((6L, ts("13:00"), a))
+      q.processAllAvailable()
+      // 16:00 — flush: pushes the watermark past every earlier ts so
+      // the append aggregation finalizes them; itself stays pending.
+      input.addData((9L, ts("16:00"), "u9a u9b u9c"))
+      q.processAllAvailable()
+      val got = spark.table("stream_near_dup").select("id").as[Long].collect().sorted
+      got shouldBe Array(1L, 3L, 5L, 7L)
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
+  test("streaming near-dup dedup: batch mode is single-batch greedy (claims never lapse)") {
+    val s = spark
+    import s.implicits._
+    val a = "the quick brown fox jumps over the lazy dog"
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val df = Seq(
+      (1L, ts("10:00"), a), (2L, ts("10:00"), s"  ${a.replace(" ", "   ")} "),
+      (3L, ts("10:00"), "u3a u3b u3c"),
+      (4L, ts("10:30"), a), (5L, ts("12:30"), a),
+      (9L, ts("16:00"), "u9a u9b u9c"))
+      .toDF("doc_id", "ts", "text")
+    val got = graft.streaming.StreamDedup.dropNearDuplicates(
+      df, "doc_id", "text", "ts", "1 hour")
+      .select("id").as[Long].collect().sorted
+    // No watermark in batch: doc 1's claim never lapses, so every A
+    // copy after it drops regardless of event-time gaps.
+    got shouldBe Array(1L, 3L, 9L)
+  }
+
   test("windowed completeness: null rates are per-window percentages") {
     val s = spark
     import s.implicits._
