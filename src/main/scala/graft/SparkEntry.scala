@@ -1214,8 +1214,13 @@ object SparkEntry {
       val rows = shifted.filter(col("d").isNotNull)
         .select(col("d").cast("string"), col("key"), col("v"))
         .as[(String, String, Double)].collect()
+      // Rows sort by (key, value) WITHIN each day batch: collect()
+      // order follows scan partition order, and meanDrift's per-batch
+      // float fold is summation-order-sensitive — without a fixed
+      // order a borderline value could flip a rounded 4th decimal
+      // against the oracle nondeterministically across file layouts.
       val batches = rows.groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (_, rs) => rs.toSeq.map(r => (r._2, r._3)) }
+        .map { case (_, rs) => rs.toSeq.sortBy(r => (r._2, r._3)).map(r => (r._2, r._3)) }
       replayToMemory(s, "ev_mean_drift_raw", batches)(
         ds => StreamProfiler.meanDrift(ds).toDF()).select(
         col("key"),
