@@ -172,6 +172,11 @@ object Dedup {
     * [[cappedBuckets]] alongside — rows there are clusters this
     * operator cannot pair; collapse them with exact dedup first (the
     * scale-correct order) or raise the cap at O(occupancy²) join cost.
+    * (Unlike the spread byte-gate, the cap default is deliberately a
+    * fixed constant, NOT derived from the session: it changes RESULTS
+    * — recall — and a results knob that silently varied with cluster
+    * shape would make runs irreproducible across environments. Tune it
+    * explicitly, guided by the audit.)
     *
     * Plan shape: the occupancy count rides a window partitioned by
     * (band, bucket) — NOT a per-query funnel: the partition key is the

@@ -63,12 +63,12 @@ final case class ProfilerConfig(
       * partitioning as-is. */
     spreadInput: Boolean = true,
     /** Minimum scan bytes before spreadInput pays for its exchange.
-      * The default is the break-even measured on a 32-core local
-      * session; the exchange's fixed cost (task fan-out plus the
-      * splits×partitions shuffle-file matrix) differs on other
-      * executor shapes, so cluster deployments should calibrate and
-      * set their own. */
-    spreadMinBytes: Long = 8L << 20,
+      * Negative (the default) derives the gate from the session —
+      * the measured 32-core break-even rescaled per core of default
+      * parallelism (see Partitioning.spreadIfLarge) — so other
+      * session shapes aren't silently gated by a 32-core constant.
+      * Deployments that measured their own break-even set it here. */
+    spreadMinBytes: Long = -1L,
     /** Per-pass wall-clock sink: invoked as (passName, seconds) after
       * each profiling job completes. Default drops the timings; wire a
       * collector here to see where a profile's time goes. */

@@ -43,25 +43,39 @@ object Partitioning {
     * which dominates jobs whose actual data is small. */
   def spread(df: DataFrame): DataFrame = spreadImpl(df, 0L)
 
+  /** Measured break-even of the gated spread PER CORE of session
+    * parallelism: ~8 MB of compressed parquet on a 32-core local
+    * session → 256 KB/core. The exchange's fixed cost (task fan-out
+    * plus the splits×partitions shuffle-file matrix) grows with the
+    * session's parallelism, so scaling the byte gate by
+    * `defaultParallelism` carries the measurement to other session
+    * shapes instead of silently applying a 32-core constant to a
+    * 4-core notebook (gate 8× too high) or a 1000-core cluster
+    * (8× too low). A fixed measured value still beats the derivation
+    * on any specific deployment — pass it explicitly. */
+  private[graft] val spreadBreakEvenPerCore: Long = 256L << 10
+
+  /** The session-derived byte gate for [[spreadIfLarge]]. */
+  def derivedSpreadMinBytes(spark: SparkSession): Long =
+    math.max(1, spark.sparkContext.defaultParallelism) * spreadBreakEvenPerCore
+
   /** [[spread]] gated on input size: only fan out when the scan is
     * poorly split AND carries at least `minBytes`. For generic
-    * columnar aggregation the local exchange has a real fixed cost
-    * (task fan-out plus a splits×partitions shuffle-file matrix), so
-    * spreading a table a single task chews through in well under that
-    * cost is a net loss; ~8 MB of compressed parquet is the measured
-    * break-even on a 32-core local session. Operators whose per-byte
-    * CPU is orders of magnitude higher than columnar aggregation
-    * (regex matching, k-gram hashing, vector math) should call the
-    * ungated [[spread]] instead — for them even a sub-MB input is
-    * minutes of single-core work.
+    * columnar aggregation the local exchange has a real fixed cost,
+    * so spreading a table a single task chews through in well under
+    * that cost is a net loss. Operators whose per-byte CPU is orders
+    * of magnitude higher than columnar aggregation (regex matching,
+    * k-gram hashing, vector math) should call the ungated [[spread]]
+    * instead — for them even a sub-MB input is minutes of single-core
+    * work.
     *
-    * The default is calibrated on ONE shape (32-core local session);
-    * the exchange's fixed cost differs with executor count and size,
-    * so deployments on other shapes should measure their own
-    * break-even and pass it (the profiler threads
-    * `ProfilerConfig.spreadMinBytes` through to here). */
-  def spreadIfLarge(df: DataFrame, minBytes: Long = 8L << 20): DataFrame =
-    spreadImpl(df, minBytes)
+    * `minBytes < 0` (the default) derives the gate from the session:
+    * [[spreadBreakEvenPerCore]] × default parallelism — the measured
+    * 32-core break-even rescaled to the session's shape. Pass an
+    * explicit value when a deployment has measured its own. */
+  def spreadIfLarge(df: DataFrame, minBytes: Long = -1L): DataFrame =
+    spreadImpl(df,
+      if (minBytes >= 0) minBytes else derivedSpreadMinBytes(df.sparkSession))
 
   private def spreadImpl(df: DataFrame, minBytes: Long): DataFrame = {
     // Streaming plans expose no file index to inspect (and micro-batch

@@ -283,8 +283,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     (1 to 100).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
       .coalesce(1).write.mode("overwrite").parquet(dir)
     val one = spark.read.parquet(dir)
-    // A few-KB file is far below the default ~8 MB gate: the exchange's
-    // fixed cost would exceed any parallelism win, so no repartition.
+    // A few-KB file is far below the derived gate (256 KB × session
+    // parallelism): the exchange's fixed cost would exceed any
+    // parallelism win, so no repartition.
+    graft.util.Partitioning.derivedSpreadMinBytes(spark) shouldBe
+      spark.sparkContext.defaultParallelism.toLong * (256L << 10)
     graft.util.Partitioning.spreadIfLarge(one) should be theSameInstanceAs one
     // Gate dropped to zero → behaves like the ungated spread.
     physical(graft.util.Partitioning.spreadIfLarge(one, minBytes = 0L))
