@@ -154,6 +154,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
         sex.count(!_.contains("ReusedExchange")) shouldBe 1
         sex.count(_.contains("ReusedExchange")) should be >= 1
       }
+      // The SimHash block-key join — the third member of the capped
+      // family — keeps the same one-shuffle shape.
+      val hplan = physical(Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxBucketOccupancy = 10))
+      val hex = hplan.linesIterator.filter(_.contains("hashpartitioning(tbl")).toSeq
+      withClue(hplan) {
+        hex.count(!_.contains("ReusedExchange")) shouldBe 1
+        hex.count(_.contains("ReusedExchange")) should be >= 1
+      }
     } finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
