@@ -959,6 +959,35 @@ object SparkEntry {
         round(avg(col("s_acctbal")), 4).as("acctbal_avg"))
     }),
 
+    // ---- Deterministic hash splitting (train/val/test): each doc's
+    // split is a pure function of (seed, doc_id) — reproducible across
+    // clusters/retries and stable under corpus growth, unlike rand().
+    // md5 gate mode: DuckDB replays the first-8-hex-digits uniform
+    // hash digit-for-digit, so membership of every row is
+    // hash-checked, not just the counts. Integer weights (8,1,1) make
+    // the cumulative cuts (0.8, 0.9) exact doubles in both engines.
+    "smp_hash_split" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      graft.sampling.Sampling.hashSplit(df, "doc_id",
+        Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), hashMode = "md5")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("split")
+    }),
+
+    // ---- Per-stratum deterministic sampling (the mixed-source
+    // rebalancing move): stratum 0 kept whole, stratum 1 kept at 25%,
+    // stratum 2 dropped by the default — every retained doc_id
+    // hash-checked against the replayed md5 uniform hash.
+    "smp_stratified_sample" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .withColumn("src", pmod(col("doc_id"), lit(3)).cast("string"))
+      graft.sampling.Sampling.stratifiedSampleByHash(df, "doc_id", "src",
+        Map("0" -> 1.0, "1" -> 0.25), hashMode = "md5")
+        .select(col("doc_id"), col("src"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: per-document content fingerprints (md5 of the
     // normalized text — byte-identical across engines by construction).
     "txt_fingerprints" -> ((s, dir) => {
@@ -1999,6 +2028,43 @@ object SparkEntry {
         |       round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS acctbal_sum,
         |       round(CAST(avg(s_acctbal) AS DOUBLE), 4) AS acctbal_avg
         |FROM supplier""".stripMargin,
+
+    // Replays the md5-mode uniform hash digit-for-digit: u = first 8
+    // hex digits of md5('42:' || doc_id) over 2^32, then the same
+    // cumulative-cut CASE (exact double cuts 0.8 / 0.9).
+    "smp_hash_split" -> {
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}.0")
+        .mkString(" +\n         |         ")
+      s"""WITH h AS (
+         |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+         |), u AS (
+         |  SELECT doc_id,
+         |        ($nibbles) / 4294967296.0 AS u
+         |  FROM h
+         |)
+         |SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM u GROUP BY 1 ORDER BY split""".stripMargin
+    },
+
+    "smp_stratified_sample" -> {
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}.0")
+        .mkString(" +\n         |         ")
+      s"""WITH h AS (
+         |  SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS src,
+         |         md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id, src,
+         |        ($nibbles) / 4294967296.0 AS u
+         |  FROM h
+         |)
+         |SELECT doc_id, src FROM u
+         |WHERE u < (CASE src WHEN '0' THEN 1.0 WHEN '1' THEN 0.25 ELSE 0.0 END)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "src_json_profile" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -1,0 +1,108 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines — north-star scope beyond the reference surface (the
+  * reference samples rows for PROFILES only,
+  * reference: sparvi/profiler/profile_engine.py:381-396).
+  *
+  * Every operator here is a pure MAP-SIDE projection or filter over a
+  * per-row uniform hash: no shuffle, no window, no state — the only
+  * shape that is trivially correct at 100 TB and under retries. The
+  * hash is keyed on (seed, id), NOT on `rand()`:
+  *   - reproducible: the same corpus + seed yields the same split on
+  *     any cluster, any partitioning, any retry — `rand()` changes
+  *     under task retry and repartitioning, silently leaking val/test
+  *     rows into train across reruns;
+  *   - stable under growth: a document keeps its assignment when the
+  *     corpus around it changes, so an incremental pipeline never
+  *     migrates old documents between splits.
+  *
+  * `hashMode` picks the hash family, mirroring the dedup operators:
+  * `"xxhash64"` (default) is the cheap codegen'd scale mode; `"md5"`
+  * is the engine-reproducible gate mode (DuckDB replays it
+  * digit-for-digit).
+  */
+object Sampling {
+
+  /** Uniform u ∈ [0, 1) derived from (seed, id). md5 mode: the first
+    * 8 hex digits as a 32-bit integer over 2^32 — coarse enough to
+    * replay in SQL, uniform enough for split fractions. xxhash64
+    * mode: the full 64-bit hash shifted to [0, 2^63) over 2^63. */
+  private def uniformHash(id: Column, seed: Long, hashMode: String): Column =
+    hashMode match {
+      case "md5" =>
+        conv(substring(md5(concat_ws(":", lit(seed), id.cast("string"))), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0) // 2^32
+      case "xxhash64" =>
+        shiftrightunsigned(xxhash64(lit(seed), id), 1).cast("double") /
+          lit(9.223372036854775808e18) // 2^63
+      case other => throw new IllegalArgumentException(
+        s"unknown hashMode: $other (expected xxhash64 or md5)")
+    }
+
+  /** Deterministic train/val/test (or any k-way) split: adds
+    * `splitCol` holding the name of the split each row falls into,
+    * by cumulative weight over the per-row uniform hash. Weights are
+    * normalized, so (8, 1, 1) ≡ (0.8, 0.1, 0.1). Map-side only.
+    *
+    * Fraction accuracy is statistical (each row lands independently):
+    * ±O(1/√n) per split — exact-count splitting would need a global
+    * sort/rank shuffle and breaks assignment stability under corpus
+    * growth, which is the wrong trade for training data. */
+  def hashSplit(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)],
+      seed: Long = 42L, hashMode: String = "xxhash64",
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), s"split weights must be positive: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be unique: ${splits.map(_._1)}")
+    require(!df.columns.contains(splitCol),
+      s"input already has a '$splitCol' column — pass splitCol to use another name")
+    val total = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val u = uniformHash(col(idCol), seed, hashMode)
+    // Guard the last bucket with otherwise(): u < 1.0 analytically,
+    // but a float boundary must never yield a null split.
+    val assigned = splits.init.zip(cuts.init)
+      .foldLeft(when(lit(false), lit(""))) { case (acc, ((name, _), cut)) =>
+        acc.when(u < cut, name)
+      }
+      .otherwise(splits.last._1)
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Deterministic Bernoulli sampling: keep each row iff its uniform
+    * hash falls under `fraction`. Same determinism/stability contract
+    * as [[hashSplit]]; the sampled set is a strict subset of any
+    * larger fraction's set with the same seed (nested samples — grow
+    * a 1% pilot to 10% without resampling the pilot). */
+  def sampleByHash(
+      df: DataFrame, idCol: String, fraction: Double,
+      seed: Long = 42L, hashMode: String = "xxhash64"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    df.filter(uniformHash(col(idCol), seed, hashMode) < fraction)
+  }
+
+  /** Per-stratum deterministic sampling: each row's keep-fraction is
+    * looked up by its stratum value (missing strata → `defaultFraction`,
+    * default 0 = drop). The standard rebalancing move for mixed-source
+    * training corpora (downsample the crawl, keep all of the curated
+    * source) — still one map-side filter, no shuffle, no per-stratum
+    * pass. */
+  def stratifiedSampleByHash(
+      df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      seed: Long = 42L, hashMode: String = "xxhash64"): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions out of [0,1]: $fractions / default $defaultFraction")
+    val frac = fractions.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (stratum, f)) => acc.when(col(strataCol) === stratum, f)
+    }.otherwise(defaultFraction)
+    df.filter(uniformHash(col(idCol), seed, hashMode) < frac)
+  }
+}

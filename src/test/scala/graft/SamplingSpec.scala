@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.sampling.Sampling
+
+/** Deterministic hash sampling/splitting: reproducibility, assignment
+  * stability under corpus growth, nested-sample subset property, and
+  * statistical closeness of realized fractions. */
+class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private lazy val corpus = {
+    val s = spark
+    import s.implicits._
+    (1L to 10000L).map(i => (i, s"doc $i")).toDF("id", "text")
+  }
+
+  test("hashSplit assigns every row exactly one valid split, near the requested weights") {
+    for (mode <- Seq("xxhash64", "md5")) {
+      val out = Sampling.hashSplit(corpus, "id",
+        Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), hashMode = mode)
+      val counts = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      withClue(s"$mode: $counts") {
+        counts.values.sum shouldBe 10000L
+        counts.keySet shouldBe Set("train", "val", "test")
+        counts("train").toDouble shouldBe 8000.0 +- 300.0 // ±~7σ of Binomial(10k, .8)
+        counts("val").toDouble shouldBe 1000.0 +- 250.0
+        counts("test").toDouble shouldBe 1000.0 +- 250.0
+      }
+    }
+  }
+
+  test("hashSplit is deterministic and stable under corpus growth") {
+    val s = spark
+    import s.implicits._
+    val first = Sampling.hashSplit(corpus, "id", Seq(("a", 0.5), ("b", 0.5)))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Same call again: identical assignment (no rand() anywhere).
+    val again = Sampling.hashSplit(corpus, "id", Seq(("a", 0.5), ("b", 0.5)))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    again shouldBe first
+    // Grow the corpus: every pre-existing id keeps its split.
+    val grown = (1L to 20000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val after = Sampling.hashSplit(grown, "id", Seq(("a", 0.5), ("b", 0.5)))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    first.foreach { case (id, split) => after(id) shouldBe split }
+  }
+
+  test("sampleByHash: nested samples — a smaller fraction is a subset of a larger one") {
+    val small = Sampling.sampleByHash(corpus, "id", 0.1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.sampleByHash(corpus, "id", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    small.subsetOf(large) shouldBe true
+    small.size.toDouble shouldBe 1000.0 +- 250.0
+    large.size.toDouble shouldBe 3000.0 +- 350.0
+    // Different seed → a (near-certainly) different sample.
+    Sampling.sampleByHash(corpus, "id", 0.1, seed = 7L)
+      .select("id").collect().map(_.getLong(0)).toSet should not be small
+  }
+
+  test("stratifiedSampleByHash applies per-stratum fractions; unlisted strata use the default") {
+    val s = spark
+    import s.implicits._
+    val strat = corpus.withColumn("src", (col("id") % 3).cast("string"))
+    val out = Sampling.stratifiedSampleByHash(strat, "id", "src",
+      Map("0" -> 1.0, "1" -> 0.25)).groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.getOrElse("2", 0L) shouldBe 0L // default fraction drops
+    out("0") shouldBe 3333L // fraction 1.0 keeps the whole stratum
+    out("1").toDouble shouldBe 833.0 +- 220.0
+  }
+
+  test("invalid arguments fail fast") {
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.hashSplit(corpus, "id", Seq(("a", 0.5), ("a", 0.5)))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.hashSplit(corpus, "id", Seq(("a", -1.0)))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.hashSplit(corpus.withColumn("split", lit("x")), "id", Seq(("a", 1.0)))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.sampleByHash(corpus, "id", 1.5)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.sampleByHash(corpus, "id", 0.5, hashMode = "sha1")
+  }
+
+  test("sampling plans are pure map-side: no exchange, no aggregate") {
+    val plan = Sampling.hashSplit(corpus, "id", Seq(("a", 0.9), ("b", 0.1)))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Aggregate"
+    val fplan = Sampling.stratifiedSampleByHash(
+      corpus.withColumn("src", lit("s")), "id", "src", Map("s" -> 0.5))
+      .queryExecution.executedPlan.toString
+    fplan should not include "Exchange"
+    fplan should not include "Aggregate"
+  }
+}
