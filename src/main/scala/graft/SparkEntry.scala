@@ -988,6 +988,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Token-budget selection (the data-mixing primitive): per
+    // source, keep documents in quality order until the token budget
+    // is spent — exact greedy-prefix semantics realized by the
+    // distributed weighted-rank search (histogram levels + tiny
+    // boundary window), NEVER a per-group window over the corpus. The
+    // gate derives deterministic quality (101 levels → real tie runs,
+    // exercising the hash tie-break) and token counts from doc_id; a
+    // 32-row boundary limit forces the refinement loop in the
+    // oracle-checked path. The oracle computes the same prefix with a
+    // plain cumulative-sum window over the replayed md5 tie-break —
+    // per-row membership is hash-checked.
+    "smp_budget_select" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .withColumn("src", pmod(col("doc_id"), lit(3)).cast("string"))
+        .withColumn("quality", (col("doc_id") * 37 % 101) / lit(100.0))
+        .withColumn("tokens", pmod(col("doc_id"), lit(50)) + 1)
+      graft.sampling.BudgetSelect.budgetSelect(df, "doc_id", "src", "quality",
+          "tokens", Map("0" -> 800L, "1" -> 200L), hashMode = "md5",
+          boundaryWindowLimit = 32L)
+        .select(col("doc_id"), col("src"), col("tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: per-document content fingerprints (md5 of the
     // normalized text — byte-identical across engines by construction).
     "txt_fingerprints" -> ((s, dir) => {
@@ -2063,6 +2086,36 @@ object SparkEntry {
          |)
          |SELECT doc_id, src FROM u
          |WHERE u < (CASE src WHEN '0' THEN 1.0 WHEN '1' THEN 0.25 ELSE 0.0 END)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // The oracle computes the exact greedy token prefix the engine's
+    // threshold search must reproduce: order by (quality DESC, md5
+    // uniform hash ASC, doc_id ASC), keep rows whose inclusive running
+    // token sum fits the per-source budget.
+    "smp_budget_select" -> {
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}.0")
+        .mkString(" +\n         |         ")
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS src,
+         |         (doc_id * 37 % 101) / 100.0 AS quality,
+         |         doc_id % 50 + 1 AS tokens,
+         |         md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id, src, quality, tokens,
+         |        ($nibbles) / 4294967296.0 AS u
+         |  FROM d
+         |), c AS (
+         |  SELECT doc_id, src, tokens,
+         |         sum(tokens) OVER (PARTITION BY src
+         |           ORDER BY quality DESC, u ASC, doc_id ASC
+         |           ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM u
+         |)
+         |SELECT doc_id, src, CAST(tokens AS BIGINT) AS tokens FROM c
+         |WHERE (src = '0' AND cum <= 800) OR (src = '1' AND cum <= 200)
          |ORDER BY doc_id""".stripMargin
     },
 
