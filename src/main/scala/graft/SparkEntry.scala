@@ -723,17 +723,23 @@ object SparkEntry {
       // Persisted: the component loop materializes eagerly (a separate
       // action from the final collect), so cache — not same-plan
       // exchange reuse — is what makes the banded scan run once across
-      // the audit, the candidate join, and the labeling. A few MB at
-      // gate scale; the cookbook unpersists after the pipeline action.
+      // the audit, the candidate join, and the labeling. Everything
+      // that reads the cache runs INSIDE this body (the audit count is
+      // reduced to a driver scalar; the component loop checkpoints its
+      // edges), so the frame unpersists before the gate returns — no
+      // cached partitions leak into the rest of the Verify/Bench
+      // session.
       val buckets = Dedup.bandBuckets(df, "doc_id", "text").persist()
-      val audit = Dedup.cappedBucketsFromBuckets(buckets)
-        .agg(count(lit(1)).as("n_hot_buckets"))
-      val pairs = Dedup.nearDupPairsFromBuckets(df, "doc_id", "text", buckets,
-        threshold = 0.8)
-      Dedup.componentIds(df.select("doc_id"), "doc_id", pairs)
-        .withColumn("survivor", col("doc_id") === col("component"))
-        .crossJoin(audit)
-        .orderBy("doc_id")
+      try {
+        val nHotBuckets = Dedup.cappedBucketsFromBuckets(buckets)
+          .agg(count(lit(1))).head().getLong(0)
+        val pairs = Dedup.nearDupPairsFromBuckets(df, "doc_id", "text", buckets,
+          threshold = 0.8)
+        Dedup.componentIds(df.select("doc_id"), "doc_id", pairs)
+          .withColumn("survivor", col("doc_id") === col("component"))
+          .withColumn("n_hot_buckets", lit(nHotBuckets))
+          .orderBy("doc_id")
+      } finally { buckets.unpersist(blocking = false); () }
     }),
 
     // ---- LLM-pipeline: SimHash near-dup pairs (band-blocked, exact

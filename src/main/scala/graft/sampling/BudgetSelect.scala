@@ -55,19 +55,6 @@ object BudgetSelect {
   private final case class Slice(
       group: String, pred: Column, remaining: Long, hashDepth: Int)
 
-  /** See [[Sampling]] — same (seed, id) uniform hash, same modes. */
-  private def uniform(id: Column, seed: Long, hashMode: String): Column =
-    hashMode match {
-      case "md5" =>
-        conv(substring(md5(concat_ws(":", lit(seed), id.cast("string"))), 1, 8), 16, 10)
-          .cast("double") / lit(4294967296.0)
-      case "xxhash64" =>
-        shiftrightunsigned(xxhash64(lit(seed), id), 1).cast("double") /
-          lit(9.223372036854775808e18)
-      case other => throw new IllegalArgumentException(
-        s"unknown hashMode: $other (expected xxhash64 or md5)")
-    }
-
   def budgetSelect(
       df: DataFrame, idCol: String, groupCol: String, orderCol: String,
       tokenCol: String, budgets: Map[String, Long],
@@ -80,13 +67,17 @@ object BudgetSelect {
     val grp = col(groupCol).cast("string")
     val ord = col(orderCol).cast("double")
     val tok = col(tokenCol).cast("long")
-    val u = uniform(col(idCol), seed, hashMode)
-    // Null/NaN order rows have no place in a quality-ordered token
-    // prefix (NaN would sort as the LARGEST value and silently eat
-    // budget first), and a NEGATIVE token count is a data error that
-    // would break the cumulative sum's monotonicity (the prefix's
-    // very definition) — all are excluded.
-    val base = df.filter(ord.isNotNull && !isnan(ord) && tok.isNotNull && tok >= 0)
+    val u = Sampling.uniformHash(col(idCol), seed, hashMode)
+    // Null/NaN/±Inf order rows have no place in a quality-ordered
+    // token prefix (NaN would sort as the LARGEST value and silently
+    // eat budget first; a +Inf group maximum makes every value bucket
+    // (hi−ord)/(hi−lo) = NaN, so the refinement could never shrink the
+    // slice), and a NEGATIVE token count is a data error that would
+    // break the cumulative sum's monotonicity (the prefix's very
+    // definition) — all are excluded.
+    val base = df.filter(ord.isNotNull && !isnan(ord) &&
+      ord > Double.NegativeInfinity && ord < Double.PositiveInfinity &&
+      tok.isNotNull && tok >= 0)
 
     // ---- Groups in play: the named ones plus (when the default
     // budget admits anything) every other group present in the data.

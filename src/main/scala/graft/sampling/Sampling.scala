@@ -30,8 +30,11 @@ object Sampling {
   /** Uniform u ∈ [0, 1) derived from (seed, id). md5 mode: the first
     * 8 hex digits as a 32-bit integer over 2^32 — coarse enough to
     * replay in SQL, uniform enough for split fractions. xxhash64
-    * mode: the full 64-bit hash shifted to [0, 2^63) over 2^63. */
-  private def uniformHash(id: Column, seed: Long, hashMode: String): Column =
+    * mode: the full 64-bit hash shifted to [0, 2^63) over 2^63.
+    * THE single definition for the whole package — [[BudgetSelect]]'s
+    * tie-break order and the gate oracles replay this exact formula,
+    * so a second copy could silently diverge. */
+  private[sampling] def uniformHash(id: Column, seed: Long, hashMode: String): Column =
     hashMode match {
       case "md5" =>
         conv(substring(md5(concat_ws(":", lit(seed), id.cast("string"))), 1, 8), 16, 10)

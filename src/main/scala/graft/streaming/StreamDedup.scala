@@ -123,8 +123,14 @@ object StreamDedup {
           state.update(c)
           // Registered once per claim; data-carrying groups replace
           // stale claims inline above, so the timeout only has to
-          // clean up buckets the stream went quiet on.
-          wmMs.foreach(_ => state.setTimeoutTimestamp(c.expiresAtMs))
+          // clean up buckets the stream went quiet on. Clamped above
+          // the CURRENT watermark: the late-row filter admits rows
+          // against the PREVIOUS batch's watermark, so an event-time
+          // burst larger than the delay can legally produce a claim
+          // whose lapse is already behind the current watermark —
+          // setTimeoutTimestamp would then throw and kill the query
+          // (and its identical replay on restart).
+          wmMs.foreach(wm => state.setTimeoutTimestamp(math.max(c.expiresAtMs, wm + 1)))
           NearDupVerdict(r.id, r.ts, dropped = false)
       }
     }

@@ -95,7 +95,8 @@ class BudgetSelectSpec extends AnyFunSuite with Matchers with SparkTestBase {
   test("defaultBudget covers unnamed groups; null/negative rows are excluded") {
     val s = spark
     import s.implicits._
-    val withBad = fixture ++ Seq((9001L, "0", Double.NaN, 5L))
+    val withBad = fixture ++ Seq((9001L, "0", Double.NaN, 5L),
+      (9004L, "0", Double.PositiveInfinity, 5L), (9005L, "0", Double.NegativeInfinity, 5L))
     val bad = Seq[(Long, String, Option[Double], Long)](
       (9002L, "0", None, 5L), (9003L, "0", Some(0.9), -5L))
     val full = withBad.map { case (i, g, q, t) => (i, g, Option(q), t) } ++ bad
@@ -107,6 +108,11 @@ class BudgetSelectSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val ids = got.map(_.getLong(0)).toSet
     ids should not contain 9002L // null quality
     ids should not contain 9003L // negative tokens
+    ids should not contain 9001L // NaN quality
+    // ±Inf quality: a +Inf group max would make every value bucket
+    // NaN and the refinement could never shrink — excluded up front.
+    ids should not contain 9004L
+    ids should not contain 9005L
     // xxhash64 mode runs the same machinery (different order, same contract).
     val fast = BudgetSelect.budgetSelect(df, "id", "src", "quality", "tokens",
       Map("1" -> 777L))

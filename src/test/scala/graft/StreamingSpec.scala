@@ -257,6 +257,41 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("streaming near-dup dedup: a late row after an event-time burst cannot kill the query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamDedup.dropNearDuplicates(
+      input.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", "1 hour")
+    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = out.writeStream.format("memory").queryName("stream_near_dup_burst")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("10:00"), "u1a u1b u1c"))
+      q.processAllAvailable()
+      // 10-hour jump: the EVICTION watermark races ahead of the
+      // late-events watermark (they differ by one batch).
+      input.addData((2L, ts("20:00"), "u2a u2b u2c"))
+      q.processAllAvailable()
+      // 09:30 is admitted by the LAGGING late-events watermark but its
+      // claim lapse (10:30) sits far below the eviction watermark —
+      // an unclamped setTimeoutTimestamp would throw and kill the
+      // query here, and again identically on restart.
+      input.addData((3L, ts("09:30"), "u3a u3b u3c"))
+      q.processAllAvailable()
+      input.addData((9L, ts("23:00"), "u9a u9b u9c")) // flush
+      q.processAllAvailable()
+      val got = spark.table("stream_near_dup_burst").select("id").as[Long].collect().sorted
+      got should contain allOf (1L, 2L)
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("streaming near-dup dedup: batch mode is single-batch greedy (claims never lapse)") {
     val s = spark
     import s.implicits._
