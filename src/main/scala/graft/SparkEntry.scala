@@ -1042,6 +1042,22 @@ object SparkEntry {
       TextAnalysis.languageId(df, "text", "doc_id").orderBy("doc_id")
     }),
 
+    // ---- Within-document repetition stats (the Gopher-style quality
+    // signals: documents that repeat THEMSELVES). The fixture has no
+    // newlines, so the gate synthesizes line structure from doc_id —
+    // even ids duplicate their text line, odd ids get two distinct
+    // lines — and DuckDB replays the whole definition (trimmed
+    // non-empty lines, O(L²) occurrence counts, bigram argmax with
+    // lexicographic tiebreak) over the same construction.
+    "txt_repetition" -> ((s, dir) => {
+      val df = t(s, dir, "documents").filter(col("text").isNotNull)
+      val corpus = df.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(col("text"), lit("\n"), col("text"), lit("\ntail")))
+          .otherwise(concat(col("text"), lit("\ntail "), col("doc_id"))).as("text"))
+      TextAnalysis.repetitionStats(corpus, "text", "doc_id").orderBy("doc_id")
+    }),
+
     // ---- Multimodal: nested-column (array) profile over embeddings.
     "mm_array_profile" -> ((s, dir) => {
       val df = t(s, dir, "embeddings")
@@ -2508,6 +2524,53 @@ object SparkEntry {
         |       ELSE 'zh' END AS lang_pred,
         |  CAST(greatest(de,en,es,fr,zh) AS BIGINT) AS marker_hits
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Replays the full repetition-stat definition over the same
+    // synthesized line structure: trimmed non-empty lines, O(L²)
+    // per-line occurrence counts, word bigrams of the lowered text,
+    // argmax with lexicographic tiebreak.
+    "txt_repetition" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text || chr(10) || text || chr(10) || 'tail'
+        |         ELSE text || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) END AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), l AS (
+        |  SELECT doc_id, t,
+        |    [x for x in [trim(y) for y in string_split(t, chr(10))] if x <> ''] AS lines,
+        |    string_split_regex(trim(lower(t)), '\s+') AS w
+        |  FROM c
+        |), g AS (
+        |  SELECT doc_id, t, lines,
+        |    CASE WHEN len(w) >= 2
+        |         THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |         ELSE []::VARCHAR[] END AS grams
+        |  FROM l
+        |), dl AS (
+        |  SELECT doc_id, t, lines, grams,
+        |    len([i for i in range(1, len(lines) + 1)
+        |         if len([x for x in lines if x = lines[i]]) > 1]) AS n_dup_lines,
+        |    coalesce(list_sum([CASE WHEN len([x for x in lines if x = lines[i]]) > 1
+        |         THEN length(lines[i]) ELSE 0 END for i in range(1, len(lines) + 1)]), 0) AS dup_chars,
+        |    coalesce(list_sum([length(x) for x in lines]), 0) AS tot_chars
+        |  FROM g
+        |), tg AS (
+        |  SELECT doc_id, gram, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |  GROUP BY doc_id, gram
+        |), tb AS (
+        |  SELECT doc_id, gram, n,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS rk
+        |  FROM tg
+        |)
+        |SELECT d.doc_id,
+        |  CAST(len(d.lines) AS BIGINT) AS n_lines,
+        |  round(coalesce(d.n_dup_lines * 1.0 / nullif(len(d.lines), 0), 0), 4) AS dup_line_frac,
+        |  round(coalesce(d.dup_chars * 1.0 / nullif(d.tot_chars, 0), 0), 4) AS dup_line_char_frac,
+        |  CAST(coalesce(b.n, 0) AS BIGINT) AS top_bigram_count,
+        |  round(coalesce(b.n * length(b.gram) * 1.0 / nullif(length(d.t), 0), 0), 4) AS top_bigram_char_frac
+        |FROM dl d LEFT JOIN (SELECT doc_id, gram, n FROM tb WHERE rk = 1) b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "validator_batched" ->
       """SELECT 'b1_no_negative_price' AS rule_name,

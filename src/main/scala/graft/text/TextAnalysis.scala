@@ -169,4 +169,83 @@ object TextAnalysis {
       .select(col("id"),
         explode(graft.functions.VectorFunctions.winnowingMins(col("t"), k, w, hashMode)).as("fp"))
   }
+
+  /** WITHIN-document repetition statistics — the Gopher-style quality
+    * signals (Rae et al. 2021, "Scaling Language Models", table A1)
+    * that catch boilerplate/spam documents whole-corpus dedup cannot:
+    * a document that repeats ITSELF.
+    *
+    * Per document (id):
+    *   - `n_lines`, `dup_line_frac`: fraction of newline-separated
+    *     lines whose trimmed content occurs more than once in the
+    *     document (all occurrences count as duplicates);
+    *   - `dup_line_char_frac`: characters inside those duplicated
+    *     lines over total line characters;
+    *   - `top_bigram_count`, `top_bigram_char_frac`: occurrences of
+    *     the document's most frequent word bigram (ties broken
+    *     lexicographically) and the characters it covers
+    *     (count × bigram length) over total text characters.
+    *
+    * Empty/whitespace documents yield zero fractions. All pure
+    * map-side column expressions: per-line and per-gram occurrence
+    * counts are O(L²)/O(G²) nested traversals over arrays BOUND to
+    * attributes first — a nested higher-order-function lambda
+    * re-evaluates captured subtrees per element, so binding the
+    * split/gram arrays before the inner loop is what keeps this
+    * linear in the tokenization (the same capture hazard
+    * [[graft.dedup.Dedup.wordShingles]] documents). Quadratic in the
+    * per-document line/gram COUNT, embarrassingly parallel across
+    * documents — the right trade for a per-row quality signal. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val r4 = (c: Column) => round(c, 4)
+    val bound = spread(df).filter(col(textCol).isNotNull).select(
+      col(idCol),
+      col(textCol).as("t"),
+      // Trimmed non-empty lines, bound ONCE.
+      filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "").as("lines"),
+      tokens(lower(col(textCol))).as("w"))
+    val grams = withBigrams(bound)
+    val lineCount = size(col("lines"))
+    // Occurrence count of each line within the document (O(L²) over
+    // the BOUND array attribute).
+    val lineOcc = transform(col("lines"),
+      l => size(filter(col("lines"), x => x === l)))
+    val dupLines = filter(arrays_zip(col("lines"), lineOcc.as("occ")),
+      s => s.getField("occ") > 1)
+    val dupLineChars = aggregate(dupLines, lit(0L),
+      (acc, s) => acc + length(s.getField("lines")))
+    val totalLineChars = aggregate(col("lines"), lit(0L), (acc, l) => acc + length(l))
+    val gramOcc = transform(col("grams"),
+      g => struct(size(filter(col("grams"), x => x === g)).as("n"), g.as("g")))
+    // Max by (count, then lexicographically smallest gram on ties):
+    // fold keeping the better struct.
+    val top = aggregate(gramOcc, struct(lit(0).as("n"), lit("").as("g")),
+      (acc, s) => when(s.getField("n") > acc.getField("n") ||
+          (s.getField("n") === acc.getField("n") && s.getField("g") < acc.getField("g")),
+        s).otherwise(acc))
+    grams.select(
+      col(idCol),
+      lineCount.cast("long").as("n_lines"),
+      r4(coalesce(size(dupLines).cast("double") / nullif(lineCount, lit(0)), lit(0.0)))
+        .as("dup_line_frac"),
+      r4(coalesce(dupLineChars.cast("double") / nullif(totalLineChars, lit(0L)), lit(0.0)))
+        .as("dup_line_char_frac"),
+      top.getField("n").cast("long").as("top_bigram_count"),
+      r4(coalesce((top.getField("n") * length(top.getField("g"))).cast("double") /
+          nullif(length(col("t")).cast("long"), lit(0L)), lit(0.0)))
+        .as("top_bigram_char_frac"))
+  }
+
+  /** Binds the word-bigram array as its own attribute (see the lambda
+    * capture note on [[repetitionStats]]). */
+  private def withBigrams(bound: DataFrame): DataFrame = {
+    val n = size(col("w"))
+    val pairs = arrays_zip(
+      slice(col("w"), lit(1), greatest(n - 1, lit(0))).as("a"),
+      slice(col("w"), lit(2), greatest(n - 1, lit(0))).as("b"))
+    bound.withColumn("grams",
+      when(n >= 2, transform(pairs,
+        s => concat_ws(" ", s.getField("a"), s.getField("b"))))
+        .otherwise(array().cast("array<string>")))
+  }
 }

@@ -164,4 +164,54 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     hs(0) shouldBe hs(1)
     hs(0) should not be hs(2)
   }
+
+  test("repetitionStats: duplicate-line and top-bigram fractions on hand-computed docs") {
+    val df = docs(
+      // 4 lines: "a b" ×2 duplicated (3 chars each), "c d", "e f".
+      // Bigrams of "a b a b c d e f": "a b"×2,"b a","b c","c d","d e","e f" → top "a b" n=2.
+      (1L, "a b\na b\nc d\ne f"),
+      // No duplicate lines; every bigram unique → top count 1,
+      // lexicographic tiebreak picks "alpha beta".
+      (2L, "alpha beta\ngamma delta"),
+      // Single word: no bigrams; one line.
+      (3L, "solo"),
+      // Whitespace-only: zero lines, zero everything.
+      (4L, "   "))
+    val rows = TextAnalysis.repetitionStats(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    rows(1L).getAs[Long]("n_lines") shouldBe 4L
+    rows(1L).getAs[Double]("dup_line_frac") shouldBe 0.5 // 2 of 4 lines duplicated
+    rows(1L).getAs[Double]("dup_line_char_frac") shouldBe 0.5 // 6 of 12 line chars
+    rows(1L).getAs[Long]("top_bigram_count") shouldBe 2L
+    // "a b" (3 chars) × 2 over 15 total chars (incl. newlines).
+    rows(1L).getAs[Double]("top_bigram_char_frac") shouldBe 0.4
+
+    rows(2L).getAs[Double]("dup_line_frac") shouldBe 0.0
+    rows(2L).getAs[Long]("top_bigram_count") shouldBe 1L
+    // Tie at count 1 → lexicographically smallest bigram "alpha beta"
+    // (10 chars) over 22 total chars.
+    rows(2L).getAs[Double]("top_bigram_char_frac") shouldBe (10.0 / 22.0 +- 0.0001)
+
+    rows(3L).getAs[Long]("n_lines") shouldBe 1L
+    rows(3L).getAs[Long]("top_bigram_count") shouldBe 0L
+    rows(3L).getAs[Double]("top_bigram_char_frac") shouldBe 0.0
+
+    rows(4L).getAs[Long]("n_lines") shouldBe 0L
+    rows(4L).getAs[Double]("dup_line_frac") shouldBe 0.0
+    rows(4L).getAs[Double]("dup_line_char_frac") shouldBe 0.0
+  }
+
+  test("repetitionStats flags a self-repeating document against a clean one") {
+    val clean = "the quick brown fox jumps over the lazy dog and then rests"
+    val spam = Seq.fill(20)("buy cheap pills now").mkString("\n")
+    val df = docs((1L, clean), (2L, spam))
+    val rows = TextAnalysis.repetitionStats(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows(2L).getAs[Double]("dup_line_frac") shouldBe 1.0
+    rows(2L).getAs[Double]("dup_line_char_frac") shouldBe 1.0
+    rows(2L).getAs[Long]("top_bigram_count") shouldBe 20L
+    rows(1L).getAs[Double]("dup_line_frac") shouldBe 0.0
+    rows(1L).getAs[Long]("top_bigram_count") shouldBe 1L // no repeated bigram
+  }
 }
