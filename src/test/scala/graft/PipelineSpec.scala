@@ -65,5 +65,27 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val totals = tokens.agg(sum("n_tokens_ws"), sum("n_tokens_bpe")).head()
     totals.getLong(0) should be > 0L
     totals.getLong(1) should be >= totals.getLong(0) // BPE ≥ whitespace splits
+
+    // Stage 5: data mixing — budget-select the best-quality documents
+    // per language under per-source token budgets, then carve a
+    // deterministic validation split. Both stages are map-side /
+    // threshold-search operators that join back on doc_id.
+    val mixed = graft.sampling.BudgetSelect.budgetSelect(
+      kept.join(tokens.select(col("doc_id"), col("n_tokens_ws")), "doc_id"),
+      "doc_id", "lang_pred", "quality_score", "n_tokens_ws",
+      Map.empty, defaultBudget = 2000L)
+    val spentPerLang = mixed.groupBy("lang_pred")
+      .agg(sum("n_tokens_ws").as("spent")).collect()
+    spentPerLang should not be empty
+    all(spentPerLang.map(_.getAs[Long]("spent"))) should be <= 2000L
+    val split = graft.sampling.Sampling.hashSplit(
+      mixed, "doc_id", Seq(("train", 9.0), ("val", 1.0)))
+    split.count() shouldBe mixed.count() // splitting loses nothing
+    // Split assignment is a pure function of doc_id: recomputing over
+    // the recomputed pipeline yields the identical partition.
+    val again = graft.sampling.Sampling.hashSplit(
+      mixed, "doc_id", Seq(("train", 9.0), ("val", 1.0)))
+    again.filter(col("split") === "val").select("doc_id").collect().toSet shouldBe
+      split.filter(col("split") === "val").select("doc_id").collect().toSet
   }
 }
