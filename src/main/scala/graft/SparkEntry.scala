@@ -1049,6 +1049,26 @@ object SparkEntry {
     // lines — and DuckDB replays the whole definition (trimmed
     // non-empty lines, O(L²) occurrence counts, bigram argmax with
     // lexicographic tiebreak) over the same construction.
+    // ---- Per-document pattern counts (emails / URLs / digit runs —
+    // the PII-and-link signals a pipeline filters or redacts on). The
+    // fixture text carries none, so deterministic snippets are
+    // appended by doc_id rule — every 3rd doc an email, every 5th a
+    // URL — and the oracle counts the same regexes with DuckDB's RE2
+    // (the patterns are alternation-free greedy, where Java and RE2
+    // matching coincide).
+    "txt_pattern_counts" -> ((s, dir) => {
+      val df = t(s, dir, "documents").filter(col("text").isNotNull)
+      val corpus = df.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact u"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" see https://example.org/p/"), col("doc_id"), lit(" there")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.patternCounts(corpus, "text", "doc_id").orderBy("doc_id")
+    }),
+
     "txt_repetition" -> ((s, dir) => {
       val df = t(s, dir, "documents").filter(col("text").isNotNull)
       val corpus = df.select(col("doc_id"),
@@ -2523,6 +2543,20 @@ object SparkEntry {
         |       WHEN fr >= zh THEN 'fr'
         |       ELSE 'zh' END AS lang_pred,
         |  CAST(greatest(de,en,es,fr,zh) AS BIGINT) AS marker_hits
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "txt_pattern_counts" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/p/' || CAST(doc_id AS VARCHAR) || ' there' ELSE '' END AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS email_count,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS url_count,
+        |  CAST(len(regexp_extract_all(t, '[0-9]+')) AS BIGINT) AS digit_run_count
         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Replays the full repetition-stat definition over the same

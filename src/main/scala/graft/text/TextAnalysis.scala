@@ -236,6 +236,26 @@ object TextAnalysis {
         .as("top_bigram_char_frac"))
   }
 
+  /** Per-document occurrence counts of the patterns a pipeline
+    * filters or redacts on: email addresses, URLs, and digit runs —
+    * the DOCUMENT-granular companion of the profiler's column-level
+    * P7 pass (which counts whole values matching the reference's
+    * patterns; a free-text document instead contains such substrings).
+    * Patterns are alternation-free greedy regexes on purpose: Java's
+    * leftmost-first and RE2's leftmost-longest matching coincide on
+    * them, so an oracle replays the counts exactly. Map-side
+    * `regexp_count`, no UDFs. */
+  def patternCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    spread(df).filter(col(textCol).isNotNull).select(
+      col(idCol),
+      regexp_count(col(textCol),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).cast("long")
+        .as("email_count"),
+      regexp_count(col(textCol), lit("https?://[^\\s]+")).cast("long")
+        .as("url_count"),
+      regexp_count(col(textCol), lit("[0-9]+")).cast("long")
+        .as("digit_run_count"))
+
   /** Binds the word-bigram array as its own attribute (see the lambda
     * capture note on [[repetitionStats]]). */
   private def withBigrams(bound: DataFrame): DataFrame = {

@@ -214,4 +214,19 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows(1L).getAs[Double]("dup_line_frac") shouldBe 0.0
     rows(1L).getAs[Long]("top_bigram_count") shouldBe 1L // no repeated bigram
   }
+
+  test("patternCounts finds emails, urls and digit runs as substrings") {
+    val df = docs(
+      (1L, "mail a@b.co and c.d+x@e-f.org, see https://x.y/z?q=1 or http://p.q, built 2024 in 30 days"),
+      (2L, "no patterns here at all"),
+      (3L, "not-an-email @ nowhere . com"))
+    val rows = TextAnalysis.patternCounts(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows(1L).getAs[Long]("email_count") shouldBe 2L
+    rows(1L).getAs[Long]("url_count") shouldBe 2L
+    rows(1L).getAs[Long]("digit_run_count") shouldBe 3L // 1, 2024, 30
+    rows(2L).getAs[Long]("email_count") shouldBe 0L
+    rows(2L).getAs[Long]("url_count") shouldBe 0L
+    rows(3L).getAs[Long]("email_count") shouldBe 0L // bare @ is not an address
+  }
 }
