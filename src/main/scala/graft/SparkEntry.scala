@@ -2596,14 +2596,21 @@ object SparkEntry {
         |  SELECT doc_id, gram, n,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS rk
         |  FROM tg
+        |), dg AS (
+        |  SELECT doc_id,
+        |         coalesce(sum(CASE WHEN n > 1 THEN n * length(gram) ELSE 0 END), 0) AS dup_gram_chars
+        |  FROM tg GROUP BY doc_id
         |)
         |SELECT d.doc_id,
         |  CAST(len(d.lines) AS BIGINT) AS n_lines,
         |  round(coalesce(d.n_dup_lines * 1.0 / nullif(len(d.lines), 0), 0), 4) AS dup_line_frac,
         |  round(coalesce(d.dup_chars * 1.0 / nullif(d.tot_chars, 0), 0), 4) AS dup_line_char_frac,
         |  CAST(coalesce(b.n, 0) AS BIGINT) AS top_bigram_count,
-        |  round(coalesce(b.n * length(b.gram) * 1.0 / nullif(length(d.t), 0), 0), 4) AS top_bigram_char_frac
-        |FROM dl d LEFT JOIN (SELECT doc_id, gram, n FROM tb WHERE rk = 1) b USING (doc_id)
+        |  round(coalesce(b.n * length(b.gram) * 1.0 / nullif(length(d.t), 0), 0), 4) AS top_bigram_char_frac,
+        |  round(least(1.0, coalesce(g2.dup_gram_chars * 1.0 / nullif(length(d.t), 0), 0)), 4) AS dup_bigram_char_frac
+        |FROM dl d
+        |LEFT JOIN (SELECT doc_id, gram, n FROM tb WHERE rk = 1) b USING (doc_id)
+        |LEFT JOIN dg g2 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "validator_batched" ->

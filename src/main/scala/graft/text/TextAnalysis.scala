@@ -184,7 +184,13 @@ object TextAnalysis {
     *   - `top_bigram_count`, `top_bigram_char_frac`: occurrences of
     *     the document's most frequent word bigram (ties broken
     *     lexicographically) and the characters it covers
-    *     (count × bigram length) over total text characters.
+    *     (count × bigram length) over total text characters;
+    *   - `dup_bigram_char_frac`: characters covered by ALL occurrences
+    *     of any repeated bigram over total text characters — the same
+    *     all-occurrences convention as the line stats. Adjacent
+    *     repeated bigrams overlap on their shared word, so the raw sum
+    *     can exceed the text length; the fraction clamps at 1.0 (it is
+    *     a repetition SIGNAL, not a partition of the text).
     *
     * Empty/whitespace documents yield zero fractions. All pure
     * map-side column expressions: per-line and per-gram occurrence
@@ -223,6 +229,9 @@ object TextAnalysis {
       (acc, s) => when(s.getField("n") > acc.getField("n") ||
           (s.getField("n") === acc.getField("n") && s.getField("g") < acc.getField("g")),
         s).otherwise(acc))
+    val dupGramChars = aggregate(gramOcc, lit(0L),
+      (acc, s) => acc + when(s.getField("n") > 1, length(s.getField("g")).cast("long"))
+        .otherwise(lit(0L)))
     grams.select(
       col(idCol),
       lineCount.cast("long").as("n_lines"),
@@ -233,7 +242,10 @@ object TextAnalysis {
       top.getField("n").cast("long").as("top_bigram_count"),
       r4(coalesce((top.getField("n") * length(top.getField("g"))).cast("double") /
           nullif(length(col("t")).cast("long"), lit(0L)), lit(0.0)))
-        .as("top_bigram_char_frac"))
+        .as("top_bigram_char_frac"),
+      r4(least(lit(1.0), coalesce(dupGramChars.cast("double") /
+          nullif(length(col("t")).cast("long"), lit(0L)), lit(0.0))))
+        .as("dup_bigram_char_frac"))
   }
 
   /** Per-document occurrence counts of the patterns a pipeline

@@ -186,6 +186,9 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows(1L).getAs[Long]("top_bigram_count") shouldBe 2L
     // "a b" (3 chars) × 2 over 15 total chars (incl. newlines).
     rows(1L).getAs[Double]("top_bigram_char_frac") shouldBe 0.4
+    // The only repeated bigram is "a b" → same 6 chars over 15.
+    rows(1L).getAs[Double]("dup_bigram_char_frac") shouldBe 0.4
+    rows(2L).getAs[Double]("dup_bigram_char_frac") shouldBe 0.0
 
     rows(2L).getAs[Double]("dup_line_frac") shouldBe 0.0
     rows(2L).getAs[Long]("top_bigram_count") shouldBe 1L
@@ -211,6 +214,9 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows(2L).getAs[Double]("dup_line_frac") shouldBe 1.0
     rows(2L).getAs[Double]("dup_line_char_frac") shouldBe 1.0
     rows(2L).getAs[Long]("top_bigram_count") shouldBe 20L
+    // Every bigram of the repeated line repeats; overlapping coverage
+    // exceeds the text length and clamps at 1.
+    rows(2L).getAs[Double]("dup_bigram_char_frac") shouldBe 1.0
     rows(1L).getAs[Double]("dup_line_frac") shouldBe 0.0
     rows(1L).getAs[Long]("top_bigram_count") shouldBe 1L // no repeated bigram
   }
