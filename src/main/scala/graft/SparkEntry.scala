@@ -1017,6 +1017,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Deterministic epoch shuffle: the training-order permutation
+    // as a pure function of (seed, epoch, id). The gate checks the
+    // ORDER itself (the compare is row-order-sensitive): the md5-mode
+    // shuffle key replays in DuckDB and both engines emit the corpus
+    // in the identical permutation.
+    "smp_epoch_shuffle" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      graft.sampling.Sampling.epochShuffle(df.select(col("doc_id")), "doc_id",
+          epoch = 1, hashMode = "md5")
+        .select(col("doc_id"), round(col("shuffle_key"), 4).as("shuffle_key"))
+    }),
+
     // ---- LLM-pipeline: per-document content fingerprints (md5 of the
     // normalized text — byte-identical across engines by construction).
     "txt_fingerprints" -> ((s, dir) => {
@@ -2159,6 +2171,21 @@ object SparkEntry {
          |SELECT doc_id, src, CAST(tokens AS BIGINT) AS tokens FROM c
          |WHERE (src = '0' AND cum <= 800) OR (src = '1' AND cum <= 200)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // Replays the epoch-folded md5 shuffle key and the (key, id)
+    // order — the permutation itself is what the row-order-sensitive
+    // compare verifies.
+    "smp_epoch_shuffle" -> {
+      val folded = 42L + 0x9E3779B97F4A7C15L * 2L // seed 42, epoch 1
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}.0")
+        .mkString(" +\n         |         ")
+      s"""WITH h AS (
+         |  SELECT doc_id, md5('$folded:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+         |)
+         |SELECT doc_id, round(($nibbles) / 4294967296.0, 4) AS shuffle_key
+         |FROM h ORDER BY ($nibbles) / 4294967296.0, doc_id""".stripMargin
     },
 
     "src_json_profile" ->

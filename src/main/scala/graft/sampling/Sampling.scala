@@ -91,6 +91,30 @@ object Sampling {
     df.filter(uniformHash(col(idCol), seed, hashMode) < fraction)
   }
 
+  /** Deterministic epoch shuffle: a total order over the corpus that
+    * is a pure function of (seed, epoch, id) — the reproducible
+    * global shuffle a training run needs (same corpus + seed + epoch
+    * → byte-identical order on any cluster; next epoch → a fresh,
+    * equally-uniform order; no `rand()` retry hazard). Returns the
+    * rows ordered by the epoch's uniform hash with `orderCol` exposing
+    * it (for bucketed writes or range-partitioned sinks).
+    *
+    * Scale: a global sort — Spark range-partitions it distributively
+    * (sampling pass + per-partition sort), the standard shape for
+    * writing training shards in shuffle order; there is no
+    * window/single-task funnel. */
+  def epochShuffle(
+      df: DataFrame, idCol: String, epoch: Int, seed: Long = 42L,
+      hashMode: String = "xxhash64", orderCol: String = "shuffle_key"): DataFrame = {
+    require(!df.columns.contains(orderCol),
+      s"input already has a '$orderCol' column — pass orderCol to use another name")
+    // Epoch folds into the seed so epochs are independent permutations
+    // of the same corpus under one base seed.
+    df.withColumn(orderCol,
+        uniformHash(col(idCol), seed + 0x9E3779B97F4A7C15L * (epoch + 1), hashMode))
+      .orderBy(col(orderCol), col(idCol))
+  }
+
   /** Per-stratum deterministic sampling: each row's keep-fraction is
     * looked up by its stratum value (missing strata → `defaultFraction`,
     * default 0 = drop). The standard rebalancing move for mixed-source

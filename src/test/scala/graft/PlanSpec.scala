@@ -223,6 +223,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     physical(joined) should include("BroadcastHashJoin")
   }
 
+  test("repetition stats are one map-side projection: no exchange, no aggregate, no explode") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b\na b")).toDF("doc_id", "text")
+    val plan = physical(graft.text.TextAnalysis.repetitionStats(df, "text", "doc_id"))
+    plan should not include "Exchange"
+    plan should not include "Aggregate"
+    plan should not include "Generate"
+  }
+
   test("nested stats aggregate in one pass without explode") {
     val s = spark
     import s.implicits._

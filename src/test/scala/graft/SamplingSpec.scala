@@ -74,6 +74,20 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out("1").toDouble shouldBe 833.0 +- 220.0
   }
 
+  test("epochShuffle: deterministic permutation per epoch, different across epochs") {
+    val e0a = Sampling.epochShuffle(corpus, "id", epoch = 0)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val e0b = Sampling.epochShuffle(corpus, "id", epoch = 0)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    e0b shouldBe e0a // reproducible
+    e0a.sorted shouldBe (1L to 10000L) // a permutation, nothing lost
+    e0a should not be (1L to 10000L) // and genuinely shuffled
+    val e1 = Sampling.epochShuffle(corpus, "id", epoch = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    e1 should not be e0a // epochs are independent permutations
+    e1.sorted shouldBe (1L to 10000L)
+  }
+
   test("invalid arguments fail fast") {
     an[IllegalArgumentException] should be thrownBy
       Sampling.hashSplit(corpus, "id", Seq(("a", 0.5), ("a", 0.5)))
