@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Decontaminate, Dedup}
 import graft.model.TableMeta
 import graft.multimodal.Multimodal
 import graft.profiler.{ProfilePasses, Profiler, ProfilerConfig}
@@ -1417,6 +1417,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- LLM-pipeline: benchmark decontamination (token 8-gram
+    // overlap, GPT-3 appendix-C shape). The benchmark is synthesized
+    // the way real contamination happens: every 29th document donates
+    // a 20-token passage (tokens 5..24), prefixed with a 12-token
+    // shared preamble of out-of-vocabulary markers (the "answer the
+    // following"-style boilerplate every eval example carries). The
+    // donor document then contains the passage's 13 interior 8-grams
+    // of the example's 25 → overlap 0.52 ≥ 0.5; near-duplicate
+    // documents of a donor surface as extra cross-hits (2 at sf0.01).
+    // The preamble's 5 interior grams sit in ALL 18 examples —
+    // above the bench-df cap of 10 — so the cap genuinely binds and
+    // the report's denominator still counts them (the honest-fraction
+    // contract ll17b audits). md5 mode → DuckDB replays grams,
+    // pruning, join, and fraction exactly.
+    "ll17_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val pre = (1 to 12).map(i => s"pz$i").mkString(" ")
+      val w = split(trim(col("text")), "\\s+")
+      val bench = docs.filter(pmod(col("doc_id"), lit(29)) === 3)
+        .select(col("doc_id").as("q_id"),
+          concat(lit(pre + " "), concat_ws(" ", slice(w, 5, 20))).as("q_text"))
+      Decontaminate.contaminationReport(
+          docs, "doc_id", "text", bench, "q_id", "q_text",
+          gramSize = 8, minOverlap = 0.5, maxBenchGramDf = 10, hashMode = "md5")
+        .orderBy("corpus_id", "bench_id")
+    }),
+
+    // ---- The cap audit for ll17 ("no silent caps"): every benchmark
+    // gram the bench-df <= 10 pruning dropped — exactly the 5 interior
+    // preamble grams, each carried by all 18 examples.
+    "ll17b_capped_bench_grams" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val pre = (1 to 12).map(i => s"pz$i").mkString(" ")
+      val w = split(trim(col("text")), "\\s+")
+      val bench = docs.filter(pmod(col("doc_id"), lit(29)) === 3)
+        .select(col("doc_id").as("q_id"),
+          concat(lit(pre + " "), concat_ws(" ", slice(w, 5, 20))).as("q_text"))
+      Decontaminate.cappedBenchGrams(
+          bench, "q_id", "q_text", gramSize = 8, maxBenchGramDf = 10, hashMode = "md5")
+        .orderBy(col("bench_df").desc, col("gram"))
+    }),
+
     // ---- Validator with COUNT-WHERE fusion: same results as the
     // sequential path, one scan per table instead of one per rule.
     "validator_batched" -> ((s, dir) => {
@@ -2515,6 +2557,64 @@ object SparkEntry {
         |)
         |SELECT doc_id, strftime(DATE '2024-01-01' + day, '%Y-%m-%d') AS day
         |FROM keep ORDER BY doc_id""".stripMargin,
+
+    // Replays the full decontamination construction: synthesized
+    // benchmark (preamble + tokens 5..24 of every 29th doc), md5
+    // token-8-gram posting lists on both sides (short docs collapse to
+    // one whole-text gram), bench-df <= 10 pruning, posting join,
+    // full-count denominator, 4-decimal fraction, threshold 0.5.
+    "ll17_contamination" -> {
+      val pre = (1 to 12).map(i => s"pz$i").mkString(" ")
+      s"""WITH hosts AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+         |  WHERE doc_id % 29 = 3 AND text IS NOT NULL
+         |), bench AS (
+         |  SELECT doc_id AS q_id, '$pre ' || array_to_string(w[5:24], ' ') AS q_text FROM hosts
+         |), bw AS (
+         |  SELECT q_id, string_split_regex(trim(q_text), '\\s+') AS w FROM bench
+         |), bg AS (
+         |  SELECT q_id, unnest(CASE WHEN len(w) >= 8
+         |      THEN list_distinct([md5(array_to_string(w[i:i+7], ' ')) for i in range(1, len(w) - 6)])
+         |      ELSE [md5(array_to_string(w, ' '))] END) AS gram FROM bw
+         |), bcnt AS (SELECT q_id, count(*) AS bench_grams FROM bg GROUP BY 1),
+         |rare AS (SELECT gram FROM bg GROUP BY gram HAVING count(*) <= 10),
+         |bp AS (SELECT q_id, gram FROM bg JOIN rare USING (gram)),
+         |cw AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+         |  WHERE text IS NOT NULL
+         |), cg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+         |      THEN list_distinct([md5(array_to_string(w[i:i+7], ' ')) for i in range(1, len(w) - 6)])
+         |      ELSE [md5(array_to_string(w, ' '))] END) AS gram FROM cw
+         |), sh AS (
+         |  SELECT cg.doc_id AS corpus_id, bp.q_id AS bench_id, count(*) AS shared_grams
+         |  FROM cg JOIN bp USING (gram) GROUP BY 1, 2
+         |), rep AS (
+         |  SELECT corpus_id, bench_id, shared_grams, bench_grams,
+         |         round(CAST(shared_grams AS DOUBLE) / bench_grams, 4) AS overlap_frac
+         |  FROM sh JOIN bcnt ON sh.bench_id = bcnt.q_id
+         |)
+         |SELECT * FROM rep WHERE overlap_frac >= 0.5 ORDER BY corpus_id, bench_id""".stripMargin
+    },
+
+    "ll17b_capped_bench_grams" -> {
+      val pre = (1 to 12).map(i => s"pz$i").mkString(" ")
+      s"""WITH hosts AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+         |  WHERE doc_id % 29 = 3 AND text IS NOT NULL
+         |), bench AS (
+         |  SELECT doc_id AS q_id, '$pre ' || array_to_string(w[5:24], ' ') AS q_text FROM hosts
+         |), bw AS (
+         |  SELECT q_id, string_split_regex(trim(q_text), '\\s+') AS w FROM bench
+         |), bg AS (
+         |  SELECT q_id, unnest(CASE WHEN len(w) >= 8
+         |      THEN list_distinct([md5(array_to_string(w[i:i+7], ' ')) for i in range(1, len(w) - 6)])
+         |      ELSE [md5(array_to_string(w, ' '))] END) AS gram FROM bw
+         |)
+         |SELECT gram, count(*) AS bench_df FROM bg
+         |GROUP BY gram HAVING count(*) > 10
+         |ORDER BY bench_df DESC, gram""".stripMargin
+    },
 
     "txt_fingerprints" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
