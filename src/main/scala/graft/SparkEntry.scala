@@ -1029,6 +1029,31 @@ object SparkEntry {
         .select(col("doc_id"), round(col("shuffle_key"), 4).as("shuffle_key"))
     }),
 
+    // ---- Deterministic sequence packing: hash shards (leading bits
+    // of the md5 uniform hash), per-shard order by (hash, id), and a
+    // running token sum cut into soft bins of 500 tokens. The oracle
+    // replays shard, order, cumsum, and bin arithmetic exactly —
+    // every document's (shard, bin) assignment is hash-checked.
+    "smp_pack_bins" -> ((s, dir) => {
+      val df = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      graft.sampling.Sampling.packBins(df, "doc_id", "n_tokens",
+          tokenBudget = 500L, numShards = 8, hashMode = "md5")
+        .select(col("doc_id"), col("shard"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Context-window chunking: token windows of 32 with 8 tokens
+    // of overlap (stride 24); the final window runs short rather than
+    // re-reading covered overlap. Every chunk's text and token count
+    // is hash-checked against the replayed slicing.
+    "txt_chunks" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      TextAnalysis.chunk(df, "text", "doc_id", maxTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---- LLM-pipeline: per-document content fingerprints (md5 of the
     // normalized text — byte-identical across engines by construction).
     "txt_fingerprints" -> ((s, dir) => {
@@ -1088,6 +1113,34 @@ object SparkEntry {
             concat(col("text"), lit("\n"), col("text"), lit("\ntail")))
           .otherwise(concat(col("text"), lit("\ntail "), col("doc_id"))).as("text"))
       TextAnalysis.repetitionStats(corpus, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // ---- PII/pattern redaction over the same synthesized corpus as
+    // txt_pattern_counts: emails, then URLs, then freestanding digit
+    // runs become typed placeholders. DuckDB applies the identical
+    // replacement chain with RE2 ('g'), which coincides with Java on
+    // these alternation-free greedy patterns — full text hash match.
+    "txt_redact" -> ((s, dir) => {
+      val df = t(s, dir, "documents").filter(col("text").isNotNull)
+      val corpus = df.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact u"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" see https://example.org/p/"), col("doc_id"), lit(" there")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.redact(corpus, "text")
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- Corpus-level boilerplate detection: the 25 token trigrams
+    // with the highest DOCUMENT frequency (distinct per doc, so a
+    // within-document spam loop counts once), ties broken on the gram
+    // — a deterministic total order both engines replay.
+    "txt_top_ngrams" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      TextAnalysis.topNgrams(df, "text", "doc_id", n = 3, k = 25, minCount = 2)
     }),
 
     // ---- Multimodal: nested-column (array) profile over embeddings.
@@ -2230,6 +2283,55 @@ object SparkEntry {
          |FROM h ORDER BY ($nibbles) / 4294967296.0, doc_id""".stripMargin
     },
 
+    // Replays packing end-to-end: md5 uniform hash → shard = leading
+    // 3 bits (floor(u·8)), per-shard (u, id) order, inclusive-minus-
+    // self running token sum, bin = floor(sum/500).
+    "smp_pack_bins" -> {
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}.0")
+        .mkString(" +\n         |         ")
+      s"""WITH d AS (
+         |  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |         md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents WHERE text IS NOT NULL
+         |), u AS (
+         |  SELECT doc_id, n_tokens,
+         |        ($nibbles) / 4294967296.0 AS u
+         |  FROM d
+         |), s AS (
+         |  SELECT doc_id, n_tokens, u, CAST(floor(u * 8) AS INTEGER) AS shard FROM u
+         |), c AS (
+         |  SELECT doc_id, shard,
+         |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+         |           ROWS UNBOUNDED PRECEDING) - n_tokens AS prior
+         |  FROM s
+         |)
+         |SELECT doc_id, shard, CAST(floor(prior / 500.0) AS BIGINT) AS bin
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    // Replays the chunk windows: stride 24 (= 32 − 8 overlap),
+    // ceil((n − 32)/24) + 1 windows, parallel unnest zipping index
+    // and text, token count of each chunk.
+    "txt_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |  WHERE text IS NOT NULL
+        |), n AS (
+        |  SELECT doc_id, w,
+        |         CASE WHEN len(w) <= 32 THEN 1
+        |              ELSE CAST(ceil((len(w) - 32) / 24.0) AS INTEGER) + 1 END AS nc
+        |  FROM w
+        |), c AS (
+        |  SELECT doc_id,
+        |         unnest([i for i in range(0, nc)]) AS chunk_idx,
+        |         unnest([array_to_string(w[(i * 24 + 1):(i * 24 + 32)], ' ') for i in range(0, nc)]) AS chunk_text
+        |  FROM n
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+        |       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "src_json_profile" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(count(DISTINCT s_nationkey) AS BIGINT) AS n_nations,
@@ -2739,6 +2841,40 @@ object SparkEntry {
         |LEFT JOIN (SELECT doc_id, gram, n FROM tb WHERE rk = 1) b USING (doc_id)
         |LEFT JOIN dg g2 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the redaction chain with RE2: email, then URL, then
+    // digit runs, each global-replaced in order.
+    "txt_redact" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/p/' || CAST(doc_id AS VARCHAR) || ' there' ELSE '' END AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]+', '<NUMBER>', 'g') AS text
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Replays the document-frequency trigram count: distinct trigrams
+    // per document (short docs collapse to one whole-text gram),
+    // df >= 2, (df desc, gram) total order, top 25.
+    "txt_top_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |  WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+        |      ELSE [array_to_string(w, ' ')] END) AS gram FROM w
+        |)
+        |SELECT gram, count(*) AS df_count FROM g
+        |GROUP BY gram HAVING count(*) >= 2
+        |ORDER BY df_count DESC, gram LIMIT 25""".stripMargin,
 
     "validator_batched" ->
       """SELECT 'b1_no_negative_price' AS rule_name,

@@ -115,6 +115,52 @@ object Sampling {
       .orderBy(col(orderCol), col(idCol))
   }
 
+  /** Deterministic sequence packing: assign each document to a
+    * training bin so that consecutive documents (in a reproducible
+    * order) accumulate roughly `tokenBudget` tokens per bin — the
+    * batch/shard assignment step of sequence packing, computed
+    * deterministically instead of by a first-fit heap no two runs
+    * replay the same way. Adds (`shardCol`, `binCol`).
+    *
+    * The corpus is first cut into `numShards` hash shards (pure
+    * function of (seed, id) — same stability contract as every
+    * operator here), then each shard is packed independently: its
+    * documents ordered by the uniform hash, a running token sum, and
+    * bin = floor((cumsum − tokens) / tokenBudget), i.e. a document
+    * starts a new bin once the budget is crossed. Bins are "soft": a
+    * document longer than the budget gets a bin of its own rather
+    * than being split (compose with [[graft.text.TextAnalysis.chunk]]
+    * first to bound document length).
+    *
+    * Scale: the one shuffle is the window over `shardCol` — shards
+    * bound partition size (pick numShards ≈ corpus_tokens /
+    * (10⁷·budget-ish) so a shard fits a task), and the window's sort
+    * is per-shard, never global. Bin ids are (shard, bin) pairs —
+    * globally unique, reproducible across runs, independent of
+    * cluster shape. */
+  def packBins(
+      df: DataFrame, idCol: String, tokenCol: String,
+      tokenBudget: Long, numShards: Int = 1024,
+      seed: Long = 42L, hashMode: String = "xxhash64",
+      shardCol: String = "shard", binCol: String = "bin"): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1: $tokenBudget")
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    Seq(shardCol, binCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — pass shardCol/binCol to use other names")
+    }
+    // Shard and order both derive from the ONE uniform hash (shard =
+    // leading bits, order = the full value) — one hash evaluation,
+    // and both replay in an external engine in md5 mode.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col("__u"), col(idCol))
+    df.withColumn("__u", uniformHash(col(idCol), seed, hashMode))
+      .withColumn(shardCol, floor(col("__u") * numShards).cast("int"))
+      .withColumn(binCol,
+        floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / lit(tokenBudget)))
+      .drop("__u")
+  }
+
   /** Per-stratum deterministic sampling: each row's keep-fraction is
     * looked up by its stratum value (missing strata → `defaultFraction`,
     * default 0 = drop). The standard rebalancing move for mixed-source

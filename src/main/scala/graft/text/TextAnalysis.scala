@@ -268,6 +268,105 @@ object TextAnalysis {
       regexp_count(col(textCol), lit("[0-9]+")).cast("long")
         .as("digit_run_count"))
 
+  /** Context-window chunking: split each document into token windows
+    * of `maxTokens` with `overlap` tokens carried between consecutive
+    * windows (stride = maxTokens − overlap) — the standard
+    * long-document preparation for a fixed-context model. Emits one
+    * row per chunk: (id, chunk_idx, chunk_text, n_tokens), chunk_idx
+    * 0-based in document order; a document at or under `maxTokens`
+    * yields exactly its own text as chunk 0, and the final window is
+    * allowed to run short rather than re-reading extra overlap (no
+    * chunk ever starts at or past the token count).
+    *
+    * Pure map-side: tokenization, window arithmetic, and the explode
+    * all happen in one projection — no shuffle at any corpus size (the
+    * row-count amplification is the operator's OUTPUT, ~n/stride rows
+    * per document). The token array is bound to an attribute before
+    * the per-window lambda slices it — a nested HOF lambda would
+    * re-split the document once per chunk (the capture hazard
+    * [[repetitionStats]] documents). Null texts yield no chunks. */
+  def chunk(
+      df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int = 512, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens): $overlap")
+    val stride = maxTokens - overlap
+    val bound = spread(df).filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("w"))
+    val n = size(col("w"))
+    // Chunking stops at the first window that reaches the end of the
+    // document: ceil((n − maxTokens) / stride) + 1 windows (a start at
+    // or past the end would only re-emit overlap already covered).
+    val nChunks = when(n <= maxTokens, lit(1))
+      .otherwise(ceil((n - lit(maxTokens)).cast("double") / stride).cast("int") + 1)
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(col("w"), i * stride + 1, lit(maxTokens))))
+    bound.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens",
+        (size(split(col("chunk_text"), " "))).cast("long"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"), col("n_tokens"))
+  }
+
+  /** The default redaction table: the same alternation-free greedy
+    * patterns [[patternCounts]] counts (Java leftmost-first and RE2
+    * leftmost-longest coincide on them, so redacted output is
+    * engine-reproducible), each mapped to a typed placeholder.
+    * Order matters and is applied as listed: emails and URLs are
+    * rewritten BEFORE digit runs, so an address's or link's own digits
+    * never get re-redacted into nested placeholders (the placeholders
+    * themselves contain no digits). */
+  val DefaultRedactions: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "[0-9]+" -> "<NUMBER>")
+
+  /** PII/pattern redaction: every match of each pattern replaced by
+    * its placeholder, patterns applied in order over the whole
+    * document. Returns the input frame with `textCol` REPLACED (schema
+    * otherwise unchanged), so it drops into a pipeline between any two
+    * stages. Pure map-side fold of codegen'd `regexp_replace` calls —
+    * no shuffle, no UDFs; at 100 TB this is a free rider on whatever
+    * scan already reads the text column. Null texts stay null. */
+  def redact(
+      df: DataFrame, textCol: String,
+      redactions: Seq[(String, String)] = DefaultRedactions): DataFrame = {
+    val redacted = redactions.foldLeft(col(textCol)) {
+      case (c, (pattern, placeholder)) => regexp_replace(c, lit(pattern), lit(placeholder))
+    }
+    df.withColumn(textCol, redacted)
+  }
+
+  /** Corpus-level frequent n-grams — the boilerplate detector: the
+    * `k` token n-grams occurring in the most DOCUMENTS (document
+    * frequency, the dedup-relevant notion: a gram repeated inside one
+    * spammy document is [[repetitionStats]]'s business, a gram shared
+    * by thousands of documents is template boilerplate), with
+    * deterministic order (df_count desc, then gram). Feeds removal
+    * rules and explains what the dedup caps are colliding on.
+    *
+    * Plan shape: distinct grams per document ([[graft.dedup.Dedup.wordShingles]])
+    * explode map-side into the ONE shuffle — a partially-aggregated
+    * count per gram (tiny after map-side combine whenever boilerplate
+    * is actually frequent) — and the top-k is a TakeOrdered (per-
+    * partition heap + driver merge of k rows), never a full sort. At
+    * extreme corpus scale swap gram strings for hashes on the shuffle
+    * key and join the winners back for display; at the scales where a
+    * human reads this report, strings-on-the-wire is the right trade. */
+  def topNgrams(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 20, minCount: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(k >= 1, s"k must be >= 1: $k")
+    spread(df).filter(col(textCol).isNotNull)
+      .select(explode(graft.dedup.Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") >= minCount)
+      .orderBy(col("df_count").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Binds the word-bigram array as its own attribute (see the lambda
     * capture note on [[repetitionStats]]). */
   private def withBigrams(bound: DataFrame): DataFrame = {

@@ -223,6 +223,43 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     physical(joined) should include("BroadcastHashJoin")
   }
 
+  test("decontamination broadcasts the benchmark; corpus text is never sort-merge joined") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "c d e f g h i j")).toDF("q_id", "q_text")
+    val plan = physical(graft.dedup.Decontaminate.contaminationReport(
+      corpus, "doc_id", "text", bench, "q_id", "q_text", gramSize = 4))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("chunking is pure map-side: the one Generate, no exchange, no aggregate") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, (1 to 50).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val plan = physical(graft.text.TextAnalysis.chunk(df, "text", "doc_id",
+      maxTokens = 8, overlap = 2))
+    plan should not include "Exchange"
+    plan should not include "Aggregate"
+    // Exactly the posexplode of the chunk array — the operator's output.
+    plan.linesIterator.count(_.contains("Generate")) shouldBe 1
+  }
+
+  test("packBins shuffles once, on the shard key, and sorts per-shard only") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i, i % 30 + 1)).toDF("id", "n_tok")
+    val plan = physical(graft.sampling.Sampling.packBins(df, "id", "n_tok",
+      tokenBudget = 100L, numShards = 8))
+    plan.linesIterator.count(_.contains("Exchange")) shouldBe 1
+    plan should include("hashpartitioning(shard")
+    // The sort under the window is per-partition, not global.
+    plan should not include "rangepartitioning"
+  }
+
   test("repetition stats are one map-side projection: no exchange, no aggregate, no explode") {
     val s = spark
     import s.implicits._

@@ -101,6 +101,57 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       Sampling.sampleByHash(corpus, "id", 0.5, hashMode = "sha1")
   }
 
+  test("packBins: per-bin token totals respect the soft budget") {
+    val s = spark
+    import s.implicits._
+    // Token counts 1..200 over 2000 docs, budget 300: every bin's
+    // total may overshoot only by its LAST document (soft semantics),
+    // i.e. the pre-overshoot prefix is under budget.
+    val df = (1L to 2000L).map(i => (i, i % 200 + 1)).toDF("id", "n_tok")
+    val out = Sampling.packBins(df, "id", "n_tok", tokenBudget = 300L, numShards = 16)
+    out.columns should contain allOf ("shard", "bin")
+    val viol = out.groupBy("shard", "bin")
+      .agg(sum(col("n_tok")).as("tot"), max(col("n_tok")).as("mx"))
+      .filter(col("tot") - col("mx") >= 300L) // prefix before last doc already ≥ budget
+      .count()
+    viol shouldBe 0L
+    // Deterministic across runs and complete.
+    val again = Sampling.packBins(df, "id", "n_tok", tokenBudget = 300L, numShards = 16)
+    out.select("id", "shard", "bin").collect().toSet shouldBe
+      again.select("id", "shard", "bin").collect().toSet
+    out.count() shouldBe 2000L
+  }
+
+  test("packBins: an oversized document gets its own bin boundary, md5 mode replays") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1000L), (2L, 10L), (3L, 10L)).toDF("id", "n_tok")
+    val out = Sampling.packBins(df, "id", "n_tok", tokenBudget = 100L,
+      numShards = 1, hashMode = "md5").collect()
+    out.length shouldBe 3
+    // All in shard 0. Soft-bin semantics for the 1000-token doc: any
+    // doc AFTER it in hash order starts ≥ 1000 tokens later, i.e. at
+    // least 10 whole bins later — only docs BEFORE it (prior < 100)
+    // can share its bin, and nothing lands strictly between.
+    val bins = out.map(r => r.getAs[Long]("id") -> r.getAs[Long]("bin")).toMap
+    val big = bins(1L)
+    Seq(2L, 3L).foreach { id =>
+      withClue(s"doc $id bins=$bins") {
+        (bins(id) <= big || bins(id) >= big + 10) shouldBe true
+      }
+    }
+  }
+
+  test("packBins rejects a taken column name and bad budget") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L)).toDF("id", "bin")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.packBins(df, "id", "bin", tokenBudget = 10L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.packBins(df.withColumnRenamed("bin", "n"), "id", "n", tokenBudget = 0L)
+  }
+
   test("sampling plans are pure map-side: no exchange, no aggregate") {
     val plan = Sampling.hashSplit(corpus, "id", Seq(("a", 0.9), ("b", 0.1)))
       .queryExecution.executedPlan.toString

@@ -235,4 +235,91 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows(2L).getAs[Long]("url_count") shouldBe 0L
     rows(3L).getAs[Long]("email_count") shouldBe 0L // bare @ is not an address
   }
+
+  test("redact replaces emails, urls, then digit runs; schema and nulls survive") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Option("mail a1@b.co, see https://x.y/z?q=12, built 2024"), "en"),
+      (2L, Option("no patterns"), "en"),
+      (3L, Option.empty[String], "en")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.redact(df, "text")
+    out.columns.toSeq shouldBe df.columns.toSeq
+    val byId = out.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // The email's and URL's own digits are consumed by their
+    // placeholders — only the freestanding run becomes <NUMBER>.
+    byId(1L) shouldBe Some("mail <EMAIL>, see <URL> built <NUMBER>")
+    byId(2L) shouldBe Some("no patterns")
+    byId(3L) shouldBe None
+  }
+
+  test("redact honors a custom redaction table in order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(df, "text", Seq("aa" -> "X", "X bb" -> "Y"))
+    out.collect().head.getString(1) shouldBe "Y X"
+  }
+
+  test("chunk: short doc is its own single chunk; null yields none") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "text", "doc_id", maxTokens = 5).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("chunk_idx") shouldBe 0L
+    out.head.getAs[String]("chunk_text") shouldBe "a b c"
+    out.head.getAs[Long]("n_tokens") shouldBe 3L
+  }
+
+  test("chunk: stride windows with overlap, short final window, full coverage") {
+    val toks = (1 to 10).map(i => s"t$i")
+    val df = docs((1L, toks.mkString(" ")))
+    // maxTokens 4, overlap 2 → stride 2 → ceil((10-4)/2)+1 = 4 chunks
+    val out = TextAnalysis.chunk(df, "text", "doc_id", maxTokens = 4, overlap = 2)
+      .orderBy("chunk_idx").collect()
+    out.map(_.getAs[String]("chunk_text")).toSeq shouldBe Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10")
+    out.map(_.getAs[Long]("n_tokens")).toSeq shouldBe Seq(4L, 4L, 4L, 4L)
+    // Exact-fit end: 9 tokens, stride 2 → last window runs short.
+    val out9 = TextAnalysis.chunk(docs((1L, toks.take(9).mkString(" "))),
+      "text", "doc_id", maxTokens = 4, overlap = 2).orderBy("chunk_idx").collect()
+    out9.map(_.getAs[String]("chunk_text")).last shouldBe "t7 t8 t9"
+    out9.length shouldBe 4
+  }
+
+  test("chunk: every token is covered and order is reconstructible") {
+    val toks = (1 to 101).map(i => s"w$i")
+    val df = docs((7L, toks.mkString(" ")))
+    val out = TextAnalysis.chunk(df, "text", "doc_id", maxTokens = 16, overlap = 4)
+      .orderBy("chunk_idx").collect()
+    // Stride-12 de-overlap reconstruction: chunk 0 whole, then drop
+    // each subsequent chunk's first 4 tokens.
+    val rebuilt = out.zipWithIndex.flatMap { case (r, i) =>
+      val t = r.getAs[String]("chunk_text").split(" ").toSeq
+      if (i == 0) t else t.drop(4)
+    }
+    rebuilt.toSeq shouldBe toks
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.chunk(df, "text", "doc_id", maxTokens = 4, overlap = 4)
+  }
+
+  test("topNgrams counts document frequency, not occurrences") {
+    val df = docs(
+      (1L, "spam spam spam spam"),             // "spam spam" repeats IN one doc
+      (2L, "terms of service apply here"),
+      (3L, "terms of service apply today"),
+      (4L, "terms of service apply now"))
+    val top = TextAnalysis.topNgrams(df, "text", "doc_id", n = 3, k = 3, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // df-based: the within-document repetition contributes 1, the
+    // cross-document template contributes 3; ties break on gram.
+    top.head shouldBe (("of service apply", 3L))
+    top should contain(("terms of service", 3L))
+    top.map(_._1) should not contain "spam spam spam"
+    // minCount prunes the singletons entirely.
+    TextAnalysis.topNgrams(df, "text", "doc_id", n = 3, k = 100, minCount = 2)
+      .collect().map(_.getLong(1)).forall(_ >= 2L) shouldBe true
+  }
 }
