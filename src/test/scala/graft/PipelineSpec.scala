@@ -87,5 +87,35 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
       mixed, "doc_id", Seq(("train", 9.0), ("val", 1.0)))
     again.filter(col("split") === "val").select("doc_id").collect().toSet shouldBe
       split.filter(col("split") === "val").select("doc_id").collect().toSet
+
+    // Stage 6: decontaminate against a quoted-passage benchmark, then
+    // chunk the survivors to a context window and pack the chunks
+    // into soft token-budget bins — the last mile before a trainer.
+    val wtok = org.apache.spark.sql.functions.split(trim(col("text")), "\\s+")
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 11)
+      .select(col("doc_id").as("q_id"),
+        concat_ws(" ", slice(wtok, 3, 16)).as("q_text"))
+    val clean = graft.dedup.Decontaminate.decontaminate(
+      split.filter(col("split") === "train"), "doc_id", "text",
+      bench, "q_id", "q_text", gramSize = 6, minOverlap = 0.5)
+    val nTrain = split.filter(col("split") === "train").count()
+    clean.count() should be <= nTrain
+    clean.count() should be > 0L
+    // Redaction preserves the row set; chunking only ever expands it.
+    val redacted = TextAnalysis.redact(clean, "text")
+    redacted.count() shouldBe clean.count()
+    val chunks = TextAnalysis.chunk(redacted, "text", "doc_id",
+      maxTokens = 24, overlap = 4)
+    chunks.count() should be >= clean.count()
+    chunks.select(max(col("n_tokens"))).head().getLong(0) should be <= 24L
+    // Pack chunks into bins keyed by (doc, chunk) — every chunk lands
+    // in exactly one bin and the soft-budget invariant holds.
+    val packed = graft.sampling.Sampling.packBins(
+      chunks.withColumn("cid", col("doc_id") * 1000 + col("chunk_idx")),
+      "cid", "n_tokens", tokenBudget = 96L, numShards = 8)
+    packed.count() shouldBe chunks.count()
+    packed.groupBy("shard", "bin")
+      .agg(sum(col("n_tokens")).as("tot"), max(col("n_tokens")).as("mx"))
+      .filter(col("tot") - col("mx") >= 96L).count() shouldBe 0L
   }
 }
