@@ -1470,6 +1470,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- LLM-pipeline: incremental (bipartite) near-dup dedup — an
+    // incoming crawl batch against the existing curated corpus. The
+    // batch is synthesized from the corpus itself: every 31st doc
+    // donates a one-token-appended perturbation (J ≥ 0.93 vs its
+    // donor), every 37th an entirely novel doc. The operator must pair
+    // strictly across sides (a self-join would also re-pair the
+    // corpus's internal near-dups) and verify with exact n-gram
+    // Jaccard; the oracle is the full brute-force bipartite Jaccard —
+    // at these banding parameters (32×4) the miss probability at the
+    // fixture's minimum J (0.9355) is ~1e-20, so LSH ≡ brute force.
+    "ll18_incremental_near_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val perturbed = docs.filter(pmod(col("doc_id"), lit(31)) === 2)
+        .select((col("doc_id") + 1000000).as("inc_id"),
+          concat(col("text"), lit(" xq")).as("text"))
+      val fresh = docs.filter(pmod(col("doc_id"), lit(37)) === 5)
+        .select((col("doc_id") + 2000000).as("inc_id"),
+          concat_ws(" ",
+            concat(lit("fz"), col("doc_id"), lit("a")), concat(lit("fz"), col("doc_id"), lit("b")),
+            concat(lit("fz"), col("doc_id"), lit("c")), concat(lit("fz"), col("doc_id"), lit("d")),
+            concat(lit("fz"), col("doc_id"), lit("e")), concat(lit("fz"), col("doc_id"), lit("f"))).as("text"))
+      Dedup.nearDupPairsAgainst(
+          perturbed.unionByName(fresh), "inc_id", "text",
+          docs, "doc_id", "text", threshold = 0.8)
+        .select(col("incoming_id"), col("existing_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("incoming_id", "existing_id")
+    }),
+
+    // ---- The audit for the bipartite cap ("no silent caps",
+    // ll12b-style derived ground truth): 25 incoming + 30 existing
+    // copies of one text share one bucket per band; the COMBINED
+    // occupancy 55 crosses the cap of 40 though neither side alone
+    // does — the audit must report exactly 32 hot buckets with the
+    // 25/30 side split.
+    "ll18b_capped_bipartite_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val t7 = docs.filter(col("doc_id") === 7).select(col("text").as("t7"))
+      val incoming = docs.filter(col("doc_id") < 25).crossJoin(broadcast(t7))
+        .select((col("doc_id") + 1000).as("inc_id"), col("t7").as("text"))
+      val existing = docs.filter(col("doc_id").between(25, 54)).crossJoin(broadcast(t7))
+        .select(col("doc_id"), col("t7").as("text"))
+      Dedup.cappedBucketsAgainstFromBuckets(
+          Dedup.bandBuckets(incoming, "inc_id", "text"),
+          Dedup.bandBuckets(existing, "doc_id", "text"),
+          maxBucketOccupancy = 40)
+        .agg(count(lit(1)).as("n_hot_buckets"),
+          min(col("occupancy")).as("min_occupancy"),
+          max(col("occupancy")).as("max_occupancy"),
+          min(col("incoming_occupancy")).as("incoming_occupancy"),
+          min(col("existing_occupancy")).as("existing_occupancy"))
+    }),
+
     // ---- LLM-pipeline: benchmark decontamination (token 8-gram
     // overlap, GPT-3 appendix-C shape). The benchmark is synthesized
     // the way real contamination happens: every 29th document donates
@@ -2659,6 +2711,43 @@ object SparkEntry {
         |)
         |SELECT doc_id, strftime(DATE '2024-01-01' + day, '%Y-%m-%d') AS day
         |FROM keep ORDER BY doc_id""".stripMargin,
+
+    // Brute-force bipartite Jaccard ground truth over the synthesized
+    // incoming batch (perturbed donors + novel docs) vs the corpus.
+    "ll18_incremental_near_dups" ->
+      """WITH inc AS (
+        |  SELECT doc_id + 1000000 AS inc_id, text || ' xq' AS text FROM documents
+        |  WHERE doc_id % 31 = 2 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS inc_id,
+        |         'fz' || doc_id || 'a fz' || doc_id || 'b fz' || doc_id || 'c fz' || doc_id || 'd fz' || doc_id || 'e fz' || doc_id || 'f' AS text
+        |  FROM documents WHERE doc_id % 37 = 5
+        |), shi AS (
+        |  SELECT inc_id, CASE WHEN len(w) >= 3
+        |       THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |       ELSE [array_to_string(w, ' ')] END AS ts
+        |  FROM (SELECT inc_id, string_split_regex(trim(text), '\s+') AS w FROM inc)
+        |), she AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |       THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |       ELSE [array_to_string(w, ' ')] END AS ts
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents WHERE text IS NOT NULL)
+        |)
+        |SELECT a.inc_id AS incoming_id, b.doc_id AS existing_id,
+        |       round(len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
+        |FROM shi a, she b
+        |WHERE len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+        |ORDER BY incoming_id, existing_id""".stripMargin,
+
+    // Derived ground truth (ll12b-style): identical texts share one
+    // bucket per band, so 25 incoming + 30 existing copies make
+    // exactly 32 hot buckets at combined occupancy 55, split 25/30.
+    "ll18b_capped_bipartite_buckets" ->
+      """SELECT CAST(32 AS BIGINT) AS n_hot_buckets,
+        |       CAST(55 AS BIGINT) AS min_occupancy,
+        |       CAST(55 AS BIGINT) AS max_occupancy,
+        |       CAST(25 AS BIGINT) AS incoming_occupancy,
+        |       CAST(30 AS BIGINT) AS existing_occupancy""".stripMargin,
 
     // Replays the full decontamination construction: synthesized
     // benchmark (preamble + tokens 5..24 of every 29th doc), md5

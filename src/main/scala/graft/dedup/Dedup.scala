@@ -486,6 +486,138 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---- Bipartite (incremental) near-dup dedup: an INCOMING batch
+  // against an EXISTING curated corpus — the every-crawl-cycle shape.
+  // A self-join over the union would also pair incoming×incoming and
+  // existing×existing (wasted work: the curated side is already
+  // deduped, and the incoming batch can be self-deduped separately at
+  // batch scale); these operators join strictly across the two sides.
+
+  /** Bipartite LSH candidates: (incoming_id, existing_id) for every
+    * cross-side pair sharing a (band, bucket) key — never
+    * incoming×incoming or existing×existing. Both bucket frames must
+    * come from [[bandBuckets]] runs with IDENTICAL signature
+    * parameters (use [[nearDupPairsAgainst]] to have that guaranteed);
+    * this shape exists to share ONE pair of banded scans between the
+    * join and the [[cappedBucketsAgainstFromBuckets]] audit.
+    *
+    * `maxBucketOccupancy` caps the COMBINED per-(band, bucket)
+    * occupancy across both sides — the bipartite fan-out of a bucket
+    * is n_incoming × n_existing, and a cluster split across the sides
+    * (the same boilerplate in corpus AND crawl — the common case) is
+    * exactly what a one-sided count would miss. Same recall-tradeoff
+    * contract as [[candidatePairsFromBuckets]]: pruned buckets are
+    * named by the audit, never dropped silently.
+    *
+    * Plan shape: the two bucket frames union once, the occupancy
+    * window partitions by (band, bucket) over that union, and the two
+    * join sides filter the SAME windowed child — one shuffle of the
+    * combined banded keys, reused by both sides of the join (the
+    * exchange-reuse reasoning of [[candidatePairs]]). */
+  def candidatePairsAgainstFromBuckets(
+      incomingBuckets: DataFrame, existingBuckets: DataFrame,
+      maxBucketOccupancy: Int = 1000): DataFrame = {
+    requireColumns(incomingBuckets, "incoming bandBuckets frame", "id", "band", "bucket")
+    requireColumns(existingBuckets, "existing bandBuckets frame", "id", "band", "bucket")
+    val tagged = incomingBuckets
+      .select(col("id"), col("band"), col("bucket"), lit(true).as("is_incoming"))
+      .unionByName(existingBuckets
+        .select(col("id"), col("band"), col("bucket"), lit(false).as("is_incoming")))
+    val kept =
+      if (maxBucketOccupancy <= 0) tagged
+      else {
+        val perBucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        tagged
+          .withColumn("occupancy", count(lit(1)).over(perBucket))
+          .filter(col("occupancy") <= maxBucketOccupancy)
+          .drop("occupancy")
+      }
+    kept.filter(col("is_incoming")).as("a")
+      .join(kept.filter(!col("is_incoming")).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("incoming_id"), col("b.id").as("existing_id"))
+      .distinct()
+  }
+
+  /** The audit for the bipartite cap — "no silent caps": every
+    * (band, bucket) whose COMBINED occupancy exceeds the cap, with the
+    * per-side split (how much of the cluster is already curated vs
+    * arriving). Rows here are clusters [[nearDupPairsAgainst]] cannot
+    * pair; collapse them with exact dedup first or raise the cap at
+    * O(n_inc × n_ex) join cost. */
+  def cappedBucketsAgainstFromBuckets(
+      incomingBuckets: DataFrame, existingBuckets: DataFrame,
+      maxBucketOccupancy: Int = 1000): DataFrame = {
+    requireColumns(incomingBuckets, "incoming bandBuckets frame", "id", "band", "bucket")
+    requireColumns(existingBuckets, "existing bandBuckets frame", "id", "band", "bucket")
+    incomingBuckets.select(col("band"), col("bucket"), lit(1L).as("inc"))
+      .unionByName(existingBuckets.select(col("band"), col("bucket"), lit(0L).as("inc")))
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("occupancy"),
+        sum(col("inc")).as("incoming_occupancy"),
+        (count(lit(1)) - sum(col("inc"))).as("existing_occupancy"))
+      .filter(col("occupancy") > maxBucketOccupancy)
+  }
+
+  /** Bipartite near-duplicate pairs, exact-Jaccard verified:
+    * (incoming_id, existing_id, jaccard) for every cross-side pair at
+    * or above `threshold`. The verification semi-joins each side
+    * against its own candidate id set before shipping shingle arrays —
+    * the [[nearDupPairsFromBuckets]] pruning, applied per side. */
+  def nearDupPairsAgainst(
+      incoming: DataFrame, incomingIdCol: String, incomingTextCol: String,
+      existing: DataFrame, existingIdCol: String, existingTextCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32,
+      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000): DataFrame =
+    nearDupPairsAgainstFromBuckets(
+      incoming, incomingIdCol, incomingTextCol,
+      existing, existingIdCol, existingTextCol,
+      bandBuckets(incoming, incomingIdCol, incomingTextCol, shingleSize, numHashes, bands, signatureMode),
+      bandBuckets(existing, existingIdCol, existingTextCol, shingleSize, numHashes, bands, signatureMode),
+      threshold, shingleSize, maxBucketOccupancy)
+
+  /** [[nearDupPairsAgainst]] over precomputed bucket frames — the
+    * shared-scan path (run the audit off the same two frames). */
+  def nearDupPairsAgainstFromBuckets(
+      incoming: DataFrame, incomingIdCol: String, incomingTextCol: String,
+      existing: DataFrame, existingIdCol: String, existingTextCol: String,
+      incomingBuckets: DataFrame, existingBuckets: DataFrame,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      maxBucketOccupancy: Int = 1000): DataFrame = {
+    val candidates = candidatePairsAgainstFromBuckets(
+      incomingBuckets, existingBuckets, maxBucketOccupancy)
+    val shInc = shingleHashes(incoming, incomingIdCol, incomingTextCol, shingleSize)
+      .join(candidates.select(col("incoming_id").as("id")).distinct(), Seq("id"), "left_semi")
+    val shEx = shingleHashes(existing, existingIdCol, existingTextCol, shingleSize)
+      .join(candidates.select(col("existing_id").as("id")).distinct(), Seq("id"), "left_semi")
+    candidates
+      .join(shInc.select(col("id").as("incoming_id"), col("sh").as("sh_a")), "incoming_id")
+      .join(shEx.select(col("id").as("existing_id"), col("sh").as("sh_b")), "existing_id")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("incoming_id"), col("existing_id"), col("jaccard"))
+  }
+
+  /** The incremental-ingest filter: the incoming batch minus every
+    * document near-duplicating something already in the curated
+    * corpus. Self-dups WITHIN the batch are [[dropNearDuplicates]]'s
+    * job (run it first at batch scale); this is one anti-join after
+    * the bipartite pairing. */
+  def dropNearDuplicatesAgainst(
+      incoming: DataFrame, incomingIdCol: String, incomingTextCol: String,
+      existing: DataFrame, existingIdCol: String, existingTextCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32,
+      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000): DataFrame = {
+    val dupIds = nearDupPairsAgainst(
+        incoming, incomingIdCol, incomingTextCol,
+        existing, existingIdCol, existingTextCol,
+        threshold, shingleSize, numHashes, bands, signatureMode, maxBucketOccupancy)
+      .select(col("incoming_id").as(incomingIdCol)).distinct()
+    incoming.join(dupIds, Seq(incomingIdCol), "left_anti")
+  }
+
   /** 64-bit hashes of a document's lowercased whitespace tokens.
     * Project this into a column first when feeding [[simhash64FromHashes]]
     * in a hot path, so the split+hash runs once per row. */

@@ -518,4 +518,58 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
       "id_a", "id_b").count() shouldBe 0L
   }
+
+  test("nearDupPairsAgainst pairs strictly across sides and verifies Jaccard") {
+    val s = spark
+    import s.implicits._
+    val existing = docs((1L, base), (2L, "completely different words about other topics entirely here today"))
+    // Incoming: a light perturbation of doc 1, an exact copy of it,
+    // and a fresh doc. The two incoming near-dups of doc 1 must NOT
+    // pair with each other (that is within-batch dedup's job).
+    val incoming = Seq(
+      (101L, base + " extra"),
+      (102L, base),
+      (103L, "fresh unseen content nothing shared with anything at all"))
+      .toDF("inc_id", "text")
+    val pairs = Dedup.nearDupPairsAgainst(
+        incoming, "inc_id", "text", existing, "doc_id", "text", threshold = 0.8)
+      .collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((101L, 1L), (102L, 1L))
+    pairs.find(_.getLong(0) == 102L).get.getAs[Double]("jaccard") shouldBe 1.0
+  }
+
+  test("bipartite occupancy cap counts the COMBINED cluster; audit splits the sides") {
+    val s = spark
+    import s.implicits._
+    val existing = docs((1L to 30L).map(i => (i, base)): _*)
+    val incoming = (101L to 125L).map(i => (i, base)).toDF("inc_id", "text")
+    val incB = Dedup.bandBuckets(incoming, "inc_id", "text")
+    val exB = Dedup.bandBuckets(existing, "doc_id", "text")
+    // Neither side alone exceeds 40; combined 55 does — a one-sided
+    // count would silently let the 25×30 bipartite join through.
+    val audit = Dedup.cappedBucketsAgainstFromBuckets(incB, exB, maxBucketOccupancy = 40)
+      .collect()
+    audit.length shouldBe 32 // one hot bucket per band
+    all(audit.map(_.getAs[Long]("occupancy"))) shouldBe 55L
+    all(audit.map(_.getAs[Long]("incoming_occupancy"))) shouldBe 25L
+    all(audit.map(_.getAs[Long]("existing_occupancy"))) shouldBe 30L
+    Dedup.candidatePairsAgainstFromBuckets(incB, exB, maxBucketOccupancy = 40)
+      .count() shouldBe 0L
+    Dedup.candidatePairsAgainstFromBuckets(incB, exB, maxBucketOccupancy = 0)
+      .count() shouldBe 25L * 30L
+  }
+
+  test("dropNearDuplicatesAgainst keeps exactly the novel incoming documents") {
+    val s = spark
+    import s.implicits._
+    val existing = docs((1L, base))
+    val incoming = Seq(
+      (101L, base + " tail"),
+      (102L, "genuinely novel text with no overlap whatsoever to be found"))
+      .toDF("inc_id", "text")
+    val kept = Dedup.dropNearDuplicatesAgainst(
+      incoming, "inc_id", "text", existing, "doc_id", "text", threshold = 0.8)
+    kept.select("inc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(102L)
+    kept.columns.toSeq shouldBe incoming.columns.toSeq
+  }
 }

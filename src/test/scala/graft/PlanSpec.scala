@@ -166,6 +166,29 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("bipartite candidate join shuffles the unioned banded keys once") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ex = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+      val inc = Seq((9L, "a b c d e f")).toDF("inc_id", "text")
+      val plan = physical(Dedup.candidatePairsAgainstFromBuckets(
+        Dedup.bandBuckets(inc, "inc_id", "text", numHashes = 16, bands = 4),
+        Dedup.bandBuckets(ex, "doc_id", "text", numHashes = 16, bands = 4),
+        maxBucketOccupancy = 10))
+      val lines = plan.linesIterator.filter(_.contains("hashpartitioning(band")).toSeq
+      withClue(plan) {
+        // Both join sides filter the SAME windowed union — one real
+        // shuffle of incoming+existing keys, the other side reuses it.
+        lines.count(!_.contains("ReusedExchange")) shouldBe 1
+        lines.count(_.contains("ReusedExchange")) should be >= 1
+        plan should not include "CartesianProduct"
+      }
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("composed pipeline: audit and candidate join both read the ONE persisted banded scan") {
     val s = spark
     import s.implicits._
