@@ -1522,6 +1522,19 @@ object SparkEntry {
           min(col("existing_occupancy")).as("existing_occupancy"))
     }),
 
+    // ---- LLM-pipeline: int8 embedding quantization (the ANN working-
+    // set compression: 4× smaller vectors, cosine ranking unchanged —
+    // scales cancel). Every element's quantized byte and every scale
+    // is hash-checked against the replayed double arithmetic (both
+    // engines compute max|x|/127 and HALF_UP rounding identically).
+    "ll19_quantized_embeddings" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      q.select(col("id").as("vec_id"), col("qvec"),
+          round(col("scale"), 6).as("scale"))
+        .orderBy("vec_id")
+    }),
+
     // ---- LLM-pipeline: benchmark decontamination (token 8-gram
     // overlap, GPT-3 appendix-C shape). The benchmark is synthesized
     // the way real contamination happens: every 29th document donates
@@ -2711,6 +2724,24 @@ object SparkEntry {
         |)
         |SELECT doc_id, strftime(DATE '2024-01-01' + day, '%Y-%m-%d') AS day
         |FROM keep ORDER BY doc_id""".stripMargin,
+
+    // Replays the symmetric int8 quantization: per-vector scale =
+    // max|x|/127 (1.0 for all-zero), q = round(x/scale) in double,
+    // HALF_UP ≡ round-half-away-from-zero on both engines.
+    "ll19_quantized_embeddings" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), s AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN max_abs = 0 THEN 1.0 ELSE max_abs / 127.0 END AS scale
+        |  FROM m
+        |)
+        |SELECT vec_id,
+        |       [CAST(greatest(least(round(CAST(x AS DOUBLE) / scale), 127.0), -127.0) AS TINYINT) for x in embedding] AS qvec,
+        |       round(scale, 6) AS scale
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     // Brute-force bipartite Jaccard ground truth over the synthesized
     // incoming batch (perturbed donors + novel docs) vs the corpus.

@@ -329,4 +329,41 @@ object Similarity {
       .agg(count(lit(1)).as("occupancy"))
       .filter(col("occupancy") > maxBucketOccupancy)
   }
+
+  /** Symmetric per-vector int8 quantization: (id, qvec: array<byte>,
+    * scale: double) with q_i = round(x_i / scale) and scale =
+    * max|x| / 127 (1.0 for the all-zero vector). 4× smaller than
+    * float32 on the wire and in cache — at 10^9+ vectors the working
+    * set, not the arithmetic, is what breaks ANN, and cosine is
+    * SCALE-INVARIANT, so ranking quantized vectors needs no
+    * dequantization at all: cos(q_a, q_b) approximates cos(x_a, x_b)
+    * directly (the per-vector scales cancel), with error bounded by
+    * the per-element rounding of ≤ scale/2.
+    *
+    * Both the max|x| reduction and the scale are BOUND to attributes
+    * before the per-element lambda divides by them — a lambda
+    * capturing the reduction subtree would re-scan the vector once
+    * per element (the capture hazard
+    * [[graft.text.TextAnalysis.repetitionStats]] documents). Pure
+    * map-side; null vectors yield no rows. Arithmetic is plain
+    * double ops + HALF_UP rounding, reproducible across engines. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val bound = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("max_abs",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))))
+      .withColumn("scale",
+        when(col("max_abs") === 0.0, lit(1.0)).otherwise(col("max_abs") / 127.0))
+    bound.select(col("id"),
+      transform(col("v"),
+        x => greatest(least(round(x.cast("double") / col("scale")), lit(127.0)), lit(-127.0))
+          .cast("byte")).as("qvec"),
+      col("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: q_i · scale, as array<double>. Pass
+    * `scale` as a bound attribute (the column [[quantizeInt8]]
+    * emits), not a computed subtree — see the capture note there. */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale)
 }

@@ -171,4 +171,50 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))) shouldBe Array((100L, 101L))
     pairs.head.getAs[Double]("cosine_sim") shouldBe 1.0 +- 1e-9
   }
+
+  test("quantizeInt8: round-trip error bounded by scale/2; zero vector safe") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 20L).map(i => (i, Seq.fill(16)(rnd.nextGaussian()))) :+
+      (99L, Seq.fill(16)(0.0))
+    val df = vecs(rows: _*)
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+    q.columns.toSeq shouldBe Seq("id", "qvec", "scale")
+    val deq = q.select(col("id"), col("scale"),
+        Similarity.dequantize(col("qvec"), col("scale")).as("dv"))
+      .join(df.select(col("vec_id").as("id"), col("embedding")), "id")
+      .collect()
+    deq.length shouldBe 21
+    deq.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val dv = r.getSeq[Double](r.fieldIndex("dv"))
+      val orig = r.getSeq[Double](r.fieldIndex("embedding"))
+      dv.zip(orig).foreach { case (d, o) =>
+        math.abs(d - o) should be <= scale / 2 + 1e-12
+      }
+    }
+    // Zero vector: scale 1.0, all-zero qvec.
+    val z = q.filter(col("id") === 99L).head()
+    z.getAs[Double]("scale") shouldBe 1.0
+    all(z.getSeq[Byte](1)) shouldBe 0.toByte
+    // Max-magnitude element hits exactly ±127.
+    q.select(max(aggregate(col("qvec"), lit(0),
+      (acc, x) => greatest(acc, abs(x.cast("int")))))).head().getInt(0) shouldBe 127
+  }
+
+  test("quantized cosine ranks like exact cosine (scales cancel)") {
+    val rnd = new scala.util.Random(3)
+    val df = vecs((0L until 50L).map(i => (i, Seq.fill(32)(rnd.nextGaussian()))): _*)
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      df.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val qdf = q.select(col("id").as("vec_id"), col("qvec").as("embedding"))
+    val approx = Similarity.bruteForceTopK(qdf, "vec_id", "embedding",
+      qdf.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // int8 on 32-dim Gaussians: the top-5 sets agree almost entirely;
+    // require ≥ 12 of 15 to keep the pin robust to rounding at the
+    // rank boundary.
+    (exact intersect approx).size should be >= 12
+  }
 }
