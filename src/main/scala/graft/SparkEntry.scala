@@ -1535,6 +1535,37 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- LLM-pipeline: SemDeDup-shaped semantic near-duplicate pairs
+    // (k-means cells scope the pairwise cosine instead of sign-bucket
+    // LSH — data-adaptive candidates). Same replayable Lloyd setup as
+    // ll5 (init = 8 lowest vec_ids, one iteration), so the oracle
+    // recomputes the cell assignment in SQL and self-joins within
+    // cells — bucket ids, pairs, and cosines all hash-checked. The
+    // synthetic corpus has no planted near-dups, so the gate threshold
+    // drops to 0.3 to exercise the verify path on real rows (ll9's
+    // convention).
+    "ll20_semantic_near_dups" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      Similarity.semanticNearDupPairs(df, "vec_id", "embedding", nCells = 8,
+          threshold = 0.3, kmeansIterations = 1,
+          centroidInitOrder = Some(Seq(col("vec_id"))))
+        .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 4).as("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- The occupancy audit for ll20's within-cell join ("no silent
+    // caps", the k-means counterpart of ll12): every cell holding more
+    // than 60 vectors, with its occupancy — dense semantic regions a
+    // capped semanticNearDupPairs would prune. Same Lloyd replay in
+    // the oracle, aggregated to cell occupancy.
+    "ll20b_capped_cells" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      Similarity.cappedCells(df, "vec_id", "embedding", nCells = 8,
+          kmeansIterations = 1, centroidInitOrder = Some(Seq(col("vec_id"))),
+          maxCellOccupancy = 60)
+        .orderBy("bucket")
+    }),
+
     // ---- LLM-pipeline: benchmark decontamination (token 8-gram
     // overlap, GPT-3 appendix-C shape). The benchmark is synthesized
     // the way real contamination happens: every 29th document donates
@@ -1671,6 +1702,49 @@ object SparkEntry {
         |WHERE pn >= 10 AND (ps2 - ps1 * ps1 / pn) > 0
         |  AND abs(bm - ps1 / pn) / sqrt((ps2 - ps1 * ps1 / pn) / (pn - 1)) > 3.0
         |ORDER BY key""".stripMargin
+
+  /** Shared oracle CTE chain for the replayable Lloyd iteration the
+    * ll5 / ll20 / ll20b gates run (init = the 8 lowest vec_ids, one
+    * assignment+mean step, final assignment): defines `emb(vec_id, v)`
+    * and ends with `cells(vec_id, cell)`; the intermediate CTEs
+    * (`c0`..`c1n`) stay visible to the caller's continuation. Already
+    * margin-stripped — interpolate into a WITH clause. */
+  private val kmeansCellsCte: String =
+    """emb AS (
+      |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+      |), c0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+      |), c0n AS (
+      |  SELECT cell, CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS vn
+      |  FROM (SELECT cell, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM c0)
+      |), a1 AS (
+      |  SELECT vec_id, (list(cell ORDER BY dot DESC, cell ASC))[1] AS cell
+      |  FROM (
+      |    SELECT e.vec_id, c.cell,
+      |           list_sum([e.v[i] * c.vn[i] for i in range(1, len(e.v) + 1)]) AS dot
+      |    FROM emb e CROSS JOIN c0n c
+      |  ) GROUP BY vec_id
+      |), c1m AS (
+      |  SELECT cell, list(m ORDER BY pos) AS v
+      |  FROM (
+      |    SELECT a1.cell AS cell, t.pos AS pos, avg(e.v[t.pos]) AS m
+      |    FROM a1 JOIN emb e USING (vec_id), range(1, 65) t(pos)
+      |    GROUP BY a1.cell, t.pos
+      |  ) GROUP BY cell
+      |), c1 AS (
+      |  SELECT c0.cell, COALESCE(c1m.v, c0.v) AS v FROM c0 LEFT JOIN c1m USING (cell)
+      |), c1n AS (
+      |  SELECT cell, CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS vn
+      |  FROM (SELECT cell, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM c1)
+      |), cells AS (
+      |  SELECT vec_id, (list(cell ORDER BY dot DESC, cell ASC))[1] AS cell
+      |  FROM (
+      |    SELECT e.vec_id, c.cell,
+      |           list_sum([e.v[i] * c.vn[i] for i in range(1, len(e.v) + 1)]) AS dot
+      |    FROM emb e CROSS JOIN c1n c
+      |  ) GROUP BY vec_id
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_row_count" ->
@@ -2516,41 +2590,7 @@ object SparkEntry {
     // argmax/rank comparisons they feed are nowhere near ties on this
     // data (the recall spec pins the margins).
     "ll5_ann_ivf_topk" ->
-      """WITH emb AS (
-        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
-        |), c0 AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
-        |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
-        |), c0n AS (
-        |  SELECT cell, CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS vn
-        |  FROM (SELECT cell, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM c0)
-        |), a1 AS (
-        |  SELECT vec_id, (list(cell ORDER BY dot DESC, cell ASC))[1] AS cell
-        |  FROM (
-        |    SELECT e.vec_id, c.cell,
-        |           list_sum([e.v[i] * c.vn[i] for i in range(1, len(e.v) + 1)]) AS dot
-        |    FROM emb e CROSS JOIN c0n c
-        |  ) GROUP BY vec_id
-        |), c1m AS (
-        |  SELECT cell, list(m ORDER BY pos) AS v
-        |  FROM (
-        |    SELECT a1.cell AS cell, t.pos AS pos, avg(e.v[t.pos]) AS m
-        |    FROM a1 JOIN emb e USING (vec_id), range(1, 65) t(pos)
-        |    GROUP BY a1.cell, t.pos
-        |  ) GROUP BY cell
-        |), c1 AS (
-        |  SELECT c0.cell, COALESCE(c1m.v, c0.v) AS v FROM c0 LEFT JOIN c1m USING (cell)
-        |), c1n AS (
-        |  SELECT cell, CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS vn
-        |  FROM (SELECT cell, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM c1)
-        |), cells AS (
-        |  SELECT vec_id, (list(cell ORDER BY dot DESC, cell ASC))[1] AS cell
-        |  FROM (
-        |    SELECT e.vec_id, c.cell,
-        |           list_sum([e.v[i] * c.vn[i] for i in range(1, len(e.v) + 1)]) AS dot
-        |    FROM emb e CROSS JOIN c1n c
-        |  ) GROUP BY vec_id
-        |), probes AS (
+      s"""WITH $kmeansCellsCte, probes AS (
         |  SELECT query_id, cell FROM (
         |    SELECT e.vec_id AS query_id, c.cell,
         |           row_number() OVER (PARTITION BY e.vec_id
@@ -2742,6 +2782,30 @@ object SparkEntry {
         |       [CAST(greatest(least(round(CAST(x AS DOUBLE) / scale), 127.0), -127.0) AS TINYINT) for x in embedding] AS qvec,
         |       round(scale, 6) AS scale
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // Same Lloyd replay as ll5 through the `cells` assignment, then a
+    // within-cell self-join verified with exact cosine — the SemDeDup
+    // candidate scope in SQL. Pairs and cosines fully hash-checked.
+    "ll20_semantic_near_dups" ->
+      s"""WITH $kmeansCellsCte,
+        |d AS (
+        |  SELECT c.vec_id, c.cell, e.v FROM cells c JOIN emb e USING (vec_id)
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) /
+        |    (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) *
+        |     sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) AS cosine_sim
+        |  FROM d a JOIN d b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, round(cosine_sim, 4) AS cosine_sim
+        |FROM pairs WHERE cosine_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    // Same replay, aggregated to cell occupancy: cells holding more
+    // than 60 vectors (the audit a capped ll20 would consult).
+    "ll20b_capped_cells" ->
+      s"""WITH $kmeansCellsCte
+        |SELECT CAST(cell AS INTEGER) AS bucket, count(*) AS occupancy
+        |FROM cells GROUP BY cell HAVING count(*) > 60 ORDER BY bucket""".stripMargin,
 
     // Brute-force bipartite Jaccard ground truth over the synthesized
     // incoming batch (perturbed donors + novel docs) vs the corpus.

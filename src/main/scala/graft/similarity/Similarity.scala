@@ -330,6 +330,73 @@ object Similarity {
       .filter(col("occupancy") > maxBucketOccupancy)
   }
 
+  /** (id, v, bucket) k-means cell assignment of a corpus — the
+    * coarse-quantizer counterpart of [[signBuckets]], and the shared
+    * input of [[semanticNearDupPairs]] and its occupancy audit. The
+    * frame deliberately names the cell id `bucket` so the whole
+    * FromBuckets family ([[nearDupByEmbeddingFromBuckets]],
+    * [[cappedBucketsFromBuckets]]) applies verbatim: a k-means cell is
+    * just a data-adaptive bucket. Centroids are computed once
+    * ([[kmeansCentroids]], cached for its iterations only) and ride as
+    * a reference object inside the codegen'd assignment expression —
+    * the corpus is scanned, never shuffled, to assign cells. */
+  def kmeansCells(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int = 16,
+      kmeansIterations: Int = 3,
+      centroidInitOrder: Option[Seq[Column]] = None): DataFrame = {
+    val cached = spread(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids =
+      try kmeansCentroids(cached, vecCol, nCells, kmeansIterations, centroidInitOrder)
+      finally { cached.unpersist(blocking = false); () }
+    if (centroids.isEmpty)
+      return df.select(col(idCol).as("id"), col(vecCol).as("v"), lit(0).as("bucket")).limit(0)
+    spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
+      nearestCell(col(vecCol), centroids).as("bucket"))
+  }
+
+  /** Semantic (cluster-scoped) near-duplicate pairs — the SemDeDup
+    * shape (Abbas et al. 2023, arXiv:2303.09540): assign every vector
+    * to its nearest k-means cell, then verify exact cosine ≥ threshold
+    * within each cell only. Versus the sign-bucket LSH of
+    * [[nearDupByEmbedding]], the cells are DATA-ADAPTIVE — dense
+    * regions get their own cells instead of hashing into one random
+    * cone — at the cost of the centroid pass. Candidate cost drops
+    * from O(n²) to Σ O(|cell|²), and `maxCellOccupancy` bounds the
+    * residual hazard exactly as everywhere else in the capped-join
+    * family: a cell hotter than the cap (n copies of one template
+    * meeting themselves as ~n²/2 rows) is pruned before pairing, and
+    * [[cappedCells]] reports what was dropped. Same output shape as
+    * [[nearDupByEmbedding]]; compose with
+    * [[graft.dedup.Dedup.componentIds]] /
+    * [[graft.dedup.Dedup.dropNearDuplicates]] for the keep-one-per-
+    * cluster policy. For the shared-scan path (join + audit off ONE
+    * persisted assignment), pass [[kmeansCells]]'s frame to
+    * [[nearDupByEmbeddingFromBuckets]] and
+    * [[cappedBucketsFromBuckets]] directly. */
+  def semanticNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int = 16,
+      threshold: Double = 0.95, kmeansIterations: Int = 3,
+      centroidInitOrder: Option[Seq[Column]] = None,
+      maxCellOccupancy: Int = 1000): DataFrame =
+    nearDupByEmbeddingFromBuckets(
+      kmeansCells(df, idCol, vecCol, nCells, kmeansIterations, centroidInitOrder),
+      threshold, maxCellOccupancy)
+
+  /** The audit for [[semanticNearDupPairs]]'s occupancy cap — "no
+    * silent caps": every k-means cell holding more than
+    * `maxCellOccupancy` vectors, as (bucket, occupancy). Rows here are
+    * dense semantic regions the capped join will not pair — collapse
+    * them with exact dedup first, raise the cap, or raise nCells so
+    * the region splits. */
+  def cappedCells(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int = 16,
+      kmeansIterations: Int = 3,
+      centroidInitOrder: Option[Seq[Column]] = None,
+      maxCellOccupancy: Int = 1000): DataFrame =
+    cappedBucketsFromBuckets(
+      kmeansCells(df, idCol, vecCol, nCells, kmeansIterations, centroidInitOrder),
+      maxCellOccupancy)
+
   /** Symmetric per-vector int8 quantization: (id, qvec: array<byte>,
     * scale: double) with q_i = round(x_i / scale) and scale =
     * max|x| / 127 (1.0 for the all-zero vector). 4× smaller than

@@ -222,6 +222,31 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("semantic near-dup pairing is cell-equi-keyed and reuses one exchange") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val vecs = (0 until 8).map(i => (i.toLong, Seq.fill(4)(i.toDouble + 1)))
+        .toDF("vec_id", "embedding")
+      // The centroid pass runs as driver-side setup (k×dim scalars);
+      // the PAIRING plan under test is the capped within-cell join.
+      val plan = physical(Similarity.semanticNearDupPairs(vecs, "vec_id", "embedding",
+        nCells = 2, kmeansIterations = 1, maxCellOccupancy = 10))
+      val lines = plan.linesIterator.filter(_.contains("hashpartitioning(bucket")).toSeq
+      withClue(plan) {
+        plan should not include "CartesianProduct"
+        plan should not include "BroadcastNestedLoopJoin"
+        // One real shuffle of the cell assignments (occupancy window
+        // included); the join's second side reuses it — the codegen'd
+        // NearestCells assignment scan runs exactly once.
+        lines.count(!_.contains("ReusedExchange")) shouldBe 1
+        lines.count(_.contains("ReusedExchange")) should be >= 1
+      }
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("two-phase top-k has no Window and no global sort of candidates") {
     val s = spark
     import s.implicits._

@@ -172,6 +172,62 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     pairs.head.getAs[Double]("cosine_sim") shouldBe 1.0 +- 1e-9
   }
 
+  test("semanticNearDupPairs finds planted near-identical vectors; matches brute force within cells") {
+    val rnd = new scala.util.Random(11)
+    val v = Seq.fill(16)(rnd.nextGaussian())
+    val rows = (0 until 20).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian()))) :+
+      (100L, v) :+ (101L, v.map(_ * 1.001))
+    val df = vecs(rows: _*)
+    val pairs = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
+      nCells = 4, threshold = 0.99, kmeansIterations = 3)
+      .collect()
+    pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))) shouldBe Array((100L, 101L))
+    pairs.head.getAs[Double]("cosine_sim") shouldBe 1.0 +- 1e-9
+
+    // The cluster scope loses nothing the cells keep together: every
+    // brute-force pair above threshold whose endpoints share a cell is
+    // emitted (the planted pair must share one — cosine ≈ 1 means the
+    // same argmax centroid, away from ties).
+    val cells = Similarity.kmeansCells(df, "vec_id", "embedding", nCells = 4)
+      .select(col("id"), col("bucket")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+    cells(100L) shouldBe cells(101L)
+  }
+
+  test("semanticNearDupPairs occupancy cap prunes a degenerate hot cell; the audit names it") {
+    // 300 copies of one direction form one dense k-means cell — the
+    // uncapped within-cell join meets them as C(300,2) pairs.
+    val rnd = new scala.util.Random(3)
+    val v = Seq.fill(8)(rnd.nextGaussian())
+    val hot = (1L to 300L).map(i => (i, v.map(_ * (1.0 + i * 1e-9))))
+    val spread = (401L to 420L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val df = vecs((hot ++ spread): _*)
+
+    Similarity.semanticNearDupPairs(df, "vec_id", "embedding", nCells = 4,
+        threshold = 0.99, kmeansIterations = 2, maxCellOccupancy = 0)
+      .count() should be >= 300L * 299 / 2
+
+    val capped = Similarity.semanticNearDupPairs(df, "vec_id", "embedding", nCells = 4,
+        threshold = 0.99, kmeansIterations = 2, maxCellOccupancy = 50)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    capped.filter { case (a, b) => a <= 300 || b <= 300 } shouldBe empty
+
+    val audit = Similarity.cappedCells(df, "vec_id", "embedding", nCells = 4,
+      kmeansIterations = 2, maxCellOccupancy = 50).collect()
+    audit.map(_.getAs[Long]("occupancy")).max should be >= 300L
+    Similarity.cappedCells(df, "vec_id", "embedding", nCells = 4,
+      kmeansIterations = 2, maxCellOccupancy = 400).count() shouldBe 0L
+  }
+
+  test("kmeansCells degrades gracefully on an empty corpus") {
+    val empty = vecs((1L, Seq.fill(4)(1.0))).filter(col("vec_id") > 100L)
+    val cells = Similarity.kmeansCells(empty, "vec_id", "embedding", nCells = 4)
+    cells.columns.toSeq shouldBe Seq("id", "v", "bucket")
+    cells.count() shouldBe 0L
+    Similarity.semanticNearDupPairs(empty, "vec_id", "embedding", nCells = 4)
+      .count() shouldBe 0L
+  }
+
   test("quantizeInt8: round-trip error bounded by scale/2; zero vector safe") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 20L).map(i => (i, Seq.fill(16)(rnd.nextGaussian()))) :+
