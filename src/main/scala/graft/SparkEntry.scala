@@ -1143,6 +1143,19 @@ object SparkEntry {
       TextAnalysis.topNgrams(df, "text", "doc_id", n = 3, k = 25, minCount = 2)
     }),
 
+    // ---- Corpus char-trigram LM scoring (the CCNet-style perplexity
+    // quality filter, corpus-relative). The synthetic corpus has only
+    // ~377 distinct trigrams, so the gate truncates the vocabulary to
+    // 256 to make the OOV floor genuinely bind (~120 rare grams score
+    // at the pseudo-count). Integer gram/oov counts are exact; the
+    // log-prob sums agree to ~1e-12 across engines (4dp rounding, the
+    // ll5 argument).
+    "txt_lm_score" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      TextAnalysis.lmScore(df, "text", "doc_id", n = 3, vocabSize = 256)
+        .orderBy("doc_id")
+    }),
+
     // ---- Multimodal: nested-column (array) profile over embeddings.
     "mm_array_profile" -> ((s, dir) => {
       val df = t(s, dir, "embeddings")
@@ -3059,6 +3072,38 @@ object SparkEntry {
         |SELECT gram, count(*) AS df_count FROM g
         |GROUP BY gram HAVING count(*) >= 2
         |ORDER BY df_count DESC, gram LIMIT 25""".stripMargin,
+
+    // Replays the corpus trigram LM: position-order char trigrams per
+    // document, corpus counts, (count desc, gram) vocabulary truncated
+    // to 256, OOV floor 0.5, avg natural-log-prob + perplexity at 4dp.
+    "txt_lm_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(text) >= 3
+        |      THEN [substr(text, i, 3) for i in range(1, len(text) - 1)]
+        |      ELSE CAST(NULL AS VARCHAR[]) END) AS gram
+        |  FROM docs
+        |), counts AS (
+        |  SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        |), total AS (
+        |  SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM counts
+        |), topv AS (
+        |  SELECT gram, cnt FROM counts ORDER BY cnt DESC, gram LIMIT 256
+        |), scored AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |         CAST(sum(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_grams,
+        |         sum(ln(coalesce(CAST(v.cnt AS DOUBLE), 0.5) / t.tot)) AS slogp
+        |  FROM g LEFT JOIN topv v ON g.gram = v.gram CROSS JOIN total t
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(s.n_grams, 0) AS n_grams,
+        |       coalesce(s.oov_grams, 0) AS oov_grams,
+        |       round(s.slogp / s.n_grams, 4) AS avg_logp,
+        |       round(exp(-s.slogp / s.n_grams), 4) AS perplexity
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "validator_batched" ->
       """SELECT 'b1_no_negative_price' AS rule_name,

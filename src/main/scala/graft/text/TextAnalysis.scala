@@ -367,6 +367,92 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-wide character n-gram counts — the model half of
+    * [[lmScore]]: one row per distinct n-gram with its occurrence
+    * count. Unlike word n-grams, the char-n-gram keyspace is bounded
+    * by charset^n (not corpus size), so the groupBy collapses under
+    * map-side combine to at most that cardinality per partition
+    * regardless of corpus scale. Persist this frame to score several
+    * corpora (or several epochs) against one model via
+    * [[lmScoreFromCounts]]. */
+  def charNgramCounts(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    spread(df).filter(col(textCol).isNotNull)
+      .select(explode(charNgrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("gram_count"))
+  }
+
+  /** Corpus character-n-gram LM quality scoring — the CCNet-style
+    * perplexity filter re-expressed corpus-relative (no external model
+    * file): every document is scored by the average log-probability of
+    * its char n-grams under the corpus's own unigram-of-n-grams
+    * distribution, truncated to the `vocabSize` most frequent grams
+    * (ties break on the gram string, so the vocabulary is
+    * deterministic); grams outside the vocabulary score at the
+    * `floorCount` pseudo-count. Documents full of rare/garbled
+    * character sequences (mojibake, base64 blobs, ocr noise) score low
+    * = high perplexity; fluent prose in the corpus's dominant script
+    * scores high. Output per document: (idCol, n_grams, oov_grams,
+    * avg_logp, perplexity = exp(-avg_logp)); documents with no grams
+    * (null or shorter than n) keep their row with n_grams = 0 and null
+    * scores.
+    *
+    * Plan shape: the model build is [[charNgramCounts]]'s bounded
+    * shuffle; scoring explodes grams map-side into a BROADCAST join
+    * against the vocabulary (≤ vocabSize rows) and the 1-row total,
+    * then partially aggregates per document before the one per-doc
+    * shuffle — document text itself never shuffles. The corpus is
+    * scanned twice (model + scoring); pass a persisted counts frame to
+    * [[lmScoreFromCounts]] to amortize the model across runs. */
+  def lmScore(
+      df: DataFrame, textCol: String, idCol: String, n: Int = 3,
+      vocabSize: Int = 4096, floorCount: Double = 0.5): DataFrame =
+    lmScoreFromCounts(df, textCol, idCol, charNgramCounts(df, textCol, n),
+      n, vocabSize, floorCount)
+
+  /** [[lmScore]] against an already-computed [[charNgramCounts]] frame
+    * — the shared-model path (one model, many corpora/epochs). The
+    * counts frame must carry (gram, gram_count); n must match the gram
+    * length the counts were built with. */
+  def lmScoreFromCounts(
+      df: DataFrame, textCol: String, idCol: String, counts: DataFrame,
+      n: Int = 3, vocabSize: Int = 4096, floorCount: Double = 0.5): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    require(floorCount > 0, s"floorCount must be > 0: $floorCount")
+    val missing = Seq("gram", "gram_count").filterNot(counts.columns.contains)
+    require(missing.isEmpty,
+      s"counts frame must carry columns (gram, gram_count) — missing " +
+        s"${missing.mkString(", ")}; pass the frame produced by charNgramCounts")
+    val topv = counts.orderBy(col("gram_count").desc, col("gram")).limit(vocabSize)
+    val total = counts.agg(sum(col("gram_count")).cast("double").as("lm_total_count"))
+    val scored = spread(df).filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(charNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(topv), Seq("gram"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        col("gram_count").isNull.cast("long").as("oov"),
+        log(coalesce(col("gram_count").cast("double"), lit(floorCount)) /
+          col("lm_total_count")).as("logp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum("oov").as("oov_grams"),
+        sum("logp").as("slogp"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("oov_grams"), lit(0L)).as("oov_grams"),
+        round(col("slogp") / col("n_grams"), 4).as("avg_logp"),
+        round(exp(-col("slogp") / col("n_grams")), 4).as("perplexity"))
+  }
+
+  /** All character n-grams of a text column in position order, as
+    * array<string>; texts shorter than n yield an empty array (guarded
+    * — an unguarded `sequence(1, len-n+1)` would DESCEND for short
+    * texts and emit reversed out-of-range grams). */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
   /** Binds the word-bigram array as its own attribute (see the lambda
     * capture note on [[repetitionStats]]). */
   private def withBigrams(bound: DataFrame): DataFrame = {

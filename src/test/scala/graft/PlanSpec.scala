@@ -284,6 +284,27 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "SortMergeJoin"
   }
 
+  test("lmScore broadcasts the vocabulary and total; corpus text is never sort-merge joined") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "abcdefgh"), (2L, "abcdxyzw")).toDF("doc_id", "text")
+    val plan = physical(graft.text.TextAnalysis.lmScore(corpus, "text", "doc_id",
+      vocabSize = 8))
+    withClue(plan) {
+      // The gram lookup and the 1-row total both ride broadcasts; the
+      // only sort-merge allowed is the final per-doc id join of two
+      // already-aggregated sides — corpus TEXT never shuffles.
+      plan should include("BroadcastHashJoin")
+      plan should not include "CartesianProduct"
+      plan.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+        l should include("doc_id")
+      }
+      plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+        l should not include "text"
+      }
+    }
+  }
+
   test("chunking is pure map-side: the one Generate, no exchange, no aggregate") {
     val s = spark
     import s.implicits._

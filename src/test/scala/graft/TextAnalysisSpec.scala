@@ -305,6 +305,56 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
       TextAnalysis.chunk(df, "text", "doc_id", maxTokens = 4, overlap = 4)
   }
 
+  test("lmScore: hand-computed trigram model, OOV floor, short and null docs") {
+    // Corpus grams: "aaaa" → aaa,aaa; "aab" → aab. Counts aaa:2, aab:1,
+    // total 3. "xy" and null produce no grams but keep their rows.
+    val df = docs((1L, "aaaa"), (2L, "aab"), (3L, "xy"), (4L, null))
+    val full = TextAnalysis.lmScore(df, "text", "doc_id", n = 3, vocabSize = 16)
+      .orderBy("doc_id").collect()
+    full.map(_.getAs[Long]("n_grams")) shouldBe Array(2L, 1L, 0L, 0L)
+    full.map(_.getAs[Long]("oov_grams")) shouldBe Array(0L, 0L, 0L, 0L)
+    full(0).getAs[Double]("avg_logp") shouldBe (math.log(2.0 / 3) +- 1e-4)
+    full(0).getAs[Double]("perplexity") shouldBe (1.5 +- 1e-4)
+    full(1).getAs[Double]("avg_logp") shouldBe (math.log(1.0 / 3) +- 1e-4)
+    full(1).getAs[Double]("perplexity") shouldBe (3.0 +- 1e-4)
+    full(2).isNullAt(full(2).fieldIndex("avg_logp")) shouldBe true
+    full(3).isNullAt(full(3).fieldIndex("perplexity")) shouldBe true
+
+    // vocabSize 1 keeps only "aaa" (count desc, gram tiebreak): "aab"
+    // falls to the 0.5 pseudo-count over the SAME total of 3.
+    val v1 = TextAnalysis.lmScore(df, "text", "doc_id", n = 3, vocabSize = 1)
+      .orderBy("doc_id").collect()
+    v1(0).getAs[Long]("oov_grams") shouldBe 0L
+    v1(1).getAs[Long]("oov_grams") shouldBe 1L
+    v1(1).getAs[Double]("avg_logp") shouldBe (math.log(0.5 / 3) +- 1e-4)
+    v1(1).getAs[Double]("perplexity") shouldBe (6.0 +- 1e-4)
+  }
+
+  test("lmScore ranks garbled text as higher perplexity than in-distribution prose") {
+    val prose = "the cat sat on the mat and the dog sat on the rug"
+    val rows = (1L to 20L).map(i => (i, prose)) :+ (99L, "zq8#kv!x9w@j2r%t")
+    val out = TextAnalysis.lmScore(docs(rows: _*), "text", "doc_id", vocabSize = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("perplexity")).toMap
+    out(99L) should be > out(1L) * 5
+  }
+
+  test("charNgrams: position order, short-text guard") {
+    val r = docs((1L, "abcd")).select(
+      TextAnalysis.charNgrams(col("text"), 2).as("g2"),
+      TextAnalysis.charNgrams(col("text"), 5).as("g5")).head()
+    r.getSeq[String](0) shouldBe Seq("ab", "bc", "cd")
+    r.getSeq[String](1) shouldBe Seq.empty
+  }
+
+  test("lmScoreFromCounts rejects a frame that is not charNgramCounts output") {
+    val df = docs((1L, "aaaa"))
+    val bad = df.select(col("text").as("gram"))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.lmScoreFromCounts(df, "text", "doc_id", bad)
+    }
+    e.getMessage should include("gram_count")
+  }
+
   test("topNgrams counts document frequency, not occurrences") {
     val df = docs(
       (1L, "spam spam spam spam"),             // "spam spam" repeats IN one doc
