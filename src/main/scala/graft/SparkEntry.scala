@@ -1156,6 +1156,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Per-source corpus mixture report: the curation dashboard
+    // (doc counts, char/token mass, mean quality, corpus-wide dup
+    // share per source, dominant language + share). Composes the
+    // already-oracled fingerprint/quality/language replays under one
+    // per-source aggregate — every column hash-checked.
+    "rpt_source_mix" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      TextAnalysis.sourceMixReport(df, "text", "source").orderBy("source")
+    }),
+
     // ---- Multimodal: nested-column (array) profile over embeddings.
     "mm_array_profile" -> ((s, dir) => {
       val df = t(s, dir, "embeddings")
@@ -3104,6 +3114,73 @@ object SparkEntry {
         |       round(exp(-s.slogp / s.n_grams), 4) AS perplexity
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Composes the txt_fingerprints / txt_quality / txt_lang_id
+    // replays under a per-source aggregate: corpus-wide dup flag via a
+    // window over the md5 fingerprint, then counts/sums/averages and a
+    // fixed-label argmax (>= chain over the sorted label order = the
+    // engine's first-strictly-greater fold, ties to the earliest).
+    "rpt_source_mix" ->
+      """WITH d AS (
+        |  SELECT source, text,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE text IS NOT NULL
+        |), f AS (
+        |  SELECT source, text,
+        |         CASE WHEN count(*) OVER (PARTITION BY fp) > 1 THEN 1.0 ELSE 0.0 END AS is_dup
+        |  FROM d
+        |), m AS (
+        |  SELECT source, is_dup, text,
+        |         string_split_regex(trim(text), '\s+') AS w,
+        |         string_split_regex(trim(lower(text)), '\s+') AS lw
+        |  FROM f
+        |), c AS (
+        |  SELECT source, is_dup,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(len(w) AS BIGINT) AS toks,
+        |    least(least(greatest(len(w), 1) * 1.0 / 100.0, 1.0)
+        |      * (1.0 - len(regexp_extract_all(text, '[[:punct:]]')) * 1.0 / greatest(length(text), 1.0))
+        |      * (0.5 + 0.5 * (len(list_filter(w, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+        |          / greatest(len(w), 1))), 1.0) AS quality,
+        |    len(list_filter(lw, t -> t IN ('der','die','und','ist','nicht'))) AS de,
+        |    len(list_filter(lw, t -> t IN ('the','and','of','to','is'))) AS en,
+        |    len(list_filter(lw, t -> t IN ('el','la','que','los','una'))) AS es,
+        |    len(list_filter(lw, t -> t IN ('le','les','des','est','une'))) AS fr,
+        |    len(list_filter(lw, t -> t IN ('的','是','了','在','我'))) AS zh
+        |  FROM m
+        |), p AS (
+        |  SELECT source, is_dup, chars, toks, quality,
+        |    CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'unknown'
+        |         WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |         WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |         WHEN es >= fr AND es >= zh THEN 'es'
+        |         WHEN fr >= zh THEN 'fr'
+        |         ELSE 'zh' END AS lang
+        |  FROM c
+        |), a AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |    avg(quality) AS avg_q, avg(is_dup) AS dup_f,
+        |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+        |    sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS n_es,
+        |    sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS n_fr,
+        |    sum(CASE WHEN lang = 'unknown' THEN 1 ELSE 0 END) AS n_unknown,
+        |    sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS n_zh
+        |  FROM p GROUP BY source
+        |)
+        |SELECT source, n_docs, total_chars, total_tokens,
+        |  round(avg_q, 4) AS avg_quality,
+        |  round(dup_f, 4) AS dup_fraction,
+        |  CASE WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr AND n_de >= n_unknown AND n_de >= n_zh THEN 'de'
+        |       WHEN n_en >= n_es AND n_en >= n_fr AND n_en >= n_unknown AND n_en >= n_zh THEN 'en'
+        |       WHEN n_es >= n_fr AND n_es >= n_unknown AND n_es >= n_zh THEN 'es'
+        |       WHEN n_fr >= n_unknown AND n_fr >= n_zh THEN 'fr'
+        |       WHEN n_unknown >= n_zh THEN 'unknown'
+        |       ELSE 'zh' END AS top_lang,
+        |  round(greatest(n_de, n_en, n_es, n_fr, n_unknown, n_zh) * 1.0 / n_docs, 4) AS top_lang_fraction
+        |FROM a ORDER BY source""".stripMargin,
 
     "validator_batched" ->
       """SELECT 'b1_no_negative_price' AS rule_name,

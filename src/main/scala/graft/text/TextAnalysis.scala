@@ -64,23 +64,35 @@ object TextAnalysis {
     * (prose-likeness). */
   def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val txt = col(textCol)
-    val w = tokens(txt)
     val nChars = length(txt).cast("double")
-    val punct = regexp_count(txt, lit("[\\p{Punct}]")).cast("double")
     val digits = regexp_count(txt, lit("[0-9]")).cast("double")
-    val stops = size(filter(w, t => t.isin(Stopwords.map(x => x: Any): _*))).cast("double")
-    val nTok = greatest(size(w), lit(1)).cast("double")
-    val punctRatio = punct / greatest(nChars, lit(1.0))
-    val stopRatio = stops / nTok
-    val score =
-      least(nTok / lit(100.0), lit(1.0)) * (lit(1.0) - punctRatio) *
-        (lit(0.5) + lit(0.5) * stopRatio)
     spread(df).select(
       col(idCol),
-      round(punctRatio, 4).as("punct_ratio"),
+      round(punctRatioExpr(txt), 4).as("punct_ratio"),
       round(digits / greatest(nChars, lit(1.0)), 4).as("digit_ratio"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(least(score, lit(1.0)), 4).as("quality_score"))
+      round(stopRatioExpr(txt), 4).as("stopword_ratio"),
+      round(qualityScoreExpr(txt), 4).as("quality_score"))
+  }
+
+  private def punctRatioExpr(txt: Column): Column =
+    regexp_count(txt, lit("[\\p{Punct}]")).cast("double") /
+      greatest(length(txt).cast("double"), lit(1.0))
+
+  private def stopRatioExpr(txt: Column): Column = {
+    val w = tokens(txt)
+    size(filter(w, t => t.isin(Stopwords.map(x => x: Any): _*))).cast("double") /
+      greatest(size(w), lit(1)).cast("double")
+  }
+
+  /** The composite quality score of [[qualityScore]] as a bare column
+    * expression — shared with [[sourceMixReport]] so the formula lives
+    * in one place (Catalyst CSE collapses the repeated subtrees). */
+  private def qualityScoreExpr(txt: Column): Column = {
+    val nTok = greatest(size(tokens(txt)), lit(1)).cast("double")
+    least(
+      least(nTok / lit(100.0), lit(1.0)) * (lit(1.0) - punctRatioExpr(txt)) *
+        (lit(0.5) + lit(0.5) * stopRatioExpr(txt)),
+      lit(1.0))
   }
 
   /** Language identification by marker-word counting: the language
@@ -93,29 +105,41 @@ object TextAnalysis {
     * re-evaluate captured subtrees). The counts struct is materialized
     * in its own projection so the argmax reads a bound attribute. */
   def languageId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val langs = LanguageMarkers.map(_._1)
-    val w = tokens(lower(col(textCol)))
-    val zero = struct(langs.map(l => lit(0).as(l)): _*)
-    val counts = aggregate(w, zero, (acc, t) =>
+    val withCounts = spread(df).select(col(idCol), langCountsExpr(col(textCol)).as("c"))
+    withCounts.select(col(idCol), bestOf(LanguageMarkers.map(_._1),
+        l => col("c").getField(l)).as("best"))
+      .select(
+        col(idCol),
+        when(col("best.n") > 0, col("best.lang")).otherwise(lit("unknown")).as("lang_pred"),
+        col("best.n").cast("long").as("marker_hits"))
+  }
+
+  /** Per-language marker-hit counts as one struct, built in a single
+    * traversal of the token array (see the capture note on
+    * [[languageId]]). */
+  private def langCountsExpr(txt: Column): Column = {
+    val w = tokens(lower(txt))
+    val zero = struct(LanguageMarkers.map { case (l, _) => lit(0).as(l) }: _*)
+    aggregate(w, zero, (acc, t) =>
       struct(LanguageMarkers.map { case (lang, markers) =>
         (acc.getField(lang) +
           when(t.isin(markers.map(x => x: Any): _*), 1).otherwise(0)).as(lang)
       }: _*))
-    val withCounts = spread(df).select(col(idCol), counts.as("c"))
-    // argmax with alphabetical tiebreak: fold over languages in order,
-    // keeping the first language with the (strictly) highest count.
-    val best = langs.tail.foldLeft(
-      struct(col("c").getField(langs.head).as("n"), lit(langs.head).as("lang"))) {
-      case (acc, lang) =>
-        when(col("c").getField(lang) > acc.getField("n"),
-          struct(col("c").getField(lang).as("n"), lit(lang).as("lang")))
+  }
+
+  /** Deterministic argmax over named counters as struct(n, lang): fold
+    * in the given order keeping the first strictly-highest entry — so
+    * ties break to the earliest name. Shared by [[languageId]]
+    * (alphabetical marker order) and [[sourceMixReport]] (sorted
+    * label set). */
+  private def bestOf(names: Seq[String], counter: String => Column): Column =
+    names.tail.foldLeft(
+      struct(counter(names.head).as("n"), lit(names.head).as("lang"))) {
+      case (acc, name) =>
+        when(counter(name) > acc.getField("n"),
+          struct(counter(name).as("n"), lit(name).as("lang")))
           .otherwise(acc)
     }
-    withCounts.select(col(idCol), best.as("best")).select(
-      col(idCol),
-      when(col("best.n") > 0, col("best.lang")).otherwise(lit("unknown")).as("lang_pred"),
-      col("best.n").cast("long").as("marker_hits"))
-  }
 
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Identical content (modulo spacing/case) → identical
@@ -452,6 +476,59 @@ object TextAnalysis {
     when(length(text) >= n,
       transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
+
+  /** Per-source corpus mixture report — the dashboard a mixture /
+    * curation decision reads before weighting sources (feeds
+    * [[graft.sampling.BudgetSelect]] weights): one row per value of
+    * `sourceCol` with document count, total chars/tokens, mean
+    * composite quality, the fraction of documents whose normalized
+    * fingerprint appears more than once CORPUS-WIDE (cross-source
+    * duplication attributed to each source), and the source's dominant
+    * predicted language with its share (ties break to the
+    * lexicographically first label). Rows with null text are excluded.
+    *
+    * Plan shape: one text scan computes fingerprint + quality + lang
+    * counts map-side; the dup flag rides a window partitioned by the
+    * fingerprint (high-cardinality content hash, not a funnel); the
+    * final aggregate collapses per source under map-side combine with
+    * per-language counts as fixed columns (the label set is a
+    * compile-time constant, so the dominant language needs NO second
+    * shuffle). Two shuffles total, no joins, text never shuffled. */
+  def sourceMixReport(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val perFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val langs = (LanguageMarkers.map(_._1) :+ "unknown").sorted
+    // Staged selects, not withColumn: the counts struct and the argmax
+    // must read BOUND attributes (the capture note on [[languageId]] —
+    // a collapsed projection would re-run the counts traversal once
+    // per field reference).
+    val perDoc = spread(df).filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), col(textCol).as("t"),
+        fingerprint(col(textCol)).as("fp"))
+      .withColumn("is_dup", (count(lit(1)).over(perFp) > 1).cast("double"))
+      .select(col("source"), col("is_dup"),
+        length(col("t")).cast("long").as("chars"),
+        size(tokens(col("t"))).cast("long").as("toks"),
+        qualityScoreExpr(col("t")).as("quality"),
+        langCountsExpr(col("t")).as("c"))
+      .select(col("source"), col("is_dup"), col("chars"), col("toks"), col("quality"),
+        bestOf(LanguageMarkers.map(_._1), l => col("c").getField(l)).as("best"))
+      .select(col("source"), col("is_dup"), col("chars"), col("toks"), col("quality"),
+        when(col("best.n") > 0, col("best.lang")).otherwise(lit("unknown")).as("lang"))
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum("chars").as("total_chars"),
+      sum("toks").as("total_tokens"),
+      avg("quality").as("avg_q"),
+      avg("is_dup").as("dup_f")) ++
+      langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l"))
+    perDoc.groupBy("source").agg(aggs.head, aggs.tail: _*)
+      .withColumn("top", bestOf(langs, l => col(s"n_$l")))
+      .select(col("source"), col("n_docs"), col("total_chars"), col("total_tokens"),
+        round(col("avg_q"), 4).as("avg_quality"),
+        round(col("dup_f"), 4).as("dup_fraction"),
+        col("top.lang").as("top_lang"),
+        round(col("top.n").cast("double") / col("n_docs"), 4).as("top_lang_fraction"))
+  }
 
   /** Binds the word-bigram array as its own attribute (see the lambda
     * capture note on [[repetitionStats]]). */

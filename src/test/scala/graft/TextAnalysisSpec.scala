@@ -355,6 +355,50 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     e.getMessage should include("gram_count")
   }
 
+  test("sourceMixReport: counts, corpus-wide dup attribution, dominant language with tiebreak") {
+    val s = spark
+    import s.implicits._
+    // Source A: two identical en docs (a dup pair). Source B: one es
+    // doc + one copy of A's text — the fingerprint window is
+    // CORPUS-wide, so B's copy is flagged too (dup_fraction 0.5), and
+    // B's language tie (1 en vs 1 es) breaks to 'en' (sorted order).
+    val df = Seq(
+      (1L, "A", "the cat and the dog"),
+      (2L, "A", "the cat and the dog"),
+      (3L, "B", "el la que xyz"),
+      (4L, "B", "the cat and the dog")).toDF("doc_id", "source", "text")
+    val rows = graft.text.TextAnalysis.sourceMixReport(df, "text", "source")
+      .orderBy("source").collect()
+    rows.map(_.getAs[String]("source")) shouldBe Array("A", "B")
+    val a = rows(0); val b = rows(1)
+    a.getAs[Long]("n_docs") shouldBe 2L
+    a.getAs[Long]("total_chars") shouldBe 38L
+    a.getAs[Long]("total_tokens") shouldBe 10L
+    // quality per doc: min(5/100,1) * (1-0) * (0.5 + 0.5*(3/5)) = 0.04
+    a.getAs[Double]("avg_quality") shouldBe 0.04 +- 1e-9
+    a.getAs[Double]("dup_fraction") shouldBe 1.0
+    a.getAs[String]("top_lang") shouldBe "en"
+    a.getAs[Double]("top_lang_fraction") shouldBe 1.0
+    b.getAs[Long]("n_docs") shouldBe 2L
+    b.getAs[Double]("dup_fraction") shouldBe 0.5
+    b.getAs[String]("top_lang") shouldBe "en"
+    b.getAs[Double]("top_lang_fraction") shouldBe 0.5
+  }
+
+  test("sourceMixReport: unknown dominates when no markers hit; null text excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "C", "zz yy xx"),
+      (2L, "C", "qq ww ee"),
+      (3L, "C", null)).toDF("doc_id", "source", "text")
+    val r = graft.text.TextAnalysis.sourceMixReport(df, "text", "source").head()
+    r.getAs[Long]("n_docs") shouldBe 2L
+    r.getAs[String]("top_lang") shouldBe "unknown"
+    r.getAs[Double]("top_lang_fraction") shouldBe 1.0
+    r.getAs[Double]("dup_fraction") shouldBe 0.0
+  }
+
   test("topNgrams counts document frequency, not occurrences") {
     val df = docs(
       (1L, "spam spam spam spam"),             // "spam spam" repeats IN one doc
