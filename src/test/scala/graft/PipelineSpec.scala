@@ -59,6 +59,13 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
     n3 should be <= n2
     n3 should be > 0L
 
+    // Stage 3b: corpus-LM scoring joins the same way — the filter here
+    // only asserts scorability (n_grams > 0) so the pin stays
+    // corpus-agnostic; a real pipeline thresholds the perplexity.
+    val lm = TextAnalysis.lmScore(canonical, "text", "doc_id", vocabSize = 512)
+    lm.count() shouldBe n2
+    kept.join(lm.filter(col("n_grams") > 0), "doc_id").count() shouldBe n3
+
     // Stage 4: token accounting over the surviving corpus.
     val tokens = TextAnalysis.tokenStats(kept, "text", "doc_id")
     tokens.count() shouldBe n3
@@ -117,5 +124,39 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
     packed.groupBy("shard", "bin")
       .agg(sum(col("n_tokens")).as("tot"), max(col("n_tokens")).as("mx"))
       .filter(col("tot") - col("mx") >= 96L).count() shouldBe 0L
+
+    // Stage 7: the mixture dashboard reads consistently off the same
+    // corpus — per-source doc counts re-add to the corpus total.
+    val report = TextAnalysis.sourceMixReport(docs, "text", "source")
+    report.agg(sum("n_docs")).head().getLong(0) shouldBe n0
+  }
+
+  test("embedding curation composes: shared cells → semantic pairs + audit → components → quantize") {
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n0 = emb.count()
+    // ONE cell-assignment scan feeds both the audit and the pairing
+    // join — the shared-bucket contract, SemDeDup flavor.
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+      nCells = 4, kmeansIterations = 2).persist()
+    try {
+      cells.count() shouldBe n0
+      // Default cap binds nothing here; an empty audit proves the
+      // pair set saw every within-cell candidate.
+      Similarity.cappedBucketsFromBuckets(cells, maxBucketOccupancy = 1000)
+        .count() shouldBe 0L
+      val pairs = Similarity.nearDupByEmbeddingFromBuckets(cells,
+        threshold = 0.3, maxBucketOccupancy = 1000)
+      pairs.count() should be > 0L
+      val labeled = graft.dedup.Dedup.componentIds(emb, "vec_id", pairs)
+      labeled.count() shouldBe n0 // labeling loses nothing
+      val canon = labeled.filter(col("vec_id") === col("component"))
+      val n1 = canon.count()
+      n1 should be < n0  // 0.3-threshold pairs genuinely collapse clusters
+      n1 should be > 0L
+      // Survivors quantize 1:1 for the ANN working set.
+      Similarity.quantizeInt8(canon, "vec_id", "embedding")
+        .count() shouldBe n1
+    } finally { cells.unpersist(blocking = false); () }
   }
 }
