@@ -1589,6 +1589,36 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- LLM-pipeline: bipartite embedding near-dup (incremental
+    // ingest vs a curated corpus — the vector counterpart of ll18).
+    // The incoming batch is 40 id-shifted copies of existing vectors,
+    // so every incoming vector has a planted cosine-1.0 match; the
+    // seed-42 hyperplanes replay as literals in the oracle (ll9's
+    // convention), making pairs and cosines fully hash-checked.
+    "ll21_embedding_near_dups_against" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      val incoming = df.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Similarity.nearDupByEmbeddingAgainst(incoming, "vec_id", "embedding",
+          df, "vec_id", "embedding", dim = 64, threshold = 0.3, nPlanes = 4)
+        .select(col("incoming_id"), col("existing_id"),
+          round(col("cosine_sim"), 4).as("cosine_sim"))
+        .orderBy("incoming_id", "existing_id")
+    }),
+
+    // ---- The combined-occupancy audit for ll21 ("no silent caps",
+    // bipartite flavor): buckets whose incoming+existing population
+    // exceeds 25, with the per-side split.
+    "ll21b_capped_embedding_buckets_against" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      val incoming = df.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Similarity.cappedBucketsAgainst(incoming, "vec_id", "embedding",
+          df, "vec_id", "embedding", dim = 64, nPlanes = 4,
+          maxBucketOccupancy = 25)
+        .orderBy("bucket")
+    }),
+
     // ---- LLM-pipeline: benchmark decontamination (token 8-gram
     // overlap, GPT-3 appendix-C shape). The benchmark is synthesized
     // the way real contamination happens: every 29th document donates
@@ -2829,6 +2859,50 @@ object SparkEntry {
       s"""WITH $kmeansCellsCte
         |SELECT CAST(cell AS INTEGER) AS bucket, count(*) AS occupancy
         |FROM cells GROUP BY cell HAVING count(*) > 60 ORDER BY bucket""".stripMargin,
+
+    // Literal-hyperplane bipartite replay (ll9's convention, two
+    // sides): bucket the id-shifted incoming batch and the corpus
+    // under the same 4 planes, join on bucket equality, verify with
+    // the exact cosine.
+    "ll21_embedding_near_dups_against" -> {
+      val planes = graft.similarity.Similarity.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
+      val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_dot_product(embedding[1:64]::DOUBLE[], ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH inc AS (
+         |  SELECT vec_id + 10000 AS vec_id, embedding, $bucketExpr AS bucket
+         |  FROM embeddings WHERE vec_id < 40
+         |), ex AS (
+         |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings
+         |), pairs AS (
+         |  SELECT a.vec_id AS incoming_id, b.vec_id AS existing_id,
+         |    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(a.embedding) + 1)]) /
+         |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE for i in range(1, len(a.embedding) + 1)])) *
+         |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(b.embedding) + 1)]))) AS cosine_sim
+         |  FROM inc a JOIN ex b ON a.bucket = b.bucket
+         |)
+         |SELECT incoming_id, existing_id, round(cosine_sim, 4) AS cosine_sim
+         |FROM pairs WHERE cosine_sim >= 0.3 ORDER BY incoming_id, existing_id""".stripMargin
+    },
+
+    // Same bipartite replay aggregated to combined bucket occupancy
+    // with the per-side split, cap 25.
+    "ll21b_capped_embedding_buckets_against" -> {
+      val planes = graft.similarity.Similarity.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
+      val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_dot_product(embedding[1:64]::DOUBLE[], ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH u AS (
+         |  SELECT $bucketExpr AS bucket, CAST(1 AS BIGINT) AS inc
+         |  FROM embeddings WHERE vec_id < 40
+         |  UNION ALL
+         |  SELECT $bucketExpr AS bucket, CAST(0 AS BIGINT) AS inc FROM embeddings
+         |)
+         |SELECT bucket, count(*) AS occupancy,
+         |       CAST(sum(inc) AS BIGINT) AS incoming_occupancy,
+         |       CAST(count(*) - sum(inc) AS BIGINT) AS existing_occupancy
+         |FROM u GROUP BY bucket HAVING count(*) > 25 ORDER BY bucket""".stripMargin
+    },
 
     // Brute-force bipartite Jaccard ground truth over the synthesized
     // incoming batch (perturbed donors + novel docs) vs the corpus.

@@ -330,6 +330,90 @@ object Similarity {
       .filter(col("occupancy") > maxBucketOccupancy)
   }
 
+  /** Bipartite embedding-space near-duplicates — the incremental-
+    * ingest shape ([[graft.dedup.Dedup.nearDupPairsAgainst]] over
+    * vectors): every incoming vector whose exact cosine against some
+    * vector of an EXISTING curated corpus clears the threshold, as
+    * (incoming_id, existing_id, cosine_sim). Candidates come from
+    * sign-bucket equality only (no incoming×existing product);
+    * `maxBucketOccupancy` prunes buckets whose COMBINED population
+    * across both sides exceeds the cap — n copies of one template
+    * already in the corpus meet each matching incoming vector as
+    * O(n·m) rows, so the cap counts the union, and
+    * [[cappedBucketsAgainst]] reports the per-side split of what was
+    * dropped. Each vector holds ONE sign bucket, so a pair can
+    * surface through at most one bucket — no dedup pass needed. */
+  def nearDupByEmbeddingAgainst(
+      incoming: DataFrame, incomingIdCol: String, incomingVecCol: String,
+      existing: DataFrame, existingIdCol: String, existingVecCol: String,
+      dim: Int, threshold: Double = 0.95, nPlanes: Int = 8, seed: Long = 42L,
+      maxBucketOccupancy: Int = 1000): DataFrame =
+    nearDupByEmbeddingAgainstFromBuckets(
+      signBuckets(incoming, incomingIdCol, incomingVecCol, dim, nPlanes, seed),
+      signBuckets(existing, existingIdCol, existingVecCol, dim, nPlanes, seed),
+      threshold, maxBucketOccupancy)
+
+  /** [[nearDupByEmbeddingAgainst]] over two precomputed [[signBuckets]]
+    * frames — the shared-scan path (run [[cappedBucketsAgainstFromBuckets]]
+    * off the same two frames; both sides must be bucketed under the
+    * same hyperplanes, which the frame shape enforces by construction).
+    * The occupancy window rides the unioned buckets, so both join
+    * sides filter the SAME shuffled union and reuse one exchange. */
+  def nearDupByEmbeddingAgainstFromBuckets(
+      incomingBuckets: DataFrame, existingBuckets: DataFrame,
+      threshold: Double = 0.95, maxBucketOccupancy: Int = 1000): DataFrame = {
+    requireColumns(incomingBuckets, "id", "v", "bucket")
+    requireColumns(existingBuckets, "id", "v", "bucket")
+    val tagged = incomingBuckets
+      .select(col("id"), col("v"), col("bucket"), lit(true).as("is_incoming"))
+      .unionByName(existingBuckets
+        .select(col("id"), col("v"), col("bucket"), lit(false).as("is_incoming")))
+    val kept =
+      if (maxBucketOccupancy <= 0) tagged
+      else {
+        val perBucket = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+        tagged.withColumn("occupancy", count(lit(1)).over(perBucket))
+          .filter(col("occupancy") <= maxBucketOccupancy)
+          .drop("occupancy")
+      }
+    kept.filter(col("is_incoming")).as("a")
+      .join(kept.filter(!col("is_incoming")).as("b"), col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("incoming_id"), col("b.id").as("existing_id"),
+        cosine(col("a.v"), col("b.v")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** The audit for [[nearDupByEmbeddingAgainst]]'s combined-occupancy
+    * cap: every sign bucket whose incoming+existing population exceeds
+    * the cap, as (bucket, occupancy, incoming_occupancy,
+    * existing_occupancy) — the per-side split tells you whether the
+    * hot bucket is a corpus-side template cluster (collapse it with
+    * exact dedup first) or an incoming-batch flood. */
+  def cappedBucketsAgainst(
+      incoming: DataFrame, incomingIdCol: String, incomingVecCol: String,
+      existing: DataFrame, existingIdCol: String, existingVecCol: String,
+      dim: Int, nPlanes: Int = 8, seed: Long = 42L,
+      maxBucketOccupancy: Int = 1000): DataFrame =
+    cappedBucketsAgainstFromBuckets(
+      signBuckets(incoming, incomingIdCol, incomingVecCol, dim, nPlanes, seed),
+      signBuckets(existing, existingIdCol, existingVecCol, dim, nPlanes, seed),
+      maxBucketOccupancy)
+
+  /** [[cappedBucketsAgainst]] over precomputed [[signBuckets]] frames. */
+  def cappedBucketsAgainstFromBuckets(
+      incomingBuckets: DataFrame, existingBuckets: DataFrame,
+      maxBucketOccupancy: Int = 1000): DataFrame = {
+    requireColumns(incomingBuckets, "bucket")
+    requireColumns(existingBuckets, "bucket")
+    incomingBuckets.select(col("bucket"), lit(1L).as("inc"))
+      .unionByName(existingBuckets.select(col("bucket"), lit(0L).as("inc")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("occupancy"),
+        sum(col("inc")).as("incoming_occupancy"),
+        (count(lit(1)) - sum(col("inc"))).as("existing_occupancy"))
+      .filter(col("occupancy") > maxBucketOccupancy)
+  }
+
   /** (id, v, bucket) k-means cell assignment of a corpus — the
     * coarse-quantizer counterpart of [[signBuckets]], and the shared
     * input of [[semanticNearDupPairs]] and its occupancy audit. The

@@ -222,6 +222,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("bipartite embedding join shuffles the unioned sign buckets once") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ex = (0 until 8).map(i => (i.toLong, Seq.fill(4)(i.toDouble + 1)))
+        .toDF("vec_id", "embedding")
+      val inc = Seq((99L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("vec_id", "embedding")
+      val plan = physical(Similarity.nearDupByEmbeddingAgainstFromBuckets(
+        Similarity.signBuckets(inc, "vec_id", "embedding", dim = 4),
+        Similarity.signBuckets(ex, "vec_id", "embedding", dim = 4),
+        maxBucketOccupancy = 10))
+      val lines = plan.linesIterator.filter(_.contains("hashpartitioning(bucket")).toSeq
+      withClue(plan) {
+        lines.count(!_.contains("ReusedExchange")) shouldBe 1
+        lines.count(_.contains("ReusedExchange")) should be >= 1
+        plan should not include "CartesianProduct"
+      }
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("semantic near-dup pairing is cell-equi-keyed and reuses one exchange") {
     val s = spark
     import s.implicits._

@@ -219,6 +219,47 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
       kmeansIterations = 2, maxCellOccupancy = 400).count() shouldBe 0L
   }
 
+  test("nearDupByEmbeddingAgainst: planted match found, combined cap prunes a flood, audit splits sides") {
+    val rnd = new scala.util.Random(5)
+    val v = Seq.fill(8)(rnd.nextGaussian())
+    val q = Seq.fill(8)(rnd.nextGaussian())
+    // Existing corpus: a 200-copy template cluster of v, plus q.
+    val existing = vecs(((1L to 200L).map(i => (i, v.map(_ * (1.0 + i * 1e-9)))) :+
+      (900L, q)): _*)
+    // Incoming batch: a near-copy of q (the planted match), a novel
+    // vector, and a 50-copy flood of the template.
+    val novel = Seq.fill(8)(rnd.nextGaussian())
+    val incoming = vecs(((10001L, q.map(_ * 1.001)) +: (10002L, novel) +:
+      (10101L to 10150L).map(i => (i, v.map(_ * (1.0 + i * 1e-9))))): _*)
+
+    // Uncapped: the flood meets the template cluster as 50×200 rows.
+    Similarity.nearDupByEmbeddingAgainst(incoming, "vec_id", "embedding",
+        existing, "vec_id", "embedding", dim = 8, threshold = 0.99,
+        maxBucketOccupancy = 0)
+      .count() should be >= 50L * 200
+
+    // Capped at 100: the combined 250-vector bucket is pruned; the
+    // planted q-match still surfaces (unless q shares the hot bucket).
+    val capped = Similarity.nearDupByEmbeddingAgainst(incoming, "vec_id", "embedding",
+        existing, "vec_id", "embedding", dim = 8, threshold = 0.99,
+        maxBucketOccupancy = 100)
+      .collect().map(r => (r.getAs[Long]("incoming_id"), r.getAs[Long]("existing_id")))
+    capped.filter { case (a, b) => a >= 10101L || b <= 200L } shouldBe empty
+    capped should contain((10001L, 900L))
+
+    // The audit names the hot bucket and splits its sides.
+    val audit = Similarity.cappedBucketsAgainst(incoming, "vec_id", "embedding",
+      existing, "vec_id", "embedding", dim = 8, maxBucketOccupancy = 100).collect()
+    val hot = audit.maxBy(_.getAs[Long]("occupancy"))
+    hot.getAs[Long]("occupancy") should be >= 250L
+    hot.getAs[Long]("incoming_occupancy") should be >= 50L
+    hot.getAs[Long]("existing_occupancy") should be >= 200L
+    // A cap above the flood empties the audit.
+    Similarity.cappedBucketsAgainst(incoming, "vec_id", "embedding",
+      existing, "vec_id", "embedding", dim = 8, maxBucketOccupancy = 400)
+      .count() shouldBe 0L
+  }
+
   test("kmeansCells degrades gracefully on an empty corpus") {
     val empty = vecs((1L, Seq.fill(4)(1.0))).filter(col("vec_id") > 100L)
     val cells = Similarity.kmeansCells(empty, "vec_id", "embedding", nCells = 4)
