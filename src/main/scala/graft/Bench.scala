@@ -205,8 +205,15 @@ object Bench {
     // retry budget runs out; a run that never clears is flagged
     // (`cal_below_floor`) and counts as positive contention evidence.
     // The floor is env-tunable for other hosts; 0 disables the gate.
+    //
+    // Floor calibration (round 12, same binary, same day): a run
+    // admitted at 10,759 Mops measured the shared query set 1.43× hot
+    // with clean per-query flags; a run gated to 13,168 measured
+    // 1.05×. The warm quiet band on this host is ~12.5–14k, so the
+    // default floor sits at its bottom edge — 10k (the historical
+    // default) admits runs that are already ~20% degraded.
     val calFloor = sys.env.get("SPARK_GRAFT_CAL_FLOOR").flatMap(_.toDoubleOption)
-      .getOrElse(10000.0)
+      .getOrElse(12500.0)
     // One discarded warm-up probe first: the cold probe reads ~20% low
     // (thread-start + OSR lag), which sits BELOW the floor on a quiet
     // host — gating on it would buy a 15 s retry every clean run. The
