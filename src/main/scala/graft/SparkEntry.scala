@@ -1156,6 +1156,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Corpus snapshot diff: the incremental-curation ledger. The
+    // "after" version is synthesized from the fixture by rule (every
+    // 11th doc removed, every 7th edited, every 13th re-added under a
+    // shifted id), so all four statuses appear and the oracle replays
+    // the same construction + md5-fingerprint full-outer join.
+    "txt_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val after = docs.filter(pmod(col("doc_id"), lit(11)) =!= 5)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 3, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 1)
+          .select((col("doc_id") + 5000).as("doc_id"), col("text")))
+      TextAnalysis.corpusDiff(docs, after, "doc_id", "text").orderBy("id")
+    }),
+
     // ---- Per-source corpus mixture report: the curation dashboard
     // (doc counts, char/token mass, mean quality, corpus-wide dup
     // share per source, dominant language + share). Composes the
@@ -3188,6 +3204,33 @@ object SparkEntry {
         |       round(exp(-s.slogp / s.n_grams), 4) AS perplexity
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays the snapshot construction and the md5-fingerprint
+    // full-outer join; IS NOT DISTINCT FROM mirrors Spark's null-safe
+    // <=> on the fingerprint compare.
+    "txt_corpus_diff" ->
+      """WITH after_c AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 3 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 5000 AS doc_id, text FROM documents WHERE doc_id % 13 = 1
+        |), b AS (
+        |  SELECT doc_id AS id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fpb, 1 AS pb
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id AS id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fpa, 1 AS pa
+        |  FROM after_c
+        |)
+        |SELECT COALESCE(b.id, a.id) AS id,
+        |  CASE WHEN b.pb IS NULL THEN 'added'
+        |       WHEN a.pa IS NULL THEN 'removed'
+        |       WHEN b.fpb IS NOT DISTINCT FROM a.fpa THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM b FULL OUTER JOIN a ON b.id = a.id
+        |ORDER BY id""".stripMargin,
 
     // Composes the txt_fingerprints / txt_quality / txt_lang_id
     // replays under a per-source aggregate: corpus-wide dup flag via a

@@ -468,6 +468,32 @@ object TextAnalysis {
         round(exp(-col("slogp") / col("n_grams")), 4).as("perplexity"))
   }
 
+  /** Snapshot diff between two corpus versions — the incremental-
+    * curation ledger (what did the new crawl/cleanup pass actually
+    * do?): one row per document id present in either version, with
+    * `status` ∈ added | removed | changed | unchanged, where changed
+    * vs unchanged compares the normalized content [[fingerprint]]
+    * (null-safe: a document with null text in both versions is
+    * unchanged). One full-outer join on the id — at 100 TB both sides
+    * shuffle 16-byte digests, never text; feed the output's `status`
+    * counts to a report, or anti-join `removed`/`changed` ids to
+    * invalidate downstream artifacts (signatures, embeddings, packed
+    * shards) incrementally instead of rebuilding them. */
+  def corpusDiff(
+      before: DataFrame, after: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val b = spread(before).select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("fpb"), lit(1).as("pb"))
+    val a = spread(after).select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("fpa"), lit(1).as("pa"))
+    b.join(a, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("pb").isNull, "added")
+          .when(col("pa").isNull, "removed")
+          .when(col("fpb") <=> col("fpa"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** All character n-grams of a text column in position order, as
     * array<string>; texts shorter than n yield an empty array (guarded
     * — an unguarded `sequence(1, len-n+1)` would DESCEND for short

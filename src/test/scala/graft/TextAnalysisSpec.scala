@@ -385,6 +385,19 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     b.getAs[Double]("top_lang_fraction") shouldBe 0.5
   }
 
+  test("corpusDiff: all four statuses; whitespace/case-normalized compare; null text is null-safe") {
+    val before = docs((1L, "same text"), (2L, "old text"), (3L, "gone"), (5L, null))
+    val after = docs((1L, "  SAME   text "), (2L, "new text"), (4L, "fresh"), (5L, null))
+    val m = graft.text.TextAnalysis.corpusDiff(before, after, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    m shouldBe Map(
+      1L -> "unchanged", // fingerprint normalizes spacing and case
+      2L -> "changed",
+      3L -> "removed",
+      4L -> "added",
+      5L -> "unchanged") // null text on both sides: null-safe equal
+  }
+
   test("sourceMixReport: unknown dominates when no markers hit; null text excluded") {
     val s = spark
     import s.implicits._
