@@ -1143,6 +1143,23 @@ object SparkEntry {
       TextAnalysis.topNgrams(df, "text", "doc_id", n = 3, k = 25, minCount = 2)
     }),
 
+    // ---- Corpus boilerplate mining + frequent-span removal (the
+    // RefinedWeb exact-substring pass, word-granular). At sf0.01 the
+    // word-trigram document frequency tops out at 7 across 500 docs,
+    // so minDocFreq = 5 yields a ~150-gram removal set — meaningful
+    // stripping without erasing the corpus.
+    "txt_frequent_grams" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      TextAnalysis.frequentGrams(df, "text", "doc_id", n = 3, minDocFreq = 5)
+        .orderBy(col("df_count").desc, col("gram"))
+    }),
+
+    "txt_strip_boilerplate" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      TextAnalysis.stripBoilerplate(df, "text", "doc_id", n = 3, minDocFreq = 5)
+        .orderBy("doc_id")
+    }),
+
     // ---- Corpus char-trigram LM scoring (the CCNet-style perplexity
     // quality filter, corpus-relative). The synthetic corpus has only
     // ~377 distinct trigrams, so the gate truncates the vocabulary to
@@ -3172,6 +3189,62 @@ object SparkEntry {
         |SELECT gram, count(*) AS df_count FROM g
         |GROUP BY gram HAVING count(*) >= 2
         |ORDER BY df_count DESC, gram LIMIT 25""".stripMargin,
+
+    // Boilerplate mining: word-trigram document frequency >= 5, full
+    // n-grams only (no short-doc fallback — a span shorter than the
+    // pattern cannot be a match site).
+    "txt_frequent_grams" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |  WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM w
+        |)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS df_count FROM g
+        |GROUP BY gram HAVING count(*) >= 5
+        |ORDER BY df_count DESC, gram""".stripMargin,
+
+    // Frequent-span removal: every word position covered by any
+    // occurrence of a df>=5 trigram is dropped; survivors rejoin in
+    // order. Fully-stripped docs keep their row with clean_text = ''.
+    "txt_strip_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |  WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [{'i': i, 'g': array_to_string(w[i:i+2], ' ')} for i in range(1, len(w) - 1)]
+        |      ELSE CAST([] AS STRUCT(i BIGINT, g VARCHAR)[]) END) AS u FROM w
+        |), gg AS (
+        |  SELECT doc_id, u.i AS i, u.g AS gram FROM g
+        |), freq AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS dfc FROM gg GROUP BY gram
+        |  ) WHERE dfc >= 5
+        |), hits AS (
+        |  SELECT doc_id, i FROM gg JOIN freq USING (gram)
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, unnest([i + d for d in range(0, 3)]) AS p FROM hits
+        |), pos AS (
+        |  SELECT doc_id, unnest([{'p': i, 'wd': w[i]} for i in range(1, len(w) + 1)]) AS u FROM w
+        |), pp AS (
+        |  SELECT doc_id, u.p AS p, u.wd AS word FROM pos
+        |), kept AS (
+        |  SELECT pp.doc_id, pp.p, pp.word FROM pp
+        |  LEFT JOIN cov ON pp.doc_id = cov.doc_id AND pp.p = cov.p
+        |  WHERE cov.p IS NULL
+        |), agg AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT w.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       CAST(len(w.w) AS BIGINT) AS n_words,
+        |       CAST(len(w.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM w LEFT JOIN agg a USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
 
     // Replays the corpus trigram LM: position-order char trigrams per
     // document, corpus counts, (count desc, gram) vocabulary truncated

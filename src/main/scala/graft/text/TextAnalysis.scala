@@ -556,6 +556,98 @@ object TextAnalysis {
         round(col("top.n").cast("double") / col("n_docs"), 4).as("top_lang_fraction"))
   }
 
+  /** Word n-gram starts per document: (idCol, i, gram) with 1-based
+    * word position i — the positional sibling of
+    * [[graft.dedup.Dedup.wordShingles]] (which is distinct and
+    * position-free). Documents shorter than n words emit no rows (no
+    * whole-text fallback: a span shorter than the pattern length
+    * cannot be a boilerplate match site). Row-local: the positions
+    * come from a guarded `sequence` (unguarded it would DESCEND for
+    * short docs) and each gram is a `slice`+`concat_ws` over the one
+    * tokens array. */
+  private def gramStarts(base: DataFrame, idCol: String, n: Int): DataFrame = {
+    val nw = size(col("w"))
+    base.withColumn("gs",
+        when(nw >= n, transform(sequence(lit(1), nw - (n - 1)),
+          i => struct(i.as("i"), concat_ws(" ", slice(col("w"), i, lit(n))).as("g"))))
+          .otherwise(array().cast("array<struct<i:int,g:string>>")))
+      .select(col(idCol), explode(col("gs")).as("u"))
+      .select(col(idCol), col("u.i").as("i"), col("u.g").as("gram"))
+  }
+
+  private def tokenized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    spread(df).filter(col(textCol).isNotNull)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("w"))
+
+  /** Corpus boilerplate patterns: word n-grams whose DOCUMENT
+    * frequency reaches `minDocFreq` — the shared headers, footers,
+    * cookie banners, and license blurbs of a web corpus. One row per
+    * frequent gram: (gram, df_count), the removal set [[stripBoilerplate]]
+    * consumes and the report a curation decision reads. Unlike
+    * [[topNgrams]] this is threshold-complete (no top-k cap) and
+    * counts only full n-grams (no short-document fallback), so the
+    * pattern set is exactly what the stripper can match.
+    *
+    * Plan shape: grams dedupe per document map-side (array_distinct
+    * before the explode), then ONE partially-aggregated count per
+    * gram; the `df_count >= minDocFreq` filter lands on the aggregate.
+    * Output size is bounded by construction — a gram must recur in
+    * minDocFreq documents to survive, so the result is broadcastable
+    * (which is exactly how [[stripBoilerplate]] uses it). At extreme
+    * scale swap gram strings for xxhash64 on the shuffle key as in
+    * [[graft.dedup.Dedup.shingleHashes]]. */
+  def frequentGrams(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minDocFreq: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    gramStarts(tokenized(df, textCol, idCol), idCol, n)
+      .select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") >= minDocFreq)
+  }
+
+  /** Frequent-span boilerplate removal (the RefinedWeb / "Deduplicating
+    * Training Data Makes Language Models Better" exact-substring pass,
+    * word-granular): every position covered by ANY occurrence of a
+    * corpus-frequent word n-gram ([[frequentGrams]]) is dropped, and
+    * the surviving words are rejoined in order. Overlapping matches
+    * union (a 5-word span matched by two overlapping trigrams is
+    * removed whole), so removal is idempotent on the pattern set.
+    * Output per document: (idCol, clean_text, n_words, n_removed);
+    * fully-boilerplate documents keep their row with clean_text = ""
+    * (drop them with a trivial filter — the row is the evidence).
+    * Whitespace is normalized to single spaces as in [[fingerprint]].
+    *
+    * Plan shape: two corpus scans (pattern mine + strip), THREE
+    * shuffles total, and document text never shuffles. Scan 1 is
+    * [[frequentGrams]]'s bounded aggregate; its output BROADCASTS into
+    * scan 2's gram stream (map-side hash join — no shuffle to find
+    * match sites), matched starts expand to covered positions and
+    * collapse to one int-set row per document (shuffle 2, ints only),
+    * and a left join back to the tokens frame on the id (shuffle 3)
+    * feeds a row-local rebuild: `array_except(sequence, covered)` is
+    * hash-set membership in one pass, order-preserving, so the rebuild
+    * is O(words), not O(words × covered). */
+  def stripBoilerplate(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minDocFreq: Int = 5): DataFrame = {
+    val base = tokenized(df, textCol, idCol)
+    val freq = frequentGrams(df, textCol, idCol, n, minDocFreq)
+    val covered = gramStarts(base, idCol, n)
+      .join(broadcast(freq.select("gram")), "gram")
+      .select(col(idCol), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .groupBy(idCol).agg(collect_set("p").as("cov"))
+    val nw = size(col("w"))
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .withColumn("kept", array_except(sequence(lit(1), nw), col("cov")))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("kept"), p => element_at(col("w"), p))).as("clean_text"),
+        nw.cast("long").as("n_words"),
+        (nw - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Binds the word-bigram array as its own attribute (see the lambda
     * capture note on [[repetitionStats]]). */
   private def withBigrams(bound: DataFrame): DataFrame = {

@@ -429,4 +429,60 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     TextAnalysis.topNgrams(df, "text", "doc_id", n = 3, k = 100, minCount = 2)
       .collect().map(_.getLong(1)).forall(_ >= 2L) shouldBe true
   }
+
+  test("frequentGrams: document frequency over full n-grams only") {
+    val df = docs(
+      (1L, "terms of service apply"),
+      (2L, "terms of service apply"),
+      (3L, "x terms of service here"),
+      (4L, "of service"), // shorter than n: no grams, no fallback
+      (5L, "unique words entirely here"))
+    val fg = TextAnalysis.frequentGrams(df, "text", "doc_id", n = 3, minDocFreq = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    fg shouldBe Map("terms of service" -> 3L)
+    // the doc-4 bigram must not count toward any trigram's df
+    TextAnalysis.frequentGrams(df, "text", "doc_id", n = 3, minDocFreq = 2)
+      .collect().map(_.getString(0)) should contain theSameElementsAs
+      Seq("terms of service", "of service apply")
+  }
+
+  test("stripBoilerplate removes the union of covering spans, in order") {
+    val df = docs(
+      (1L, "keep terms of service apply keep2"),
+      (2L, "terms of service apply"),
+      (3L, "terms of service apply terms of service apply"),
+      (4L, "no boilerplate here at all"))
+    val out = TextAnalysis.stripBoilerplate(df, "text", "doc_id", n = 3, minDocFreq = 3)
+      .orderBy("doc_id").collect()
+    // frequent trigrams (df>=3): "terms of service", "of service apply".
+    // Overlapping matches union: the whole 4-word span goes.
+    out(0).getAs[String]("clean_text") shouldBe "keep keep2"
+    out(0).getAs[Long]("n_removed") shouldBe 4L
+    // fully-boilerplate doc keeps its row with empty text
+    out(1).getAs[String]("clean_text") shouldBe ""
+    out(1).getAs[Long]("n_words") shouldBe 4L
+    out(1).getAs[Long]("n_removed") shouldBe 4L
+    // both occurrences in one doc are removed
+    out(2).getAs[String]("clean_text") shouldBe ""
+    out(2).getAs[Long]("n_removed") shouldBe 8L
+    // untouched doc round-trips verbatim
+    out(3).getAs[String]("clean_text") shouldBe "no boilerplate here at all"
+    out(3).getAs[Long]("n_removed") shouldBe 0L
+  }
+
+  test("stripBoilerplate is idempotent on an already-stripped corpus") {
+    val df = docs(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a b c d g"),
+      (4L, "z y x w v"))
+    val once = TextAnalysis.stripBoilerplate(df, "text", "doc_id", n = 3, minDocFreq = 3)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = TextAnalysis.stripBoilerplate(once, "text", "doc_id", n = 3, minDocFreq = 3)
+      .orderBy("doc_id").collect()
+    // pass 1 removes the shared "a b c d" prefix (covered by two
+    // frequent trigrams); pass 2 finds nothing frequent among the
+    // survivors and must not touch them.
+    twice.map(_.getAs[Long]("n_removed")).sum shouldBe 0L
+    twice(0).getAs[String]("clean_text") shouldBe "e"
+    twice(3).getAs[String]("clean_text") shouldBe "z y x w v"
+  }
 }
