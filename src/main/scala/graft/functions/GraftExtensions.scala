@@ -121,6 +121,15 @@ object GraftFunctions {
       ShingleHashes(args(0), intOf(args(1), "graft_shingle_hashes"))
     })
 
+  val shingleHashStarts: FunctionDescription = (
+    FunctionIdentifier("graft_shingle_hash_starts"),
+    new ExpressionInfo(classOf[ShingleHashStarts].getName, "graft_shingle_hash_starts"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"graft_shingle_hash_starts(norm_text, n) takes 2 arguments, got ${args.length}")
+      ShingleHashStarts(args(0), intOf(args(1), "graft_shingle_hash_starts"))
+    })
+
   val simhashSketch: FunctionDescription = (
     FunctionIdentifier("graft_simhash_sketch"),
     new ExpressionInfo(classOf[SimHashSketch].getName, "graft_simhash_sketch"),
@@ -152,8 +161,8 @@ object GraftFunctions {
     })
 
   def all: Seq[FunctionDescription] =
-    Seq(nearestCells, signBucket, cosineSim, shingleHashes, simhashSketch, winnowingMins,
-      ophSignature)
+    Seq(nearestCells, signBucket, cosineSim, shingleHashes, shingleHashStarts,
+      simhashSketch, winnowingMins, ophSignature)
 
   /** Register on an already-built session (no extensions config). */
   def register(spark: SparkSession): Unit =

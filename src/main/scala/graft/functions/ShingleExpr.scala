@@ -118,6 +118,56 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** POSITIONAL word n-gram shingle hashes of a whitespace-normalized
+  * document: hash(t) of the gram STARTING at word t, in word order,
+  * NON-distinct — the array index IS the (0-based) start position, so
+  * `posexplode` recovers (position, hash) rows with no struct
+  * materialization. Same seed-42 XXH64 byte-range hashing as
+  * [[ShingleHashes]] (≡ `xxhash64(gram_string)`), same normalization
+  * contract on the input.
+  *
+  * Two deliberate differences from [[ShingleHashes]]: no whole-text
+  * fallback for documents shorter than n words (they return an EMPTY
+  * array — a span shorter than the pattern length cannot be a
+  * boilerplate match site), and no distinctness (every occurrence is
+  * a removable site). Built for [[graft.text.TextAnalysis.stripBoilerplate]],
+  * whose match join needs every start position of every frequent gram. */
+case class ShingleHashStarts(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"n must be positive: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash_starts needs a string input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val starts = WordGrams.tokenStarts(bytes)
+    val nTokens = starts.length - 1
+    if (nTokens < n) {
+      new GenericArrayData(Array.emptyLongArray)
+    } else {
+      val out = new Array[Long](nTokens - n + 1)
+      var g = 0
+      while (g <= nTokens - n) {
+        out(g) = WordGrams.gramXxHash(bytes, starts, g, g + n)
+        g += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashStarts =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hash_starts"
+}
+
 /** The whole MinHash signature of a document's distinct shingle-hash
   * array in ONE map-side expression: sig(i) = min over input hashes h
   * of `XXH64.hashLong(h, seed(i))` with seed(i) ≡ Spark's hash state

@@ -44,6 +44,11 @@ object VectorFunctions {
   def shingleHashes(normText: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(normText), n))
 
+  /** Positional (non-distinct) word n-gram shingle hashes — array
+    * index = 0-based start word. See [[ShingleHashStarts]]. */
+  def shingleHashStarts(normText: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashStarts(ColumnBridge.expression(normText), n))
+
   /** Whole-document SimHash-64 sketch over word n-gram shingles of a
     * whitespace-normalized document. See [[SimHashSketch]]. */
   def simhashSketch(normText: Column, n: Int, hashMode: String): Column =

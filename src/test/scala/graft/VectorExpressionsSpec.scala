@@ -264,4 +264,29 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
     r.getLong(1) shouldBe c.getLong(1)
     r.getSeq[String](2) shouldBe c.getSeq[String](2)
   }
+
+  test("shingleHashStarts: positional xxhash64-of-gram, no fallback, no distinct") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // "a b a b a" trigrams: "a b a"@0, "b a b"@1, "a b a"@2 — the
+    // repeat must KEEP both positions (ShingleHashes would dedupe).
+    val df = Seq((1L, "a b a b a"), (2L, "x y"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+      graft.functions.VectorFunctions.shingleHashStarts(col("t"), 3).as("hs"))
+      .orderBy("id").collect()
+    val expected = df.filter(col("id") === 1)
+      .select(
+        xxhash64(lit("a b a")).as("h0"), xxhash64(lit("b a b")).as("h1"))
+      .head()
+    got(0).getSeq[Long](1) shouldBe Seq(
+      expected.getLong(0), expected.getLong(1), expected.getLong(0))
+    got(1).getSeq[Long](1) shouldBe Seq.empty // shorter than n: NO whole-text fallback
+    got(2).isNullAt(1) shouldBe true
+    // SQL registration agrees with the Column API
+    df.createOrReplaceTempView("vex_sbp")
+    spark.sql("SELECT graft_shingle_hash_starts(t, 3) AS hs FROM vex_sbp WHERE id = 1")
+      .head().getSeq[Long](0) shouldBe got(0).getSeq[Long](1)
+  }
 }
