@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness: times every SparkEntry query at the configured
-  * scale factor and emits one JSON line for the driver.
+  * scale factor and emits one compact JSON line for the driver, plus a
+  * complete per-query artifact (`BENCH_DETAIL.json`) on disk — the
+  * driver keeps only a ~2 KB tail of stdout, which a 100-query
+  * three-map line overflows (r11–r13 recorded `parsed: null`).
   *
   * A failing query is a bench FAILURE, not a fast run: its error is
   * recorded, surfaced on stderr, and the process exits nonzero so a
@@ -414,10 +417,19 @@ object Bench {
     // per-query signal fires (drift recovery isn't contamination).
     val contended = starved.nonEmpty || (!calRatio.isNaN && calRatio < 0.6) ||
       extHot >= 3 || calBelowFloor
-    // Contention diagnostics go at the END of the line: the driver's
-    // artifact keeps only the tail, and evidence that gets truncated
-    // away cannot flag a polluted run.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    // The driver's artifact keeps only the last ~2000 chars of this
+    // process's output, and sbt's own "[success] Total time" banner
+    // eats ~80 of them. Three rounds of artifacts (r11–r13) recorded
+    // `parsed: null` because the full per-query line (3 maps × 100+
+    // queries ≈ 8 KB) never fit — the "0.000" values a reader sees in
+    // those tails are the gc_sec map, not wall times. So the output is
+    // now SPLIT: the COMPLETE artifact (full wall/cpu/gc maps, full
+    // flag lists) goes to a repo file the round snapshot commits, and
+    // stdout gets ONE compact line — a fixed headline-query map
+    // (stable keys, so rounds compare like-for-like), run totals, and
+    // the contention evidence — engineered to fit the tail budget.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""cpu_sec":$cpuQs,"gc_sec":$gcQs,""" +
       s""""cpu_total":${num(cpuTotal)},"gc_total":${num(gcTotal)},"cpu_util":${num(util)},""" +
       s""""cores":$cores,"load_start":${num(loadStart)},"load_end":${num(loadEnd)},""" +
@@ -428,7 +440,53 @@ object Bench {
       s""""warmup_failed":${warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""requeued":${requeued.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""dirty":${stillDirty.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""contended":$contended}""")
+      s""""contended":$contended}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
+    }
+    // Fixed headline set: one representative per expensive family
+    // (scale profile, composed pipeline, LSH core + capped variants,
+    // streaming replays, exact profiler passes, text, ANN, SQL,
+    // report). Stable keys make the compact map baseline-able across
+    // rounds; everything else is in the detail file (and in `value`,
+    // which still totals ALL queries).
+    val headlineSet = Seq(
+      "scale_profile_lineitem", "ll15_pipeline", "ll11_dedup_components",
+      "ll2_near_dup_pairs", "ll14_capped_block_keys", "ll16_stream_near_dup",
+      "ll18_incremental_near_dups", "ev_mean_drift", "ev_mean_drift_raw",
+      "p3_distinct_counts", "p5_numeric_stats", "p13_anomaly_detection",
+      "txt_repetition", "txt_top_ngrams", "ll3_ann_topk",
+      "ll20_semantic_near_dups", "sql_join_revenue", "rpt_source_mix")
+    def compactLine(headline: Seq[QueryResult], slowN: Int): String = {
+      val hq = headline.map(r => "\"" + r.name + "\":" + num(r.wall))
+        .mkString("{", ",", "}")
+      val slow = results.sortBy(-_.wall).take(slowN)
+        .map(r => "\"" + r.name + "\":{\"w\":" + num(r.wall) + ",\"c\":" + num(r.cpu) + "}")
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$hq,"sf":"$sfDir",""" +
+        s""""n_queries":${results.size},"cpu_total":${num(cpuTotal)},"gc_total":${num(gcTotal)},""" +
+        s""""cpu_util":${num(util)},"cores":$cores,""" +
+        s""""load_max":${num(loadMax)},"ext_load_max":${num(extLoadMax)},""" +
+        s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +
+        s""""cal_attempts":$calAttempts,"cal_below_floor":$calBelowFloor,""" +
+        s""""slowest":$slow,""" +
+        s""""starved_n":${starved.size},"warmup_failed_n":${warmupFailed.size},""" +
+        s""""requeued_n":${requeued.size},"dirty_n":${stillDirty.size},""" +
+        s""""contended":$contended,"detail":"$detailPath"}"""
+    }
+    val headlineHits = results.filter(r => headlineSet.contains(r.name))
+    // A narrowed run (positional args) may miss the headline set
+    // entirely — show its own slowest queries instead of an empty map.
+    val headline = if (headlineHits.nonEmpty) headlineHits
+      else results.sortBy(-_.wall).take(8)
+    val line = compactLine(headline, 5)
+    // Defensive: a narrowed run (positional args) or future growth must
+    // never re-create the truncation bug — fall back to top-8 by wall.
+    println(if (line.length <= 1800) line
+      else compactLine(results.sortBy(-_.wall).take(8), 3))
     spark.stop()
     val errs = errors.toMap
     if (errs.nonEmpty) {

@@ -1583,10 +1583,14 @@ object SparkEntry {
     // scales cancel). Every element's quantized byte and every scale
     // is hash-checked against the replayed double arithmetic (both
     // engines compute max|x|/127 and HALF_UP rounding identically).
+    // The byte vector is emitted as a comma-joined string — still
+    // element-exact, but scalar, so the driver's sort/hash compare
+    // (which cannot order array cells) sees only orderable columns.
     "ll19_quantized_embeddings" -> ((s, dir) => {
       val df = t(s, dir, "embeddings")
       val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
-      q.select(col("id").as("vec_id"), col("qvec"),
+      q.select(col("id").as("vec_id"),
+          concat_ws(",", transform(col("qvec"), _.cast("string"))).as("qvec_csv"),
           round(col("scale"), 6).as("scale"))
         .orderBy("vec_id")
     }),
@@ -2853,7 +2857,8 @@ object SparkEntry {
 
     // Replays the symmetric int8 quantization: per-vector scale =
     // max|x|/127 (1.0 for all-zero), q = round(x/scale) in double,
-    // HALF_UP ≡ round-half-away-from-zero on both engines.
+    // HALF_UP ≡ round-half-away-from-zero on both engines. The byte
+    // vector is comma-joined to a scalar string (see the Spark side).
     "ll19_quantized_embeddings" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,
@@ -2865,7 +2870,7 @@ object SparkEntry {
         |  FROM m
         |)
         |SELECT vec_id,
-        |       [CAST(greatest(least(round(CAST(x AS DOUBLE) / scale), 127.0), -127.0) AS TINYINT) for x in embedding] AS qvec,
+        |       array_to_string([CAST(CAST(greatest(least(round(CAST(x AS DOUBLE) / scale), 127.0), -127.0) AS TINYINT) AS VARCHAR) for x in embedding], ',') AS qvec_csv,
         |       round(scale, 6) AS scale
         |FROM s ORDER BY vec_id""".stripMargin,
 

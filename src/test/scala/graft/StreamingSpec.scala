@@ -15,15 +15,22 @@ import graft.streaming.StreamProfiler
 class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   /** Re-materialize the events fixture into a temp dir the parquet
-    * file source can watch, converting the TIMESTAMP(NANOS) column —
-    * which Spark reads only as a raw long — to a native timestamp. */
+    * file source can watch, normalizing `ts` to a native timestamp.
+    * The fixture has shipped both as TIMESTAMP(NANOS) — which Spark
+    * reads only as a raw long — and as TIMESTAMP(MICROS), which it
+    * reads as a timestamp directly; handle both like
+    * SparkEntry.eventsWithTs does. */
   private lazy val eventsDir: String = {
     val dir = Files.createTempDirectory("events_stream")
     dir.toFile.deleteOnExit()
     // Watermarks require TimestampType (not NTZ); session TZ is UTC.
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val withTs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    withTs.coalesce(1).write.mode("overwrite").parquet(dir.toString)
     dir.toString
   }
 
