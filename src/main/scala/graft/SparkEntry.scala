@@ -1656,6 +1656,26 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- LLM-pipeline: product-quantization approximate top-k (ADC
+    // inner product — the memory-compression ANN path: 64 floats per
+    // vector collapse to 4 codebook codes; a candidate's score is 4
+    // table lookups). Same deterministic Lloyd replay setup as ll5
+    // (init = lowest vec_ids, one iteration) but with EUCLIDEAN
+    // assignment per subspace — the true PQ quantizer — so the oracle
+    // recomputes all 4 codebooks, every code, and every ADC score in
+    // SQL — fully hash-checked; SimilaritySpec pins recall against
+    // the exact brute-force baseline.
+    "ll22_ann_pq_topk" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      val q = df.filter(col("vec_id") < 5)
+      Similarity.pqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+          dim = 64, k = 5, numSubspaces = 4, codebookSize = 8,
+          kmeansIterations = 1, centroidInitOrder = Some(Seq(col("vec_id"))))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("adc_score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- LLM-pipeline: benchmark decontamination (token 8-gram
     // overlap, GPT-3 appendix-C shape). The benchmark is synthesized
     // the way real contamination happens: every 29th document donates
@@ -2941,6 +2961,68 @@ object SparkEntry {
          |       CAST(count(*) - sum(inc) AS BIGINT) AS existing_occupancy
          |FROM u GROUP BY bucket HAVING count(*) > 25 ORDER BY bucket""".stripMargin
     },
+
+    // Replays the full PQ pipeline per subspace: the same one-Lloyd-
+    // iteration codebook training as ll5's cells CTE (init = lowest
+    // vec_ids, empty-cell fallback to the init centroid) but with
+    // EUCLIDEAN assignment — argmax ⟨x,c⟩ − ‖c‖²/2 ≡ argmin ‖x−c‖²,
+    // ties to the lowest code, the SAME augmented-dot arithmetic the
+    // Spark side's NearestCells evaluates (formula parity keeps
+    // cross-engine assignment flips to genuine ~1e-15 ties) — then
+    // per-vector codes, then ADC scoring against the RAW centroids —
+    // codebooks, codes, scores, and ranks all hash-checked at 4dp.
+    "ll22_ann_pq_topk" ->
+      """WITH emb AS (
+        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, t.m AS m, list_slice(v, t.m * 16 + 1, t.m * 16 + 16) AS sv
+        |  FROM emb CROSS JOIN range(0, 4) t(m)
+        |), pc0 AS (
+        |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS j, sv AS cv
+        |  FROM sub WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 8)
+        |), pa1 AS (
+        |  SELECT vec_id, m, (list(j ORDER BY dot DESC, j ASC))[1] AS j
+        |  FROM (
+        |    SELECT s.vec_id, s.m, c.j,
+        |           list_sum([s.sv[i] * c.cv[i] for i in range(1, 17)])
+        |             - 0.5 * list_sum([x * x for x in c.cv]) AS dot
+        |    FROM sub s JOIN pc0 c USING (m)
+        |  ) GROUP BY vec_id, m
+        |), pc1m AS (
+        |  SELECT m, j, list(mm ORDER BY pos) AS cv
+        |  FROM (
+        |    SELECT a.m AS m, a.j AS j, t.pos AS pos, avg(s.sv[t.pos]) AS mm
+        |    FROM pa1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+        |         range(1, 17) t(pos)
+        |    GROUP BY a.m, a.j, t.pos
+        |  ) GROUP BY m, j
+        |), pc1 AS (
+        |  SELECT pc0.m, pc0.j, COALESCE(pc1m.cv, pc0.cv) AS cv
+        |  FROM pc0 LEFT JOIN pc1m USING (m, j)
+        |), codes AS (
+        |  SELECT vec_id, m, (list(j ORDER BY dot DESC, j ASC))[1] AS j
+        |  FROM (
+        |    SELECT s.vec_id, s.m, c.j,
+        |           list_sum([s.sv[i] * c.cv[i] for i in range(1, 17)])
+        |             - 0.5 * list_sum([x * x for x in c.cv]) AS dot
+        |    FROM sub s JOIN pc1 c USING (m)
+        |  ) GROUP BY vec_id, m
+        |), cand AS (
+        |  SELECT qs.vec_id AS query_id, cd.vec_id AS neighbor_id,
+        |         sum(list_sum([qs.sv[i] * c.cv[i] for i in range(1, 17)])) AS sim
+        |  FROM sub qs
+        |  JOIN codes cd ON cd.m = qs.m AND cd.vec_id <> qs.vec_id
+        |  JOIN pc1 c ON c.m = cd.m AND c.j = cd.j
+        |  WHERE qs.vec_id < 5
+        |  GROUP BY qs.vec_id, cd.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM cand
+        |)
+        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS adc_score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Brute-force bipartite Jaccard ground truth over the synthesized
     // incoming batch (perturbed donors + novel docs) vs the corpus.

@@ -150,7 +150,32 @@ object Similarity {
   def kmeansCentroids(
       df: DataFrame, vecCol: String, k: Int,
       iterations: Int = 3,
-      initOrder: Option[Seq[Column]] = None): Seq[Seq[Double]] = {
+      initOrder: Option[Seq[Column]] = None): Seq[Seq[Double]] =
+    lloyd(df, vecCol, k, iterations, initOrder)(nearestCell)
+
+  /** Lloyd's k-means with EUCLIDEAN assignment — the PQ codebook
+    * trainer ([[pqTopK]]): same deterministic contract as
+    * [[kmeansCentroids]] (init = first k under `initOrder` or the
+    * value-hash order, empty-cell fallback keeps the previous
+    * centroid), but cells are argmin ‖x−c‖², not argmax cosine —
+    * reconstruction ⟨q, c_code⟩ needs the centroid that MINIMIZES
+    * quantization error in the vector space, where the spherical
+    * assignment conflates collinear sub-centers of different
+    * magnitude. */
+  def kmeansCentroidsL2(
+      df: DataFrame, vecCol: String, k: Int,
+      iterations: Int = 3,
+      initOrder: Option[Seq[Column]] = None): Seq[Seq[Double]] =
+    lloyd(df, vecCol, k, iterations, initOrder)(
+      (vec, cents) => element_at(nearestCellsL2(vec, cents, 1), 1))
+
+  /** The shared Lloyd loop: assignment expression from `assign`,
+    * update = posexplode + (cell, dim) hash aggregate; only k×dim
+    * doubles ever reach the driver per iteration. */
+  private def lloyd(
+      df: DataFrame, vecCol: String, k: Int,
+      iterations: Int, initOrder: Option[Seq[Column]])(
+      assign: (Column, Seq[Seq[Double]]) => Column): Seq[Seq[Double]] = {
     // Default init: the k vectors with the smallest value hash — a
     // cheap deterministic spread. `initOrder` overrides the ordering
     // (e.g. by an id column) when the caller needs an init an external
@@ -168,7 +193,7 @@ object Similarity {
     // centroids; iterating over an empty centroid set is meaningless.
     if (centroids.isEmpty) return centroids
     for (_ <- 0 until iterations) {
-      val cell = nearestCell(col(vecCol), centroids)
+      val cell = assign(col(vecCol), centroids)
       val updated = df.select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
         .collect()
@@ -179,6 +204,18 @@ object Similarity {
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
     }
     centroids
+  }
+
+  /** Indices of the `n` nearest centroids by EUCLIDEAN distance,
+    * realized on the native dot-argmax expression via the standard
+    * augmentation: argmin ‖x−c‖² = argmax (⟨x,c⟩ − ‖c‖²/2), so the
+    * vector gains a constant 1.0 element and each centroid row the
+    * bias −‖c‖²/2. Ties to the lowest index, like
+    * [[graft.functions.VectorFunctions.nearestCells]]. */
+  private def nearestCellsL2(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column = {
+    val aug = centroids.map(c => c :+ (-0.5 * c.map(x => x * x).sum))
+    graft.functions.VectorFunctions.nearestCells(
+      concat(transform(vec, _.cast("double")), array(lit(1.0))), aug, n)
   }
 
   /** Index of the centroid with the highest cosine similarity
@@ -229,6 +266,92 @@ object Similarity {
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("sim", cosine(col("qv"), col("v")))
       .select("query_id", "neighbor_id", "sim")
+    topK(cand, k)
+  }
+
+  /** Product-quantization approximate top-k (inner-product ADC) — the
+    * memory-compression counterpart of [[ivfTopK]]: where IVF prunes
+    * which vectors a query scores, PQ shrinks what each vector costs
+    * to score. The corpus vector is split into `numSubspaces`
+    * contiguous subvectors; each subspace trains its own
+    * `codebookSize`-centroid codebook ([[kmeansCentroidsL2]]:
+    * deterministic Lloyd with EUCLIDEAN assignment, ties to the
+    * lowest code — the quantizer that minimizes reconstruction
+    * error); a vector is stored as its per-subspace code array — dim
+    * doubles collapse to numSubspaces small ints (64×8 B → 4×1 B
+    * here: the whole 100 TB corpus's codes fit in cluster RAM).
+    *
+    * Query time is asymmetric distance computation: each query row
+    * precomputes ONE lookup table per subspace — its subvector's dot
+    * against every RAW (unnormalized) codebook centroid, the
+    * reconstruction value — and a candidate's score is numSubspaces
+    * array lookups + adds, never a dim-wide multiply:
+    * score(q, x) = Σ_m table_m[code_m(x)] ≈ ⟨q, x⟩. Queries are
+    * broadcast with their tables; the corpus side streams its codes
+    * map-side (no shuffle of the corpus), and [[topK]] merges
+    * per-partition partial top-ks. At scale, compose with [[ivfTopK]]
+    * cells (scope the code scan to probed cells) — the standard
+    * IVF-PQ layout; here the flat scan IS the point being exercised.
+    *
+    * Deterministic for replay: `centroidInitOrder` (e.g. by id) makes
+    * every codebook — and so every code and score — reproducible by
+    * an external engine, exactly like [[ivfTopK]]'s oracle replay;
+    * empty-cell fallback keeps the init centroid (same contract as
+    * [[kmeansCentroids]]). Output: (query_id, rank, neighbor_id, sim)
+    * where sim is the ADC approximate inner product, ranks exact
+    * within the approximation (sim desc, neighbor_id asc). */
+  def pqTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, k: Int = 10, numSubspaces: Int = 4, codebookSize: Int = 8,
+      kmeansIterations: Int = 1, excludeSelf: Boolean = true,
+      centroidInitOrder: Option[Seq[Column]] = None): DataFrame = {
+    require(dim % numSubspaces == 0,
+      s"dim $dim must divide into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    // Train all codebooks off one cached pass over the corpus (M small
+    // driver-coordinated jobs — codebooks are k×subDim scalars; at
+    // cluster scale train on a sample, the codes scan dominates).
+    val cached = spread(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks: Seq[Seq[Seq[Double]]] =
+      try (0 until numSubspaces).map { m =>
+        val sub = cached.select(col(idCol),
+          slice(col(vecCol), m * subDim + 1, subDim).as("pq_sub"))
+        kmeansCentroidsL2(sub, "pq_sub", codebookSize, kmeansIterations,
+          centroidInitOrder)
+      }
+      finally { cached.unpersist(blocking = false); () }
+    if (codebooks.exists(_.isEmpty))
+      return queries.select(col(queryIdCol).as("query_id")).limit(0)
+        .crossJoin(df.select(col(idCol).as("neighbor_id")).limit(0))
+        .select(col("query_id"), lit(0L).as("rank"), col("neighbor_id"), lit(0.0).as("sim"))
+    // Encode: per subspace, the L2-nearest centroid — the same native
+    // argmax expression the IVF assignment uses, under the L2
+    // augmentation (reference matrix, not an unrolled literal tree;
+    // codegen-cached).
+    val codeCols = (0 until numSubspaces).map { m =>
+      element_at(nearestCellsL2(
+        slice(col(vecCol), m * subDim + 1, subDim),
+        codebooks(m), 1), 1).as(s"pq_code$m")
+    }
+    val data = spread(df).select(col(idCol).as("neighbor_id") +: codeCols: _*)
+    // ADC tables: one per subspace, the query subvector's dot against
+    // every RAW centroid. Unrolled literals are fine HERE — the query
+    // side is small and broadcast, never spread.
+    def dotLit(offset: Int, c: Seq[Double]): Column =
+      c.zipWithIndex.map { case (w, i) =>
+        element_at(col(queryVecCol), offset + i + 1).cast("double") * lit(w)
+      }.reduce(_ + _)
+    val tableCols = (0 until numSubspaces).map { m =>
+      array(codebooks(m).map(c => dotLit(m * subDim, c)): _*).as(s"pq_table$m")
+    }
+    val qd = queries.select(col(queryIdCol).as("query_id") +: tableCols: _*)
+    val score = (0 until numSubspaces)
+      .map(m => element_at(col(s"pq_table$m"), (col(s"pq_code$m") + 1).cast("int")))
+      .reduce(_ + _)
+    val cand = data.crossJoin(broadcast(qd))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), score.as("sim"))
     topK(cand, k)
   }
 

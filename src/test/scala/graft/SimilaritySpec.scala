@@ -116,6 +116,64 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     recall should be >= 0.9
   }
 
+  test("pqTopK top-k lands in the query's planted cluster") {
+    val df = clustered()
+    val q = df.filter(col("vec_id") < 4)
+    // 4 subspaces × 4-dim, 8 codes each: the hash-ordered init can
+    // drop two seeds into one planted cluster, and unlike IVF — which
+    // rescores candidates exactly — PQ's accuracy IS its codebook
+    // coverage, so give it seed slack (8 codes for 4 sub-centers).
+    //
+    // The assertion is CLUSTER-level recall, not exact-neighbor
+    // recall: members of one tight cluster quantize to the SAME code
+    // word, so their ADC scores tie and intra-cluster ranking is
+    // unrecoverable from codes alone — the inherent PQ resolution
+    // limit (ties then break by neighbor id). What PQ does guarantee
+    // is that the top-k comes from the right cluster.
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      dim = 16, k = 5, numSubspaces = 4, codebookSize = 8, kmeansIterations = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    pq should have length 20
+    val inCluster = pq.count { case (qid, nid) => nid % 4 == qid % 4 }
+    inCluster.toDouble / pq.length should be >= 0.9
+  }
+
+  test("pqTopK approximates the true inner product through the codes") {
+    val df = clustered()
+    val q = df.filter(col("vec_id") === 0)
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      dim = 16, k = 3, numSubspaces = 4, codebookSize = 8, kmeansIterations = 5)
+      .orderBy("rank").collect()
+    // ADC score ≈ ⟨q, x⟩: with tight clusters the reconstruction error
+    // is small, so the score should sit within 10% of the exact dot of
+    // the top neighbor (both vectors near their shared centroid).
+    val top = pq.head
+    val vecsById = df.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    val exactDot = vecsById(0L).zip(vecsById(top.getAs[Long]("neighbor_id")))
+      .map { case (a, b) => a * b }.sum
+    top.getAs[Double]("sim") shouldBe exactDot +- math.abs(exactDot) * 0.1
+  }
+
+  test("pqTopK degrades gracefully on tiny and empty corpora, rejects bad dims") {
+    val tiny = vecs((1L, Seq.fill(4)(1.0)), (2L, Seq.fill(4)(0.5)))
+    val q = tiny.filter(col("vec_id") === 1L)
+    // Fewer vectors than codebookSize: kmeans clamps the codebook.
+    val r = Similarity.pqTopK(tiny, "vec_id", "embedding", q, "vec_id", "embedding",
+      dim = 4, k = 5, numSubspaces = 2, codebookSize = 8, kmeansIterations = 1).collect()
+    r.map(_.getAs[Long]("neighbor_id")).toSet shouldBe Set(2L)
+    // Empty corpus: empty result with the right schema, no exception.
+    val noRows = tiny.filter(col("vec_id") > 100L)
+    val r2 = Similarity.pqTopK(noRows, "vec_id", "embedding", q, "vec_id", "embedding",
+      dim = 4, k = 5, numSubspaces = 2, codebookSize = 8, kmeansIterations = 1)
+    r2.columns.toSeq shouldBe Seq("query_id", "rank", "neighbor_id", "sim")
+    r2.collect() should have length 0
+    // dim must divide into subspaces.
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.pqTopK(tiny, "vec_id", "embedding", q, "vec_id", "embedding",
+        dim = 4, k = 5, numSubspaces = 3, codebookSize = 2)
+  }
+
   test("ivfTopK degrades gracefully on tiny and empty corpora") {
     val tiny = vecs((1L, Seq.fill(4)(1.0)), (2L, Seq.fill(4)(0.5)))
     val q = tiny.filter(col("vec_id") === 1L)
