@@ -1676,6 +1676,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- LLM-pipeline: IVF-PQ approximate top-k — the composed
+    // 100 TB ANN layout (ll5's coarse cells decide WHICH vectors a
+    // query scores, ll22's codes decide what scoring one COSTS). Both
+    // Lloyd setups replay deterministically, so the oracle composes
+    // the two proven CTE blocks (cells + codebooks/codes) and checks
+    // probes, codes, ADC scores, and ranks end-to-end at 4dp.
+    "ll23_ann_ivfpq_topk" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      val q = df.filter(col("vec_id") < 5)
+      Similarity.ivfPqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+          dim = 64, k = 5, nCells = 8, nProbe = 3, numSubspaces = 4,
+          codebookSize = 8, kmeansIterations = 1,
+          centroidInitOrder = Some(Seq(col("vec_id"))))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("adc_score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- LLM-pipeline: benchmark decontamination (token 8-gram
     // overlap, GPT-3 appendix-C shape). The benchmark is synthesized
     // the way real contamination happens: every 29th document donates
@@ -1819,6 +1837,53 @@ object SparkEntry {
     * and ends with `cells(vec_id, cell)`; the intermediate CTEs
     * (`c0`..`c1n`) stay visible to the caller's continuation. Already
     * margin-stripped — interpolate into a WITH clause. */
+  /** The PQ codebook replay CTEs (`sub`..`codes`) shared by the ll22
+    * and ll23 oracles: 4 subspaces × 16 dims over `emb` (which the
+    * caller's WITH must define first), one Euclidean Lloyd iteration
+    * per subspace from the 8 lowest vec_ids, assignment by the SAME
+    * augmented-dot arithmetic the Spark side's NearestCells evaluates
+    * (argmax ⟨x,c⟩ − ‖c‖²/2 ≡ argmin ‖x−c‖²; formula parity keeps
+    * cross-engine assignment flips to genuine ~1e-15 ties), empty-cell
+    * fallback to the init centroid. Ends with `codes(vec_id, m, j)`
+    * and keeps `pc1(m, j, cv)` (raw centroids) visible for ADC
+    * scoring. Already margin-stripped — interpolate into a WITH
+    * clause after `emb`. */
+  private val pqCodebookCtes: String =
+    """sub AS (
+      |  SELECT vec_id, t.m AS m, list_slice(v, t.m * 16 + 1, t.m * 16 + 16) AS sv
+      |  FROM emb CROSS JOIN range(0, 4) t(m)
+      |), pc0 AS (
+      |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS j, sv AS cv
+      |  FROM sub WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 8)
+      |), pa1 AS (
+      |  SELECT vec_id, m, (list(j ORDER BY dot DESC, j ASC))[1] AS j
+      |  FROM (
+      |    SELECT s.vec_id, s.m, c.j,
+      |           list_sum([s.sv[i] * c.cv[i] for i in range(1, 17)])
+      |             - 0.5 * list_sum([x * x for x in c.cv]) AS dot
+      |    FROM sub s JOIN pc0 c USING (m)
+      |  ) GROUP BY vec_id, m
+      |), pc1m AS (
+      |  SELECT m, j, list(mm ORDER BY pos) AS cv
+      |  FROM (
+      |    SELECT a.m AS m, a.j AS j, t.pos AS pos, avg(s.sv[t.pos]) AS mm
+      |    FROM pa1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+      |         range(1, 17) t(pos)
+      |    GROUP BY a.m, a.j, t.pos
+      |  ) GROUP BY m, j
+      |), pc1 AS (
+      |  SELECT pc0.m, pc0.j, COALESCE(pc1m.cv, pc0.cv) AS cv
+      |  FROM pc0 LEFT JOIN pc1m USING (m, j)
+      |), codes AS (
+      |  SELECT vec_id, m, (list(j ORDER BY dot DESC, j ASC))[1] AS j
+      |  FROM (
+      |    SELECT s.vec_id, s.m, c.j,
+      |           list_sum([s.sv[i] * c.cv[i] for i in range(1, 17)])
+      |             - 0.5 * list_sum([x * x for x in c.cv]) AS dot
+      |    FROM sub s JOIN pc1 c USING (m)
+      |  ) GROUP BY vec_id, m
+      |)""".stripMargin
+
   private val kmeansCellsCte: String =
     """emb AS (
       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
@@ -2972,42 +3037,9 @@ object SparkEntry {
     // per-vector codes, then ADC scoring against the RAW centroids —
     // codebooks, codes, scores, and ranks all hash-checked at 4dp.
     "ll22_ann_pq_topk" ->
-      """WITH emb AS (
+      s"""WITH emb AS (
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
-        |), sub AS (
-        |  SELECT vec_id, t.m AS m, list_slice(v, t.m * 16 + 1, t.m * 16 + 16) AS sv
-        |  FROM emb CROSS JOIN range(0, 4) t(m)
-        |), pc0 AS (
-        |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS j, sv AS cv
-        |  FROM sub WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 8)
-        |), pa1 AS (
-        |  SELECT vec_id, m, (list(j ORDER BY dot DESC, j ASC))[1] AS j
-        |  FROM (
-        |    SELECT s.vec_id, s.m, c.j,
-        |           list_sum([s.sv[i] * c.cv[i] for i in range(1, 17)])
-        |             - 0.5 * list_sum([x * x for x in c.cv]) AS dot
-        |    FROM sub s JOIN pc0 c USING (m)
-        |  ) GROUP BY vec_id, m
-        |), pc1m AS (
-        |  SELECT m, j, list(mm ORDER BY pos) AS cv
-        |  FROM (
-        |    SELECT a.m AS m, a.j AS j, t.pos AS pos, avg(s.sv[t.pos]) AS mm
-        |    FROM pa1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
-        |         range(1, 17) t(pos)
-        |    GROUP BY a.m, a.j, t.pos
-        |  ) GROUP BY m, j
-        |), pc1 AS (
-        |  SELECT pc0.m, pc0.j, COALESCE(pc1m.cv, pc0.cv) AS cv
-        |  FROM pc0 LEFT JOIN pc1m USING (m, j)
-        |), codes AS (
-        |  SELECT vec_id, m, (list(j ORDER BY dot DESC, j ASC))[1] AS j
-        |  FROM (
-        |    SELECT s.vec_id, s.m, c.j,
-        |           list_sum([s.sv[i] * c.cv[i] for i in range(1, 17)])
-        |             - 0.5 * list_sum([x * x for x in c.cv]) AS dot
-        |    FROM sub s JOIN pc1 c USING (m)
-        |  ) GROUP BY vec_id, m
-        |), cand AS (
+        |), $pqCodebookCtes, cand AS (
         |  SELECT qs.vec_id AS query_id, cd.vec_id AS neighbor_id,
         |         sum(list_sum([qs.sv[i] * c.cv[i] for i in range(1, 17)])) AS sim
         |  FROM sub qs
@@ -3015,6 +3047,37 @@ object SparkEntry {
         |  JOIN pc1 c ON c.m = cd.m AND c.j = cd.j
         |  WHERE qs.vec_id < 5
         |  GROUP BY qs.vec_id, cd.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM cand
+        |)
+        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS adc_score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Composes the two proven replay blocks: ll5's coarse cells CTE
+    // (emb..cells, probes = top-3 cells per query) scopes the
+    // candidates; the shared PQ CTEs (sub..codes) price them — ADC
+    // score against the raw per-subspace centroids, ranked per query.
+    "ll23_ann_ivfpq_topk" ->
+      s"""WITH $kmeansCellsCte, $pqCodebookCtes, probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT e.vec_id AS query_id, c.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_sum([e.v[i] * c.vn[i] for i in range(1, len(e.v) + 1)]) DESC, c.cell ASC) AS rn
+        |    FROM emb e CROSS JOIN c1n c WHERE e.vec_id < 5
+        |  ) WHERE rn <= 3
+        |), cand AS (
+        |  SELECT p.query_id, d.vec_id AS neighbor_id,
+        |         sum(list_sum([qs.sv[i] * c.cv[i] for i in range(1, 17)])) AS sim
+        |  FROM probes p
+        |  JOIN cells d USING (cell)
+        |  JOIN codes cd ON cd.vec_id = d.vec_id
+        |  JOIN sub qs ON qs.vec_id = p.query_id AND qs.m = cd.m
+        |  JOIN pc1 c ON c.m = cd.m AND c.j = cd.j
+        |  WHERE d.vec_id <> p.query_id
+        |  GROUP BY p.query_id, d.vec_id
         |), ranked AS (
         |  SELECT query_id, neighbor_id, sim,
         |         row_number() OVER (PARTITION BY query_id

@@ -314,44 +314,125 @@ object Similarity {
     // cluster scale train on a sample, the codes scan dominates).
     val cached = spread(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codebooks: Seq[Seq[Seq[Double]]] =
-      try (0 until numSubspaces).map { m =>
-        val sub = cached.select(col(idCol),
-          slice(col(vecCol), m * subDim + 1, subDim).as("pq_sub"))
-        kmeansCentroidsL2(sub, "pq_sub", codebookSize, kmeansIterations,
-          centroidInitOrder)
-      }
+      try trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
+        codebookSize, kmeansIterations, centroidInitOrder)
       finally { cached.unpersist(blocking = false); () }
     if (codebooks.exists(_.isEmpty))
-      return queries.select(col(queryIdCol).as("query_id")).limit(0)
-        .crossJoin(df.select(col(idCol).as("neighbor_id")).limit(0))
-        .select(col("query_id"), lit(0L).as("rank"), col("neighbor_id"), lit(0.0).as("sim"))
-    // Encode: per subspace, the L2-nearest centroid — the same native
-    // argmax expression the IVF assignment uses, under the L2
-    // augmentation (reference matrix, not an unrolled literal tree;
-    // codegen-cached).
-    val codeCols = (0 until numSubspaces).map { m =>
+      return emptyTopK(df, idCol, queries, queryIdCol)
+    val data = spread(df).select(
+      col(idCol).as("neighbor_id") +: pqCodeCols(vecCol, codebooks, subDim): _*)
+    val qd = queries.select(col(queryIdCol).as("query_id") +:
+      pqTableCols(queryVecCol, codebooks, subDim): _*)
+    val cand = data.crossJoin(broadcast(qd))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        pqScore(codebooks.length).as("sim"))
+    topK(cand, k)
+  }
+
+  /** One L2 Lloyd codebook per contiguous subspace, off an
+    * already-persisted corpus. */
+  private def trainPqCodebooks(
+      cached: DataFrame, idCol: String, vecCol: String,
+      numSubspaces: Int, subDim: Int, codebookSize: Int,
+      iterations: Int, initOrder: Option[Seq[Column]]): Seq[Seq[Seq[Double]]] =
+    (0 until numSubspaces).map { m =>
+      val sub = cached.select(col(idCol),
+        slice(col(vecCol), m * subDim + 1, subDim).as("pq_sub"))
+      kmeansCentroidsL2(sub, "pq_sub", codebookSize, iterations, initOrder)
+    }
+
+  /** Encode: per subspace, the L2-nearest centroid — the same native
+    * argmax expression the IVF assignment uses, under the L2
+    * augmentation (reference matrix, not an unrolled literal tree;
+    * codegen-cached). */
+  private def pqCodeCols(
+      vecCol: String, codebooks: Seq[Seq[Seq[Double]]], subDim: Int): Seq[Column] =
+    codebooks.indices.map { m =>
       element_at(nearestCellsL2(
         slice(col(vecCol), m * subDim + 1, subDim),
         codebooks(m), 1), 1).as(s"pq_code$m")
     }
-    val data = spread(df).select(col(idCol).as("neighbor_id") +: codeCols: _*)
-    // ADC tables: one per subspace, the query subvector's dot against
-    // every RAW centroid. Unrolled literals are fine HERE — the query
-    // side is small and broadcast, never spread.
+
+  /** ADC tables: one per subspace, the query subvector's dot against
+    * every RAW centroid. Unrolled literals are fine HERE — the query
+    * side is small and broadcast, never spread. */
+  private def pqTableCols(
+      queryVecCol: String, codebooks: Seq[Seq[Seq[Double]]], subDim: Int): Seq[Column] = {
     def dotLit(offset: Int, c: Seq[Double]): Column =
       c.zipWithIndex.map { case (w, i) =>
         element_at(col(queryVecCol), offset + i + 1).cast("double") * lit(w)
       }.reduce(_ + _)
-    val tableCols = (0 until numSubspaces).map { m =>
+    codebooks.indices.map { m =>
       array(codebooks(m).map(c => dotLit(m * subDim, c)): _*).as(s"pq_table$m")
     }
-    val qd = queries.select(col(queryIdCol).as("query_id") +: tableCols: _*)
-    val score = (0 until numSubspaces)
+  }
+
+  /** ADC score: one table lookup per subspace, summed. */
+  private def pqScore(numSubspaces: Int): Column =
+    (0 until numSubspaces)
       .map(m => element_at(col(s"pq_table$m"), (col(s"pq_code$m") + 1).cast("int")))
       .reduce(_ + _)
-    val cand = data.crossJoin(broadcast(qd))
+
+  /** The empty (query_id, rank, neighbor_id, sim) frame — degenerate-
+    * corpus return shape shared by the ANN variants. */
+  private def emptyTopK(
+      df: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id")).limit(0)
+      .crossJoin(df.select(col(idCol).as("neighbor_id")).limit(0))
+      .select(col("query_id"), lit(0L).as("rank"), col("neighbor_id"), lit(0.0).as("sim"))
+
+  /** IVF-PQ approximate top-k — the composed 100 TB ANN layout:
+    * [[ivfTopK]]'s coarse k-means cells decide WHICH vectors a query
+    * scores (nProbe cells instead of the whole corpus), and
+    * [[pqTopK]]'s codes decide what scoring one vector COSTS
+    * (numSubspaces table lookups instead of a dim-wide multiply).
+    * The corpus is stored once as (cell, code array) — the classic
+    * inverted-file-with-codes layout; this flat variant quantizes the
+    * vectors themselves, not the cell residuals, so the codebooks are
+    * shared across cells and the whole pipeline stays replayable by
+    * an external engine from the same deterministic Lloyd setups.
+    * Probed queries are broadcast with their ADC tables; the corpus
+    * side joins on its cell id map-side (broadcast hash join — no
+    * corpus shuffle) and [[topK]] merges partial top-ks. Output:
+    * (query_id, rank, neighbor_id, sim), sim = ADC approximate inner
+    * product. */
+  def ivfPqTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
+      numSubspaces: Int = 4, codebookSize: Int = 8,
+      kmeansIterations: Int = 1, excludeSelf: Boolean = true,
+      centroidInitOrder: Option[Seq[Column]] = None): DataFrame = {
+    require(dim % numSubspaces == 0,
+      s"dim $dim must divide into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    val cached = spread(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (coarse, codebooks) =
+      try {
+        val coarse = kmeansCentroids(cached, vecCol, nCells, kmeansIterations,
+          centroidInitOrder)
+        (coarse, trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
+          codebookSize, kmeansIterations, centroidInitOrder))
+      }
+      finally { cached.unpersist(blocking = false); () }
+    if (coarse.isEmpty || codebooks.exists(_.isEmpty))
+      return emptyTopK(df, idCol, queries, queryIdCol)
+    val probeN = math.min(nProbe, coarse.length)
+    val data = spread(df).select(
+      col(idCol).as("neighbor_id") +:
+        nearestCell(col(vecCol), coarse).as("cell") +:
+        pqCodeCols(vecCol, codebooks, subDim): _*)
+    val probes = queries.select(
+      col(queryIdCol).as("query_id") +:
+        explode(graft.functions.VectorFunctions.nearestCells(
+          col(queryVecCol), coarse.map(normalized), probeN)).as("cell") +:
+        pqTableCols(queryVecCol, codebooks, subDim): _*)
+    val cand = data.join(broadcast(probes), "cell")
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"), score.as("sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqScore(codebooks.length).as("sim"))
     topK(cand, k)
   }
 

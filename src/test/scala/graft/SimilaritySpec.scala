@@ -138,6 +138,21 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     inCluster.toDouble / pq.length should be >= 0.9
   }
 
+  test("ivfPqTopK composes cell pruning with code pricing") {
+    val df = clustered()
+    val q = df.filter(col("vec_id") < 4)
+    // Same cluster-level contract as pqTopK (codes flatten
+    // intra-cluster ranking), plus the IVF scope: nProbe=2 of 4 cells
+    // must still cover the query's own cluster.
+    val out = Similarity.ivfPqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      dim = 16, k = 5, nCells = 4, nProbe = 2, numSubspaces = 4,
+      codebookSize = 8, kmeansIterations = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    out should have length 20
+    val inCluster = out.count { case (qid, nid) => nid % 4 == qid % 4 }
+    inCluster.toDouble / out.length should be >= 0.9
+  }
+
   test("pqTopK approximates the true inner product through the codes") {
     val df = clustered()
     val q = df.filter(col("vec_id") === 0)
