@@ -1676,6 +1676,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- LLM-pipeline: Johnson–Lindenstrauss random projection
+    // (64 → 8 dims, deterministic seed-42 Gaussian rows scaled 1/√8 —
+    // the training-free embedding compression ahead of ANN/near-dup).
+    // Every projected element replays as a literal-matrix dot in the
+    // oracle; elements are scaled to micro-units and emitted as a CSV
+    // string (scalar, orderable — the ll19 lesson), so the whole
+    // matrix multiply is hash-checked.
+    "ll24_random_projection" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      Similarity.randomProjection(df, "embedding", dim = 64, outDim = 8)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("projected"),
+            x => round(x * 1e6).cast("long").cast("string"))).as("proj_csv"))
+        .orderBy("vec_id")
+    }),
+
     // ---- LLM-pipeline: IVF-PQ approximate top-k — the composed
     // 100 TB ANN layout (ll5's coarse cells decide WHICH vectors a
     // query scores, ll22's codes decide what scoring one COSTS). Both
@@ -3055,6 +3071,24 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS adc_score
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Literal-matrix replay of the JL projection (ll9's plane-literal
+    // convention): 8 scaled Gaussian rows as double literals, each
+    // projected element a list_dot_product, scaled to micro-units
+    // (round-half-away-from-zero on both engines) and CSV-joined.
+    "ll24_random_projection" -> {
+      val rows = graft.similarity.Similarity.hyperplanes(nPlanes = 8, dim = 64, seed = 42L)
+        .map(_.map(_ / math.sqrt(8.0)))
+      val elems = rows.map { r =>
+        s"CAST(CAST(round(list_dot_product(v64, ${r.mkString("[", ", ", "]")}) * 1000000.0) AS BIGINT) AS VARCHAR)"
+      }.mkString("[", ", ", "]")
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding[1:64]::DOUBLE[] AS v64 FROM embeddings
+         |  WHERE embedding IS NOT NULL
+         |)
+         |SELECT vec_id, array_to_string($elems, ',') AS proj_csv
+         |FROM emb ORDER BY vec_id""".stripMargin
+    },
 
     // Composes the two proven replay blocks: ll5's coarse cells CTE
     // (emb..cells, probes = top-3 cells per query) scopes the

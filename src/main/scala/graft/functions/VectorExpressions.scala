@@ -149,6 +149,34 @@ case class NearestCells(child: Expression, matrix: Array[Array[Double]], n: Int)
   override def prettyName: String = "nearest_cells"
 }
 
+/** All row·vec dot products against the reference matrix, as
+  * array<double> — the dense mat-vec primitive ([[NearestCells]]
+  * without the argmax): random-projection dimensionality reduction
+  * (matrix = scaled Gaussian rows), batch centroid scoring, any
+  * fixed-basis transform. Same loop-codegen/reference-object design
+  * as the siblings. */
+case class MatrixDots(child: Expression, matrix: Array[Array[Double]])
+    extends MatrixDotExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = new GenericArrayData(dots(input))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, childVar => {
+      val dotsVar = ctx.freshName("dots")
+      s"""
+         |${dotsCode(ctx, childVar, dotsVar)}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($dotsVar);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MatrixDots =
+    copy(child = newChild)
+
+  override def prettyName: String = "matrix_dots"
+}
+
 /** Sign-bucket id of the input vector against hyperplane rows: bit i
   * is set iff vec · matrix(i) > 0 (strict). At most 31 planes. */
 case class SignBucketExpr(child: Expression, matrix: Array[Array[Double]])

@@ -18,6 +18,11 @@ object VectorFunctions {
   def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(SignBucketExpr(ColumnBridge.expression(vec), mat(planes)))
 
+  /** All row·vec dots against a fixed matrix, as array<double>.
+    * See [[MatrixDots]]. */
+  def matrixDots(vec: Column, matrix: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(MatrixDots(ColumnBridge.expression(vec), mat(matrix)))
+
   /** MinHash signature aggregate over 64-bit hashes. See [[MinHashAgg]]. */
   def minhashAgg(hash: Column, numHashes: Int): Column =
     ColumnBridge.column(

@@ -436,6 +436,29 @@ object Similarity {
     topK(cand, k)
   }
 
+  /** Johnson–Lindenstrauss random projection of an embedding column
+    * to `outDim` dimensions: out_j = ⟨v, r_j⟩ / √outDim with r_j the
+    * deterministic Gaussian rows of [[hyperplanes]] (same fixed-seed
+    * convention as the LSH planes, so an external engine replays the
+    * matrix as literals). Pairwise dots and distances are preserved
+    * within ε for outDim = O(log N / ε²) (the JL lemma), so
+    * downstream ANN / embedding near-dup operators run on 4–8×
+    * smaller vectors at a bounded recall cost — the cheap
+    * dimensionality-reduction step ahead of [[annTopK]] /
+    * [[nearDupByEmbedding]] when PQ's trained codebooks are more
+    * machinery than the pipeline needs. Map-side only: one native
+    * loop expression ([[graft.functions.MatrixDots]]), no shuffle, no
+    * training pass. Adds `outCol` (array<double>); other columns pass
+    * through. */
+  def randomProjection(
+      df: DataFrame, vecCol: String, dim: Int, outDim: Int,
+      seed: Long = 42L, outCol: String = "projected"): DataFrame = {
+    val scale = math.sqrt(outDim.toDouble)
+    val rows = hyperplanes(outDim, dim, seed).map(_.map(_ / scale))
+    df.withColumn(outCol,
+      graft.functions.VectorFunctions.matrixDots(col(vecCol), rows))
+  }
+
   /** (id, v, bucket) sign-bucket assignment of a corpus — the shared
     * input of [[nearDupByEmbedding]] and [[cappedBuckets]]. Compute it
     * once (persist and pass to both) when running the audit alongside

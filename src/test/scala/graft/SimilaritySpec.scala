@@ -138,6 +138,28 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     inCluster.toDouble / pq.length should be >= 0.9
   }
 
+  test("randomProjection preserves cluster geometry (JL) and is deterministic") {
+    val df = clustered()
+    val proj = Similarity.randomProjection(df, "embedding", dim = 16, outDim = 8)
+    val rows = proj.select("vec_id", "projected").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    rows(0L) should have size 8
+    // Same seed → same projection (replayable by literal matrix).
+    val again = Similarity.randomProjection(df, "embedding", dim = 16, outDim = 8)
+      .select("vec_id", "projected").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    again(0L) shouldBe rows(0L)
+    // JL contract at this fixture's scale: after 16 → 8 projection,
+    // in-cluster pairs still out-rank cross-cluster pairs on cosine.
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val inCluster = for (i <- 0L until 4L) yield cos(rows(i), rows(i + 4))
+    val cross = for (i <- 0L until 4L; j <- 0L until 4L if i != j) yield cos(rows(i), rows(j))
+    inCluster.min should be > cross.max
+  }
+
   test("ivfPqTopK composes cell pruning with code pricing") {
     val df = clustered()
     val q = df.filter(col("vec_id") < 4)

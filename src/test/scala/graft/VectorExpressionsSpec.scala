@@ -64,6 +64,24 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
     rows(1).getSeq[Int](1) shouldBe Seq(0)
   }
 
+  test("matrixDots returns every row dot, null-safe, float accepted") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+        (1L, Some(Seq(3.0, 2.0, 1.0))),
+        (2L, Option.empty[Seq[Double]]))
+      .toDF("id", "v")
+      .select(col("id"), VectorFunctions.matrixDots(col("v"), matrix).as("dots"))
+      .orderBy("id").collect()
+    rows(0).getSeq[Double](1) shouldBe Seq(3.0, 2.0, 1.0, -3.0)
+    rows(1).isNullAt(1) shouldBe true
+    // Float input, short vector: only dim 0 contributes.
+    val f = Seq((1L, Seq(2.0f))).toDF("id", "v")
+      .select(VectorFunctions.matrixDots(col("v"), matrix).as("dots"))
+      .collect()
+    f(0).getSeq[Double](0) shouldBe Seq(2.0, 0.0, 0.0, -2.0)
+  }
+
   test("signBucket sets bit i iff the dot against plane i is strictly positive") {
     val s = spark
     import s.implicits._
@@ -158,13 +176,14 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
     import s.implicits._
     val df = Seq((1L, Seq(3.0, -2.0, 1.0)), (2L, Seq(0.1, 0.2, 0.3))).toDF("id", "v")
     val planes = matrix
-    def run(codegen: String): Seq[(Seq[Int], Int)] = {
+    def run(codegen: String): Seq[(Seq[Int], Int, Seq[Double])] = {
       spark.conf.set("spark.sql.codegen.factoryMode", codegen)
       try df.select(
           VectorFunctions.nearestCells(col("v"), matrix, 2).as("cells"),
-          VectorFunctions.signBucket(col("v"), planes).as("b"))
+          VectorFunctions.signBucket(col("v"), planes).as("b"),
+          VectorFunctions.matrixDots(col("v"), matrix).as("dots"))
         .orderBy("cells").collect()
-        .map(r => (r.getSeq[Int](0), r.getInt(1))).toSeq
+        .map(r => (r.getSeq[Int](0), r.getInt(1), r.getSeq[Double](2))).toSeq
       finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
     run("CODEGEN_ONLY") shouldBe run("NO_CODEGEN")
