@@ -994,6 +994,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Temperature-flattened mixture resampling (the multilingual
+    // p^α move): a skewed 70/20/10 three-source corpus, α = 0.5,
+    // target 250 of 500 docs. The keep-rates derive from per-source
+    // counts (head downsampled hardest: ~0.373 vs tail ~0.988 at this
+    // fixture), selection is the seeded md5 uniform — counts, rate
+    // arithmetic (name-ordered normalization sum), and per-row
+    // membership all replay in the oracle.
+    "smp_temperature_mix" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .withColumn("src",
+          when(pmod(col("doc_id"), lit(10)) < 7, "head")
+            .when(pmod(col("doc_id"), lit(10)) < 9, "mid")
+            .otherwise("tail"))
+      graft.sampling.Sampling.temperatureMixSample(df, "doc_id", "src",
+          alpha = 0.5, target = 250.0, hashMode = "md5")
+        .select(col("doc_id"), col("src"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Token-budget selection (the data-mixing primitive): per
     // source, keep documents in quality order until the token budget
     // is spent — exact greedy-prefix semantics realized by the
@@ -2566,6 +2585,41 @@ object SparkEntry {
          |SELECT doc_id, src FROM u
          |WHERE u < (CASE src WHEN '0' THEN 1.0 WHEN '1' THEN 0.25 ELSE 0.0 END)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // Replays the temperature-rate arithmetic exactly as the engine
+    // computes it — pow(share, α), normalization sum in source-NAME
+    // order (list_sum over an ordered list — a deterministic fold both
+    // engines share), rate = min(1, target·q/n) with the same
+    // operation order — then the md5 uniform threshold per row.
+    "smp_temperature_mix" -> {
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}.0")
+        .mkString(" +\n         |         ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 < 7 THEN 'head'
+         |              WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS src
+         |  FROM documents
+         |), c AS (
+         |  SELECT src, count(*) AS n FROM d GROUP BY src
+         |), t AS (
+         |  SELECT sum(n) AS nn FROM c
+         |), w AS (
+         |  SELECT src, n, pow(CAST(n AS DOUBLE) / nn, 0.5) AS w FROM c CROSS JOIN t
+         |), z AS (
+         |  SELECT list_sum(list(w ORDER BY src)) AS z FROM w
+         |), r AS (
+         |  SELECT src, least(1.0, 250.0 * (w / z.z) / n) AS rate FROM w CROSS JOIN z
+         |), h AS (
+         |  SELECT doc_id, src, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx FROM d
+         |), u AS (
+         |  SELECT doc_id, src,
+         |        ($nibbles) / 4294967296.0 AS u
+         |  FROM h
+         |)
+         |SELECT u.doc_id, u.src FROM u JOIN r USING (src)
+         |WHERE u.u < r.rate ORDER BY doc_id""".stripMargin
     },
 
     // The oracle computes the exact greedy token prefix the engine's

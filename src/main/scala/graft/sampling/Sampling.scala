@@ -178,4 +178,43 @@ object Sampling {
     }.otherwise(defaultFraction)
     df.filter(uniformHash(col(idCol), seed, hashMode) < frac)
   }
+
+  /** The temperature-mixture keep-rates (driver-side, pure): source s
+    * holding n_s of N rows gets q_s ∝ (n_s/N)^α (normalized over
+    * sources in NAME order — a deterministic summation order both
+    * engines can replay) and keep-rate min(1, target·q_s/n_s).
+    * α < 1 flattens the mixture toward uniform (the multilingual
+    * p^α move: tail sources upweighted relative to the head), α = 1
+    * keeps shares as-is scaled to the target, α = 0 is uniform across
+    * sources. `target` is the desired total row count in expectation;
+    * head sources saturate at rate 1 rather than oversample. */
+  def temperatureRates(
+      counts: Map[String, Long], alpha: Double, target: Double): Map[String, Double] = {
+    require(counts.values.forall(_ >= 0), s"negative counts: $counts")
+    val n = counts.values.sum.toDouble
+    if (n == 0) return counts.map { case (s, _) => s -> 0.0 }
+    val bySource = counts.toSeq.sortBy(_._1)
+    val w = bySource.map { case (s, c) => s -> math.pow(c / n, alpha) }
+    val z = w.map(_._2).sum
+    w.map { case (s, ws) =>
+      val c = counts(s)
+      s -> (if (c == 0 || z == 0) 0.0 else math.min(1.0, target * (ws / z) / c))
+    }.toMap
+  }
+
+  /** Temperature-weighted source rebalancing in one pass + one
+    * map-side filter: count rows per source (S scalars to the
+    * driver), derive [[temperatureRates]], select with the same
+    * seeded uniform hash as [[stratifiedSampleByHash]] — so the whole
+    * resample is a pure replayable function of (corpus, α, target,
+    * seed), and the counting aggregate is the only shuffle. */
+  def temperatureMixSample(
+      df: DataFrame, idCol: String, srcCol: String,
+      alpha: Double, target: Double,
+      seed: Long = 42L, hashMode: String = "xxhash64"): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stratifiedSampleByHash(df, idCol, srcCol,
+      temperatureRates(counts, alpha, target), seed = seed, hashMode = hashMode)
+  }
 }

@@ -152,6 +152,49 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       Sampling.packBins(df.withColumnRenamed("bin", "n"), "id", "n", tokenBudget = 0L)
   }
 
+  test("temperatureRates: α flattens the mixture, caps at 1, handles edges") {
+    val counts = Map("head" -> 900L, "mid" -> 90L, "tail" -> 10L)
+    // α = 1: proportional — every source keeps target/N.
+    val r1 = Sampling.temperatureRates(counts, alpha = 1.0, target = 500.0)
+    r1.values.foreach(_ shouldBe 0.5 +- 1e-12)
+    // α = 0: uniform budget per source — tail saturates at 1.
+    val r0 = Sampling.temperatureRates(counts, alpha = 0.0, target = 300.0)
+    r0("head") shouldBe (100.0 / 900.0) +- 1e-12
+    r0("mid") shouldBe 1.0
+    r0("tail") shouldBe 1.0
+    // α = 0.5 sits between: the head is downsampled (rate ≈ 0.39)
+    // while both smaller sources saturate at 1 at this target.
+    val r5 = Sampling.temperatureRates(counts, alpha = 0.5, target = 500.0)
+    r5("head") shouldBe 0.3908 +- 0.001
+    r5("mid") shouldBe 1.0
+    r5("tail") shouldBe 1.0
+    // Expected kept total never exceeds the achievable corpus size.
+    val kept = counts.map { case (s, n) => r5(s) * n }.sum
+    kept should be <= 1000.0 + 1e-9
+    // Edges: empty corpus and zero-count source → rate 0.
+    Sampling.temperatureRates(Map("a" -> 0L), 0.5, 100.0) shouldBe Map("a" -> 0.0)
+    Sampling.temperatureRates(Map.empty[String, Long], 0.5, 100.0) shouldBe Map.empty
+  }
+
+  test("temperatureMixSample keeps ~target rows with the mixture flattened") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i =>
+      (i, if (i % 10 < 8) "head" else "tail")).toDF("id", "src")
+    val out = Sampling.temperatureMixSample(df, "id", "src", alpha = 0.5, target = 400.0)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = out.values.sum
+    total.toDouble shouldBe 400.0 +- 60.0
+    // Flattening: tail share of the sample ≫ its 20% corpus share.
+    out("tail").toDouble / total should be > 0.25
+    // Determinism: same seed, same selection.
+    val again = Sampling.temperatureMixSample(df, "id", "src", alpha = 0.5, target = 400.0)
+      .agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+    val first = Sampling.temperatureMixSample(df, "id", "src", alpha = 0.5, target = 400.0)
+      .agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+    again shouldBe first
+  }
+
   test("sampling plans are pure map-side: no exchange, no aggregate") {
     val plan = Sampling.hashSplit(corpus, "id", Seq(("a", 0.9), ("b", 0.1)))
       .queryExecution.executedPlan.toString
