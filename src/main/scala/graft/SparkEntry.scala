@@ -621,6 +621,20 @@ object SparkEntry {
       }.toDF("ts", "row_count", "duplicate_count").orderBy("ts")
     }),
 
+    // ---- Profiler extension: pairwise Pearson correlations of the
+    // numeric columns (one fused corr agg, melted map-side) — the
+    // redundancy/leakage screen. Both engines' corr is textbook
+    // Pearson with pairwise null deletion; 4dp absorbs co-moment
+    // summation-order differences.
+    "p16_correlations" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem")
+      ProfilePasses.correlations(df,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col_a"), col("col_b"),
+          round(col("corr_coef"), 4).as("corr_coef"))
+        .orderBy("col_a", "col_b")
+    }),
+
     // ---- LLM-pipeline: exact-duplicate groups by content fingerprint.
     // The base table has no exact dups at gate scale, so the query
     // unions in a case/whitespace-mangled copy of every 10th doc — the
@@ -2256,6 +2270,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT '2026-01-03T00:00:00Z', CAST(c AS DOUBLE), 0.0 FROM n
         |ORDER BY ts""".stripMargin,
+
+    // Textbook Pearson per pair (pairwise null deletion), 4dp.
+    "p16_correlations" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.length
+      } yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 4) AS corr_coef FROM lineitem"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
 
     "ll1_exact_dup_groups" ->
       """WITH all_docs AS (

@@ -353,4 +353,32 @@ object ProfilePasses {
   }
 
   def buckets(df: DataFrame): ColumnBuckets.Buckets = ColumnBuckets.of(df.schema)
+
+  /** Pairwise Pearson correlations of the numeric columns — the
+    * classic redundancy/leakage screen a profile feeds feature
+    * selection with (beyond the reference surface, like P13–P15).
+    * ONE fused wide aggregate: d·(d−1)/2 `corr` co-moment states
+    * accumulate in a single scan (partial + final hash agg — corr is
+    * a DeclarativeAggregate, so the pass stays in WholeStageCodegen,
+    * unlike the percentile sketches quarantined out of pass A), then
+    * the single result row melts to (col_a, col_b, corr_coef) rows
+    * map-side — no second scan, no driver loop over pairs. Null
+    * handling is pairwise deletion (rows where either side is null
+    * are skipped for that pair), matching SQL `corr`. */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, s"need at least 2 numeric columns, got $cols")
+    val pairs = for {
+      i <- cols.indices
+      j <- (i + 1) until cols.length
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      corr(c(a), c(b)).cast(DoubleType).as(s"${a}__${b}")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val melted = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"${a}__${b}").as("corr_coef"))
+    }
+    row.select(explode(array(melted: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -159,4 +159,38 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
         .count() shouldBe n1
     } finally { cells.unpersist(blocking = false); () }
   }
+
+  test("compressed ANN composes: random projection → IVF-PQ over the projected space") {
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n0 = emb.count()
+    // JL-project 64 → 16 (4× smaller vectors, training-free), then
+    // search the PROJECTED space with the composed IVF-PQ layout —
+    // the full memory ladder: 64×4B floats → 16×8B doubles → 4 codes.
+    val proj = Similarity.randomProjection(emb, "embedding", dim = 64, outDim = 16)
+    proj.count() shouldBe n0
+    val q = proj.filter(col("vec_id") < 3)
+    val hits = Similarity.ivfPqTopK(proj, "vec_id", "projected",
+      q, "vec_id", "projected", dim = 16, k = 5, nCells = 4, nProbe = 2,
+      numSubspaces = 4, codebookSize = 8, kmeansIterations = 2)
+      .collect()
+    hits.map(_.getAs[Long]("query_id")).distinct should have size 3
+    hits.foreach { r =>
+      r.getAs[Long]("rank") should (be >= 1L and be <= 5L)
+      r.getAs[Long]("neighbor_id") should not be r.getAs[Long]("query_id")
+    }
+    // No recall bound here: this fixture's vectors are isotropic
+    // (max pairwise cosine ~0.5), so the top-5 ordering is noise the
+    // code words cannot preserve — recall contracts live in
+    // SimilaritySpec's clustered fixtures. What the composition DOES
+    // guarantee on any input: full query coverage, k results each,
+    // deterministic output.
+    val again = Similarity.ivfPqTopK(proj, "vec_id", "projected",
+      q, "vec_id", "projected", dim = 16, k = 5, nCells = 4, nProbe = 2,
+      numSubspaces = 4, codebookSize = 8, kmeansIterations = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    hits.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+      r.getAs[Long]("neighbor_id"))).toSet shouldBe again
+  }
 }

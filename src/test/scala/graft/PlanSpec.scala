@@ -47,6 +47,51 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     base should not include "ObjectHashAggregate"
   }
 
+  test("correlation pass: one codegen'd agg, no window, pruned scan") {
+    val df = ProfilePasses.correlations(lineitem,
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+    val plan = physical(df)
+    // corr is a DeclarativeAggregate: the fused pass must stay on the
+    // codegen'd HashAggregate path (unlike the percentile sketches).
+    plan should include("HashAggregate")
+    plan should not include "ObjectHashAggregate"
+    plan should not include "Window"
+    // The melt is map-side off the single agg row — exactly one
+    // aggregate pair (partial + final), no second scan.
+    plan.linesIterator.count(_.trim.startsWith("+- Scan parquet")) should be <= 1
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    readSchema should not include "l_orderkey"
+  }
+
+  test("PQ search: corpus streams map-side into a broadcast join; no corpus shuffle before scoring") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val plan = physical(Similarity.pqTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", dim = 64, k = 3, numSubspaces = 4,
+      codebookSize = 4, kmeansIterations = 1,
+      centroidInitOrder = Some(Seq(col("vec_id")))))
+    // Queries (with their ADC tables) are the broadcast side.
+    plan should include("BroadcastNestedLoopJoin")
+    // The corpus side reaches the join through projections only: the
+    // only exchanges in the whole plan are the input spread
+    // (RoundRobin — a no-op at scale) and topK's two candidate
+    // aggregations (hashpartitioning).
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges.count(_.contains("hashpartitioning")) should be <= 2
+    plan should not include "SortMergeJoin"
+  }
+
+  test("IVF-PQ search: cell equi-join broadcasts the probed queries") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val plan = physical(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", dim = 64, k = 3, nCells = 4, nProbe = 2,
+      numSubspaces = 4, codebookSize = 4, kmeansIterations = 1,
+      centroidInitOrder = Some(Seq(col("vec_id")))))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("column pruning reaches the parquet scan") {
     val narrow = lineitem.select("l_quantity", "l_discount")
       .agg(sum("l_quantity"), avg("l_discount"))
