@@ -635,6 +635,21 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    // ---- Profiler extension: per-column value-distribution Shannon
+    // entropy (melt + one (column,value) agg + per-column fold).
+    // Entropy depends only on the count multiset, so the opaque
+    // string cast both engines group through cannot perturb it; 4dp
+    // absorbs libm log differences.
+    "p17_value_entropy" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem")
+      ProfilePasses.valueEntropy(df,
+          Seq("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"))
+        .select(col("column_name"), col("distinct_values"),
+          round(col("entropy_bits"), 4).as("entropy_bits"),
+          round(col("normalized_entropy"), 4).as("normalized_entropy"))
+        .orderBy("column_name")
+    }),
+
     // ---- LLM-pipeline: exact-duplicate groups by content fingerprint.
     // The base table has no exact dups at gate scale, so the query
     // unions in a case/whitespace-mangled copy of every 10th doc — the
@@ -2280,6 +2295,29 @@ object SparkEntry {
       pairs.map { case (a, b) =>
         s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 4) AS corr_coef FROM lineitem"
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
+
+    // Same histogram → log fold: H = log2(n) − Σc·log2(c)/n per
+    // column over the melted non-null values.
+    "p17_value_entropy" -> {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+      val melt = cols.map(n =>
+        s"SELECT '$n' AS column_name, CAST($n AS VARCHAR) AS value FROM lineitem WHERE $n IS NOT NULL")
+        .mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |$melt
+         |), c AS (
+         |  SELECT column_name, value, count(*) AS cnt FROM m GROUP BY 1, 2
+         |), a AS (
+         |  SELECT column_name, sum(cnt) AS n, count(*) AS dv,
+         |         sum(cnt * log2(cnt)) AS s
+         |  FROM c GROUP BY 1
+         |)
+         |SELECT column_name, dv AS distinct_values,
+         |       round(log2(n) - s / n, 4) AS entropy_bits,
+         |       round(CASE WHEN dv > 1 THEN (log2(n) - s / n) / log2(dv)
+         |             ELSE 0.0 END, 4) AS normalized_entropy
+         |FROM a ORDER BY column_name""".stripMargin
     },
 
     "ll1_exact_dup_groups" ->

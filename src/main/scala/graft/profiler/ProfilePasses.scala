@@ -365,6 +365,35 @@ object ProfilePasses {
     * map-side — no second scan, no driver loop over pairs. Null
     * handling is pairwise deletion (rows where either side is null
     * are skipped for that pair), matching SQL `corr`. */
+  /** Value-distribution Shannon entropy per column (nulls excluded):
+    * H = −Σ p·log₂p over the value histogram, computed as
+    * log₂n − (Σ c·log₂c)/n, plus H normalized by log₂(distinct) —
+    * the skew/uniformity screen (a near-constant column scores ~0, a
+    * uniform key ~1). Same single-shuffle melt shape as the
+    * frequent-values pass: explode to (column, value), ONE
+    * (column, value) hash aggregate (map-side partials), then a tiny
+    * per-column aggregate over the distinct rows — never a job per
+    * column. Values group through an opaque string cast: entropy
+    * depends only on the COUNT multiset, so any injective rendering
+    * gives the same result (cross-engine float formatting cannot
+    * perturb it). */
+  def valueEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val melted = df.select(explode(array(cols.map(n =>
+        struct(lit(n).as("column_name"), c(n).cast("string").as("value"))): _*)).as("m"))
+      .select(col("m.*")).filter(col("value").isNotNull)
+    val counts = melted.groupBy("column_name", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val h = log2(col("n")) - col("sclc") / col("n")
+    counts.groupBy("column_name")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("distinct_values"),
+        sum(col("cnt") * log2(col("cnt"))).as("sclc"))
+      .select(col("column_name"), col("distinct_values"),
+        h.as("entropy_bits"),
+        when(col("distinct_values") > 1, h / log2(col("distinct_values")))
+          .otherwise(lit(0.0)).as("normalized_entropy"))
+  }
+
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.length >= 2, s"need at least 2 numeric columns, got $cols")
     val pairs = for {

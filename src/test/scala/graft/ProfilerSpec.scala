@@ -217,4 +217,26 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     p.numericStats("v").min shouldBe None
     p.frequentValues.get("v") shouldBe None // no non-null values
   }
+
+  test("valueEntropy: uniform → log2(k), constant → 0, nulls excluded, all-null column absent") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.profiler.ProfilePasses
+    val df = employeesDf.withColumn("const", lit("x"))
+      .withColumn("allnull", lit(null).cast("string"))
+    val rows = ProfilePasses.valueEntropy(df,
+        Seq("department", "const", "allnull", "id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // department: 9 non-null values in 3 equal groups of 3 → uniform.
+    rows("department")._1 shouldBe 3L
+    rows("department")._2 shouldBe math.log(3) / math.log(2) +- 1e-9
+    rows("department")._3 shouldBe 1.0 +- 1e-9
+    // const: one value → zero entropy, normalized pinned to 0.
+    rows("const") shouldBe ((1L, 0.0, 0.0))
+    // id: 10 distinct of 10 → maximal for its cardinality.
+    rows("id")._2 shouldBe math.log(10) / math.log(2) +- 1e-9
+    rows("id")._3 shouldBe 1.0 +- 1e-9
+    // all-null column contributes no histogram → no row.
+    rows.contains("allnull") shouldBe false
+  }
 }
