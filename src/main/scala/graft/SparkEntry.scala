@@ -650,6 +650,23 @@ object SparkEntry {
         .orderBy("column_name")
     }),
 
+    // ---- Profiler extension: categorical association (Cramér's V
+    // over the χ² contingency) for two pairs across two tables —
+    // lineitem returnflag×linestatus (strongly associated: returns
+    // only occur among finished lines) and orders status×priority
+    // (near-independent). All arithmetic replays in SQL at 4dp.
+    "p18_categorical_association" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      ProfilePasses.categoricalAssociation(li, "l_returnflag", "l_linestatus")
+        .unionAll(ProfilePasses.categoricalAssociation(
+          ord, "o_orderstatus", "o_orderpriority"))
+        .select(col("col_a"), col("col_b"), col("n"),
+          round(col("chi2"), 4).as("chi2"),
+          round(col("cramers_v"), 4).as("cramers_v"))
+        .orderBy("col_a")
+    }),
+
     // ---- LLM-pipeline: exact-duplicate groups by content fingerprint.
     // The base table has no exact dups at gate scale, so the query
     // unions in a case/whitespace-mangled copy of every 10th doc — the
@@ -2318,6 +2335,37 @@ object SparkEntry {
          |       round(CASE WHEN dv > 1 THEN (log2(n) - s / n) / log2(dv)
          |             ELSE 0.0 END, 4) AS normalized_entropy
          |FROM a ORDER BY column_name""".stripMargin
+    },
+
+    // Same contingency arithmetic per pair: observed (a,b) counts,
+    // marginal cross grid (zero cells included), χ² fold, V.
+    "p18_categorical_association" -> {
+      def pair(table: String, a: String, b: String): String =
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n, chi2, cramers_v FROM (
+           |  WITH obs AS (
+           |    SELECT CAST($a AS VARCHAR) AS a, CAST($b AS VARCHAR) AS b,
+           |           CAST(count(*) AS DOUBLE) AS o
+           |    FROM $table WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2
+           |  ), rt AS (SELECT a, sum(o) AS rt FROM obs GROUP BY a
+           |  ), ct AS (SELECT b, sum(o) AS ct FROM obs GROUP BY b
+           |  ), tot AS (
+           |    SELECT sum(o) AS n, CAST(count(DISTINCT a) AS DOUBLE) AS r,
+           |           CAST(count(DISTINCT b) AS DOUBLE) AS c FROM obs
+           |  ), grid AS (
+           |    SELECT COALESCE(obs.o, 0.0) - rt.rt * ct.ct / tot.n AS d,
+           |           rt.rt * ct.ct / tot.n AS e
+           |    FROM rt CROSS JOIN ct
+           |    LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b
+           |    CROSS JOIN tot
+           |  ), x AS (SELECT sum(d * d / e) AS chi2 FROM grid)
+           |  SELECT CAST(tot.n AS BIGINT) AS n, round(x.chi2, 4) AS chi2,
+           |         round(CASE WHEN least(tot.r, tot.c) > 1.0
+           |           THEN sqrt(x.chi2 / (tot.n * (least(tot.r, tot.c) - 1.0)))
+           |           ELSE 0.0 END, 4) AS cramers_v
+           |  FROM x CROSS JOIN tot
+           |)""".stripMargin
+      pair("lineitem", "l_returnflag", "l_linestatus") + "\nUNION ALL\n" +
+        pair("orders", "o_orderstatus", "o_orderpriority") + "\nORDER BY col_a"
     },
 
     "ll1_exact_dup_groups" ->

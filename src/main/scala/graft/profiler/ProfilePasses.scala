@@ -394,6 +394,41 @@ object ProfilePasses {
           .otherwise(lit(0.0)).as("normalized_entropy"))
   }
 
+  /** Categorical association for one column pair: Cramér's V =
+    * √(χ²/(n·(min(r,c)−1))) over the r×c contingency table — the
+    * categorical counterpart of [[correlations]] (0 = independent,
+    * 1 = one column determines the other). Intended for
+    * low-cardinality categoricals: the observed (a,b) counts are ONE
+    * hash aggregate over the corpus; everything after runs on those
+    * aggregates — the full expected grid is the CROSS of the two
+    * marginal totals (r·c rows, including observed-zero cells, which
+    * χ² must count) left-joined with the observed cells. No window,
+    * no funnel, nothing corpus-sized past the first aggregate.
+    * Output: one row (col_a, col_b, n, chi2, cramers_v);
+    * min(r,c) ≤ 1 (a constant column) pins V to 0. */
+  def categoricalAssociation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val obs = df.filter(c(colA).isNotNull && c(colB).isNotNull)
+      .groupBy(c(colA).cast("string").as("a"), c(colB).cast("string").as("b"))
+      .agg(count(lit(1)).cast(DoubleType).as("o"))
+    val rowTot = obs.groupBy("a").agg(sum("o").as("rt"))
+    val colTot = obs.groupBy("b").agg(sum("o").as("ct"))
+    val tot = obs.agg(sum("o").as("n"),
+      countDistinct("a").cast(DoubleType).as("r"),
+      countDistinct("b").cast(DoubleType).as("cc"))
+    val grid = rowTot.crossJoin(colTot)
+      .join(obs, Seq("a", "b"), "left")
+      .crossJoin(tot)
+      .select((coalesce(col("o"), lit(0.0)) - col("rt") * col("ct") / col("n"))
+        .as("d"), (col("rt") * col("ct") / col("n")).as("e"))
+    val chi2 = grid.agg(sum(col("d") * col("d") / col("e")).as("chi2"))
+    chi2.crossJoin(tot).select(
+      lit(colA).as("col_a"), lit(colB).as("col_b"),
+      col("n").cast("long").as("n"), col("chi2"),
+      when(least(col("r"), col("cc")) > 1.0,
+        sqrt(col("chi2") / (col("n") * (least(col("r"), col("cc")) - 1.0))))
+        .otherwise(lit(0.0)).as("cramers_v"))
+  }
+
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.length >= 2, s"need at least 2 numeric columns, got $cols")
     val pairs = for {

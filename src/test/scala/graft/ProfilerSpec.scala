@@ -239,4 +239,24 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // all-null column contributes no histogram → no row.
     rows.contains("allnull") shouldBe false
   }
+
+  test("categoricalAssociation: determined → V=1, balanced-independent → V=0, constant → V=0") {
+    import graft.profiler.ProfilePasses
+    val s = spark
+    import s.implicits._
+    // b = f(a): perfect association.
+    val det = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"), ("z", "3"))
+      .toDF("a", "b")
+    val d = ProfilePasses.categoricalAssociation(det, "a", "b").head()
+    d.getAs[Double]("cramers_v") shouldBe 1.0 +- 1e-9
+    d.getAs[Long]("n") shouldBe 5L
+    // Perfectly balanced 2×2 → observed == expected everywhere.
+    val ind = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")).toDF("a", "b")
+    ProfilePasses.categoricalAssociation(ind, "a", "b").head()
+      .getAs[Double]("cramers_v") shouldBe 0.0 +- 1e-9
+    // A constant column has min(r,c) = 1 → V pinned to 0, not NaN.
+    val const = Seq(("x", "1"), ("y", "1")).toDF("a", "b")
+    ProfilePasses.categoricalAssociation(const, "a", "b").head()
+      .getAs[Double]("cramers_v") shouldBe 0.0
+  }
 }
