@@ -667,6 +667,26 @@ object SparkEntry {
         .orderBy("col_a")
     }),
 
+    // ---- Profiler extension: binned distribution drift (PSI terms +
+    // binned-KS cumulative gap) between a reference and a current
+    // snapshot — current synthesizes a real 20% price shift, so the
+    // drift signal is genuine. Bin edges derive from the reference
+    // min/max with identical IEEE arithmetic on both engines (no
+    // data-dependent tie hazard); ln at 1 ulp absorbed by 4dp.
+    "cmp_psi_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ref = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select(col("l_extendedprice").cast("double").as("v"))
+      val cur = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+        .select((col("l_extendedprice").cast("double") * 1.2).as("v"))
+      graft.compare.Drift.binnedDrift(ref, cur, "v", numBins = 10)
+        .select(col("bin"), round(col("ref_share"), 6).as("ref_share"),
+          round(col("cur_share"), 6).as("cur_share"),
+          round(col("psi_term"), 4).as("psi_term"),
+          round(col("cum_gap"), 6).as("cum_gap"))
+        .orderBy("bin")
+    }),
+
     // ---- LLM-pipeline: exact-duplicate groups by content fingerprint.
     // The base table has no exact dups at gate scale, so the query
     // unions in a case/whitespace-mangled copy of every 10th doc — the
@@ -2367,6 +2387,44 @@ object SparkEntry {
       pair("lineitem", "l_returnflag", "l_linestatus") + "\nUNION ALL\n" +
         pair("orders", "o_orderstatus", "o_orderpriority") + "\nORDER BY col_a"
     },
+
+    // Replays the deterministic binning (reference min/max edges,
+    // identical two-step width arithmetic), per-side shares over a
+    // full 0..9 spine, smoothed PSI terms, and the running CDF gap.
+    "cmp_psi_drift" ->
+      """WITH ref AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL
+        |), cur AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) * 1.2 AS v FROM lineitem
+        |  WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL
+        |), e AS (
+        |  SELECT min(v) AS lo, (max(v) - min(v)) / 10 AS width FROM ref
+        |), rh AS (
+        |  SELECT least(9, greatest(0, CAST(floor((v - lo) / width) AS INTEGER))) AS bin,
+        |         count(*) AS c
+        |  FROM ref CROSS JOIN e GROUP BY 1
+        |), ch AS (
+        |  SELECT least(9, greatest(0, CAST(floor((v - lo) / width) AS INTEGER))) AS bin,
+        |         count(*) AS c
+        |  FROM cur CROSS JOIN e GROUP BY 1
+        |), spine AS (SELECT CAST(range AS INTEGER) AS bin FROM range(0, 10)
+        |), sh AS (
+        |  SELECT s.bin,
+        |         COALESCE(rh.c, 0) / (SELECT CAST(sum(c) AS DOUBLE) FROM rh) AS ref_share,
+        |         COALESCE(ch.c, 0) / (SELECT CAST(sum(c) AS DOUBLE) FROM ch) AS cur_share
+        |  FROM spine s LEFT JOIN rh ON rh.bin = s.bin LEFT JOIN ch ON ch.bin = s.bin
+        |), terms AS (
+        |  SELECT bin, ref_share, cur_share,
+        |         (greatest(ref_share, 1e-6) - greatest(cur_share, 1e-6)) *
+        |           ln(greatest(ref_share, 1e-6) / greatest(cur_share, 1e-6)) AS psi_term,
+        |         abs(sum(ref_share) OVER w - sum(cur_share) OVER w) AS cum_gap
+        |  FROM sh
+        |  WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT bin, round(ref_share, 6) AS ref_share, round(cur_share, 6) AS cur_share,
+        |       round(psi_term, 4) AS psi_term, round(cum_gap, 6) AS cum_gap
+        |FROM terms ORDER BY bin""".stripMargin,
 
     "ll1_exact_dup_groups" ->
       """WITH all_docs AS (

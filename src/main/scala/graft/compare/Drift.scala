@@ -1,0 +1,80 @@
+package graft.compare
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift metrics between a reference and a current
+  * snapshot of a numeric column — the quantitative counterpart of
+  * [[ProfileCompare.detectAnomalies]]'s scalar deltas (which compare
+  * aggregate stats; these compare the SHAPE of the distribution).
+  * North-star scope beyond the reference surface, like P13–P15.
+  */
+object Drift {
+
+  /** Per-bin drift report: Population Stability Index terms plus the
+    * binned two-sample CDF gap (the Kolmogorov–Smirnov statistic on
+    * the same histogram).
+    *
+    * Binning is deterministic and replayable by an external engine:
+    * edges derive from the REFERENCE side's min/max (two scalars to
+    * the driver — the same bounded collect contract as the k-means
+    * centroids), width = (max−min)/numBins, bin = clamp(⌊(x−min)/
+    * width⌋, 0, numBins−1). Current-side values outside the reference
+    * range clamp into the edge bins — out-of-range mass is exactly
+    * what the edge-bin drift should surface. A constant reference
+    * (width 0) puts everything in bin 0. Identical IEEE arithmetic on
+    * both engines makes every bin assignment reproducible — no
+    * data-dependent tie hazard.
+    *
+    * PSI convention: shares are smoothed to ≥ 1e-6 before the
+    * log-ratio (the standard guard for empty bins); the PSI total is
+    * the sum of `psi_term`, with > 0.1 the usual "investigate" and
+    * > 0.25 the "shifted" threshold. `cum_gap` is |F_ref − F_cur| at
+    * each bin's upper edge over the UNsmoothed shares; its max over
+    * bins is the binned KS statistic.
+    *
+    * Plan shape: one aggregate per side over the corpus, then all
+    * arithmetic on numBins rows (the bin spine is a driver-side
+    * literal frame; the cumulative window runs on a single partition
+    * of numBins rows — bounded by construction, never corpus-sized).
+    */
+  def binnedDrift(
+      ref: DataFrame, cur: DataFrame, valueCol: String,
+      numBins: Int = 10): DataFrame = {
+    require(numBins >= 2, s"need at least 2 bins, got $numBins")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val Array(lo, hi) = ref.filter(col(valueCol).isNotNull)
+      .agg(min(col(valueCol)).cast("double"), max(col(valueCol)).cast("double"))
+      .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
+      .toArray
+    val width = (hi - lo) / numBins
+    def binOf(c: Column): Column =
+      if (width == 0.0) lit(0)
+      else least(lit(numBins - 1),
+        greatest(lit(0), floor((c.cast("double") - lit(lo)) / lit(width)).cast("int")))
+    def histo(df: DataFrame, share: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(binOf(col(valueCol)).as("bin"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .crossJoin(df.filter(col(valueCol).isNotNull)
+          .agg(count(lit(1)).cast("double").as("n")))
+        .select(col("bin"), (col("c") / col("n")).as(share))
+    val spine = (0 until numBins).toDF("bin")
+    val joined = spine
+      .join(histo(ref, "ref_share"), Seq("bin"), "left")
+      .join(histo(cur, "cur_share"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_share"), lit(0.0)).as("ref_share"),
+        coalesce(col("cur_share"), lit(0.0)).as("cur_share"))
+    val p = greatest(col("ref_share"), lit(1e-6))
+    val q = greatest(col("cur_share"), lit(1e-6))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(col("bin"), col("ref_share"), col("cur_share"),
+        ((p - q) * log(p / q)).as("psi_term"),
+        abs(sum(col("ref_share")).over(w) - sum(col("cur_share")).over(w))
+          .as("cum_gap"))
+  }
+}

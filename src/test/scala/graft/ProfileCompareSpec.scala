@@ -174,4 +174,33 @@ class ProfileCompareSpec extends AnyFunSuite with Matchers with SparkTestBase {
     t.nullRates("a").map(_.value) shouldBe Seq(10.0)
     t.nullRates("b").map(_.value) shouldBe Seq(20.0)
   }
+
+  test("binnedDrift: identical halves ≈ 0 PSI, a shift scores, spine complete, constant ref safe") {
+    import graft.compare.Drift
+    val s = spark
+    import s.implicits._
+    val vals = (0 until 1000).map(i => i.toDouble % 100)
+    val ref = vals.toDF("v")
+    // Identical distribution → every bin matches, PSI total ~0, KS 0.
+    val same = Drift.binnedDrift(ref, ref, "v", numBins = 10).collect()
+    same should have length 10
+    same.map(_.getAs[Double]("psi_term")).sum shouldBe 0.0 +- 1e-9
+    same.map(_.getAs[Double]("cum_gap")).max shouldBe 0.0 +- 1e-9
+    // A +30 shift empties the low bins and overflows the top bin:
+    // PSI total well past the 0.25 "shifted" threshold, KS gap ≈ the
+    // shifted mass share.
+    val cur = vals.map(_ + 30.0).toDF("v")
+    val drift = Drift.binnedDrift(ref, cur, "v", numBins = 10).collect()
+    drift should have length 10 // spine keeps emptied bins visible
+    drift.map(_.getAs[Double]("psi_term")).sum should be > 0.25
+    drift.map(_.getAs[Double]("cum_gap")).max shouldBe 0.3 +- 0.02
+    // Out-of-range current mass clamps into the top bin.
+    drift.find(_.getAs[Int]("bin") == 9).get
+      .getAs[Double]("cur_share") should be > 0.3
+    // Constant reference: width 0 → everything in bin 0, no NaN.
+    val const = Seq.fill(5)(7.0).toDF("v")
+    val c = Drift.binnedDrift(const, ref, "v", numBins = 10).collect()
+    c.find(_.getAs[Int]("bin") == 0).get.getAs[Double]("cur_share") shouldBe 1.0 +- 1e-9
+    c.foreach(r => r.getAs[Double]("psi_term").isNaN shouldBe false)
+  }
 }
