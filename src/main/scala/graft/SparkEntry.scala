@@ -1399,6 +1399,24 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ---- Profiler extension, streaming flavor: windowed PSI drift —
+    // each day's value histogram scored against the corpus-wide
+    // reference histogram (edges + shares collected once, baked into
+    // the single windowed aggregation as literals; streaming-append-
+    // safe by construction — no chained stateful ops). The oracle
+    // recomputes reference and per-day histograms with identical
+    // arithmetic; 4dp absorbs ln's 1 ulp and the PSI fold order.
+    "ev_windowed_psi" -> ((s, dir) => {
+      val df = eventsWithTs(s, dir)
+      val (lo, width, shares) =
+        graft.compare.Drift.referenceHistogram(df, "value", numBins = 10)
+      StreamProfiler.windowedPsiDrift(df, "ts", "value", "1 day",
+          lo, width, shares)
+        .select(col("window_start"), col("n_events"),
+          round(col("psi"), 4).as("psi"))
+        .orderBy("window_start")
+    }),
+
     // ---- Windowed completeness driven as a REAL watermarked append-
     // mode stream (the ev_windowed_* gates verify the shared plan's
     // batch fixpoint; this one gates the STREAMING semantics): events
@@ -2931,6 +2949,38 @@ object SparkEntry {
         |       min(value) AS min_value,
         |       max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Recomputes the corpus-wide reference histogram and each day's
+    // bin shares with the identical IEEE binning, then the smoothed
+    // PSI fold per day over the full 0..9 spine.
+    "ev_windowed_psi" ->
+      """WITH v AS (
+        |  SELECT ts, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+        |), e AS (
+        |  SELECT min(v) AS lo, (max(v) - min(v)) / 10 AS width FROM v
+        |), binned AS (
+        |  SELECT ts, least(9, greatest(0, CAST(floor((v - lo) / width) AS INTEGER))) AS bin
+        |  FROM v CROSS JOIN e
+        |), rs AS (
+        |  SELECT bin, count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM binned) AS share
+        |  FROM binned GROUP BY bin
+        |), d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, bin, count(*) AS c
+        |  FROM binned GROUP BY 1, 2
+        |), n AS (
+        |  SELECT window_start, sum(c) AS n FROM d GROUP BY 1
+        |), spine AS (
+        |  SELECT n.window_start, n.n, CAST(r.range AS INTEGER) AS bin,
+        |         COALESCE(rs.share, 0.0) AS p,
+        |         COALESCE(d.c, 0) / CAST(n.n AS DOUBLE) AS q
+        |  FROM n CROSS JOIN range(0, 10) r
+        |  LEFT JOIN d ON d.window_start = n.window_start AND d.bin = CAST(r.range AS INTEGER)
+        |  LEFT JOIN rs ON rs.bin = CAST(r.range AS INTEGER)
+        |)
+        |SELECT window_start, CAST(n AS BIGINT) AS n_events,
+        |       round(sum((greatest(p, 1e-6) - greatest(q, 1e-6)) *
+        |             ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 4) AS psi
+        |FROM spine GROUP BY window_start, n ORDER BY window_start""".stripMargin,
 
     // Replays meanDrift's day-ordered micro-batch sequence as an
     // expanding window: the Welford prior state at batch k equals the

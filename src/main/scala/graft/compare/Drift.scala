@@ -77,4 +77,34 @@ object Drift {
         abs(sum(col("ref_share")).over(w) - sum(col("cur_share")).over(w))
           .as("cum_gap"))
   }
+
+  /** The reference side of [[binnedDrift]] collected to driver
+    * scalars — (lo, width, per-bin shares) — for consumers that score
+    * MANY current snapshots (or stream windows) against one fixed
+    * reference: [[graft.streaming.StreamProfiler.windowedPsiDrift]]
+    * bakes these into its aggregation as literals. numBins + 2
+    * scalars cross the driver; same bounded-collect contract as the
+    * k-means centroids. */
+  def referenceHistogram(
+      ref: DataFrame, valueCol: String,
+      numBins: Int = 10): (Double, Double, Seq[Double]) = {
+    require(numBins >= 2, s"need at least 2 bins, got $numBins")
+    val nonNull = ref.filter(col(valueCol).isNotNull)
+    val Array(lo, hi) = nonNull
+      .agg(min(col(valueCol)).cast("double"), max(col(valueCol)).cast("double"))
+      .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
+      .toArray
+    val width = (hi - lo) / numBins
+    val binCol =
+      if (width == 0.0) lit(0)
+      else least(lit(numBins - 1),
+        greatest(lit(0), floor((col(valueCol).cast("double") - lit(lo)) / lit(width)).cast("int")))
+    val counts = nonNull.groupBy(binCol.as("bin"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val n = counts.values.sum
+    val shares = (0 until numBins).map(i =>
+      if (n == 0) 0.0 else counts.getOrElse(i, 0.0) / n)
+    (lo, width, shares)
+  }
 }

@@ -71,6 +71,52 @@ object StreamProfiler {
         col("min_value"), col("max_value"))
   }
 
+  /** Windowed PSI drift against a FIXED reference histogram — live
+    * distribution monitoring: each time window's value histogram is
+    * scored against reference shares computed once from a trusted
+    * snapshot ([[graft.compare.Drift.referenceHistogram]] supplies
+    * (lo, width, refShares)). PSI > 0.1 is the usual "investigate",
+    * > 0.25 "shifted".
+    *
+    * Streaming-append-safe by construction: the per-bin counts are
+    * numBins conditional counts inside ONE windowed aggregation, and
+    * the PSI fold is stateless arithmetic over that row — no chained
+    * stateful operators, so the plan runs verbatim in batch and in a
+    * watermarked append-mode stream (the shared-plan contract of the
+    * other windowed profiles). Null values are excluded like the
+    * batch pass; current-side values outside the reference range
+    * clamp into the edge bins. Output: (window_start, n_events, psi).
+    */
+  def windowedPsiDrift(
+      df: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String, lo: Double, width: Double,
+      refShares: Seq[Double],
+      watermarkDelay: Option[String] = None): DataFrame = {
+    require(refShares.nonEmpty, "refShares must not be empty")
+    val numBins = refShares.length
+    val withWm = watermarkDelay match {
+      case Some(d) => df.withWatermark(tsCol, d)
+      case None => df
+    }
+    val binCol =
+      if (width == 0.0) lit(0)
+      else least(lit(numBins - 1), greatest(lit(0),
+        floor((col(valueCol).cast("double") - lit(lo)) / lit(width)).cast("int")))
+    val binCounts = (0 until numBins).map(i =>
+      count(when(binCol === i, lit(1))).cast("double").as(s"__c$i"))
+    val aggs = count(lit(1)).as("n_events") +: binCounts
+    val agged = withWm.filter(col(valueCol).isNotNull)
+      .groupBy(window(col(tsCol), windowDuration).as("win"))
+      .agg(aggs.head, aggs.tail: _*)
+    val psi = (0 until numBins).map { i =>
+      val p = greatest(lit(refShares(i)), lit(1e-6))
+      val q = greatest(col(s"__c$i") / col("n_events"), lit(1e-6))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    agged.select(col("win.start").as("window_start"),
+      col("n_events"), psi.as("psi"))
+  }
+
   /** Open a file-based event stream with the schema inferred from a
     * batch read of the same path — the standard pattern for replaying
     * a directory of parquet as a stream. */

@@ -64,6 +64,25 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got shouldBe expected
   }
 
+  test("streaming windowed PSI drift matches batch, zero on the reference itself") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val (lo, width, shares) =
+      graft.compare.Drift.referenceHistogram(batchDf, "value", numBins = 10)
+    val expected = StreamProfiler.windowedPsiDrift(
+      batchDf, "ts", "value", "1 day", lo, width, shares)
+      .collect().map(_.toSeq).toSet
+    expected should not be empty
+    val profiled = StreamProfiler.windowedPsiDrift(
+      StreamProfiler.readParquetStream(spark, eventsDir),
+      "ts", "value", "1 day", lo, width, shares, Some("1 hour"))
+    val got = StreamProfiler.runToMemory(profiled, "win_psi").map(_.toSeq).toSet
+    got shouldBe expected
+    // Scoring the whole reference against itself in ONE window → PSI 0.
+    val whole = StreamProfiler.windowedPsiDrift(
+      batchDf, "ts", "value", "100 days", lo, width, shares).collect()
+    whole.map(_.getAs[Double]("psi")).foreach(_ shouldBe 0.0 +- 1e-9)
+  }
+
   test("meanDrift: stateful detector fires only after history, only on deviation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
