@@ -1779,6 +1779,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- LLM-pipeline: PQ top-k with SAMPLED codebook training — the
+    // 100 TB training path: codebooks train on the deterministic
+    // md5-hash half of the corpus (u('42:'||vec_id) < 0.5 — the same
+    // uniform-hash definition the sampling gates replay), while every
+    // corpus vector is still ENCODED and scored. The oracle recomputes
+    // the sampled training set, all 4 codebooks, every code, and every
+    // ADC score in SQL — proving Lloyd-on-a-sample is exactly
+    // replayable, not just statistically close; SimilaritySpec pins
+    // sampled-codebook recall against full-corpus training.
+    "ll22b_ann_pq_sampled" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+      val q = df.filter(col("vec_id") < 5)
+      Similarity.pqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+          dim = 64, k = 5, numSubspaces = 4, codebookSize = 8,
+          kmeansIterations = 1, centroidInitOrder = Some(Seq(col("vec_id"))),
+          trainFraction = 0.5, trainSeed = 42L, trainHashMode = "md5")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("adc_score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- LLM-pipeline: Johnson–Lindenstrauss random projection
     // (64 → 8 dims, deterministic seed-42 Gaussian rows scaled 1/√8 —
     // the training-free embedding compression ahead of ANN/near-dup).
@@ -1967,26 +1988,27 @@ object SparkEntry {
     * and keeps `pc1(m, j, cv)` (raw centroids) visible for ADC
     * scoring. Already margin-stripped — interpolate into a WITH
     * clause after `emb`. */
-  private val pqCodebookCtes: String =
-    """sub AS (
+  private def pqCodebookCtesTrained(trainSub: String, afterSub: String = ""): String =
+    s"""sub AS (
       |  SELECT vec_id, t.m AS m, list_slice(v, t.m * 16 + 1, t.m * 16 + 16) AS sv
       |  FROM emb CROSS JOIN range(0, 4) t(m)
-      |), pc0 AS (
+      |)$afterSub, pc0 AS (
       |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS j, sv AS cv
-      |  FROM sub WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 8)
+      |  FROM $trainSub WHERE vec_id IN (
+      |    SELECT DISTINCT vec_id FROM $trainSub ORDER BY vec_id LIMIT 8)
       |), pa1 AS (
       |  SELECT vec_id, m, (list(j ORDER BY dot DESC, j ASC))[1] AS j
       |  FROM (
       |    SELECT s.vec_id, s.m, c.j,
       |           list_sum([s.sv[i] * c.cv[i] for i in range(1, 17)])
       |             - 0.5 * list_sum([x * x for x in c.cv]) AS dot
-      |    FROM sub s JOIN pc0 c USING (m)
+      |    FROM $trainSub s JOIN pc0 c USING (m)
       |  ) GROUP BY vec_id, m
       |), pc1m AS (
       |  SELECT m, j, list(mm ORDER BY pos) AS cv
       |  FROM (
       |    SELECT a.m AS m, a.j AS j, t.pos AS pos, avg(s.sv[t.pos]) AS mm
-      |    FROM pa1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+      |    FROM pa1 a JOIN $trainSub s ON s.vec_id = a.vec_id AND s.m = a.m,
       |         range(1, 17) t(pos)
       |    GROUP BY a.m, a.j, t.pos
       |  ) GROUP BY m, j
@@ -2002,6 +2024,8 @@ object SparkEntry {
       |    FROM sub s JOIN pc1 c USING (m)
       |  ) GROUP BY vec_id, m
       |)""".stripMargin
+
+  private val pqCodebookCtes: String = pqCodebookCtesTrained("sub")
 
   private val kmeansCellsCte: String =
     """emb AS (
@@ -3344,6 +3368,43 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, round(sim, 4) AS adc_score
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The sampled-training variant of ll22: identical ADC pipeline,
+    // but the codebook CTEs (init pick, assignment, means) are scoped
+    // to tsub — the train rows whose replayed md5 uniform hash falls
+    // under 0.5 — while `codes` still encodes all of `sub`. Exactly
+    // the Spark side's trainFraction contract.
+    "ll22b_ann_pq_sampled" -> {
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}.0")
+        .mkString(" + ")
+      val sampledCtes = pqCodebookCtesTrained("tsub",
+        """, tsub AS (
+          |  SELECT s.* FROM sub s JOIN tr USING (vec_id)
+          |)""".stripMargin)
+      s"""WITH emb AS (
+        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+        |), tr AS (
+        |  SELECT vec_id FROM (
+        |    SELECT vec_id, md5('42:' || CAST(vec_id AS VARCHAR)) AS hx FROM emb
+        |  ) WHERE ($nibbles) / 4294967296.0 < 0.5
+        |), $sampledCtes, cand AS (
+        |  SELECT qs.vec_id AS query_id, cd.vec_id AS neighbor_id,
+        |         sum(list_sum([qs.sv[i] * c.cv[i] for i in range(1, 17)])) AS sim
+        |  FROM sub qs
+        |  JOIN codes cd ON cd.m = qs.m AND cd.vec_id <> qs.vec_id
+        |  JOIN pc1 c ON c.m = cd.m AND c.j = cd.j
+        |  WHERE qs.vec_id < 5
+        |  GROUP BY qs.vec_id, cd.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM cand
+        |)
+        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS adc_score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     // Literal-matrix replay of the JL projection (ll9's plane-literal
     // convention): 8 scaled Gaussian rows as double literals, each

@@ -54,13 +54,16 @@ object Drift {
       if (width == 0.0) lit(0)
       else least(lit(numBins - 1),
         greatest(lit(0), floor((c.cast("double") - lit(lo)) / lit(width)).cast("int")))
-    def histo(df: DataFrame, share: String): DataFrame =
+    // The total is a window-sum over the ≤numBins grouped rows, so each
+    // side is scanned exactly once (the single-partition window is
+    // bounded by numBins, never corpus-sized).
+    def histo(df: DataFrame, share: String): DataFrame = {
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       df.filter(col(valueCol).isNotNull)
         .groupBy(binOf(col(valueCol)).as("bin"))
         .agg(count(lit(1)).cast("double").as("c"))
-        .crossJoin(df.filter(col(valueCol).isNotNull)
-          .agg(count(lit(1)).cast("double").as("n")))
-        .select(col("bin"), (col("c") / col("n")).as(share))
+        .select(col("bin"), (col("c") / sum(col("c")).over(all)).as(share))
+    }
     val spine = (0 until numBins).toDF("bin")
     val joined = spine
       .join(histo(ref, "ref_share"), Seq("bin"), "left")

@@ -37,7 +37,12 @@ object Config {
       "sample_method" -> "random",
       "anomaly_threshold" -> 3.0,
       "numeric_distribution_buckets" -> 10,
-      "text_pattern_detection" -> true))
+      "text_pattern_detection" -> true),
+    // state_store: "default" (Spark's HDFS-backed on-heap provider) or
+    // "rocksdb" (off-heap local-SSD state — the 100 TB stream choice);
+    // applied by graft.streaming.StateStores.fromConfig.
+    "streaming" -> Map(
+      "state_store" -> "default"))
 
   /** Search order for an unspecified config file (config.py:72-78). */
   def userConfigLocations: Seq[String] =

@@ -331,13 +331,25 @@ object Dedup {
     * first uncached collect of a 2-round run was measured recomputing
     * the upstream LSH join sixteen-fold. Local checkpoints live in
     * executor block storage; on a cluster with executor loss or
-    * dynamic allocation swap in `SparkContext.setCheckpointDir` +
-    * `Dataset.checkpoint` (reliable storage) — loop shape unchanged.
+    * dynamic allocation a lost block means recomputing the whole loop,
+    * so when the session has a RELIABLE checkpoint dir configured
+    * (`SparkContext.setCheckpointDir`) the rounds automatically
+    * checkpoint to it instead (`Dataset.checkpoint` — survives
+    * executor loss; loop shape unchanged). `reliableCheckpoint`
+    * overrides the auto-detection in either direction.
     * Self-pairs are ignored; nodes never paired are absent (they are
     * their own singleton component by definition). */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50,
+      reliableCheckpoint: Option[Boolean] = None): DataFrame = {
+    val useReliable = reliableCheckpoint.getOrElse(
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+    require(!useReliable ||
+        pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoint=true requires SparkContext.setCheckpointDir")
+    def materialize(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     // Ids keep their NATIVE type: the algorithm needs only a total
     // order (greatest/least/min), which strings and UUIDs satisfy as
     // well as longs — a forced numeric cast would null out string ids
@@ -385,12 +397,12 @@ object Dedup {
         .distinct()
     }
 
-    var edges = canonical.localCheckpoint(true)
+    var edges = materialize(canonical)
     var fp = fingerprint(edges)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = materialize(smallStar(largeStar(edges)))
       val nfp = fingerprint(next)
       // Fingerprint match nominates the fixpoint; confirm it exactly.
       // Both sets are distinct() with equal cardinality (the count is

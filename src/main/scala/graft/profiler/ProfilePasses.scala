@@ -354,17 +354,6 @@ object ProfilePasses {
 
   def buckets(df: DataFrame): ColumnBuckets.Buckets = ColumnBuckets.of(df.schema)
 
-  /** Pairwise Pearson correlations of the numeric columns — the
-    * classic redundancy/leakage screen a profile feeds feature
-    * selection with (beyond the reference surface, like P13–P15).
-    * ONE fused wide aggregate: d·(d−1)/2 `corr` co-moment states
-    * accumulate in a single scan (partial + final hash agg — corr is
-    * a DeclarativeAggregate, so the pass stays in WholeStageCodegen,
-    * unlike the percentile sketches quarantined out of pass A), then
-    * the single result row melts to (col_a, col_b, corr_coef) rows
-    * map-side — no second scan, no driver loop over pairs. Null
-    * handling is pairwise deletion (rows where either side is null
-    * are skipped for that pair), matching SQL `corr`. */
   /** Value-distribution Shannon entropy per column (nulls excluded):
     * H = −Σ p·log₂p over the value histogram, computed as
     * log₂n − (Σ c·log₂c)/n, plus H normalized by log₂(distinct) —
@@ -429,6 +418,17 @@ object ProfilePasses {
         .otherwise(lit(0.0)).as("cramers_v"))
   }
 
+  /** Pairwise Pearson correlations of the numeric columns — the
+    * classic redundancy/leakage screen a profile feeds feature
+    * selection with (beyond the reference surface, like P13–P15).
+    * ONE fused wide aggregate: d·(d−1)/2 `corr` co-moment states
+    * accumulate in a single scan (partial + final hash agg — corr is
+    * a DeclarativeAggregate, so the pass stays in WholeStageCodegen,
+    * unlike the percentile sketches quarantined out of pass A), then
+    * the single result row melts to (col_a, col_b, corr_coef) rows
+    * map-side — no second scan, no driver loop over pairs. Null
+    * handling is pairwise deletion (rows where either side is null
+    * are skipped for that pair), matching SQL `corr`. */
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.length >= 2, s"need at least 2 numeric columns, got $cols")
     val pairs = for {

@@ -34,7 +34,7 @@ object Sampling {
     * THE single definition for the whole package — [[BudgetSelect]]'s
     * tie-break order and the gate oracles replay this exact formula,
     * so a second copy could silently diverge. */
-  private[sampling] def uniformHash(id: Column, seed: Long, hashMode: String): Column =
+  private[graft] def uniformHash(id: Column, seed: Long, hashMode: String): Column =
     hashMode match {
       case "md5" =>
         conv(substring(md5(concat_ws(":", lit(seed), id.cast("string"))), 1, 8), 16, 10)
@@ -193,13 +193,18 @@ object Sampling {
     require(counts.values.forall(_ >= 0), s"negative counts: $counts")
     val n = counts.values.sum.toDouble
     if (n == 0) return counts.map { case (s, _) => s -> 0.0 }
-    val bySource = counts.toSeq.sortBy(_._1)
+    // Zero-count sources are excluded from the normalizer: math.pow(0, 0)
+    // is 1.0, so at α = 0 an empty source would otherwise claim a full
+    // share of z while keeping nothing, deflating every live source's
+    // keep-rate below the target.
+    val bySource = counts.toSeq.filter(_._2 > 0).sortBy(_._1)
     val w = bySource.map { case (s, c) => s -> math.pow(c / n, alpha) }
     val z = w.map(_._2).sum
-    w.map { case (s, ws) =>
+    val live = w.map { case (s, ws) =>
       val c = counts(s)
-      s -> (if (c == 0 || z == 0) 0.0 else math.min(1.0, target * (ws / z) / c))
+      s -> (if (z == 0) 0.0 else math.min(1.0, target * (ws / z) / c))
     }.toMap
+    counts.map { case (s, _) => s -> live.getOrElse(s, 0.0) }
   }
 
   /** Temperature-weighted source rebalancing in one pass + one
@@ -212,9 +217,15 @@ object Sampling {
       df: DataFrame, idCol: String, srcCol: String,
       alpha: Double, target: Double,
       seed: Long = 42L, hashMode: String = "xxhash64"): DataFrame = {
-    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    stratifiedSampleByHash(df, idCol, srcCol,
+    // The source column is compared and counted as a string so non-string
+    // source columns (int shard ids, dates) work; NULL sources are excluded
+    // from the rate table and fall through to defaultFraction = 0 (dropped).
+    val srcStr = "__graft_src_str"
+    val withSrc = df.withColumn(srcStr, col(srcCol).cast("string"))
+    val counts = withSrc.groupBy(col(srcStr)).agg(count(lit(1)).as("n"))
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+    stratifiedSampleByHash(withSrc, idCol, srcStr,
       temperatureRates(counts, alpha, target), seed = seed, hashMode = hashMode)
+      .drop(srcStr)
   }
 }

@@ -146,12 +146,22 @@ object Similarity {
     * identical across iterations (codegen cache hit, no per-iteration
     * janino recompile) and the task binary stays small. (The earlier
     * unrolled-literal argmax cost seconds of compile per iteration and
-    * shipped multi-megabyte task binaries.) */
+    * shipped multi-megabyte task binaries.)
+    *
+    * `trainFilter` scopes EVERY Lloyd pass (init pick, assignment
+    * scan, mean update) to the rows it keeps — the codebook-sampling
+    * knob: centroid quality converges with O(k·dim) samples, so at
+    * cluster scale training on a deterministic hash sample (see the
+    * `trainFraction` parameter of [[pqTopK]]/[[ivfPqTopK]]/[[ivfTopK]])
+    * replaces dozens of full-corpus passes with passes over a bounded
+    * slice, at negligible recall cost (SimilaritySpec pins it). */
   def kmeansCentroids(
       df: DataFrame, vecCol: String, k: Int,
       iterations: Int = 3,
-      initOrder: Option[Seq[Column]] = None): Seq[Seq[Double]] =
-    lloyd(df, vecCol, k, iterations, initOrder)(nearestCell)
+      initOrder: Option[Seq[Column]] = None,
+      trainFilter: Option[Column] = None): Seq[Seq[Double]] =
+    lloyd(trainFilter.map(df.filter).getOrElse(df), vecCol, k, iterations,
+      initOrder)(nearestCell)
 
   /** Lloyd's k-means with EUCLIDEAN assignment — the PQ codebook
     * trainer ([[pqTopK]]): same deterministic contract as
@@ -165,9 +175,29 @@ object Similarity {
   def kmeansCentroidsL2(
       df: DataFrame, vecCol: String, k: Int,
       iterations: Int = 3,
-      initOrder: Option[Seq[Column]] = None): Seq[Seq[Double]] =
-    lloyd(df, vecCol, k, iterations, initOrder)(
+      initOrder: Option[Seq[Column]] = None,
+      trainFilter: Option[Column] = None): Seq[Seq[Double]] =
+    lloyd(trainFilter.map(df.filter).getOrElse(df), vecCol, k, iterations,
+      initOrder)(
       (vec, cents) => element_at(nearestCellsL2(vec, cents, 1), 1))
+
+  /** The deterministic codebook-training sample: keep rows whose
+    * seeded uniform hash of `idCol` (THE [[graft.sampling.Sampling]]
+    * definition — md5 mode replays in an external engine) falls under
+    * `fraction`; `fraction >= 1` is a no-op. Centroids are statistics,
+    * not per-row outputs, so training on the sample while ENCODING the
+    * full corpus preserves the operator contract — this is what turns
+    * Lloyd's per-iteration cost from O(corpus) into O(sample) at
+    * 100 TB. */
+  private def trainSample(
+      df: DataFrame, idCol: String, fraction: Double,
+      seed: Long, hashMode: String): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"trainFraction out of (0,1]: $fraction")
+    if (fraction >= 1.0) df
+    else df.filter(
+      graft.sampling.Sampling.uniformHash(col(idCol), seed, hashMode) < fraction)
+  }
 
   /** The shared Lloyd loop: assignment expression from `assign`,
     * update = posexplode + (cell, dim) hash aggregate; only k×dim
@@ -213,9 +243,18 @@ object Similarity {
     * bias −‖c‖²/2. Ties to the lowest index, like
     * [[graft.functions.VectorFunctions.nearestCells]]. */
   private def nearestCellsL2(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column = {
+    val d = centroids.head.length
+    // The dot expression zero-pads short vectors, which would land the
+    // appended 1.0 bias element on a centroid COEFFICIENT instead of
+    // the bias term — a silently wrong assignment. Fail loudly instead
+    // (null vectors pass through as null, same as the dot itself).
+    val guarded = when(
+      assert_true(vec.isNull || size(vec) === d,
+        lit(s"nearestCellsL2: vector must have exactly $d elements")).isNull,
+      vec)
     val aug = centroids.map(c => c :+ (-0.5 * c.map(x => x * x).sum))
     graft.functions.VectorFunctions.nearestCells(
-      concat(transform(vec, _.cast("double")), array(lit(1.0))), aug, n)
+      concat(transform(guarded, _.cast("double")), array(lit(1.0))), aug, n)
   }
 
   /** Index of the centroid with the highest cosine similarity
@@ -235,13 +274,18 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
       kmeansIterations: Int = 3, excludeSelf: Boolean = true,
-      centroidInitOrder: Option[Seq[Column]] = None): DataFrame = {
+      centroidInitOrder: Option[Seq[Column]] = None,
+      trainFraction: Double = 1.0, trainSeed: Long = 42L,
+      trainHashMode: String = "xxhash64"): DataFrame = {
     // kmeans iterates over the vectors twice per round — cache them for
     // its duration only, and unpersist before returning: the final
     // search plan reads the source once more, which is cheaper than a
     // cache entry leaking past this call (the centroids are already
-    // driver-side literals, so nothing below re-runs kmeans).
-    val cached = spread(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // driver-side literals, so nothing below re-runs kmeans). Only the
+    // training sample is cached — at trainFraction < 1 the cache (and
+    // every Lloyd pass) holds the sample, never the corpus.
+    val cached = spread(trainSample(df, idCol, trainFraction, trainSeed, trainHashMode))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids =
       try kmeansCentroids(cached, vecCol, nCells, kmeansIterations, centroidInitOrder)
       finally { cached.unpersist(blocking = false); () }
@@ -305,14 +349,19 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       dim: Int, k: Int = 10, numSubspaces: Int = 4, codebookSize: Int = 8,
       kmeansIterations: Int = 1, excludeSelf: Boolean = true,
-      centroidInitOrder: Option[Seq[Column]] = None): DataFrame = {
+      centroidInitOrder: Option[Seq[Column]] = None,
+      trainFraction: Double = 1.0, trainSeed: Long = 42L,
+      trainHashMode: String = "xxhash64"): DataFrame = {
     require(dim % numSubspaces == 0,
       s"dim $dim must divide into $numSubspaces subspaces")
     val subDim = dim / numSubspaces
-    // Train all codebooks off one cached pass over the corpus (M small
-    // driver-coordinated jobs — codebooks are k×subDim scalars; at
-    // cluster scale train on a sample, the codes scan dominates).
-    val cached = spread(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Train all codebooks off one cached pass over the TRAINING SAMPLE
+    // (M small driver-coordinated jobs — codebooks are k×subDim
+    // scalars). At cluster scale set trainFraction so the sample is
+    // ~1M rows: every Lloyd pass then costs O(sample) while the codes
+    // scan — the part that must see the corpus — stays full-width.
+    val cached = spread(trainSample(df, idCol, trainFraction, trainSeed, trainHashMode))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codebooks: Seq[Seq[Seq[Double]]] =
       try trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
         codebookSize, kmeansIterations, centroidInitOrder)
@@ -404,11 +453,16 @@ object Similarity {
       dim: Int, k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
       numSubspaces: Int = 4, codebookSize: Int = 8,
       kmeansIterations: Int = 1, excludeSelf: Boolean = true,
-      centroidInitOrder: Option[Seq[Column]] = None): DataFrame = {
+      centroidInitOrder: Option[Seq[Column]] = None,
+      trainFraction: Double = 1.0, trainSeed: Long = 42L,
+      trainHashMode: String = "xxhash64"): DataFrame = {
     require(dim % numSubspaces == 0,
       s"dim $dim must divide into $numSubspaces subspaces")
     val subDim = dim / numSubspaces
-    val cached = spread(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Coarse cells + all codebooks train off the cached SAMPLE (see
+    // pqTopK); cell assignment and encoding below still see every row.
+    val cached = spread(trainSample(df, idCol, trainFraction, trainSeed, trainHashMode))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (coarse, codebooks) =
       try {
         val coarse = kmeansCentroids(cached, vecCol, nCells, kmeansIterations,

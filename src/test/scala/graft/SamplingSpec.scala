@@ -174,6 +174,33 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // Edges: empty corpus and zero-count source → rate 0.
     Sampling.temperatureRates(Map("a" -> 0L), 0.5, 100.0) shouldBe Map("a" -> 0.0)
     Sampling.temperatureRates(Map.empty[String, Long], 0.5, 100.0) shouldBe Map.empty
+    // A zero-count source must not claim normalizer weight: at α = 0
+    // pow(0,0) = 1, so an empty source naively deflates every live
+    // source's rate. Rates with and without the empty source agree.
+    val withEmpty = Sampling.temperatureRates(
+      Map("a" -> 100L, "b" -> 100L, "dead" -> 0L), alpha = 0.0, target = 100.0)
+    val without = Sampling.temperatureRates(
+      Map("a" -> 100L, "b" -> 100L), alpha = 0.0, target = 100.0)
+    withEmpty("dead") shouldBe 0.0
+    withEmpty("a") shouldBe without("a") +- 1e-12
+    withEmpty("b") shouldBe without("b") +- 1e-12
+  }
+
+  test("temperatureMixSample handles non-string and null source columns") {
+    val s = spark
+    import s.implicits._
+    // Int source column with nulls: counting casts to string; null
+    // sources are excluded from the rate table and dropped.
+    val df = (0L until 300L).map(i =>
+      (i, if (i % 3 == 2) None else Some((i % 3).toInt))).toDF("id", "src")
+    val out = Sampling.temperatureMixSample(df, "id", "src", alpha = 1.0, target = 100.0)
+    out.columns should contain("src")
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+    bySrc.keySet should not contain None
+    // α = 1 proportional over the 200 non-null rows: each live source
+    // keeps ~half its rows.
+    bySrc.values.sum.toDouble shouldBe 100.0 +- 35.0
   }
 
   test("temperatureMixSample keeps ~target rows with the mixture flattened") {

@@ -192,6 +192,93 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     top.getAs[Double]("sim") shouldBe exactDot +- math.abs(exactDot) * 0.1
   }
 
+  test("pqTopK sampled codebook training keeps cluster-level recall") {
+    val df = clustered()
+    val q = df.filter(col("vec_id") < 4)
+    // Codebooks train on the deterministic hash-half of the corpus;
+    // every vector is still encoded and scored. Centroids are
+    // statistics, so a 50% sample of tight clusters yields codebooks
+    // equivalent to full-corpus training — the same cluster-level
+    // recall contract as the full-corpus pqTopK test.
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      dim = 16, k = 5, numSubspaces = 4, codebookSize = 8, kmeansIterations = 5,
+      trainFraction = 0.5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    pq should have length 20
+    val inCluster = pq.count { case (qid, nid) => nid % 4 == qid % 4 }
+    inCluster.toDouble / pq.length should be >= 0.9
+  }
+
+  test("ivfPqTopK sampled training keeps cluster-level recall; bad fraction rejected") {
+    val df = clustered()
+    val q = df.filter(col("vec_id") < 4)
+    val out = Similarity.ivfPqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      dim = 16, k = 5, nCells = 4, nProbe = 2, numSubspaces = 4,
+      codebookSize = 8, kmeansIterations = 5, trainFraction = 0.5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    out should have length 20
+    val inCluster = out.count { case (qid, nid) => nid % 4 == qid % 4 }
+    inCluster.toDouble / out.length should be >= 0.9
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.pqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+        dim = 16, trainFraction = 0.0)
+  }
+
+  test("kmeansCentroidsL2 rejects vectors shorter than the centroid dim") {
+    // Zero-padding a short vector would silently land the L2 bias
+    // element on a centroid coefficient — the guard must fail loudly.
+    val df = vecs(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 1.0)))
+    val ex = intercept[Exception] {
+      Similarity.kmeansCentroidsL2(df, "embedding", k = 2, iterations = 1)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    msgs should include("nearestCellsL2")
+  }
+
+  test("Ann.topK facade dispatches every strategy with one output contract") {
+    import graft.similarity.Ann
+    import graft.similarity.Ann.AnnStrategy
+    val df = clustered()
+    val q = df.filter(col("vec_id") < 4)
+    def run(s: AnnStrategy) =
+      Ann.topK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+        dim = 16, k = 5, strategy = s)
+    // Every strategy: same schema, k rows per query, ranks 1..k.
+    val strategies = Seq[AnnStrategy](
+      AnnStrategy.BruteForce, AnnStrategy.Lsh(nPlanes = 6),
+      AnnStrategy.Ivf(nCells = 4, nProbe = 2, kmeansIterations = 5),
+      AnnStrategy.Pq(kmeansIterations = 5),
+      AnnStrategy.IvfPq(nCells = 4, nProbe = 2, kmeansIterations = 5))
+    strategies.foreach { s =>
+      val out = run(s)
+      out.columns shouldBe Array("query_id", "rank", "neighbor_id", "sim")
+      val rows = out.collect()
+      rows should have length 20
+      rows.map(_.getAs[Long]("rank")).toSet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    }
+    // Facade results equal the direct call (BruteForce ≡ bruteForceTopK).
+    val facade = run(AnnStrategy.BruteForce).orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val direct = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5).orderBy("query_id", "rank")
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    facade shouldBe direct
+    // Auto: 40 rows → exact; the ladder escalates with corpus size and
+    // caps the training fraction.
+    Ann.resolveAuto(df, AnnStrategy.Auto()) shouldBe AnnStrategy.BruteForce
+    val ivf = Ann.resolveAuto(df, AnnStrategy.Auto(bruteForceMax = 10, maxTrainRows = 20))
+    ivf shouldBe a[AnnStrategy.Ivf]
+    ivf.asInstanceOf[AnnStrategy.Ivf].trainFraction shouldBe 0.5 +- 1e-12
+    Ann.resolveAuto(df, AnnStrategy.Auto(bruteForceMax = 10, ivfMax = 20)) shouldBe
+      a[AnnStrategy.IvfPq]
+    // And Auto end-to-end matches brute force at this scale.
+    run(AnnStrategy.Auto()).orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe direct
+  }
+
   test("pqTopK degrades gracefully on tiny and empty corpora, rejects bad dims") {
     val tiny = vecs((1L, Seq.fill(4)(1.0)), (2L, Seq.fill(4)(0.5)))
     val q = tiny.filter(col("vec_id") === 1L)

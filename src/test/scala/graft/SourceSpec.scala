@@ -63,4 +63,45 @@ class SourceSpec extends AnyFunSuite with Matchers with SparkTestBase {
     employeesDf.write.mode("overwrite").orc(s"$dir/orc")
     Source.parse(s"orc:$dir/orc").load(spark).count() shouldBe 10L
   }
+
+  test("jdbc source loads, profiles, and validates an embedded Derby table") {
+    // The live-warehouse path (reference: tests/test_db.py:58-219)
+    // exercised without a warehouse: embedded Derby (on the Spark
+    // classpath) through the exact spark.read.jdbc codepath a
+    // Postgres/Snowflake URL takes.
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE employees (id INT NOT NULL, name VARCHAR(32), salary DOUBLE)")
+      (1 to 8).foreach(i => st.executeUpdate(
+        s"INSERT INTO employees VALUES ($i, 'emp$i', ${i * 1000.0})"))
+      st.executeUpdate("INSERT INTO employees VALUES (9, NULL, NULL)")
+      st.close()
+    } finally conn.close()
+
+    Source.parse(s"$url::employees") shouldBe Source.Jdbc(url, "employees")
+    val df = Source.loadAsView(spark, s"$url::employees", "jdbc_employees")
+    df.count() shouldBe 9L
+    // JDBC type mapping survives the round trip (Derby upper-cases).
+    df.schema.fieldNames.map(_.toLowerCase).sorted shouldBe Array("id", "name", "salary")
+
+    // Profile through the engine, as the reference's live-DB test does.
+    val profile = graft.profiler.Profiler.profile(df, "jdbc_employees")
+    profile.rowCount shouldBe 9L
+    val nameComp = profile.completeness
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("name") => v }.get
+    nameComp.nulls shouldBe 1L
+
+    // And validate over the registered view (scalar SQL rule).
+    val results = graft.validation.Validator.run(spark, Seq(
+      graft.model.ValidationRule(
+        name = "jdbc_min_rows",
+        description = "at least 5 employees",
+        query = "SELECT COUNT(*) FROM jdbc_employees",
+        operator = ">=", expectedValue = 5)))
+    results should have size 1
+    results.head.isValid shouldBe true
+  }
 }

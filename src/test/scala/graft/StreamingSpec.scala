@@ -283,6 +283,72 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("RocksDB state store: near-dup dedup and exact dedup emit identical output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StateStores
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // Same scenario as the claim/lapse test, under the off-heap
+    // provider a 100 TB stream runs: identical verdicts prove the
+    // operators are provider-agnostic (state layout, timeouts, and
+    // watermark interplay all pass through RocksDB).
+    val a = "the quick brown fox jumps over the lazy dog"
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    an[IllegalArgumentException] should be thrownBy StateStores.configure(s, "bogus")
+    val previous = StateStores.configure(s, "rocksdb")
+    s.conf.get(StateStores.ProviderConfKey) shouldBe StateStores.RocksDBProvider
+    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val out = graft.streaming.StreamDedup.dropNearDuplicates(
+        input.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", "1 hour")
+      val q = out.writeStream.format("memory").queryName("rocksdb_near_dup")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, ts("10:00"), a),
+          (2L, ts("10:00"), s"  ${a.replace(" ", "   ")} "),
+          (3L, ts("10:00"), "u3a u3b u3c"))
+        q.processAllAvailable()
+        input.addData((4L, ts("10:30"), a))
+        q.processAllAvailable()
+        input.addData((7L, ts("12:00"), "u7a u7b u7c"))
+        q.processAllAvailable()
+        input.addData((5L, ts("12:30"), a))
+        q.processAllAvailable()
+        input.addData((9L, ts("16:00"), "u9a u9b u9c"))
+        q.processAllAvailable()
+        spark.table("rocksdb_near_dup").select("id").as[Long].collect().sorted shouldBe
+          Array(1L, 3L, 5L, 7L)
+      } finally q.stop()
+
+      // Exact dedup (dropDuplicates state) under the same provider.
+      val exactIn = MemoryStream[(String, Long)]
+      val deduped = graft.streaming.StreamDedup.dropExactDuplicates(
+        exactIn.toDS().toDF("text", "batch"), "text")
+      val q2 = deduped.select(col("fingerprint"), col("batch"))
+        .writeStream.format("memory").queryName("rocksdb_exact")
+        .outputMode("append").start()
+      try {
+        exactIn.addData(("alpha doc", 1L), ("beta doc", 1L))
+        q2.processAllAvailable()
+        exactIn.addData(("  ALPHA   DOC ", 2L), ("gamma doc", 2L))
+        q2.processAllAvailable()
+        spark.table("rocksdb_exact").count() shouldBe 3L
+      } finally q2.stop()
+
+      // fromConfig: the layered-config path reaches the same conf.
+      StateStores.fromConfig(s, Map("streaming" -> Map("state_store" -> "rocksdb")))
+      s.conf.get(StateStores.ProviderConfKey) shouldBe StateStores.RocksDBProvider
+    } finally {
+      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+      previous match {
+        case Some(p) => s.conf.set(StateStores.ProviderConfKey, p)
+        case None => s.conf.unset(StateStores.ProviderConfKey)
+      }
+    }
+  }
+
   test("streaming near-dup dedup: a late row after an event-time burst cannot kill the query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
