@@ -1939,8 +1939,202 @@ object SparkEntry {
           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         ) WHERE rn <= 3
         ORDER BY segment, rn""")
+    }),
+
+    // ---- Event analytics: gap-based sessionization (30-min gap) —
+    // one entity-keyed shuffle + window, no corpus-wide window. Break
+    // decisions are integer-microsecond comparisons, so both engines
+    // compute identical session boundaries; value sums are 2dp inputs
+    // over small groups (4dp rounding absorbs fold order).
+    "ev_sessionize" -> ((s, dir) => {
+      graft.events.Events.sessionize(eventsWithTs(s, dir),
+          "user_id", "ts", maxGapSeconds = 1800, valueCol = "value",
+          tiebreakCol = "event_id")
+        .select(col("user_id"), col("session_idx"),
+          col("session_start"), col("session_end"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // ---- Gap sessionization via the NATIVE session_window — the one
+    // declarative plan that runs batch AND streaming (this gate
+    // verifies the batch fixpoint; ev_session_stream_append drives the
+    // same plan as a real watermarked stream). Only a gap STRICTLY
+    // greater than 30 min starts a new session (adjacent windows
+    // merge), and session_end is last-event + gap.
+    "ev_session_window" -> ((s, dir) => {
+      graft.events.Events.sessionWindows(eventsWithTs(s, dir),
+          "user_id", "ts", "30 minutes", valueCol = "value")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // ---- The same session_window plan driven as a REAL append-mode
+    // stream: events arrive as 14-day chunks through a MemoryStream
+    // with a 0-delay watermark; a session is emitted once the
+    // watermark passes its end (last event + gap). Sessions whose end
+    // exceeds the final watermark — each user's last session — are
+    // still open when the stream stops and are never emitted, which is
+    // the append contract and exactly what the oracle excludes.
+    "ev_session_stream_append" -> ((s, dir) => {
+      import s.implicits._
+      val rows = eventsWithTs(s, dir).filter(col("ts").isNotNull)
+        .select(to_date(col("ts")).cast("string").as("d"),
+          col("ts").cast("timestamp").as("ts"), col("user_id"), col("value"))
+        .as[(String, java.sql.Timestamp, Long, Option[Double])].collect()
+      if (rows.isEmpty)
+        Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+          .toDF("user_id", "session_start", "session_end", "n_events", "sum_value")
+      else {
+        val minDay = java.time.LocalDate.parse(rows.map(_._1).min)
+        def chunk(d: String): Long =
+          java.time.temporal.ChronoUnit.DAYS.between(minDay, java.time.LocalDate.parse(d)) / 14
+        val batches = rows.groupBy(r => chunk(r._1)).toSeq.sortBy(_._1)
+          .map { case (_, rs) => rs.toSeq.map(r => (r._2, r._3, r._4)) }
+        replayToMemory(s, "ev_session_stream", batches, noDataBatches = true) { ds =>
+          graft.events.Events.sessionWindows(ds.toDF("ts", "user_id", "value"),
+            "user_id", "ts", "30 minutes", valueCol = "value",
+            watermarkDelay = Some("0 seconds"))
+        }.select(col("user_id"),
+            // The stream ran on instant timestamps (watermarks demand
+            // them); session UTC makes the ntz cast-back identity, and
+            // the parquet dump then matches the oracle's naive type.
+            col("session_start").cast("timestamp_ntz").as("session_start"),
+            col("session_end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+          .orderBy("user_id", "session_start")
+      }
+    }),
+
+    // ---- Event analytics: strictly-ordered funnel (view → click →
+    // purchase) in ONE pass — chained running-min windows over a
+    // single (user, ts, id) sort, no per-stage self-joins. The oracle
+    // replays the identical window chain in SQL.
+    "ev_funnel" -> ((s, dir) => {
+      graft.events.Events.funnel(eventsWithTs(s, dir),
+          "user_id", "ts", "event_type",
+          stages = Seq("view", "click", "purchase"), tiebreakCol = "event_id")
+        .orderBy("stage_idx")
+    }),
+
+    // ---- Snapshot row-level diff: which rows were added / removed /
+    // changed between two table versions, keyed by PK — one full-outer
+    // join hash-partitioned on the key, everything else map-side. The
+    // snapshots derive deterministically from orders: ref drops keys
+    // ≡0 (mod 7), cur drops keys ≡0 (mod 5) and perturbs price and
+    // status on keys ≡0 (mod 3) — so all four statuses occur.
+    "cmp_row_diff" -> ((s, dir) => {
+      val (ref, cur) = diffSnapshots(s, dir)
+      graft.compare.SnapshotDiff.summary(ref, cur,
+        keyCols = Seq("o_orderkey"),
+        compareCols = Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+    }),
+
+    // ---- Per-column change counts over the same joined frame — which
+    // columns drove the changed rows (price and status here, priority
+    // provably untouched). Same single-join cost shape as cmp_row_diff.
+    "cmp_column_diff" -> ((s, dir) => {
+      val (ref, cur) = diffSnapshots(s, dir)
+      graft.compare.SnapshotDiff.columnChanges(ref, cur,
+          keyCols = Seq("o_orderkey"),
+          compareCols = Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy("column_name")
+    }),
+
+    // ---- Mergeable numeric profiles: three disjoint splits of
+    // lineitem are summarized INDEPENDENTLY (as three daily partitions
+    // would be), then merged via Chan's exact (n, mean, M2) combine —
+    // the oracle computes the same statistics in ONE whole-table scan,
+    // so a green row proves split-profile-then-merge ≡ full profile,
+    // the incremental-profiling contract at 100 TB. 4dp absorbs the
+    // merge-order float rounding.
+    "p19_mergeable_profile" -> ((s, dir) => {
+      import graft.profiler.MergeableStats
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val splits = (0 until 3).map(k =>
+        MergeableStats.numericSummary(
+          li.filter(pmod(col("l_orderkey"), lit(3)) === k), cols))
+      MergeableStats.merge(splits.reduce(_ unionAll _))
+        .select(col("column_name"), col("n_rows"),
+          round(col("mean"), 4).as("mean"),
+          round(col("stddev_samp"), 4).as("stddev_samp"),
+          round(col("mn"), 4).as("min_value"),
+          round(col("mx"), 4).as("max_value"))
+        .orderBy("column_name")
+    }),
+
+    // ---- Frequent items above a support threshold (the multi-value
+    // generalization of P9's top-1): every (column, value) with ≥ 5%
+    // share of non-null rows — melt + one exact (column, value) agg,
+    // output bounded at 1/support rows per column by definition.
+    "p20_frequent_items" -> ((s, dir) => {
+      ProfilePasses.frequentItems(t(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority"), minSupport = 0.05)
+        .select(col("column").as("column_name"), col("value"),
+          col("frequency"), round(col("share"), 6).as("share"))
+        .orderBy("column_name", "value")
+    }),
+
+    // ---- LLM-pipeline: asymmetric CONTAINMENT pairs via an inverted
+    // shingle index — catches truncated/excerpted documents inside
+    // longer ones, invisible to Jaccard LSH (a 40%-prefix copy has
+    // containment 1.0 but Jaccard ~0.4). The fixture unions in a
+    // 40-word prefix of every 25th document; the oracle brute-forces
+    // the same capped-gram containment in SQL, so recall AND precision
+    // are both gated.
+    "ll25_containment_pairs" -> ((s, dir) => {
+      val all = containmentFixture(s, dir)
+      Dedup.containmentPairs(all, "doc_id", "text",
+          threshold = 0.8, maxDocFrequency = 100)
+        .select(col("id_sub"), col("id_super"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("id_sub", "id_super")
+    }),
+
+    // ---- The cap audit for ll25 ("no silent caps"), histogram form:
+    // df counts of the shingle grams the frequency cap dropped. Empty
+    // at gate scale (max natural gram df ≈ 7 at sf0.01) — proving the
+    // containment scores above are the PLAIN set containments — so the
+    // gate pins the cap machinery through a fixture cap of 3, which
+    // the oracle replays exactly.
+    "ll25b_capped_containment_grams" -> ((s, dir) => {
+      val all = containmentFixture(s, dir)
+      Dedup.cappedShingleGrams(all, "doc_id", "text", maxDocFrequency = 3)
+        .orderBy("df_count")
     })
   )
+
+  /** Shared fixture of the cmp_row_diff / cmp_column_diff gates: two
+    * deterministic snapshots of orders (ref drops keys ≡0 mod 7; cur
+    * drops keys ≡0 mod 5, shifts price +10% and flips status to 'X'
+    * on keys ≡0 mod 3). */
+  private def diffSnapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val ref = o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val cur = o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(3)) === 0,
+          round(col("o_totalprice") * 1.1, 2)).otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(pmod(col("o_orderkey"), lit(3)) === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    (ref, cur)
+  }
+
+  /** Shared fixture of the ll25 containment gates: documents plus a
+    * 40-word prefix of every 25th document (id + 1,000,000) — pairs
+    * with containment 1.0 but low Jaccard, the case Jaccard-LSH dedup
+    * cannot see. */
+  private def containmentFixture(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "documents").filter(col("text").isNotNull)
+    val trunc = df.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 40)).as("text"))
+    df.select("doc_id", "text").unionAll(trunc)
+  }
 
   /** DuckDB-equivalent SQL per query key; the driver executes these on
     * the same parquet tables and hash-compares with the Spark result
@@ -3940,6 +4134,221 @@ object SparkEntry {
         |                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |) WHERE rn <= 3
-        |ORDER BY segment, rn""".stripMargin
+        |ORDER BY segment, rn""".stripMargin,
+
+    // Identical window chain: integer-microsecond gap compare, running
+    // sum of break flags, then per-session aggregates.
+    "ev_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), se AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+        |FROM se GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Native session_window semantics: a gap EXACTLY equal to the 30
+    // min duration breaks (>=, half-open windows); session_end is
+    // last-event + gap.
+    "ev_session_window" ->
+      s"""WITH $sessionWindowSql
+         |SELECT user_id, session_start, session_end, n_events, sum_value
+         |FROM sessions ORDER BY user_id, session_start""".stripMargin,
+
+    // Append-mode contract: only sessions the final watermark (= max
+    // event time, delay 0) closed — i.e. session_end ≤ global max ts —
+    // are ever emitted; each user's last session stays open.
+    "ev_session_stream_append" ->
+      s"""WITH $sessionWindowSql
+         |SELECT user_id, session_start, session_end, n_events, sum_value
+         |FROM sessions
+         |WHERE session_end <= (SELECT max(ts) FROM events)
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    // The same chained running-min windows: a stage-k event counts iff
+    // a strictly-earlier row reached stage k-1.
+    "ev_funnel" ->
+      """WITH e1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN event_type = 'view' THEN ts END AS r0
+        |  FROM events
+        |), e2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND min(r0) OVER wp IS NOT NULL THEN ts END AS r1
+        |  FROM e1
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), e3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND min(r1) OVER wp IS NOT NULL THEN ts END AS r2
+        |  FROM e2
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), per_user AS (
+        |  SELECT user_id, count(r0) > 0 AS h0, count(r1) > 0 AS h1, count(r2) > 0 AS h2
+        |  FROM e3 GROUP BY user_id
+        |)
+        |SELECT stage_idx, stage, n_entities FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) FILTER (WHERE h0) AS n_entities FROM per_user
+        |  UNION ALL
+        |  SELECT 1, 'click', count(*) FILTER (WHERE h1) FROM per_user
+        |  UNION ALL
+        |  SELECT 2, 'purchase', count(*) FILTER (WHERE h2) FROM per_user
+        |) ORDER BY stage_idx""".stripMargin,
+
+    "cmp_row_diff" ->
+      s"""WITH $diffSnapshotsSql
+         |SELECT count(*) FILTER (WHERE r.o_orderkey IS NULL) AS added,
+         |       count(*) FILTER (WHERE c.o_orderkey IS NULL) AS removed,
+         |       count(*) FILTER (WHERE r.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
+         |         AND (r.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+         |           OR r.o_totalprice IS DISTINCT FROM c.o_totalprice
+         |           OR r.o_orderpriority IS DISTINCT FROM c.o_orderpriority)) AS changed,
+         |       count(*) FILTER (WHERE r.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
+         |         AND r.o_orderstatus IS NOT DISTINCT FROM c.o_orderstatus
+         |         AND r.o_totalprice IS NOT DISTINCT FROM c.o_totalprice
+         |         AND r.o_orderpriority IS NOT DISTINCT FROM c.o_orderpriority) AS unchanged
+         |FROM ref r FULL OUTER JOIN cur c ON r.o_orderkey = c.o_orderkey""".stripMargin,
+
+    "cmp_column_diff" ->
+      s"""WITH $diffSnapshotsSql,
+         |j AS (SELECT r.o_orderstatus AS r_status, c.o_orderstatus AS c_status,
+         |             r.o_totalprice AS r_price, c.o_totalprice AS c_price,
+         |             r.o_orderpriority AS r_prio, c.o_orderpriority AS c_prio
+         |      FROM ref r FULL OUTER JOIN cur c ON r.o_orderkey = c.o_orderkey
+         |      WHERE r.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL)
+         |SELECT column_name, changed_rows FROM (
+         |  SELECT 'o_orderstatus' AS column_name,
+         |         count(*) FILTER (WHERE r_status IS DISTINCT FROM c_status) AS changed_rows FROM j
+         |  UNION ALL
+         |  SELECT 'o_totalprice',
+         |         count(*) FILTER (WHERE r_price IS DISTINCT FROM c_price) FROM j
+         |  UNION ALL
+         |  SELECT 'o_orderpriority',
+         |         count(*) FILTER (WHERE r_prio IS DISTINCT FROM c_prio) FROM j
+         |) ORDER BY column_name""".stripMargin,
+
+    // ONE whole-table scan: a green row proves the split-summarize-
+    // then-merge path reproduces exactly these statistics.
+    "p19_mergeable_profile" -> {
+      val parts = Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""SELECT '$c' AS column_name, count($c) AS n_rows,
+           |round(avg($c), 4) AS mean, round(stddev_samp($c), 4) AS stddev_samp,
+           |round(CAST(min($c) AS DOUBLE), 4) AS min_value,
+           |round(CAST(max($c) AS DOUBLE), 4) AS max_value FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$parts\n) ORDER BY column_name"
+    },
+
+    "p20_frequent_items" ->
+      """WITH pairs AS (
+        |  SELECT 'o_orderstatus' AS column_name, CAST(o_orderstatus AS VARCHAR) AS value
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |), counted AS (
+        |  SELECT column_name, value, count(*) AS frequency FROM pairs GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT column_name, CAST(sum(frequency) AS DOUBLE) AS total FROM counted GROUP BY 1
+        |)
+        |SELECT c.column_name, c.value, c.frequency,
+        |       round(c.frequency / t.total, 6) AS share
+        |FROM counted c JOIN totals t USING (column_name)
+        |WHERE c.frequency / t.total >= 0.05
+        |ORDER BY c.column_name, c.value""".stripMargin,
+
+    // Brute-force containment over the SAME capped-gram semantics:
+    // grams with df > cap leave both the intersection and the
+    // denominator (cap 100 drops nothing at gate scale — ll25b proves
+    // it — so these are the plain set containments).
+    "ll25_containment_pairs" ->
+      s"""WITH $containmentFixtureSql,
+         |grams AS (SELECT doc_id, unnest(ts) AS g FROM sh),
+         |dfg AS (SELECT g, count(*) AS dfc FROM grams GROUP BY g),
+         |kept AS (SELECT doc_id, g FROM grams JOIN dfg USING (g) WHERE dfc <= 100),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), both_dirs AS (
+         |  SELECT s.id_a AS id_sub, s.id_b AS id_super, s.inter * 1.0 / sa.n AS containment
+         |  FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id
+         |  UNION ALL
+         |  SELECT s.id_b, s.id_a, s.inter * 1.0 / sb.n
+         |  FROM shared s JOIN sizes sb ON s.id_b = sb.doc_id
+         |)
+         |SELECT id_sub, id_super, round(containment, 4) AS containment
+         |FROM both_dirs WHERE containment >= 0.8
+         |ORDER BY id_sub, id_super""".stripMargin,
+
+    "ll25b_capped_containment_grams" ->
+      s"""WITH $containmentFixtureSql,
+         |grams AS (SELECT doc_id, unnest(ts) AS g FROM sh),
+         |dfg AS (SELECT g, count(*) AS dfc FROM grams GROUP BY g)
+         |SELECT dfc AS df_count, count(*) AS n_capped_grams
+         |FROM dfg WHERE dfc > 3 GROUP BY dfc ORDER BY dfc""".stripMargin
   )
+
+  /** Native session_window replay in DuckDB CTE form, shared by both
+    * ev_session gates: a gap strictly greater than 30 min breaks
+    * (adjacent windows merge), session_end = last event + gap. */
+  private val sessionWindowSql: String =
+    """e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), se AS (
+      |  SELECT user_id, ts, value,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM e
+      |), sessions AS (
+      |  SELECT user_id, min(ts) AS session_start,
+      |         max(ts) + INTERVAL 1800 SECOND AS session_end,
+      |         count(*) AS n_events,
+      |         round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+      |  FROM se GROUP BY user_id, session_idx
+      |)""".stripMargin
+
+  /** The cmp_row_diff / cmp_column_diff snapshot fixture in DuckDB
+    * CTE form (see [[diffSnapshots]]). */
+  private val diffSnapshotsSql: String =
+    """base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders),
+      |ref AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+      |cur AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice,
+      |         o_orderpriority
+      |  FROM base WHERE o_orderkey % 5 <> 0
+      |)""".stripMargin
+
+  /** The ll25 containment fixture (documents + 40-word prefixes of
+    * every 25th document) shingled in DuckDB — the `sh` CTE both ll25
+    * oracles build on (see [[containmentFixture]]). */
+  private val containmentFixtureSql: String =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         array_to_string(string_split_regex(trim(text), '\s+')[1:40], ' ')
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0
+      |), sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+      |              ELSE [array_to_string(w, ' ')] END AS ts
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM docs)
+      |)""".stripMargin
 }

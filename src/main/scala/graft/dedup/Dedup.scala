@@ -744,6 +744,86 @@ object Dedup {
       .groupBy("fp").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") > maxDocFrequency)
 
+  /** Asymmetric CONTAINMENT pairs: (id_sub, id_super, containment)
+    * where containment = |grams(sub) ∩ grams(super)| / |grams(sub)| ≥
+    * `threshold`, over word-n-gram shingles with document frequency ≤
+    * `maxDocFrequency`. Catches the pair Jaccard dedup is blind to: a
+    * truncated or excerpted document inside a longer one (containment
+    * 1.0, Jaccard = |sub|/|super| — arbitrarily small), the common
+    * shape of re-crawled partial pages in a training corpus. MinHash
+    * LSH banding is calibrated for JACCARD and misses exactly those
+    * pairs, so candidates here come from an INVERTED INDEX instead:
+    * postings equi-joined on the shingle hash (the [[overlapPairs]]
+    * shape) — never all-pairs, exact recall over the kept grams.
+    *
+    * The frequency cap is the same quadratic-fan-out bound as
+    * [[overlapPairs]]'s (each gram contributes O(df²) join rows), and
+    * doubles as an idf-style filter: ubiquitous boilerplate grams
+    * carry no authorship signal, so they are dropped from BOTH the
+    * intersection and the denominator — containment is measured over
+    * informative grams only. Run [[cappedShingleGrams]] alongside:
+    * empty means the cap dropped nothing and the scores are the plain
+    * set containments.
+    *
+    * Plan: one map-side shingle scan, explode to postings, one
+    * df-count agg reused (exchange-shared) for prune + audit, the
+    * equi-self-join, one (id_a, id_b) count agg, two id-keyed size
+    * lookups, and a 2-way explode to emit both directions. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      maxDocFrequency: Int = 100,
+      precomputedPostings: Option[DataFrame] = None): DataFrame = {
+    val postings = precomputedPostings.getOrElse(
+      shinglePostings(df, idCol, textCol, shingleSize))
+    val rare = postings.groupBy("g").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDocFrequency)
+      .select("g")
+    val kept = postings.join(rare, "g")
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val shared = kept.as("a")
+      .join(kept.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("n_b")), "id_b")
+      .select(explode(array(
+        struct(col("id_a").as("id_sub"), col("id_b").as("id_super"),
+          (col("shared_grams").cast("double") / col("n_a")).as("containment")),
+        struct(col("id_b").as("id_sub"), col("id_a").as("id_super"),
+          (col("shared_grams").cast("double") / col("n_b")).as("containment")))).as("e"))
+      .select(col("e.id_sub"), col("e.id_super"), col("e.containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Exploded inverted-index postings (id, g) of distinct shingle
+    * hashes — the shared precompute for [[containmentPairs]] and its
+    * [[cappedShingleGrams]] audit (persist it to pay the shingle scan
+    * once). */
+  def shinglePostings(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame =
+    shingleHashes(df, idCol, textCol, shingleSize)
+      .select(col("id"), explode(col("sh")).as("g"))
+
+  /** The audit for [[containmentPairs]]'s frequency cap — "no silent
+    * caps", histogram form: how many shingle grams were dropped at
+    * each document frequency above the cap, as (df_count,
+    * n_capped_grams). Empty output means containment scores are the
+    * plain set containments; rows here quantify the boilerplate the
+    * cap blinded the operator to (by COUNT of grams, not gram
+    * identity — the postings carry 64-bit hashes, deliberately never
+    * the gram text). Same one-agg cost shape as the prune step. */
+  def cappedShingleGrams(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, maxDocFrequency: Int = 100,
+      precomputedPostings: Option[DataFrame] = None): DataFrame =
+    precomputedPostings.getOrElse(shinglePostings(df, idCol, textCol, shingleSize))
+      .groupBy("g").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") > maxDocFrequency)
+      .groupBy("df_count").agg(count(lit(1)).as("n_capped_grams"))
+
   /** Blocking keys for a 64-bit sketch, Manku-style (Manku/Jain/Sarma,
     * WWW'07 §3): the sketch is cut into `blocks` contiguous bit-fields;
     * a pair within Hamming distance `maxHamming` differs in at most

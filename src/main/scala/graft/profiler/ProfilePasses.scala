@@ -236,6 +236,35 @@ object ProfilePasses {
         when(lit(rowCount) > 0, col("frequency") * 100.0 / rowCount).otherwise(lit(0.0)))
   }
 
+  /** Frequent items with a SUPPORT THRESHOLD (the multi-value
+    * generalization of [[frequentValues]]'s top-1): every value of
+    * every listed column whose share of non-null rows is ≥
+    * `minSupport`. Output: (column, value string, frequency, share).
+    *
+    * Same melt shape as P9 — one explode + one (column, value) hash
+    * aggregate — joined to per-column non-null totals computed FROM
+    * THE COUNTED FRAME (a tiny second agg over the grouped rows, not
+    * a second scan of the table), broadcast back. By definition at
+    * most 1/minSupport values per column can pass, so the output is
+    * bounded regardless of column cardinality — the exact-counting
+    * shape that stays safe at 100 TB (the shuffle carries one row per
+    * distinct (column, value), and truly high-cardinality columns
+    * simply produce no qualifying rows). */
+  def frequentItems(df: DataFrame, cols: Seq[String],
+      minSupport: Double): DataFrame = {
+    val pairs = df.select(explode(array(cols.map { n =>
+      struct(lit(n).as("column"), c(n).cast(StringType).as("value"))
+    }: _*)).as("p")).select(col("p.column"), col("p.value"))
+      .filter(col("value").isNotNull)
+    val counted = pairs.groupBy("column", "value").agg(count(lit(1)).as("frequency"))
+    val totals = counted.groupBy("column")
+      .agg(sum("frequency").cast(DoubleType).as("total"))
+    counted.join(broadcast(totals), "column")
+      .withColumn("share", col("frequency") / col("total"))
+      .filter(col("share") >= minSupport)
+      .select(col("column"), col("value"), col("frequency"), col("share"))
+  }
+
   /** P9 (single column, reference-shaped): top-1 value with frequency
     * and percentage; deterministic tiebreak on value. Plans as hash agg
     * + TakeOrderedAndProject (top-k, no full sort). */

@@ -604,4 +604,55 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     kept.select("inc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(102L)
     kept.columns.toSeq shouldBe incoming.columns.toSeq
   }
+
+  test("containmentPairs finds a truncated prefix (containment 1.0, low Jaccard)") {
+    val words = (1 to 50).map(i => s"w$i")
+    val full = words.mkString(" ")
+    val prefix = words.take(20).mkString(" ") // Jaccard = 18/48 = 0.375
+    val corpus = docs((1L, full), (2L, prefix),
+      (3L, "completely unrelated content about something else entirely here"))
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.toSeq shouldBe Seq((2L, 1L, 1.0))
+    // Sanity: Jaccard LSH at the same threshold cannot see this pair.
+    Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.8).count() shouldBe 0L
+  }
+
+  test("containment frequency cap drops ubiquitous grams from score AND denominator") {
+    // 10 docs share boilerplate "b1..b5"; docs 1-2 additionally share
+    // unique content. With the cap at 5 the boilerplate grams (df=10)
+    // leave the index, so containment measures the unique grams only.
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ")
+    val unique = (1 to 10).map(i => s"u$i").mkString(" ")
+    val corpus = docs(
+      Seq((1L, s"$unique $boiler"), (2L, s"$unique $boiler")) ++
+        (3L to 10L).map(i => (i, s"doc$i content $boiler")): _*)
+    val capped = Dedup.containmentPairs(corpus, "doc_id", "text",
+      threshold = 0.9, maxDocFrequency = 5)
+    // docs 1,2 are identical on their kept grams → both directions 1.0
+    capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet shouldBe Set((1L, 2L, 1.0), (2L, 1L, 1.0))
+    val audit = Dedup.cappedShingleGrams(corpus, "doc_id", "text", maxDocFrequency = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // The 3 pure-boilerplate grams appear in all 10 docs; the
+    // "content b1 b2" bridge of docs 3-10 has df 8 — also above the
+    // cap. Docs 1-2's own bridges (df 2) stay.
+    audit.toSet shouldBe Set((8L, 1L), (10L, 3L))
+    // An uncapped run sees everything: audit empty.
+    Dedup.cappedShingleGrams(corpus, "doc_id", "text", maxDocFrequency = 100)
+      .count() shouldBe 0L
+  }
+
+  test("shinglePostings precompute is shared by pairs and audit") {
+    val corpus = docs((1L, (1 to 30).map(i => s"x$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"x$i").mkString(" ")))
+    val postings = Dedup.shinglePostings(corpus, "doc_id", "text").persist()
+    try {
+      val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
+        precomputedPostings = Some(postings)).collect()
+      pairs.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 2L), (2L, 1L))
+      Dedup.cappedShingleGrams(corpus, "doc_id", "text",
+        precomputedPostings = Some(postings)).count() shouldBe 0L
+    } finally { postings.unpersist(); () }
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.events.Events
+
+/** Batch event analytics: gap sessionization boundaries and the
+  * strictly-ordered funnel semantics. */
+class EventsSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  private lazy val log = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      // user 1: events at 0, 10, 25 min (gaps 10, 15) then 59 (gap 34 > 30 → new session)
+      (1L, ts(0), 1L, "view", 1.0),
+      (2L, ts(10), 1L, "click", 2.0),
+      (3L, ts(25), 1L, "purchase", 3.0),
+      (4L, ts(59), 1L, "view", 4.0),
+      // user 2: one event
+      (5L, ts(5), 2L, "click", 10.0),
+      // user 3: purchase BEFORE view/click — reaches view only
+      (6L, ts(1), 3L, "purchase", 0.5),
+      (7L, ts(2), 3L, "view", 0.5),
+      (8L, ts(3), 3L, "click", 0.5)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("sessionize breaks on gaps strictly greater than maxGap and aggregates per session") {
+    val out = Events.sessionize(log, "user_id", "ts",
+        maxGapSeconds = 1800, valueCol = "value", tiebreakCol = "event_id")
+      .orderBy("user_id", "session_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getDouble(5)))
+    out shouldBe Array(
+      (1L, 0L, ts(0), ts(25), 3L, 6.0),
+      (1L, 1L, ts(59), ts(59), 1L, 4.0),
+      (2L, 0L, ts(5), ts(5), 1L, 10.0),
+      (3L, 0L, ts(1), ts(3), 3L, 1.5))
+  }
+
+  test("sessionize keeps a gap exactly equal to maxGap in one session") {
+    val s = spark
+    import s.implicits._
+    val twoEvents = Seq((1L, ts(0), 9L, "view", 1.0), (2L, ts(30), 9L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    Events.sessionize(twoEvents, "user_id", "ts",
+      maxGapSeconds = 1800, valueCol = "value", tiebreakCol = "event_id")
+      .count() shouldBe 1L
+  }
+
+  test("sessionWindows: native semantics — exact gap merges (adjacent windows), end = last + gap") {
+    val s = spark
+    import s.implicits._
+    // gaps: exactly 30 min (adjacent windows MERGE), 30m01s (breaks)
+    val log3 = Seq((1L, ts(0), 7L, "view", 1.0), (2L, ts(30), 7L, "view", 2.0),
+      (3L, Timestamp.valueOf("2024-01-01 01:00:01"), 7L, "view", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.sessionWindows(log3, "user_id", "ts", "30 minutes", "value")
+      .orderBy("session_start").collect()
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+    out shouldBe Array(
+      (ts(0), Timestamp.valueOf("2024-01-01 01:00:00"), 2L, 3.0), // [0, 30] closes at 30+30
+      (Timestamp.valueOf("2024-01-01 01:00:01"),
+        Timestamp.valueOf("2024-01-01 01:30:01"), 1L, 4.0))
+  }
+
+  test("funnel counts stages only when reached strictly in order") {
+    val out = Events.funnel(log, "user_id", "ts", "event_type",
+        stages = Seq("view", "click", "purchase"), tiebreakCol = "event_id")
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // user 1: view→click→purchase in order (all 3 stages)
+    // user 2: click only, never a view → no stage at all
+    // user 3: purchase precedes view+click → view and click, NOT purchase
+    out shouldBe Array((0L, "view", 2L), (1L, "click", 2L), (2L, "purchase", 1L))
+  }
+
+  test("funnel stage-k events before stage k-1 never count") {
+    val s = spark
+    import s.implicits._
+    // click at the SAME timestamp as the view, earlier event_id order →
+    // strictly-before frame excludes it; click after does count.
+    val sameTs = Seq(
+      (1L, ts(0), 1L, "click", 0.0),
+      (2L, ts(0), 1L, "view", 0.0),
+      (3L, ts(1), 1L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.funnel(sameTs, "user_id", "ts", "event_type",
+        stages = Seq("view", "click"), tiebreakCol = "event_id")
+      .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2)))
+    out shouldBe Array(("view", 1L), ("click", 1L))
+  }
+}

@@ -259,4 +259,21 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ProfilePasses.categoricalAssociation(const, "a", "b").head()
       .getAs[Double]("cramers_v") shouldBe 0.0
   }
+
+  test("frequentItems keeps exactly the values at or above the support threshold") {
+    import graft.profiler.ProfilePasses
+    val s = spark
+    import s.implicits._
+    // col a: 10×"hot", 5×"warm", 1×"cold" over 16 non-null rows;
+    // col b: all null except 2×"only" → per-column totals, not global.
+    val df = ((1 to 10).map(_ => (Some("hot"), None: Option[String])) ++
+      (1 to 5).map(_ => (Some("warm"), None)) ++
+      Seq((Some("cold"), Some("only")), (None, Some("only"))))
+      .toDF("a", "b")
+    val out = ProfilePasses.frequentItems(df, Seq("a", "b"), minSupport = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // cold = 1/16 < 0.3 drops; warm = 5/16 ≥ 0.3 stays; b's total is
+    // its own 2 non-null rows, so "only" has share 1.0.
+    out shouldBe Set(("a", "hot", 10L), ("a", "warm", 5L), ("b", "only", 2L))
+  }
 }

@@ -425,4 +425,18 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       ("2024-01-01 11:00:00.0", "a", 1L, 0L, 0.0),
       ("2024-01-01 10:00:00.0", "b", 1L, 1L, 100.0))
   }
+
+  test("streaming session windows reach the batch fixpoint") {
+    import graft.events.Events
+    val batchDf = spark.read.parquet(eventsDir)
+    val expected = Events.sessionWindows(batchDf, "user_id", "ts",
+      "30 minutes", "value").collect().map(_.toSeq).toSet
+    val profiled = Events.sessionWindows(
+      StreamProfiler.readParquetStream(spark, eventsDir),
+      "user_id", "ts", "30 minutes", "value", watermarkDelay = Some("1 hour"))
+    val got = StreamProfiler.runToMemory(profiled, "session_windows")
+      .map(_.toSeq).toSet
+    got shouldBe expected
+    got should not be empty
+  }
 }
