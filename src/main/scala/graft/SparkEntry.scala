@@ -2018,6 +2018,106 @@ object SparkEntry {
         .orderBy("stage_idx")
     }),
 
+    // ---- As-of (backward) join: each purchase gets the LATEST click
+    // by the same user at-or-before its timestamp — the union-stack
+    // formulation (ONE entity-keyed shuffle + window carrying the last
+    // click payload forward), never a join that materializes every
+    // (purchase, earlier-click) pair. Ties on click ts resolve to the
+    // greatest event_id; the oracle replays that with a rank over the
+    // pair blowup it CAN afford at sf0.01.
+    "ev_asof_join" -> ((s, dir) => {
+      val ev = eventsWithTs(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.events.Events.asOfJoin(purchases, clicks,
+          "user_id", "user_id", "ts", "ts",
+          rightValueCols = Seq("event_id", "value"), rightTiebreakCol = "event_id")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("asof_event_id").as("click_id"),
+          round(col("asof_value"), 4).as("click_value"))
+        .orderBy("purchase_id")
+    }),
+
+    // ---- The same as-of join under a 1-hour lookback tolerance:
+    // clicks older than an hour before the purchase no longer match
+    // (the carried match is the NEWEST qualifying one, so nulling a
+    // too-old match is exact, not approximate).
+    "ev_asof_join_tol" -> ((s, dir) => {
+      val ev = eventsWithTs(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.events.Events.asOfJoin(purchases, clicks,
+          "user_id", "user_id", "ts", "ts",
+          rightValueCols = Seq("event_id"), rightTiebreakCol = "event_id",
+          toleranceSeconds = Some(3600L))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("asof_event_id").as("click_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // ---- Per-entity rolling stats over the trailing 4 events (ROWS
+    // frame) — one user-keyed shuffle + window; 4dp rounding absorbs
+    // the ≤4-term double fold order, min/max/count are exact.
+    "ev_rolling_stats" -> ((s, dir) => {
+      graft.events.Events.rollingStats(eventsWithTs(s, dir),
+          "user_id", "ts", "value", windowRows = 4, tiebreakCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("roll_n"),
+          round(col("roll_sum"), 4).as("roll_sum"),
+          col("roll_min"), col("roll_max"),
+          round(col("roll_mean"), 4).as("roll_mean"))
+        .orderBy("event_id")
+    }),
+
+    // ---- Binned range join (NO equality key): orders matched to
+    // 50k-wide price bands through 20k-wide domain bins — interval
+    // rows explode to their overlapping bins (2–3 each), points bin
+    // once, hash-join on the bin, exact [lo, hi) recheck. The shape
+    // that replaces a cartesian product when BOTH sides are large.
+    "rj_price_bands" -> ((s, dir) => {
+      val bands = s.range(10).select(col("id").as("band_id"),
+        (col("id") * lit(50000.0)).as("lo"), ((col("id") + 1) * lit(50000.0)).as("hi"))
+      graft.join.RangeJoin.binnedRangeJoin(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", bands, "lo", "hi", binWidth = 20000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"))
+        .orderBy("band_id")
+    }),
+
+    // ---- The same range join with the interval side BROADCAST — the
+    // plan for the overwhelmingly common small-interval-table case
+    // (BroadcastNestedLoopJoin, zero shuffles; PlanSpec pins the
+    // physical plan). Same oracle as the binned path: both Spark
+    // formulations and DuckDB's inequality join must agree.
+    "rj_price_bands_bc" -> ((s, dir) => {
+      val bands = s.range(10).select(col("id").as("band_id"),
+        (col("id") * lit(50000.0)).as("lo"), ((col("id") + 1) * lit(50000.0)).as("hi"))
+      graft.join.RangeJoin.broadcastRangeJoin(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", bands, "lo", "hi")
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"))
+        .orderBy("band_id")
+    }),
+
+    // ---- Leakage-safe GROUP split: the split hash is keyed on the
+    // GROUP column (source), so every document of a source lands in
+    // the same split by construction — near-duplicates within a
+    // source can never straddle train/test. One output row per source
+    // (the gate would fan out per (source, split) if a source ever
+    // split) with per-row membership replayed from the md5 hash.
+    "smp_group_split" -> ((s, dir) => {
+      graft.sampling.Sampling.hashSplit(t(s, dir, "documents"), "source",
+          Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)), hashMode = "md5")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("source", "split")
+    }),
+
     // ---- Snapshot row-level diff: which rows were added / removed /
     // changed between two table versions, keyed by PK — one full-outer
     // join hash-partitioned on the key, everything else map-side. The
@@ -4203,6 +4303,97 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 2, 'purchase', count(*) FILTER (WHERE h2) FROM per_user
         |) ORDER BY stage_idx""".stripMargin,
+
+    // The as-of match replayed as the pair blowup the oracle CAN
+    // afford at sf0.01: rank every earlier click per purchase, keep
+    // rn = 1 (newest ts, greatest event_id on ties) — the row the
+    // union-stack window carries.
+    "ev_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.value AS click_value,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id, m.click_id,
+        |       round(CAST(m.click_value AS DOUBLE), 4) AS click_value
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON p.event_id = m.purchase_id
+        |ORDER BY purchase_id""".stripMargin,
+
+    // Tolerance variant: restricting the pair set to the 1-hour
+    // lookback before ranking ≡ the engine's null-out of a too-old
+    // carried match (the carry keeps the NEWEST match, so if it is too
+    // old, all are).
+    "ev_asof_join_tol" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |                AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id, m.click_id
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON p.event_id = m.purchase_id
+        |ORDER BY purchase_id""".stripMargin,
+
+    // The identical ROWS frame; count/min/max exact, sum/mean 4dp.
+    "ev_rolling_stats" ->
+      """SELECT event_id, user_id,
+        |       count(value) OVER w AS roll_n,
+        |       round(CAST(sum(value) OVER w AS DOUBLE), 4) AS roll_sum,
+        |       min(value) OVER w AS roll_min,
+        |       max(value) OVER w AS roll_max,
+        |       round(CAST(avg(value) OVER w AS DOUBLE), 4) AS roll_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // DuckDB joins on the raw inequality — both Spark formulations
+    // (binned shuffle join, broadcast BNLJ) must agree with it.
+    "rj_price_bands" ->
+      """WITH bands AS (
+        |  SELECT CAST(i AS BIGINT) AS band_id, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+        |  FROM range(10) t(i)
+        |)
+        |SELECT band_id, count(*) AS n_orders,
+        |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS price_sum
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "rj_price_bands_bc" ->
+      """WITH bands AS (
+        |  SELECT CAST(i AS BIGINT) AS band_id, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+        |  FROM range(10) t(i)
+        |)
+        |SELECT band_id, count(*) AS n_orders,
+        |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS price_sum
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    // Group-keyed md5 split replayed digit-for-digit on the SOURCE
+    // string: every doc of a source shares one u, so each source maps
+    // to exactly one split in both engines.
+    "smp_group_split" -> {
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}.0")
+        .mkString(" +\n         |         ")
+      s"""WITH h AS (
+         |  SELECT source, doc_id, md5('42:' || source) AS hx FROM documents
+         |), u AS (
+         |  SELECT source, doc_id,
+         |        ($nibbles) / 4294967296.0 AS u
+         |  FROM h
+         |)
+         |SELECT source,
+         |       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM u GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+    },
 
     "cmp_row_diff" ->
       s"""WITH $diffSnapshotsSql

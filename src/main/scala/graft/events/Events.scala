@@ -92,6 +92,104 @@ object Events {
         col("sess.end").as("session_end"), col("n_events"), col("sum_value"))
   }
 
+  /** As-of (backward) join: for each left row, attach the LATEST right
+    * row of the same entity whose timestamp is ≤ the left row's
+    * timestamp (optionally within `toleranceSeconds` lookback). Ties
+    * on the right timestamp resolve to the greatest `rightTiebreakCol`
+    * — a pinned total order, so the match is deterministic row-for-row
+    * on any cluster. Right columns come back prefixed (`asof_` by
+    * default), null when no right row qualifies.
+    *
+    * NOT a join in the physical plan: the classic union-stack
+    * formulation. Both sides are stacked with a side tag (right = 0 so
+    * an equal-timestamp right row sorts BEFORE the left row it should
+    * match), one window partitioned by entity and ordered by
+    * (ts, side, tiebreak) carries the last non-null right payload
+    * forward, and left rows are peeled back off. Cost: ONE hash
+    * shuffle of left+right keyed by entity plus a per-partition sort —
+    * the same shape at 100 TB as at test scale. The naive
+    * join-then-rank alternative shuffles BOTH sides, materializes
+    * every (left, earlier-right) pair — quadratic in events-per-entity
+    * — and then windows over that blowup to keep one row; the stack
+    * never materializes a pair at all.
+    *
+    * Time-ordered state attachment is the event-log counterpart of the
+    * reference's static profile compares (reference:
+    * sparvi/profiler/profile_engine.py — no temporal join surface). */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      leftKeyCol: String, rightKeyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      rightValueCols: Seq[String], rightTiebreakCol: String,
+      toleranceSeconds: Option[Long] = None,
+      prefix: String = "asof_"): DataFrame = {
+    require(rightValueCols.nonEmpty, "asOfJoin needs at least one right value column")
+    val payloadCols = (rightValueCols :+ rightTiebreakCol).distinct
+    val internal = Seq("__k", "__t", "__side", "__tb", "__r", "__l")
+    internal.foreach { c =>
+      require(!left.columns.contains(c),
+        s"left input already has reserved column '$c'")
+    }
+    val rightStacked = right.select(
+      col(rightKeyCol).as("__k"),
+      col(rightTsCol).as("__t"),
+      lit(0).as("__side"),
+      col(rightTiebreakCol).as("__tb"),
+      struct((col(rightTsCol).as("__rt") +: payloadCols.map(col)): _*).as("__r"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields)).as("__l"))
+    val leftStacked = left.select(
+      col(leftKeyCol).as("__k"),
+      col(leftTsCol).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(right.schema(rightTiebreakCol).dataType).as("__tb"),
+      lit(null).cast(rightStacked.schema("__r").dataType).as("__r"),
+      struct(left.columns.map(col): _*).as("__l"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightStacked.unionByName(leftStacked)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    // Tolerance: the carried match is the latest-ever; null it out when
+    // it fell out of the lookback window. (A carried-too-old match can
+    // hide a younger one only if no younger one exists — last() keeps
+    // the newest — so the null is exact, not approximate.)
+    val matched = toleranceSeconds match {
+      case Some(tol) => when(
+        col("__m").isNotNull &&
+          unix_micros(col("__t").cast("timestamp")) -
+            unix_micros(col("__m.__rt").cast("timestamp")) <= tol * 1000000L,
+        col("__m"))
+      case None => col("__m")
+    }
+    val outLeft = left.columns.map(c => col(s"__l.$c").as(c))
+    val outRight = rightValueCols.map(c => matched.getField(c).as(s"$prefix$c"))
+    carried.select((outLeft ++ outRight): _*)
+  }
+
+  /** Per-entity rolling statistics over the trailing `windowRows`
+    * events (ROWS frame, current row inclusive) in (ts, tiebreak)
+    * order: count, sum, min, max, mean of `valueCol`. The standard
+    * smoothing/feature primitive over an event log.
+    *
+    * One window partitioned by the entity key — one hash shuffle of
+    * the log plus a per-partition sort, never a global window. A
+    * ROWS-based sliding frame is O(windowRows) per row in Spark's
+    * window exec with no extra state; skew bounds are the busiest
+    * single entity, as with [[sessionize]]. */
+  def rollingStats(df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, windowRows: Int, tiebreakCol: String,
+      prefix: String = "roll_"): DataFrame = {
+    require(windowRows >= 1, s"windowRows must be >= 1: $windowRows")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+      .rowsBetween(-(windowRows - 1).toLong, Window.currentRow)
+    df.withColumn(s"${prefix}n", count(col(valueCol)).over(w))
+      .withColumn(s"${prefix}sum", sum(col(valueCol)).over(w))
+      .withColumn(s"${prefix}min", min(col(valueCol)).over(w))
+      .withColumn(s"${prefix}max", max(col(valueCol)).over(w))
+      .withColumn(s"${prefix}mean", avg(col(valueCol)).over(w))
+  }
+
   /** Ordered funnel: how many entities reached each stage IN ORDER —
     * stage k counts an entity iff an event of `stages(k)` occurred
     * STRICTLY AFTER (in the (ts, tiebreak) total order) some event

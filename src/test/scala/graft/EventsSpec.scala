@@ -98,4 +98,87 @@ class EventsSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2)))
     out shouldBe Array(("view", 1L), ("click", 1L))
   }
+
+  private lazy val asOfLeft = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (100L, 1L, ts(20)), // matches click id 2 (ts 10), not 3 (ts 25)
+      (101L, 1L, ts(25)), // equal-ts click 3 matches (<= semantics)
+      (102L, 2L, ts(4)),  // user 2's click is at ts 5 → no match yet
+      (103L, 4L, ts(30))  // user 4 has no clicks at all
+    ).toDF("pid", "user_id", "pts")
+  }
+
+  private lazy val asOfRight = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (2L, 1L, ts(10), 2.0),
+      (3L, 1L, ts(25), 3.0),
+      (5L, 2L, ts(5), 10.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+  }
+
+  test("asOfJoin attaches the latest right row at-or-before each left timestamp") {
+    val out = Events.asOfJoin(asOfLeft, asOfRight, "user_id", "user_id",
+        "pts", "ts", rightValueCols = Seq("event_id", "value"),
+        rightTiebreakCol = "event_id")
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    out shouldBe Array(
+      (100L, Some(2L), Some(2.0)),
+      (101L, Some(3L), Some(3.0)),
+      (102L, None, None),
+      (103L, None, None))
+  }
+
+  test("asOfJoin resolves equal right timestamps to the greatest tiebreak") {
+    val s = spark
+    import s.implicits._
+    val right = Seq(
+      (9L, 1L, ts(10), 9.0),
+      (11L, 1L, ts(10), 11.0) // same ts, higher id wins (numeric, not string, order)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val left = Seq((100L, 1L, ts(20))).toDF("pid", "user_id", "pts")
+    val out = Events.asOfJoin(left, right, "user_id", "user_id", "pts", "ts",
+        rightValueCols = Seq("event_id"), rightTiebreakCol = "event_id")
+      .collect().map(r => r.getLong(3))
+    out shouldBe Array(11L)
+  }
+
+  test("asOfJoin tolerance nulls out matches older than the lookback") {
+    val out = Events.asOfJoin(asOfLeft, asOfRight, "user_id", "user_id",
+        "pts", "ts", rightValueCols = Seq("event_id"),
+        rightTiebreakCol = "event_id", toleranceSeconds = Some(300L))
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    // pid 100 at ts 20min: latest click ts 10min = 600s ago > 300s → null;
+    // pid 101 at 25min: click at exactly 25min, 0s ago → kept.
+    out shouldBe Array((100L, None), (101L, Some(3L)), (102L, None), (103L, None))
+  }
+
+  test("rollingStats computes the trailing ROWS frame per entity") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, ts(0), 1L, 10.0),
+      (2L, ts(1), 1L, 20.0),
+      (3L, ts(2), 1L, 30.0),
+      (4L, ts(3), 1L, 40.0),
+      (5L, ts(0), 2L, 5.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Events.rollingStats(df, "user_id", "ts", "value",
+        windowRows = 3, tiebreakCol = "event_id")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8)))
+    out shouldBe Array(
+      (1L, 1L, 10.0, 10.0, 10.0, 10.0),
+      (2L, 2L, 30.0, 10.0, 20.0, 15.0),
+      (3L, 3L, 60.0, 10.0, 30.0, 20.0),
+      (4L, 3L, 90.0, 20.0, 40.0, 30.0), // event 1 fell out of the frame
+      (5L, 1L, 5.0, 5.0, 5.0, 5.0))
+  }
 }

@@ -485,4 +485,49 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     physical(graft.util.Partitioning.spreadIfLarge(one, minBytes = 0L))
       .should(include("RoundRobinPartitioning(2"))
   }
+
+  test("broadcast range join plans as BNLJ, never a cartesian shuffle") {
+    val s = spark
+    import s.implicits._
+    val ranges = Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0)).toDF("range_id", "lo", "hi")
+    val points = lineitem.select(col("l_orderkey"), col("l_quantity"))
+    val plan = physical(graft.join.RangeJoin.broadcastRangeJoin(
+      points, "l_quantity", ranges, "lo", "hi"))
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("binned range join is a hash equi-join on the bin — no nested loop, no cartesian") {
+    val s = spark
+    import s.implicits._
+    val ranges = Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0)).toDF("range_id", "lo", "hi")
+    val points = lineitem.select(col("l_orderkey"), col("l_quantity"))
+    val plan = physical(graft.join.RangeJoin.binnedRangeJoin(
+      points, "l_quantity", ranges, "lo", "hi", binWidth = 5.0))
+    plan should not include "CartesianProduct"
+    plan should not include "NestedLoopJoin"
+    (plan.contains("HashJoin") || plan.contains("SortMergeJoin")) shouldBe true
+  }
+
+  test("as-of join is a union-stack: one entity-keyed exchange, no physical join at all") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val left = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = ev.filter(col("event_id") % 2 === 1)
+    val plan = physical(graft.events.Events.asOfJoin(left, right,
+      "user_id", "user_id", "ts", "ts",
+      rightValueCols = Seq("value"), rightTiebreakCol = "event_id"))
+    plan should not include "Join"
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    plan should include("Window")
+  }
+
+  test("rolling stats shuffle once on the entity key; the window frame is ROWS-bounded") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = physical(graft.events.Events.rollingStats(ev,
+      "user_id", "ts", "value", windowRows = 4, tiebreakCol = "event_id"))
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    plan should include("specifiedwindowframe(RowFrame, -3, currentrow$())")
+  }
 }
