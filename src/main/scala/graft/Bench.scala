@@ -209,14 +209,25 @@ object Bench {
     // (`cal_below_floor`) and counts as positive contention evidence.
     // The floor is env-tunable for other hosts; 0 disables the gate.
     //
-    // Floor calibration (round 12, same binary, same day): a run
-    // admitted at 10,759 Mops measured the shared query set 1.43× hot
-    // with clean per-query flags; a run gated to 13,168 measured
-    // 1.05×. The warm quiet band on this host is ~12.5–14k, so the
-    // default floor sits at its bottom edge — 10k (the historical
-    // default) admits runs that are already ~20% degraded.
+    // Floor calibration. The rule: the floor sits at the BOTTOM EDGE
+    // of the host's quiet warm band, re-derived when multi-day
+    // evidence shows the band itself moved (a floor above the band
+    // flags every clean run; one below admits polluted ones).
+    //  - Round 12 (first derivation): quiet warm band ~12.5–14k → floor
+    //    12,500. Same-day A/B: a run admitted at 10,759 Mops measured
+    //    the shared query set 1.43× hot; one gated to 13,168 measured
+    //    1.05×.
+    //  - Rounds 13–15 (re-base): the band shifted down ~5% and STAYED
+    //    there — r13 runs probed 11.7–11.8k all evening, r14's four
+    //    runs 11.58–12.2k across 8-attempt retry loops, and r15's
+    //    quiet-host probe series (no Spark running) read 11.7–12.2k
+    //    with start-probes 12.26–12.33k. Host drift, not transient
+    //    load: no run in three rounds ever saw the old 12.5k+ band.
+    //    Floor re-based to the new bottom edge — 11,500 — so a quiet
+    //    run certifies again while a 10.7k-grade polluted start (the
+    //    r12 1.43× case) still gates.
     val calFloor = sys.env.get("SPARK_GRAFT_CAL_FLOOR").flatMap(_.toDoubleOption)
-      .getOrElse(12500.0)
+      .getOrElse(11500.0)
     // One discarded warm-up probe first: the cold probe reads ~20% low
     // (thread-start + OSR lag), which sits BELOW the floor on a quiet
     // host — gating on it would buy a 15 s retry every clean run. The

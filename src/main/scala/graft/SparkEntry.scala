@@ -149,6 +149,14 @@ object SparkEntry {
     // no-data batch is what advances the watermark past the last fed
     // data and flushes the windows it closed.
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
+    // Replay-only state-store hygiene: a deterministic gate replay needs
+    // neither deep checkpoint history nor mid-run snapshot compaction —
+    // both are per-batch file work on the replay's critical path.
+    // Production streams keep the defaults (durability and fast restore
+    // are exactly what those knobs buy there).
+    s2.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    s2.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1000")
+    s2.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "10m")
     extraConfs.foreach { case (k, v) => s2.conf.set(k, v) }
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
     val stream = MemoryStream[A]
@@ -2116,6 +2124,35 @@ object SparkEntry {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).cast("long").as("id_sum"))
         .orderBy("source", "split")
+    }),
+
+    // ---- Weighted sampling without replacement (Efraimidis–Spirakis):
+    // key = u^(1/w) over the replayed md5 uniform, top-100 by key —
+    // membership is a pure function of (corpus, seed, n), and the
+    // oracle replays hash, key, and cut identically. The top-n is
+    // TakeOrderedAndProject (per-partition heaps), never a global sort.
+    "smp_weighted_sample" -> ((s, dir) => {
+      graft.sampling.Sampling.weightedSampleByHash(t(s, dir, "documents"),
+          "doc_id", "n_chars", n = 100, hashMode = "md5")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Salted join: lineitem ⨝ orders spread over (key, salt) with
+    // the orders side replicated 8× — the explicit skew mitigation.
+    // The salt must be RESULT-INVISIBLE: the oracle is the plain
+    // unsalted join, so any row lost or duplicated by the salting
+    // breaks the hash match.
+    "jn_salted_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+      graft.join.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"),
+          saltOnCol = "l_partkey", saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
     }),
 
     // ---- Snapshot row-level diff: which rows were added / removed /
@@ -4394,6 +4431,35 @@ object SparkEntry {
          |       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM u GROUP BY 1, 2 ORDER BY source, split""".stripMargin
     },
+
+    // A-ES replay: same md5 uniform, same key = pow(u, 1/w), same
+    // (key DESC, doc_id) cut at 100.
+    "smp_weighted_sample" -> {
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}.0")
+        .mkString(" +\n         |         ")
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+         |), u AS (
+         |  SELECT doc_id, n_chars,
+         |        ($nibbles) / 4294967296.0 AS u
+         |  FROM h
+         |), k AS (
+         |  SELECT doc_id, n_chars, pow(u, 1.0 / n_chars) AS key
+         |  FROM u WHERE n_chars IS NOT NULL AND n_chars > 0
+         |)
+         |SELECT doc_id, n_chars FROM (
+         |  SELECT doc_id, n_chars FROM k ORDER BY key DESC, doc_id LIMIT 100
+         |) ORDER BY doc_id""".stripMargin
+    },
+
+    // The plain unsalted join IS the oracle: salting must be invisible
+    // in the result.
+    "jn_salted_revenue" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "cmp_row_diff" ->
       s"""WITH $diffSnapshotsSql

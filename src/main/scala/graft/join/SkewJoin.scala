@@ -1,0 +1,54 @@
+package graft.join
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-joins for skewed keys: the standard mitigation when one
+  * join key holds a disproportionate share of the big side (a null-ish
+  * sentinel id, a celebrity user, a boilerplate document cluster) and
+  * a single reducer would receive that key's entire partition.
+  *
+  * The move: the SKEWED side gets a deterministic salt in
+  * [0, saltFactor) appended to its key; the OTHER side is replicated
+  * once per salt value (an explode of a `saltFactor`-element array —
+  * cheap when that side is the smaller of the two, which is the only
+  * time salting beats simply broadcasting it). The join key becomes
+  * (key, salt), spreading the hot key over `saltFactor` reducers.
+  * Results are identical to the unsalted join — the salt is an
+  * internal column, dropped on the way out.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`)
+  * solves the same problem adaptively by splitting oversized
+  * post-shuffle partitions, and is the FIRST tool to reach for; this
+  * explicit form exists for the cases AQE cannot touch — aggregations
+  * keyed on the hot key downstream, deterministic plan shape under
+  * test, engines/configs with AQE off — and as the documented pattern
+  * the dedup operators' occupancy caps complement (cap what would
+  * quadratically explode, salt what merely skews).
+  *
+  * The salt is keyed on `saltOnCol` (a high-cardinality id of the
+  * skewed side) via xxhash64 — deterministic under retries, no
+  * rand() re-shuffle hazard. North-star scope; the reference joins
+  * nothing (reference: sparvi/profiler/profile_engine.py).
+  */
+object SkewJoin {
+
+  /** Inner equi-join of a skewed big side against a smaller side,
+    * salted `saltFactor` ways. `skewed` and `other` must share
+    * `keyCols`; `saltOnCol` is a column of the skewed side whose hash
+    * spreads its rows (its own id, never the join key). */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keyCols: Seq[String],
+      saltOnCol: String, saltFactor: Int): DataFrame = {
+    require(saltFactor >= 2, s"saltFactor must be >= 2: $saltFactor")
+    require(keyCols.nonEmpty, "saltedJoin needs at least one key column")
+    val saltCol = "__salt"
+    (skewed.columns ++ other.columns).foreach { c =>
+      require(c != saltCol, s"input already has reserved column '$saltCol'")
+    }
+    val saltedBig = skewed.withColumn(saltCol,
+      pmod(xxhash64(col(saltOnCol)), lit(saltFactor.toLong)))
+    val replicated = other.withColumn(saltCol,
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    saltedBig.join(replicated, keyCols :+ saltCol).drop(saltCol)
+  }
+}

@@ -179,6 +179,35 @@ object Sampling {
     df.filter(uniformHash(col(idCol), seed, hashMode) < frac)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row gets key = u^(1/w) from its (seed, id)
+    * uniform hash and its weight column; the n largest keys are the
+    * sample. Inclusion probability is proportional to weight in the
+    * without-replacement sense, and the whole draw is a pure function
+    * of (corpus, seed, n) — reproducible across clusters and retries,
+    * unlike any rand()-based reservoir.
+    *
+    * Non-positive / null weights are excluded (a zero-weight row must
+    * never be drawn; pow(u, 1/0) is a NaN trap, not a semantics).
+    * Ties (astronomically unlikely with continuous keys) break by id.
+    *
+    * Scale: the top-n is Spark's TakeOrderedAndProject — per-partition
+    * heaps of size n, one tiny merge on the driver; no global sort, no
+    * window. n must fit driver memory (it is the SAMPLE size). */
+  def weightedSampleByHash(
+      df: DataFrame, idCol: String, weightCol: String, n: Int,
+      seed: Long = 42L, hashMode: String = "xxhash64",
+      keyCol: String = "sample_key"): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1: $n")
+    require(!df.columns.contains(keyCol),
+      s"input already has a '$keyCol' column — pass keyCol to use another name")
+    val u = uniformHash(col(idCol), seed, hashMode)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn(keyCol, pow(u, lit(1.0) / col(weightCol)))
+      .orderBy(col(keyCol).desc, col(idCol))
+      .limit(n)
+  }
+
   /** The temperature-mixture keep-rates (driver-side, pure): source s
     * holding n_s of N rows gets q_s ∝ (n_s/N)^α (normalized over
     * sources in NAME order — a deterministic summation order both

@@ -222,6 +222,32 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     again shouldBe first
   }
 
+  test("weightedSampleByHash draws n rows, excludes non-positive weights, favors heavy rows") {
+    val s = spark
+    import s.implicits._
+    // 200 light rows (w=1) vs 200 heavy rows (w=50): the heavy half
+    // should dominate a 100-row draw overwhelmingly.
+    val df = (1 to 400).map(i => (i.toLong, if (i <= 200) 1.0 else 50.0))
+      .toDF("id", "w")
+      .union(Seq((401L, 0.0), (402L, -3.0)).toDF("id", "w")) // never drawn
+    val out = Sampling.weightedSampleByHash(df, "id", "w", n = 100)
+    out.count() shouldBe 100L
+    out.filter(org.apache.spark.sql.functions.col("id") > 400L).count() shouldBe 0L
+    val heavy = out.filter(org.apache.spark.sql.functions.col("w") === 50.0).count()
+    heavy.toDouble should be > 80.0
+    // Determinism: the same draw every time.
+    val a = out.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+    val b = Sampling.weightedSampleByHash(df, "id", "w", n = 100)
+      .agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+    a shouldBe b
+  }
+
+  test("weightedSampleByHash top-n plans as TakeOrdered, not a global sort") {
+    val plan = Sampling.weightedSampleByHash(corpus, "id", "id", n = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+  }
+
   test("sampling plans are pure map-side: no exchange, no aggregate") {
     val plan = Sampling.hashSplit(corpus, "id", Seq(("a", 0.9), ("b", 0.1)))
       .queryExecution.executedPlan.toString

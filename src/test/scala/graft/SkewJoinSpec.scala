@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.join.SkewJoin
+
+/** Salted-join semantics: result-identical to the plain join, salt
+  * spread actually happens, and the plan joins on (key, salt). */
+class SkewJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private lazy val (big, small) = {
+    val s = spark
+    import s.implicits._
+    // 90% of the big side lands on key 1 — the skew shape.
+    val big = (1 to 200).map(i => (i.toLong, if (i <= 180) 1L else (i % 10).toLong, i * 1.0))
+      .toDF("row_id", "k", "v")
+    val small = (0L to 9L).map(k => (k, s"dim_$k")).toDF("k", "label")
+    (big, small)
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val plain = big.join(small, Seq("k")).select("row_id", "k", "label")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), "row_id", saltFactor = 4)
+      .select("row_id", "k", "label").collect().map(_.toSeq).toSet
+    salted shouldBe plain
+    salted.size shouldBe 200 // no dup, no loss
+  }
+
+  test("the hot key's rows spread over multiple salt values") {
+    val s = spark
+    import s.implicits._
+    val salts = big.filter(col("k") === 1L)
+      .withColumn("salt", pmod(xxhash64(col("row_id")), lit(4L)))
+      .select(countDistinct(col("salt"))).head().getLong(0)
+    salts should be > 1L
+  }
+
+  test("the physical join keys include the salt column") {
+    val plan = SkewJoin.saltedJoin(big, small, Seq("k"), "row_id", saltFactor = 4)
+      .queryExecution.executedPlan.toString
+    plan should include("__salt")
+    plan should not include "CartesianProduct"
+  }
+
+  test("saltFactor below 2 is rejected") {
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, Seq("k"), "row_id", saltFactor = 1)
+    }
+  }
+}
