@@ -2214,6 +2214,32 @@ object SparkEntry {
         .orderBy("column_name", "value")
     }),
 
+    // ---- Equi-width histogram of o_totalprice: 12 bins over
+    // [0, 600k), out-of-range clamped to edges, empty bins present
+    // with n = 0. One ≤12-key hash agg + a generated-bin join.
+    "p21_histogram" -> ((s, dir) => {
+      ProfilePasses.histogram(t(s, dir, "orders"), "o_totalprice",
+          numBins = 12, lo = 0.0, hi = 600000.0)
+        .select(col("bin"), round(col("lo_edge"), 2).as("lo_edge"),
+          round(col("hi_edge"), 2).as("hi_edge"), col("n"))
+        .orderBy("bin")
+    }),
+
+    // ---- Robust stats (median / MAD / IQR / scaled-MAD outlier
+    // count) — order statistics in three fused passes, immune to the
+    // outliers themselves unlike the 3σ pass. quantile_cont replays
+    // Spark's exact percentile interpolation; the threshold compare
+    // is safe because 3·1.4826·MAD is never exactly representable at
+    // a data point.
+    "p22_robust_stats" -> ((s, dir) => {
+      ProfilePasses.robustStats(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice"))
+        .select(col("column_name"), round(col("median"), 4).as("median"),
+          round(col("mad"), 4).as("mad"), round(col("iqr"), 4).as("iqr"),
+          col("n_outliers"))
+        .orderBy("column_name")
+    }),
+
     // ---- LLM-pipeline: asymmetric CONTAINMENT pairs via an inverted
     // shingle index — catches truncated/excerpted documents inside
     // longer ones, invisible to Jaccard LSH (a 40%-prefix copy has
@@ -4522,6 +4548,47 @@ object SparkEntry {
         |FROM counted c JOIN totals t USING (column_name)
         |WHERE c.frequency / t.total >= 0.05
         |ORDER BY c.column_name, c.value""".stripMargin,
+
+    // Identical IEEE binning: w = 600000/12, bin = clamp(floor((x-0)/w)),
+    // empty bins joined in from range(12).
+    "p21_histogram" ->
+      """WITH bins AS (SELECT CAST(i AS BIGINT) AS bin FROM range(12) t(i)),
+        |counts AS (
+        |  SELECT least(11, greatest(0, CAST(floor(o_totalprice / 50000.0) AS BIGINT))) AS bin,
+        |         count(*) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        |)
+        |SELECT b.bin,
+        |       round(b.bin * 50000.0, 2) AS lo_edge,
+        |       round((b.bin + 1) * 50000.0, 2) AS hi_edge,
+        |       coalesce(c.n, 0) AS n
+        |FROM bins b LEFT JOIN counts c USING (bin)
+        |ORDER BY b.bin""".stripMargin,
+
+    // The same three dependent order-statistic passes: quartiles,
+    // deviation median around it, scaled-MAD outlier count.
+    "p22_robust_stats" -> {
+      def ctes(col: String, i: Int) =
+        s"""m$i AS (SELECT quantile_cont($col, 0.25) AS q1, quantile_cont($col, 0.5) AS med,
+           |             quantile_cont($col, 0.75) AS q3 FROM lineitem),
+           |d$i AS (SELECT quantile_cont(abs($col - (SELECT med FROM m$i)), 0.5) AS mad
+           |        FROM lineitem),
+           |o$i AS (SELECT count(*) AS n_out FROM lineitem
+           |        WHERE abs($col - (SELECT med FROM m$i)) >
+           |              3 * 1.4826 * (SELECT mad FROM d$i))""".stripMargin
+      def one(col: String, i: Int) =
+        s"""SELECT '$col' AS column_name,
+           |       round(m$i.med, 4) AS median, round(d$i.mad, 4) AS mad,
+           |       round(m$i.q3 - m$i.q1, 4) AS iqr, o$i.n_out AS n_outliers
+           |FROM m$i, d$i, o$i""".stripMargin
+      s"""WITH ${ctes("l_quantity", 1)},
+         |${ctes("l_extendedprice", 2)}
+         |SELECT * FROM (
+         |${one("l_quantity", 1)}
+         |UNION ALL
+         |${one("l_extendedprice", 2)}
+         |) ORDER BY column_name""".stripMargin
+    },
 
     // Brute-force containment over the SAME capped-gram semantics:
     // grams with df > cap leave both the intersection and the

@@ -383,6 +383,102 @@ object ProfilePasses {
 
   def buckets(df: DataFrame): ColumnBuckets.Buckets = ColumnBuckets.of(df.schema)
 
+  /** Equi-width histogram of one numeric column over [lo, hi): bin i
+    * covers [lo + i·w, lo + (i+1)·w) with w = (hi − lo)/numBins;
+    * values outside the range CLAMP into the edge bins (the
+    * [[graft.compare.Drift]] convention — out-of-range mass is visible
+    * at the edges, never silently dropped), nulls are excluded. The
+    * distribution-shape surface the scalar min/max/avg profile
+    * cannot show.
+    *
+    * ONE hash aggregate over the corpus keyed by ≤ numBins values,
+    * then a broadcast-trivial join against the generated bin table so
+    * EMPTY bins appear with n = 0 (a histogram with holes elided reads
+    * as a different distribution). */
+  def histogram(df: DataFrame, column: String, numBins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(numBins >= 1, s"numBins must be >= 1: $numBins")
+    require(lo < hi, s"need lo < hi: [$lo, $hi)")
+    val w = (hi - lo) / numBins
+    val bin = least(lit(numBins - 1L),
+      greatest(lit(0L), floor((c(column) - lo) / w).cast("long")))
+    val counts = df.filter(c(column).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    df.sparkSession.range(numBins).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(lo) + col("bin") * w).as("lo_edge"),
+        (lit(lo) + (col("bin") + 1) * w).as("hi_edge"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Robust per-column statistics: median, MAD (median absolute
+    * deviation), IQR, and a robust outlier count
+    * (|x − median| > k · 1.4826 · MAD — the consistency-scaled MAD
+    * rule, immune to the outliers themselves in a way the 3σ pass
+    * P10 is not). Output: one row per column
+    * (column_name, median, mad, iqr, n_outliers).
+    *
+    * Robust statistics are ORDER statistics, so the lower bound is
+    * dependent passes: (1) one fused quartile aggregate for all
+    * columns, (2) one fused deviation-median aggregate seeded with
+    * the pass-1 medians, (3) one fused conditional count with the
+    * pass-2 thresholds. Three corpus scans total, each a single wide
+    * aggregate for ALL columns — never a job per column. The driver
+    * holds only the O(cols) scalars between passes. */
+  def robustStats(df: DataFrame, cols: Seq[String], k: Double = 3.0,
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val fn = if (exact) "percentile" else "percentile_approx"
+    val extra = if (exact) "" else ", 10000"
+    // Pass 1: quartiles for every column in one aggregate.
+    val qAggs = cols.map(n =>
+      expr(s"$fn(`$n`, array(0.25D, 0.5D, 0.75D)$extra)").as(s"${n}_qs"))
+    val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
+    val quartiles = cols.zipWithIndex.map { case (n, i) =>
+      val qs: Seq[Option[Double]] =
+        if (qRow.isNullAt(i)) Seq(None, None, None) // all-null column
+        else qRow.getSeq[Any](i).map(v => Option(v).map(_.asInstanceOf[Double]))
+      n -> (qs(0), qs(1), qs(2))
+    }.toMap
+    // Pass 2: median absolute deviation around each pass-1 median.
+    val withMedian = cols.filter(quartiles(_)._2.isDefined)
+    val mads: Map[String, Double] =
+      if (withMedian.isEmpty) Map.empty
+      else {
+        val mAggs = withMedian.map { n =>
+          val med = quartiles(n)._2.get
+          expr(s"$fn(abs(`$n` - (${med}D)), 0.5D$extra)").as(s"${n}_mad")
+        }
+        val mRow = df.agg(mAggs.head, mAggs.tail: _*).head()
+        withMedian.zipWithIndex.map { case (n, i) =>
+          n -> (if (mRow.isNullAt(i)) 0.0 else mRow.getDouble(i))
+        }.toMap
+      }
+    // Pass 3: robust outlier counts under the scaled-MAD thresholds.
+    val outliers: Map[String, Long] =
+      if (withMedian.isEmpty) Map.empty
+      else {
+        val oAggs = withMedian.map { n =>
+          val med = quartiles(n)._2.get
+          val threshold = k * 1.4826 * mads(n)
+          sum(when(abs(c(n) - med) > threshold, 1L).otherwise(0L)).as(s"${n}_out")
+        }
+        val oRow = df.agg(oAggs.head, oAggs.tail: _*).head()
+        withMedian.zipWithIndex.map { case (n, i) =>
+          n -> (if (oRow.isNullAt(i)) 0L else oRow.getLong(i))
+        }.toMap
+      }
+    import df.sparkSession.implicits._
+    cols.map { n =>
+      val (q1, med, q3) = quartiles(n)
+      (n, med, mads.get(n), (q1, q3) match {
+        case (Some(a), Some(b)) => Some(b - a)
+        case _ => None
+      }, outliers.getOrElse(n, 0L))
+    }.toDF("column_name", "median", "mad", "iqr", "n_outliers")
+  }
+
   /** Value-distribution Shannon entropy per column (nulls excluded):
     * H = −Σ p·log₂p over the value histogram, computed as
     * log₂n − (Σ c·log₂c)/n, plus H normalized by log₂(distinct) —

@@ -276,4 +276,51 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // its own 2 non-null rows, so "only" has share 1.0.
     out shouldBe Set(("a", "hot", 10L), ("a", "warm", 5L), ("b", "only", 2L))
   }
+
+  test("histogram clamps out-of-range values to edge bins and keeps empty bins") {
+    import graft.profiler.ProfilePasses
+    val s = spark
+    import s.implicits._
+    // range [0, 10) in 5 bins of width 2; -3 clamps to bin 0, 42 to
+    // bin 4; bin 3 ([6,8)) is empty; null excluded.
+    val df = Seq(Some(-3.0), Some(0.0), Some(1.9), Some(2.0), Some(5.0),
+      Some(9.9), Some(42.0), None).toDF("x")
+    val out = ProfilePasses.histogram(df, "x", numBins = 5, lo = 0.0, hi = 10.0)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    out shouldBe Array(
+      (0L, 0.0, 2.0, 3L), // -3 (clamped), 0.0, 1.9
+      (1L, 2.0, 4.0, 1L),
+      (2L, 4.0, 6.0, 1L),
+      (3L, 6.0, 8.0, 0L), // empty bin present
+      (4L, 8.0, 10.0, 2L)) // 9.9 + 42 (clamped)
+  }
+
+  test("robustStats: median/MAD/IQR and the scaled-MAD outlier count") {
+    import graft.profiler.ProfilePasses
+    val s = spark
+    import s.implicits._
+    // 1..9 plus one wild outlier: median 5.5 → MAD median(|x-5.5|)
+    // over {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} = 2.5;
+    // threshold 3·1.4826·2.5 = 11.12 → only 1000 is outlying.
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("x")
+    val r = ProfilePasses.robustStats(df, Seq("x")).head()
+    r.getAs[Double]("median") shouldBe 5.5
+    r.getAs[Double]("mad") shouldBe 2.5
+    r.getAs[Double]("iqr") shouldBe (7.75 - 3.25) +- 1e-9
+    r.getAs[Long]("n_outliers") shouldBe 1L
+  }
+
+  test("robustStats handles an all-null column without a pass-2/3 job for it") {
+    import graft.profiler.ProfilePasses
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(1.0), None: Option[Double]), (Some(2.0), None),
+      (Some(3.0), None)).toDF("x", "y")
+    val out = ProfilePasses.robustStats(df, Seq("x", "y"))
+      .orderBy("column_name").collect()
+    out(0).getAs[Double]("median") shouldBe 2.0
+    out(1).isNullAt(out(1).fieldIndex("median")) shouldBe true
+    out(1).getAs[Long]("n_outliers") shouldBe 0L
+  }
 }
