@@ -2155,6 +2155,16 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- Key-skew report: the top-10 hottest l_suppkey values with
+    // row counts and corpus share — the measure step before saltedJoin
+    // or an AQE skew threshold. Group agg + grouped-rows total +
+    // TakeOrdered; nothing corpus-sized on the driver.
+    "jn_skew_report" -> ((s, dir) => {
+      graft.join.SkewJoin.skewReport(t(s, dir, "lineitem"), "l_suppkey", topK = 10)
+        .select(col("key"), col("n"), round(col("share"), 6).as("share"))
+        .orderBy(col("n").desc, col("key"))
+    }),
+
     // ---- Snapshot row-level diff: which rows were added / removed /
     // changed between two table versions, keyed by PK — one full-outer
     // join hash-partitioned on the key, everything else map-side. The
@@ -2238,6 +2248,18 @@ object SparkEntry {
           round(col("mad"), 4).as("mad"), round(col("iqr"), 4).as("iqr"),
           col("n_outliers"))
         .orderBy("column_name")
+    }),
+
+    // ---- Per-group quantiles: o_totalprice quartiles per order
+    // priority — one group-keyed shuffle, percentile state quarantined
+    // in its own ObjectHashAggregate pass like A2.
+    "p23_grouped_quantiles" -> ((s, dir) => {
+      ProfilePasses.groupedPercentiles(t(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice")
+        .select(col("group").as("o_orderpriority"),
+          round(col("q1"), 4).as("q1"), round(col("median"), 4).as("median"),
+          round(col("q3"), 4).as("q3"))
+        .orderBy("o_orderpriority")
     }),
 
     // ---- LLM-pipeline: asymmetric CONTAINMENT pairs via an inverted
@@ -4589,6 +4611,21 @@ object SparkEntry {
          |${one("l_extendedprice", 2)}
          |) ORDER BY column_name""".stripMargin
     },
+
+    "p23_grouped_quantiles" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+        |       round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Same (n DESC, key) tiebreak at the top-k boundary.
+    "jn_skew_report" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT key, n, round(CAST(n AS DOUBLE) / t.total, 6) AS share
+        |FROM c, t ORDER BY n DESC, key LIMIT 10""".stripMargin,
 
     // Brute-force containment over the SAME capped-gram semantics:
     // grams with df > cap leave both the intersection and the

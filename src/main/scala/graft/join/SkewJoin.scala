@@ -51,4 +51,26 @@ object SkewJoin {
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     saltedBig.join(replicated, keyCols :+ saltCol).drop(saltCol)
   }
+
+  /** The MEASURE step before the mitigation: the top-k hottest join
+    * keys with their row counts and corpus share. Run it on the join
+    * key before a big join — a top key holding >1/partitions of the
+    * rows is the one that stalls a reducer, and its share tells you
+    * the `saltFactor` ([[saltedJoin]]) or the AQE skew threshold to
+    * set. Nulls count as a key (they're the classic hot key).
+    *
+    * One hash aggregate keyed by the join key, a second tiny
+    * aggregate over the GROUPED rows for the total (never a second
+    * corpus scan), and a TakeOrdered top-k — nothing corpus-sized
+    * reaches the driver. Ties break by key for a deterministic
+    * report. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("n"), (col("n") / col("total")).as("share"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -412,6 +412,41 @@ object ProfilePasses {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Per-group quantiles of one numeric column — the "is the tail the
+    * same in every segment" screen (per-source quality distributions,
+    * per-priority price bands). Output: one row per group
+    * (group, {q1, median, q3} or the requested probabilities as
+    * q_<pct> columns).
+    *
+    * One shuffle keyed by the GROUP column; the percentile state is a
+    * TypedImperativeAggregate (ObjectHashAggregate), quarantined in
+    * its own pass exactly like the ungrouped quartile pass A2 — never
+    * fused into a codegen'd aggregate it would eject. Skew bound is
+    * the largest single group's value count; at 100 TB group sizes,
+    * `exact = false` swaps in the bounded-memory sketch. */
+  def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      probabilities: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      exact: Boolean = true): DataFrame = {
+    require(probabilities.nonEmpty, "need at least one probability")
+    require(probabilities.forall(p => p >= 0.0 && p <= 1.0),
+      s"probabilities out of [0,1]: $probabilities")
+    val fn = if (exact) "percentile" else "percentile_approx"
+    val extra = if (exact) "" else ", 10000"
+    val arr = probabilities.map(p => s"${p}D").mkString(", ")
+    val names = probabilities.map {
+      case 0.25 => "q1"
+      case 0.5 => "median"
+      case 0.75 => "q3"
+      case p => s"q_${(p * 100).round}"
+    }
+    val out = names.zipWithIndex.map { case (alias, i) =>
+      element_at(col("__qs"), i + 1).cast(DoubleType).as(alias)
+    }
+    df.groupBy(c(groupCol).as("group"))
+      .agg(expr(s"$fn(`$valueCol`, array($arr)$extra)").as("__qs"))
+      .select(col("group") +: out: _*)
+  }
+
   /** Robust per-column statistics: median, MAD (median absolute
     * deviation), IQR, and a robust outlier count
     * (|x − median| > k · 1.4826 · MAD — the consistency-scaled MAD

@@ -311,6 +311,18 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     r.getAs[Long]("n_outliers") shouldBe 1L
   }
 
+  test("groupedPercentiles: per-group quartiles in one group-keyed pass") {
+    import graft.profiler.ProfilePasses
+    val s = spark
+    import s.implicits._
+    val df = (Seq.tabulate(5)(i => ("a", (i + 1).toDouble)) ++ // 1..5 → median 3
+      Seq(("b", 10.0), ("b", 20.0))).toDF("g", "v")
+    val out = ProfilePasses.groupedPercentiles(df, "g", "v")
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    out shouldBe Array(("a", 2.0, 3.0, 4.0), ("b", 12.5, 15.0, 17.5))
+  }
+
   test("robustStats handles an all-null column without a pass-2/3 job for it") {
     import graft.profiler.ProfilePasses
     val s = spark

@@ -50,4 +50,22 @@ class SkewJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
       SkewJoin.saltedJoin(big, small, Seq("k"), "row_id", saltFactor = 1)
     }
   }
+
+  test("skewReport surfaces the hot key with its share, ties broken by key") {
+    val out = SkewJoin.skewReport(big, "k", topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.head._1 shouldBe 1L // the 90% key
+    out.head._2 shouldBe 182L // 180 skewed + rows 181 & 191 hit k=1 via i%10
+    out.head._3 shouldBe (182.0 / 200.0) +- 1e-12
+    out.map(_._2).toSeq shouldBe out.map(_._2).sorted.reverse // descending
+  }
+
+  test("skewReport counts nulls as a key") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(1L), None, None, None).toDF("k")
+    val top = SkewJoin.skewReport(df, "k", topK = 1).head()
+    top.isNullAt(0) shouldBe true
+    top.getLong(1) shouldBe 3L
+  }
 }
