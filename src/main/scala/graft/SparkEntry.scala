@@ -1247,6 +1247,18 @@ object SparkEntry {
         .orderBy(col("df_count").desc, col("gram"))
     }),
 
+    // ---- Per-document characteristic terms (TF-IDF top-3): tf from
+    // one (doc, term) agg, df aggregated over those rows (no second
+    // corpus scan), term-keyed df join, per-document top-k window.
+    // Ranking is engine-local, so libm ln differences cannot flip an
+    // order they both compute from identical (tf, df) integers.
+    "txt_tfidf_terms" -> ((s, dir) => {
+      TextAnalysis.tfidfTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df_count"),
+          round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
+    }),
+
     "txt_strip_boilerplate" -> ((s, dir) => {
       val df = t(s, dir, "documents")
       TextAnalysis.stripBoilerplate(df, "text", "doc_id", n = 3, minDocFreq = 5)
@@ -4086,6 +4098,31 @@ object SparkEntry {
         |SELECT gram, count(*) AS df_count FROM g
         |GROUP BY gram HAVING count(*) >= 2
         |ORDER BY df_count DESC, gram LIMIT 25""".stripMargin,
+
+    // The same smoothed idf arithmetic over the same whitespace
+    // tokens; rank replayed with the identical (score desc, term)
+    // tiebreak.
+    "txt_tfidf_terms" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |  WHERE text IS NOT NULL
+        |), t AS (
+        |  SELECT doc_id, unnest(w) AS term FROM w
+        |), tc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df_count FROM tc GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS nd FROM documents WHERE text IS NOT NULL
+        |), s AS (
+        |  SELECT doc_id, term, tf, df_count,
+        |         tf * (ln((nd + 1.0) / (df_count + 1.0)) + 1.0) AS score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tf * (ln((nd + 1.0) / (df_count + 1.0)) + 1.0) DESC, term) AS rank
+        |  FROM tc JOIN dfq USING (term), n
+        |)
+        |SELECT doc_id, term, tf, df_count, round(score, 4) AS score, rank
+        |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // Boilerplate mining: word-trigram document frequency >= 5, full
     // n-grams only (no short-doc fallback — a span shorter than the

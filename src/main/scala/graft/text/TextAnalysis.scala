@@ -579,6 +579,44 @@ object TextAnalysis {
     spread(df).filter(col(textCol).isNotNull)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("w"))
 
+  /** Per-document top-k characteristic terms by TF-IDF — the keyword/
+    * topic surface of a corpus profile (what distinguishes THIS
+    * document from the corpus). Smoothed sklearn-style idf:
+    * ln((N + 1) / (df + 1)) + 1, score = tf · idf. Output:
+    * (id, term, tf, df_count, score, rank) for each document's top k
+    * terms in (score desc, term) order.
+    *
+    * Plan shape: tokens explode once → ONE (id, term) count aggregate
+    * (tf, map-side partials); term document frequency is a second
+    * aggregate OVER THE (id, term) ROWS (never a second corpus scan);
+    * the df join is term-keyed (vocabulary can be corpus-sized — no
+    * broadcast assumption); the top-k window partitions by DOCUMENT,
+    * so its sort is per-id, never global. Three key-partitioned
+    * shuffles total, each over rows already reduced to the vocabulary/
+    * posting size. */
+  def tfidfTerms(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val termCounts = tokenized(df, textCol, idCol)
+      .select(col(idCol), explode(col("w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = termCounts.groupBy("term")
+      .agg(count(lit(1)).as("df_count"))
+    val nDocs = df.filter(col(textCol).isNotNull).count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    termCounts.join(docFreq, "term")
+      .withColumn("score",
+        col("tf") * (log((lit(nDocs) + 1.0) / (col("df_count") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df_count"),
+        col("score"), col("rank"))
+  }
+
   /** Corpus boilerplate patterns: word n-grams whose DOCUMENT
     * frequency reaches `minDocFreq` — the shared headers, footers,
     * cookie banners, and license blurbs of a web corpus. One row per

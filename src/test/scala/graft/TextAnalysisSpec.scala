@@ -485,4 +485,30 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     twice(0).getAs[String]("clean_text") shouldBe "e"
     twice(3).getAs[String]("clean_text") shouldBe "z y x w v"
   }
+
+  test("tfidfTerms ranks corpus-rare repeated terms above ubiquitous ones") {
+    // "the" appears in every doc (df 3 → idf floor); "whale" repeats
+    // in doc 1 only (tf 2, df 1 → max idf) and must rank first there.
+    val df = docs(
+      (1L, "the whale the whale sea"),
+      (2L, "the cat sat"),
+      (3L, "the dog ran"))
+    val out = TextAnalysis.tfidfTerms(df, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(5)))
+    out.length shouldBe 6
+    out(0) shouldBe ((1L, "whale", 2L, 1L, 1))
+    // doc 1 rank 2: "the" (tf 2 at the idf floor → 2.0) still beats
+    // "sea" (tf 1, idf ln(4/2)+1 = 1.693)
+    out(1) shouldBe ((1L, "the", 2L, 3L, 2))
+    // every doc's terms come back in strictly ascending rank
+    out.map(_._1).toSeq shouldBe Seq(1L, 1L, 2L, 2L, 3L, 3L)
+  }
+
+  test("tfidfTerms ties break alphabetically at equal (tf, df)") {
+    val df = docs((1L, "beta alpha"), (2L, "gamma delta"))
+    val out = TextAnalysis.tfidfTerms(df, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank").collect().map(r => (r.getLong(0), r.getString(1)))
+    out shouldBe Array((1L, "alpha"), (1L, "beta"), (2L, "delta"), (2L, "gamma"))
+  }
 }
