@@ -1961,6 +1961,42 @@ object SparkEntry {
         ORDER BY segment, rn""")
     }),
 
+    // ---- SQL-surface proof: CUBE grouping sets (all 4 rollup levels
+    // in one pass — Spark plans ONE Expand + aggregate, not 4 scans).
+    // Null grouping markers are coalesced to a label so no engine's
+    // null-ordering quirk is in play.
+    "sql_cube_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, '(all)') AS rflag,
+               coalesce(l_linestatus, '(all)') AS lstatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty_sum
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY rflag, lstatus""")
+    }),
+
+    // ---- SQL-surface proof: pivot via the DataFrame API (explicit
+    // value list → no extra distinct-values job; one aggregate).
+    "sql_pivot_status" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- SQL-surface proof: set operations (EXCEPT distinct).
+    "sql_set_ops" -> ((s, dir) => {
+      t(s, dir, "orders")
+      s.sql("""
+        SELECT count(*) AS n_high_not_urgent FROM (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )""")
+    }),
+
     // ---- Event analytics: gap-based sessionization (30-min gap) —
     // one entity-keyed shuffle + window, no corpus-wide window. Break
     // decisions are integer-microsecond comparisons, so both engines
@@ -4357,6 +4393,28 @@ object SparkEntry {
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |) WHERE rn <= 3
         |ORDER BY segment, rn""".stripMargin,
+
+    "sql_cube_agg" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rflag,
+        |       coalesce(l_linestatus, '(all)') AS lstatus,
+        |       count(*) AS n, round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty_sum
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    // Pivot replayed as conditional aggregation.
+    "sql_pivot_status" ->
+      """SELECT l_returnflag,
+        |       round(CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE), 2) AS F,
+        |       round(CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sql_set_ops" ->
+      """SELECT count(*) AS n_high_not_urgent FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |)""".stripMargin,
 
     // Identical window chain: integer-microsecond gap compare, running
     // sum of break flags, then per-session aggregates.
