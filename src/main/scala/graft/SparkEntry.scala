@@ -2203,6 +2203,21 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- Categorical drift between the same two snapshots: the
+    // 'X' status injected into cur appears as an `added` category,
+    // every original status shifts share, and Σ tvd_term is the
+    // total-variation distance. One count agg per side, full-outer
+    // join of ≤cardinality rows.
+    "cmp_category_drift" -> ((s, dir) => {
+      val (ref, cur) = diffSnapshots(s, dir)
+      graft.compare.Drift.categoryDrift(ref, cur, "o_orderstatus")
+        .select(col("value"), col("ref_n"), col("cur_n"),
+          round(col("ref_share"), 6).as("ref_share"),
+          round(col("cur_share"), 6).as("cur_share"),
+          col("status"), round(col("tvd_term"), 6).as("tvd_term"))
+        .orderBy("value")
+    }),
+
     // ---- Key-skew report: the top-10 hottest l_suppkey values with
     // row counts and corpus share — the measure step before saltedJoin
     // or an AQE skew threshold. Group agg + grouped-rows total +
@@ -4714,6 +4729,22 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.75), 4) AS q3
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "cmp_category_drift" ->
+      s"""WITH $diffSnapshotsSql,
+         |rc AS (SELECT CAST(o_orderstatus AS VARCHAR) AS value, count(*) AS rn FROM ref GROUP BY 1),
+         |cc AS (SELECT CAST(o_orderstatus AS VARCHAR) AS value, count(*) AS cn FROM cur GROUP BY 1),
+         |j AS (SELECT coalesce(rc.value, cc.value) AS value, rc.rn, cc.cn
+         |      FROM rc FULL OUTER JOIN cc ON rc.value = cc.value),
+         |t AS (SELECT sum(coalesce(rn, 0)) AS rt, sum(coalesce(cn, 0)) AS ct FROM j)
+         |SELECT value, coalesce(rn, 0) AS ref_n, coalesce(cn, 0) AS cur_n,
+         |       round(coalesce(rn, 0) / CAST(t.rt AS DOUBLE), 6) AS ref_share,
+         |       round(coalesce(cn, 0) / CAST(t.ct AS DOUBLE), 6) AS cur_share,
+         |       CASE WHEN rn IS NULL THEN 'added'
+         |            WHEN cn IS NULL THEN 'removed' ELSE 'shared' END AS status,
+         |       round(abs(coalesce(rn, 0) / CAST(t.rt AS DOUBLE)
+         |                 - coalesce(cn, 0) / CAST(t.ct AS DOUBLE)) / 2, 6) AS tvd_term
+         |FROM j, t ORDER BY value""".stripMargin,
 
     // Same (n DESC, key) tiebreak at the top-k boundary.
     "jn_skew_report" ->

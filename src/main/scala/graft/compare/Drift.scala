@@ -81,6 +81,45 @@ object Drift {
           .as("cum_gap"))
   }
 
+  /** Categorical drift between snapshots of one low-cardinality
+    * column: which categories appeared / vanished, the per-category
+    * share delta, and the total-variation distance
+    * (TVD = ½·Σ|p − q|, 0 = identical mixtures, 1 = disjoint) — the
+    * categorical counterpart of [[binnedDrift]] (whose fixed-width
+    * bins make no sense for labels).
+    *
+    * Output: one row per category in either snapshot —
+    * (value, ref_n, cur_n, ref_share, cur_share, status ∈
+    * {added, removed, shared}, tvd_term = |p − q| / 2). Σ tvd_term is
+    * the TVD. Nulls count as a category (rendered as a real null
+    * row — a null-rate shift IS distribution drift).
+    *
+    * Plan: one count aggregate per side keyed by the category value,
+    * a full-outer join of the two ≤cardinality-sized results, and
+    * window-sums over those rows for the totals — each corpus scanned
+    * exactly once, nothing corpus-sized past the aggregates. */
+  def categoryDrift(
+      ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def counts(df: DataFrame, n: String): DataFrame =
+      df.groupBy(col(valueCol).cast("string").as("value"))
+        .agg(count(lit(1)).as(n))
+    val joined = counts(ref, "ref_n")
+      .join(counts(cur, "cur_n"), Seq("value"), "full_outer")
+    val refShare = coalesce(col("ref_n"), lit(0L)).cast("double") /
+      sum(coalesce(col("ref_n"), lit(0L))).over(all)
+    val curShare = coalesce(col("cur_n"), lit(0L)).cast("double") /
+      sum(coalesce(col("cur_n"), lit(0L))).over(all)
+    joined.select(col("value"),
+      coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+      coalesce(col("cur_n"), lit(0L)).as("cur_n"),
+      refShare.as("ref_share"), curShare.as("cur_share"),
+      when(col("ref_n").isNull, "added")
+        .when(col("cur_n").isNull, "removed")
+        .otherwise("shared").as("status"),
+      (abs(refShare - curShare) / 2.0).as("tvd_term"))
+  }
+
   /** The reference side of [[binnedDrift]] collected to driver
     * scalars — (lo, width, per-bin shares) — for consumers that score
     * MANY current snapshots (or stream windows) against one fixed

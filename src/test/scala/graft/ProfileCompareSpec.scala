@@ -203,4 +203,24 @@ class ProfileCompareSpec extends AnyFunSuite with Matchers with SparkTestBase {
     c.find(_.getAs[Int]("bin") == 0).get.getAs[Double]("cur_share") shouldBe 1.0 +- 1e-9
     c.foreach(r => r.getAs[Double]("psi_term").isNaN shouldBe false)
   }
+
+  test("categoryDrift: added/removed/shared statuses and the TVD total") {
+    import graft.compare.Drift
+    val s = spark
+    import s.implicits._
+    val ref = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("gone")).toDF("v")
+    val cur = (Seq.fill(3)("a") ++ Seq.fill(6)("b") ++ Seq.fill(1)("new")).toDF("v")
+    val out = Drift.categoryDrift(ref, cur, "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    out("a").getAs[String]("status") shouldBe "shared"
+    out("new").getAs[String]("status") shouldBe "added"
+    out("gone").getAs[String]("status") shouldBe "removed"
+    out("new").getAs[Long]("ref_n") shouldBe 0L
+    // TVD: shares ref (.6,.3,.1,0) vs cur (.3,.6,0,.1) → ½(0.3+0.3+0.1+0.1) = 0.4
+    out.values.map(_.getAs[Double]("tvd_term")).sum shouldBe 0.4 +- 1e-9
+    // Identical snapshots → zero drift, all shared.
+    val same = Drift.categoryDrift(ref, ref, "v").collect()
+    same.map(_.getAs[Double]("tvd_term")).sum shouldBe 0.0 +- 1e-12
+    same.forall(_.getAs[String]("status") == "shared") shouldBe true
+  }
 }
