@@ -1039,6 +1039,45 @@ object SparkEntry {
         round(avg(col("s_acctbal")), 4).as("acctbal_avg"))
     }),
 
+    // ---- Source factory, ORC path: same round-trip proof (columnar
+    // format #2 — schema and values survive the ORC writer/reader).
+    "src_orc_profile" -> ((s, dir) => {
+      val supplier = t(s, dir, "supplier")
+      val orcDir = System.getProperty("java.io.tmpdir") +
+        "/graft_src_orc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      supplier.write.mode("overwrite").orc(orcDir)
+      val df = graft.sources.Source.parse(s"orc:$orcDir").load(s)
+      df.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("s_nationkey")).cast("long").as("n_nations"),
+        min(col("s_suppkey")).cast("long").as("min_key"),
+        max(col("s_suppkey")).cast("long").as("max_key"),
+        sum(col("s_suppkey")).cast("long").as("key_sum"),
+        min(col("s_name")).as("min_name"),
+        max(col("s_name")).as("max_name"),
+        round(sum(col("s_acctbal")), 2).as("acctbal_sum"),
+        round(avg(col("s_acctbal")), 4).as("acctbal_avg"))
+    }),
+
+    // ---- JSON column extraction (the reference's SQL surface has no
+    // JSON functions at all, SURVEY §2.6): parse events.props with an
+    // explicit schema via from_json — schema-on-read stays a map-side
+    // projection, no inference job — and aggregate the extracted field
+    // per event type.
+    "ev_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))
+        .orderBy("event_type")
+    }),
+
     // ---- Deterministic hash splitting (train/val/test): each doc's
     // split is a pure function of (seed, doc_id) — reproducible across
     // clusters/retries and stable under corpus growth, unlike rand().
@@ -3380,6 +3419,27 @@ object SparkEntry {
         |       round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS acctbal_sum,
         |       round(CAST(avg(s_acctbal) AS DOUBLE), 4) AS acctbal_avg
         |FROM supplier""".stripMargin,
+
+    "src_orc_profile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT s_nationkey) AS BIGINT) AS n_nations,
+        |       CAST(min(s_suppkey) AS BIGINT) AS min_key,
+        |       CAST(max(s_suppkey) AS BIGINT) AS max_key,
+        |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |       min(s_name) AS min_name,
+        |       max(s_name) AS max_name,
+        |       round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS acctbal_sum,
+        |       round(CAST(avg(s_acctbal) AS DOUBLE), 4) AS acctbal_avg
+        |FROM supplier""".stripMargin,
+
+    // json_extract_string replays the schema-on-read field pull.
+    "ev_json_props" ->
+      """SELECT event_type,
+        |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Expected video dimensions from the GROUND-TRUTH doc_id rule the
     // gate synthesized the mp4/Matroska containers from; the engine
