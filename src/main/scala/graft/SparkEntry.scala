@@ -1609,6 +1609,33 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // ---- Streaming rolling stats: the same trailing-4 frame as
+    // ev_rolling_stats computed ONLINE — each arriving event emits its
+    // frame stats from O(windowRows) state per user, fed as day
+    // batches (which preserve per-user ts order, so the stream output
+    // is row-for-row the batch fixpoint and shares its oracle).
+    "ev_rolling_stream" -> ((s, dir) => {
+      import s.implicits._
+      val rows = eventsWithTs(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(to_date(col("ts")).cast("string").as("d"),
+          col("user_id").cast("string").as("key"),
+          unix_micros(col("ts").cast("timestamp")).as("tsm"),
+          col("event_id"), col("value"))
+        .as[(String, String, Long, Long, Double)].collect()
+      val batches = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rs) => rs.toSeq.sortBy(r => (r._3, r._4))
+          .map(r => (r._2, r._3, r._4, r._5)) }
+      replayToMemory(s, "ev_rolling_stream", batches)(ds =>
+        StreamProfiler.rollingStatsStream(ds, windowRows = 4).toDF())
+        .select(col("tiebreak").as("event_id"),
+          col("key").cast("long").as("user_id"),
+          col("rollN").as("roll_n"), round(col("rollSum"), 4).as("roll_sum"),
+          col("rollMin").as("roll_min"), col("rollMax").as("roll_max"),
+          round(col("rollMean"), 4).as("roll_mean"))
+        .orderBy("event_id")
+    }),
+
     // ---- Streaming exact dedup (first-arrival-wins dropDuplicates on
     // the content fingerprint), verified by deterministic replay: the
     // documents table arrives as 5 micro-batches keyed by doc_id % 5
@@ -4594,6 +4621,21 @@ object SparkEntry {
         |SELECT p.event_id AS purchase_id, p.user_id, m.click_id
         |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON p.event_id = m.purchase_id
         |ORDER BY purchase_id""".stripMargin,
+
+    // The streaming path earns the SAME oracle as the batch frame: day
+    // batches preserve per-user ts order, so online state folding must
+    // reproduce the batch window row-for-row.
+    "ev_rolling_stream" ->
+      """SELECT event_id, user_id,
+        |       count(value) OVER w AS roll_n,
+        |       round(CAST(sum(value) OVER w AS DOUBLE), 4) AS roll_sum,
+        |       min(value) OVER w AS roll_min,
+        |       max(value) OVER w AS roll_max,
+        |       round(CAST(avg(value) OVER w AS DOUBLE), 4) AS roll_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // The identical ROWS frame; count/min/max exact, sum/mean 4dp.
     "ev_rolling_stats" ->

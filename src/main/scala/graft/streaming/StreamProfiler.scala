@@ -217,6 +217,59 @@ object StreamProfiler {
       }
   }
 
+  /** One event's rolling stats at its arrival — the streaming output
+    * row of [[rollingStatsStream]]. `ts`/`tiebreak` echo the event's
+    * identity so the row joins back to its source. */
+  final case class RollingStat(
+      key: String, tsMicros: Long, tiebreak: Long,
+      rollN: Long, rollSum: Double, rollMin: Double, rollMax: Double,
+      rollMean: Double)
+
+  /** Streaming per-entity rolling stats over the trailing `windowRows`
+    * events — the real-time feature-computation counterpart of
+    * [[graft.events.Events.rollingStats]]: each arriving event emits
+    * one row with count/sum/min/max/mean over itself and the previous
+    * windowRows − 1 events of its key.
+    *
+    * State per key is the last windowRows − 1 values — fixed width,
+    * O(keys · windowRows) total regardless of stream volume, the same
+    * bounded-state contract as [[meanDrift]]. Rows WITHIN a
+    * micro-batch are sorted by (ts, tiebreak) before folding, so
+    * in-batch arrival order never perturbs the result; ACROSS batches
+    * the fold assumes each key's events arrive in nondecreasing ts
+    * order (the property a watermark + sorted replay provides — a
+    * genuinely late event would compute its frame against newer
+    * neighbors, which is the standard processing-order caveat of
+    * per-event streaming features). Under that ordering the stream
+    * output is row-for-row the batch [[graft.events.Events
+    * .rollingStats]] fixpoint, which is how the gate verifies it. */
+  def rollingStatsStream(
+      events: Dataset[(String, Long, Long, Double)],
+      windowRows: Int): Dataset[RollingStat] = {
+    require(windowRows >= 1, s"windowRows must be >= 1: $windowRows")
+    implicit val stateEnc: Encoder[Tuple1[Seq[Double]]] = Encoders.product[Tuple1[Seq[Double]]]
+    implicit val outEnc: Encoder[RollingStat] = Encoders.product[RollingStat]
+    events.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[Tuple1[Seq[Double]], RollingStat](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long, Double)],
+         state: GroupState[Tuple1[Seq[Double]]]) =>
+          val batch = rows.toSeq.sortBy(r => (r._2, r._3))
+          if (batch.isEmpty) Iterator.empty
+          else {
+            var recent = state.getOption.map(_._1).getOrElse(Seq.empty).toVector
+            val out = batch.map { case (_, ts, tb, v) =>
+              val frame = (recent :+ v).takeRight(windowRows)
+              recent = (recent :+ v).takeRight(math.max(windowRows - 1, 0))
+              RollingStat(key, ts, tb, frame.size.toLong, frame.sum,
+                frame.min, frame.max, frame.sum / frame.size)
+            }
+            state.update(Tuple1(recent))
+            out.iterator
+          }
+      }
+  }
+
   /** [[meanDrift]] over PRE-AGGREGATED micro-batch moments instead of
     * raw (key, value) pairs — the shape that scales: a grouped
     * aggregate upstream reduces each micro-batch to one fixed-width

@@ -439,4 +439,34 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got shouldBe expected
     got should not be empty
   }
+
+  test("rollingStatsStream: per-event frames carry across batches from bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(String, Long, Long, Double)]
+    val q = StreamProfiler.rollingStatsStream(input.toDS(), windowRows = 3)
+      .writeStream.format("memory").queryName("rolling_out")
+      .outputMode("append").start()
+    try {
+      // Batch 1 arrives OUT of ts order within the batch — the
+      // in-batch sort must fix it. Key a: values 10 (ts1), 20 (ts2).
+      input.addData(("a", 2L, 102L, 20.0), ("a", 1L, 101L, 10.0))
+      q.processAllAvailable()
+      // Batch 2: key a gets ts3/ts4 — ts3's frame spans the batch
+      // boundary (10, 20, 30); ts4's frame evicts 10. Key b starts fresh.
+      input.addData(("a", 3L, 103L, 30.0), ("a", 4L, 104L, 40.0), ("b", 1L, 201L, 5.0))
+      q.processAllAvailable()
+      val got = spark.table("rolling_out").as[StreamProfiler.RollingStat]
+        .collect().map(r => (r.key, r.tsMicros, r.rollN, r.rollSum, r.rollMin, r.rollMax))
+        .sortBy(t => (t._1, t._2))
+      got shouldBe Array(
+        ("a", 1L, 1L, 10.0, 10.0, 10.0),
+        ("a", 2L, 2L, 30.0, 10.0, 20.0),
+        ("a", 3L, 3L, 60.0, 10.0, 30.0), // frame crossed the batch boundary
+        ("a", 4L, 3L, 90.0, 20.0, 40.0), // oldest value evicted
+        ("b", 1L, 1L, 5.0, 5.0, 5.0))
+    } finally q.stop()
+  }
 }
