@@ -2140,6 +2140,18 @@ object SparkEntry {
         .orderBy("stage_idx")
     }),
 
+    // ---- The same funnel under a 2-hour conversion window: a stage
+    // counts only within maxStepSeconds of the latest prior-stage
+    // reach — the same single Window exec, running-max instead of
+    // running-min.
+    "ev_funnel_windowed" -> ((s, dir) => {
+      graft.events.Events.funnel(eventsWithTs(s, dir),
+          "user_id", "ts", "event_type",
+          stages = Seq("view", "click", "purchase"), tiebreakCol = "event_id",
+          maxStepSeconds = Some(7200L))
+        .orderBy("stage_idx")
+    }),
+
     // ---- As-of (backward) join: each purchase gets the LATEST click
     // by the same user at-or-before its timestamp — the union-stack
     // formulation (ONE entity-keyed shuffle + window carrying the last
@@ -4571,6 +4583,38 @@ object SparkEntry {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |), e3 AS (
         |  SELECT *, CASE WHEN event_type = 'purchase' AND min(r1) OVER wp IS NOT NULL THEN ts END AS r2
+        |  FROM e2
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), per_user AS (
+        |  SELECT user_id, count(r0) > 0 AS h0, count(r1) > 0 AS h1, count(r2) > 0 AS h2
+        |  FROM e3 GROUP BY user_id
+        |)
+        |SELECT stage_idx, stage, n_entities FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) FILTER (WHERE h0) AS n_entities FROM per_user
+        |  UNION ALL
+        |  SELECT 1, 'click', count(*) FILTER (WHERE h1) FROM per_user
+        |  UNION ALL
+        |  SELECT 2, 'purchase', count(*) FILTER (WHERE h2) FROM per_user
+        |) ORDER BY stage_idx""".stripMargin,
+
+    // The windowed chain: each stage's hit requires the LATEST prior
+    // reach within 7200 s (the latest is the tightest bound, so it
+    // decides the window test).
+    "ev_funnel_windowed" ->
+      """WITH e1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN event_type = 'view' THEN ts END AS r0
+        |  FROM events
+        |), e2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND max(r0) OVER wp IS NOT NULL
+        |         AND epoch_us(ts) - epoch_us(max(r0) OVER wp) <= 7200000000 THEN ts END AS r1
+        |  FROM e1
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), e3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND max(r1) OVER wp IS NOT NULL
+        |         AND epoch_us(ts) - epoch_us(max(r1) OVER wp) <= 7200000000 THEN ts END AS r2
         |  FROM e2
         |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)

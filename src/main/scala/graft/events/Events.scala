@@ -197,27 +197,46 @@ object Events {
     * n_entities), one row per stage.
     *
     * One pass, no per-stage self-joins (the naive formulation re-scans
-    * and re-shuffles the log once per stage): a chain of running-min
-    * windows over ONE (entity, ts, tiebreak) sort — `reached(k)` for a
-    * row is the earliest prior row whose `reached(k-1)` was set and
-    * whose type matched stage k — then a single per-entity aggregate
-    * and one tiny stage-count fold. All windows share the partition
-    * key and sort, so Spark plans them in one Window exec over one
-    * exchange regardless of stage count. */
+    * and re-shuffles the log once per stage): a chain of running-max
+    * windows over ONE (entity, ts, tiebreak) sort — `reached(k)` is
+    * set on a stage-k row when some strictly-earlier row carries
+    * `reached(k-1)` (the running max is non-null ⟺ one exists) — then
+    * a single per-entity aggregate and one tiny stage-count fold. All
+    * windows share the partition key and sort, so Spark plans them in
+    * one Window exec over one exchange regardless of stage count.
+    *
+    * `maxStepSeconds` adds the real-world conversion window: stage k
+    * counts only when it follows a stage-(k−1) reach by at most that
+    * many seconds. The latest prior reach is the tightest bound, so
+    * the same running max decides both existence and recency. */
   def funnel(df: DataFrame, entityCol: String, tsCol: String,
       typeCol: String, stages: Seq[String],
-      tiebreakCol: String): DataFrame = {
+      tiebreakCol: String,
+      maxStepSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxStepSeconds.forall(_ > 0), s"maxStepSeconds must be positive: $maxStepSeconds")
     val order = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tiebreakCol))
     val strictlyBefore = order.rowsBetween(Window.unboundedPreceding, -1)
     // reached_k: for stage 0, this row's ts when it IS a stage-0 event;
     // for stage k>0, this row's ts when it is a stage-k event AND some
-    // strictly-earlier row carries reached_{k-1}.
+    // strictly-earlier row carries reached_{k-1} — under a conversion
+    // window (`maxStepSeconds`), one no older than that. The LATEST
+    // prior reach (a running max — same one-Window-exec plan) decides
+    // both: non-null ⟺ exists, and its recency is the tightest bound,
+    // so a window that admits ANY prior reach admits the max.
     val withStages = stages.zipWithIndex.foldLeft(df) { case (acc, (stage, k)) =>
       val hit =
         if (k == 0) when(col(typeCol) === stage, col(tsCol))
-        else when(col(typeCol) === stage &&
-          min(col(s"reached_${k - 1}")).over(strictlyBefore).isNotNull, col(tsCol))
+        else {
+          val latestPrior = max(col(s"reached_${k - 1}")).over(strictlyBefore)
+          val inWindow = maxStepSeconds match {
+            case Some(sec) =>
+              unix_micros(col(tsCol).cast("timestamp")) -
+                unix_micros(latestPrior.cast("timestamp")) <= sec * 1000000L
+            case None => lit(true)
+          }
+          when(col(typeCol) === stage && latestPrior.isNotNull && inWindow, col(tsCol))
+        }
       acc.withColumn(s"reached_$k", hit)
     }
     val hits = stages.indices.map(k =>

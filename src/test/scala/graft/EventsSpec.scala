@@ -99,6 +99,47 @@ class EventsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out shouldBe Array(("view", 1L), ("click", 1L))
   }
 
+  test("funnel conversion window: a stage too long after the prior reach does not count") {
+    val s = spark
+    import s.implicits._
+    // user 1: view at 0, click at 10 min (in a 5-min window? no — 600s
+    // > 300s → click must NOT count). user 2: view 0, click 4 min → counts.
+    val log = Seq(
+      (1L, ts(0), 1L, "view", 0.0),
+      (2L, ts(10), 1L, "click", 0.0),
+      (3L, ts(0), 2L, "view", 0.0),
+      (4L, ts(4), 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.funnel(log, "user_id", "ts", "event_type",
+        stages = Seq("view", "click"), tiebreakCol = "event_id",
+        maxStepSeconds = Some(300L))
+      .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2)))
+    out shouldBe Array(("view", 2L), ("click", 1L))
+    // Unbounded: both clicks count — and the max-based rewrite must
+    // reproduce the original min-based semantics exactly.
+    val unbounded = Events.funnel(log, "user_id", "ts", "event_type",
+        stages = Seq("view", "click"), tiebreakCol = "event_id")
+      .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2)))
+    unbounded shouldBe Array(("view", 2L), ("click", 2L))
+  }
+
+  test("funnel conversion window measures from the LATEST prior reach, not the first") {
+    val s = spark
+    import s.implicits._
+    // views at 0 and 50 min; click at 52 min. First view is 52 min ago
+    // (out of a 5-min window) but the latest is 2 min ago → counts.
+    val log = Seq(
+      (1L, ts(0), 1L, "view", 0.0),
+      (2L, ts(50), 1L, "view", 0.0),
+      (3L, ts(52), 1L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.funnel(log, "user_id", "ts", "event_type",
+        stages = Seq("view", "click"), tiebreakCol = "event_id",
+        maxStepSeconds = Some(300L))
+      .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2)))
+    out shouldBe Array(("view", 1L), ("click", 1L))
+  }
+
   private lazy val asOfLeft = {
     val s = spark
     import s.implicits._
