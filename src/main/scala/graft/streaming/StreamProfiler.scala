@@ -245,27 +245,45 @@ object StreamProfiler {
     * .rollingStats]] fixpoint, which is how the gate verifies it. */
   def rollingStatsStream(
       events: Dataset[(String, Long, Long, Double)],
-      windowRows: Int): Dataset[RollingStat] = {
+      windowRows: Int,
+      idleTimeoutMs: Option[Long] = None): Dataset[RollingStat] = {
     require(windowRows >= 1, s"windowRows must be >= 1: $windowRows")
+    require(idleTimeoutMs.forall(_ > 0), s"idleTimeoutMs must be positive: $idleTimeoutMs")
     implicit val stateEnc: Encoder[Tuple1[Seq[Double]]] = Encoders.product[Tuple1[Seq[Double]]]
     implicit val outEnc: Encoder[RollingStat] = Encoders.product[RollingStat]
+    // idleTimeoutMs bounds state to the ACTIVE key set: a key idle
+    // past the timeout has its frame evicted (and restarts cold on
+    // return) — without it, one-shot keys (abandoned sessions, churned
+    // devices) accumulate state forever. NoTimeout remains the default
+    // for bounded key universes where frames must survive any gap.
+    // Caveat: ProcessingTimeTimeout fires through no-data micro-batches,
+    // so pair it with a real trigger interval (the production shape) —
+    // under the default 0 ms trigger those timer checks busy-loop.
+    val timeoutConf = if (idleTimeoutMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     events.groupByKey(_._1)(Encoders.STRING)
       .flatMapGroupsWithState[Tuple1[Seq[Double]], RollingStat](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: String, rows: Iterator[(String, Long, Long, Double)],
          state: GroupState[Tuple1[Seq[Double]]]) =>
-          val batch = rows.toSeq.sortBy(r => (r._2, r._3))
-          if (batch.isEmpty) Iterator.empty
-          else {
-            var recent = state.getOption.map(_._1).getOrElse(Seq.empty).toVector
-            val out = batch.map { case (_, ts, tb, v) =>
-              val frame = (recent :+ v).takeRight(windowRows)
-              recent = (recent :+ v).takeRight(math.max(windowRows - 1, 0))
-              RollingStat(key, ts, tb, frame.size.toLong, frame.sum,
-                frame.min, frame.max, frame.sum / frame.size)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(r => (r._2, r._3))
+            if (batch.isEmpty) Iterator.empty
+            else {
+              var recent = state.getOption.map(_._1).getOrElse(Seq.empty).toVector
+              val out = batch.map { case (_, ts, tb, v) =>
+                val frame = (recent :+ v).takeRight(windowRows)
+                recent = (recent :+ v).takeRight(math.max(windowRows - 1, 0))
+                RollingStat(key, ts, tb, frame.size.toLong, frame.sum,
+                  frame.min, frame.max, frame.sum / frame.size)
+              }
+              state.update(Tuple1(recent))
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+              out.iterator
             }
-            state.update(Tuple1(recent))
-            out.iterator
           }
       }
   }

@@ -469,4 +469,32 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
         ("b", 1L, 1L, 5.0, 5.0, 5.0))
     } finally q.stop()
   }
+
+  test("rollingStatsStream idle-timeout path computes identical frames while keys stay live") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // ProcessingTimeTimeout + the default 0 ms trigger + no-data
+    // micro-batches = a busy loop of empty timer-check batches; a
+    // production query uses a real trigger interval, the test simply
+    // disables no-data batches on a child session.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[(String, Long, Long, Double)]
+    // A generous timeout: state must still carry across back-to-back
+    // batches (the TTL only evicts IDLE keys).
+    val q = StreamProfiler.rollingStatsStream(input.toDS(), windowRows = 2,
+        idleTimeoutMs = Some(3600_000L))
+      .writeStream.format("memory").queryName("rolling_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1L, 1L, 10.0))
+      q.processAllAvailable()
+      input.addData(("a", 2L, 2L, 20.0))
+      q.processAllAvailable()
+      val got = s2.table("rolling_ttl").as[StreamProfiler.RollingStat]
+        .collect().sortBy(_.tsMicros).map(r => (r.tsMicros, r.rollN, r.rollSum))
+      got shouldBe Array((1L, 1L, 10.0), (2L, 2L, 30.0)) // frame crossed batches
+    } finally q.stop()
+  }
 }
