@@ -2238,6 +2238,25 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    // ---- Interval-OVERLAP join (two interval sets, neither a point):
+    // ~2.1k × 3k price intervals derived from orders, binned the same
+    // way, pair-deduped by counting each pair only in its
+    // intersection's first bin — no distinct shuffle.
+    "rj_interval_overlap" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey").as("a_key"), col("o_totalprice").as("a_lo"),
+          (col("o_totalprice") + 5000.0).as("a_hi"))
+      val b = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey").as("b_key"), col("o_totalprice").as("b_lo"),
+          (col("o_totalprice") + 3000.0).as("b_hi"))
+      graft.join.RangeJoin.intervalOverlapJoin(a, "a_lo", "a_hi",
+          b, "b_lo", "b_hi", binWidth = 4000.0)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a_key")).cast("long").as("a_key_sum"),
+          sum(col("b_key")).cast("long").as("b_key_sum"))
+    }),
+
     // ---- Leakage-safe GROUP split: the split hash is keyed on the
     // GROUP column (source), so every document of a source lands in
     // the same split by construction — near-duplicates within a
@@ -4715,6 +4734,21 @@ object SparkEntry {
         |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS price_sum
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    // The raw inequality-overlap join IS the oracle: the binned
+    // formulation must produce exactly its pair multiset.
+    "rj_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_key, o_totalprice AS a_lo, o_totalprice + 5000.0 AS a_hi
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), b AS (
+        |  SELECT o_orderkey AS b_key, o_totalprice AS b_lo, o_totalprice + 3000.0 AS b_hi
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |)
+        |SELECT count(*) AS n_pairs,
+        |       CAST(sum(a_key) AS BIGINT) AS a_key_sum,
+        |       CAST(sum(b_key) AS BIGINT) AS b_key_sum
+        |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi""".stripMargin,
 
     // Group-keyed md5 split replayed digit-for-digit on the SOURCE
     // string: every doc of a source shares one u, so each source maps

@@ -47,6 +47,50 @@ object RangeJoin {
     points.join(broadcast(ranges),
       pointInRange(col(pointCol), col(loCol), col(hiCol)))
 
+  /** Interval-OVERLAP join for two LARGE interval sets: pairs where
+    * [aLo, aHi) ∩ [bLo, bHi) ≠ ∅ (strict overlap: `aLo < bHi && bLo <
+    * aHi`) — meeting-conflict detection, session co-occurrence,
+    * time-range enrichment, neither side a point. Same binning move as
+    * [[binnedRangeJoin]], plus the co-occurrence DEDUP every
+    * interval×interval binning needs: two overlapping intervals share
+    * EVERY bin their intersection covers, so the pair is counted only
+    * in the intersection's FIRST bin (`floor(max(aLo, bLo) / w)` — a
+    * pure function of the pair, present in both sides' bin ranges by
+    * construction). No post-join `distinct` shuffle, no duplicate
+    * pairs, one hash equi-join on the bin. */
+  def intervalOverlapJoin(left: DataFrame, leftLo: String, leftHi: String,
+      right: DataFrame, rightLo: String, rightHi: String,
+      binWidth: Double, maxBinsPerRange: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    require(Set(leftLo, leftHi).intersect(Set(rightLo, rightHi)).isEmpty,
+      "left and right lo/hi column names must differ (alias one side)")
+    val internal = Seq("__bin", "__lo_bin", "__hi_bin")
+    (left.columns ++ right.columns).foreach { c =>
+      require(!internal.contains(c), s"input already has reserved column '$c'")
+    }
+    def explodeBins(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val loBin = floor(col(lo) / binWidth).cast("long")
+      val hiBin = floor(col(hi) / binWidth).cast("long")
+      val span = hiBin - loBin + lit(1L)
+      val guardedHi = when(span <= lit(maxBinsPerRange.toLong), greatest(loBin, hiBin))
+        .otherwise(raise_error(concat(
+          lit("intervalOverlapJoin: an interval spans "), span.cast("string"),
+          lit(s" bins > maxBinsPerRange=$maxBinsPerRange — widen binWidth " +
+            "or raise the cap deliberately"))).cast("long"))
+      df.withColumn("__bin", explode(sequence(loBin, guardedHi)))
+    }
+    explodeBins(left, leftLo, leftHi)
+      .join(explodeBins(right, rightLo, rightHi), "__bin")
+      .filter(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
+      // Keep the pair only in its intersection's first bin: both sides
+      // cover that bin (it is ≥ each side's lo-bin and ≤ each side's
+      // hi-bin whenever the intervals overlap), so exactly one of the
+      // joined candidate rows survives.
+      .filter(col("__bin") ===
+        floor(greatest(col(leftLo), col(rightLo)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
+
   /** Inner range join for two LARGE sides via domain binning: explode
     * each interval row to every bin index in
     * [floor(lo/w), floor((hi - ulp)/w)], bin each point to

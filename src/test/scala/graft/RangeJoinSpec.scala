@@ -72,6 +72,36 @@ class RangeJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
     e.getMessage should include("maxBinsPerRange")
   }
 
+  test("intervalOverlapJoin matches the naive overlap filter exactly, no duplicates") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("a1", 0.0, 10.0), ("a2", 9.0, 12.0), ("a3", 20.0, 21.0),
+      ("a4", 0.0, 100.0)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq(("b1", 5.0, 9.5), ("b2", 10.0, 15.0), ("b3", 21.0, 25.0))
+      .toDF("b_id", "b_lo", "b_hi")
+    val naive = a.crossJoin(b)
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("a_id", "b_id").collect().map(_.toSeq).toList
+    for (w <- Seq(1.0, 3.0, 10.0, 500.0)) withClue(s"binWidth=$w: ") {
+      val out = RangeJoin.intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+          binWidth = w)
+        .select("a_id", "b_id").collect().map(_.toSeq).toList
+      // list (not set) compare: binning must not duplicate any pair
+      out.sortBy(_.toString) shouldBe naive.sortBy(_.toString)
+    }
+    // a4 spans every b: wide intervals still pair exactly once each.
+    naive.count(_.head == "a4") shouldBe 3
+  }
+
+  test("intervalOverlapJoin: touching endpoints (aHi == bLo) do not overlap") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("a1", 0.0, 10.0)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq(("b1", 10.0, 20.0)).toDF("b_id", "b_lo", "b_hi")
+    RangeJoin.intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+      binWidth = 5.0).count() shouldBe 0L
+  }
+
   test("degenerate empty-interval rows (lo >= hi) match nothing") {
     val s = spark
     import s.implicits._
