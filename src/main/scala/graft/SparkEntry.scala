@@ -1286,6 +1286,24 @@ object SparkEntry {
         .orderBy(col("df_count").desc, col("gram"))
     }),
 
+    // ---- URL canonicalization: doc pairs (2k, 2k+1) carry the SAME
+    // page as a messy variant (uppercase scheme/host, :443, utm_*
+    // params, fragment) and a clean one — normalization must collapse
+    // each pair to one identical key, byte-for-byte replayed in SQL.
+    "txt_url_normalize" -> ((s, dir) => {
+      val g = (col("doc_id") / 2).cast("long")
+      val h = pmod(g, lit(5)).cast("string")
+      val messy = concat(lit("HTTPS://WWW.Example"), h, lit(".COM:443/p/"),
+        g.cast("string"), lit("?utm_source=feed&id="), g.cast("string"),
+        lit("&utm_campaign=x#frag"))
+      val clean = concat(lit("https://www.example"), h, lit(".com/p/"),
+        g.cast("string"), lit("?id="), g.cast("string"))
+      val df = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, messy).otherwise(clean).as("url"))
+      TextAnalysis.urlFeatures(df, "url", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- Per-document characteristic terms (TF-IDF top-3): tf from
     // one (doc, term) agg, df aggregated over those rows (no second
     // corpus scan), term-keyed df join, per-document top-k window.
@@ -4267,6 +4285,45 @@ object SparkEntry {
         |SELECT gram, count(*) AS df_count FROM g
         |GROUP BY gram HAVING count(*) >= 2
         |ORDER BY df_count DESC, gram LIMIT 25""".stripMargin,
+
+    // The identical regexp chain (DuckDB needs the explicit 'g' flag —
+    // Spark's regexp_replace is global by default).
+    "txt_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0
+        |           THEN 'HTTPS://WWW.Example' || CAST((doc_id // 2) % 5 AS VARCHAR) ||
+        |                '.COM:443/p/' || CAST(doc_id // 2 AS VARCHAR) ||
+        |                '?utm_source=feed&id=' || CAST(doc_id // 2 AS VARCHAR) || '&utm_campaign=x#frag'
+        |           ELSE 'https://www.example' || CAST((doc_id // 2) % 5 AS VARCHAR) ||
+        |                '.com/p/' || CAST(doc_id // 2 AS VARCHAR) ||
+        |                '?id=' || CAST(doc_id // 2 AS VARCHAR)
+        |         END AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, url,
+        |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |         lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+        |               '^[^@]*@', '')) AS hostport,
+        |         regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1),
+        |               '#.*$', '') AS tail0
+        |  FROM u
+        |), cleaned AS (
+        |  SELECT doc_id, scheme,
+        |         regexp_replace(hostport, ':[0-9]+$', '') AS host,
+        |         CASE WHEN (scheme = 'https' AND hostport LIKE '%:443')
+        |                OR (scheme = 'http' AND hostport LIKE '%:80')
+        |           THEN regexp_replace(hostport, ':[0-9]+$', '') ELSE hostport END AS chp,
+        |         regexp_replace(regexp_replace(
+        |           regexp_replace(regexp_replace(regexp_replace(tail0,
+        |             'utm_[A-Za-z0-9_]*=[^&#]*&?', '', 'g'),
+        |             'fbclid=[^&#]*&?', '', 'g'),
+        |             'gclid=[^&#]*&?', '', 'g'),
+        |           '\?&', '?'), '[?&]$', '') AS tail
+        |  FROM parts
+        |)
+        |SELECT doc_id, scheme, host, scheme || '://' || chp || tail AS normalized
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
 
     // The same smoothed idf arithmetic over the same whitespace
     // tokens; rank replayed with the identical (score desc, term)

@@ -579,6 +579,46 @@ object TextAnalysis {
     spread(df).filter(col(textCol).isNotNull)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("w"))
 
+  /** URL canonicalization for web corpora — the key the crawl-dedup
+    * and domain-mixing steps group on (the same page arrives as
+    * `HTTPS://Www.X.com:443/p?utm_source=a#top` and
+    * `https://www.x.com/p`). Output: (id, scheme, host, normalized)
+    * where `normalized` lowercases scheme and host, strips userinfo,
+    * default ports (80/443 for their schemes), tracking parameters
+    * (utm_*, fbclid, gclid), dangling query separators, and the
+    * fragment. Path and meaningful query parameters are preserved
+    * byte-for-byte — over-normalizing merges distinct pages, which is
+    * worse than missing a dup.
+    *
+    * Pure map-side regexp chain (codegen'd, no UDF); each pattern is
+    * a single anchored or parameter-scoped expression that matches
+    * identically under Java regex and RE2, so an external engine
+    * replays the canonicalization byte-for-byte. */
+  def urlFeatures(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val url = trim(col(urlCol))
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1),
+      "^[^@]*@", ""))
+    val host = regexp_replace(hostport, ":[0-9]+$", "")
+    val defaultPort = (scheme === "https" && hostport.endsWith(":443")) ||
+      (scheme === "http" && hostport.endsWith(":80"))
+    val cleanHostport = when(defaultPort, host).otherwise(hostport)
+    // Everything after the authority, fragment dropped.
+    val tail0 = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1), "#.*$", "")
+    // Tracking params out (one pattern per family — no alternation),
+    // then dangling separators tidied.
+    val tail = Seq("utm_[A-Za-z0-9_]*", "fbclid", "gclid")
+      .foldLeft(tail0)((t, p) => regexp_replace(t, s"$p=[^&#]*&?", ""))
+    val tidied = regexp_replace(regexp_replace(tail, "\\?&", "?"), "[?&]$", "")
+    df.filter(col(urlCol).isNotNull)
+      .select(col(idCol), scheme.as("scheme"), host.as("host"),
+        when(scheme === "", url) // not a URL: pass through untouched
+          .otherwise(concat(scheme, lit("://"), cleanHostport, tidied))
+          .as("normalized"))
+  }
+
   /** Per-document top-k characteristic terms by TF-IDF — the keyword/
     * topic surface of a corpus profile (what distinguishes THIS
     * document from the corpus). Smoothed sklearn-style idf:

@@ -505,6 +505,23 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.map(_._1).toSeq shouldBe Seq(1L, 1L, 2L, 2L, 3L, 3L)
   }
 
+  test("urlFeatures canonicalizes scheme/host/ports/tracking params, keeps real params") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "HTTPS://User:pw@WWW.Site.COM:443/Path/X?utm_source=a&q=KeepMe&fbclid=zz#frag"),
+      (2L, "http://site.com:8080/x?gclid=1"),   // non-default port survives
+      (3L, "https://site.com/x?utm_only=1"),    // all params stripped → bare path
+      (4L, "not a url at all")                  // passthrough
+    ).toDF("id", "url")
+    val out = TextAnalysis.urlFeatures(df, "url", "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    out(0) shouldBe ((1L, "https", "www.site.com", "https://www.site.com/Path/X?q=KeepMe"))
+    out(1) shouldBe ((2L, "http", "site.com", "http://site.com:8080/x"))
+    out(2) shouldBe ((3L, "https", "site.com", "https://site.com/x"))
+    out(3) shouldBe ((4L, "", "", "not a url at all"))
+  }
+
   test("tfidfTerms ties break alphabetically at equal (tf, df)") {
     val df = docs((1L, "beta alpha"), (2L, "gamma delta"))
     val out = TextAnalysis.tfidfTerms(df, "text", "doc_id", k = 2)
