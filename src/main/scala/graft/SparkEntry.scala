@@ -2191,6 +2191,24 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // ---- FORWARD as-of: each purchase gets the EARLIEST error event
+    // by the same user at-or-after its timestamp within 24 h — the
+    // next-event attribution shape (did the purchase precede a
+    // failure?). Ties resolve to the smallest event_id.
+    "ev_asof_forward" -> ((s, dir) => {
+      val ev = eventsWithTs(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+      graft.events.Events.asOfJoin(purchases, errors,
+          "user_id", "user_id", "ts", "ts",
+          rightValueCols = Seq("event_id"), rightTiebreakCol = "event_id",
+          toleranceSeconds = Some(86400L), direction = "forward")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("asof_event_id").as("next_error_id"))
+        .orderBy("purchase_id")
+    }),
+
     // ---- The same as-of join under a 1-hour lookback tolerance:
     // clicks older than an hour before the purchase no longer match
     // (the carried match is the NEWEST qualifying one, so nulling a
@@ -4721,6 +4739,22 @@ object SparkEntry {
         |)
         |SELECT p.event_id AS purchase_id, p.user_id, m.click_id,
         |       round(CAST(m.click_value AS DOUBLE), 4) AS click_value
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON p.event_id = m.purchase_id
+        |ORDER BY purchase_id""".stripMargin,
+
+    // Forward replay: rank ascending (earliest ts, smallest id) over
+    // the future-side pairs within the 24 h window.
+    "ev_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |m AS (
+        |  SELECT p.event_id AS purchase_id, e.event_id AS next_error_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        |  FROM p JOIN e ON p.user_id = e.user_id AND e.ts >= p.ts
+        |                AND e.ts <= p.ts + INTERVAL 24 HOURS
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id, m.next_error_id
         |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON p.event_id = m.purchase_id
         |ORDER BY purchase_id""".stripMargin,
 

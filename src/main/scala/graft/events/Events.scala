@@ -92,13 +92,15 @@ object Events {
         col("sess.end").as("session_end"), col("n_events"), col("sum_value"))
   }
 
-  /** As-of (backward) join: for each left row, attach the LATEST right
-    * row of the same entity whose timestamp is ≤ the left row's
-    * timestamp (optionally within `toleranceSeconds` lookback). Ties
-    * on the right timestamp resolve to the greatest `rightTiebreakCol`
-    * — a pinned total order, so the match is deterministic row-for-row
-    * on any cluster. Right columns come back prefixed (`asof_` by
-    * default), null when no right row qualifies.
+  /** As-of join: for each left row, attach the NEAREST right row of
+    * the same entity in the join direction — `backward` (default): the
+    * latest right with ts ≤ left ts; `forward`: the earliest right
+    * with ts ≥ left ts (next-event attribution) — optionally within
+    * `toleranceSeconds`. Ties on the right timestamp resolve to the
+    * greatest tiebreak backward / smallest forward — a pinned total
+    * order, so the match is deterministic row-for-row on any cluster.
+    * Right columns come back prefixed (`asof_` by default), null when
+    * no right row qualifies.
     *
     * NOT a join in the physical plan: the classic union-stack
     * formulation. Both sides are stacked with a side tag (right = 0 so
@@ -121,43 +123,64 @@ object Events {
       leftTsCol: String, rightTsCol: String,
       rightValueCols: Seq[String], rightTiebreakCol: String,
       toleranceSeconds: Option[Long] = None,
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      direction: String = "backward"): DataFrame = {
     require(rightValueCols.nonEmpty, "asOfJoin needs at least one right value column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward: $direction")
+    val backward = direction == "backward"
     val payloadCols = (rightValueCols :+ rightTiebreakCol).distinct
     val internal = Seq("__k", "__t", "__side", "__tb", "__r", "__l")
     internal.foreach { c =>
       require(!left.columns.contains(c),
         s"left input already has reserved column '$c'")
     }
+    // Side tags order equal-timestamp rows so the boundary is
+    // inclusive in BOTH directions: backward (right ≤ left) wants the
+    // right row BEFORE the left row it matches; forward (right ≥
+    // left) wants it after.
+    val (rightSide, leftSide) = if (backward) (0, 1) else (1, 0)
     val rightStacked = right.select(
       col(rightKeyCol).as("__k"),
       col(rightTsCol).as("__t"),
-      lit(0).as("__side"),
+      lit(rightSide).as("__side"),
       col(rightTiebreakCol).as("__tb"),
       struct((col(rightTsCol).as("__rt") +: payloadCols.map(col)): _*).as("__r"),
       lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields)).as("__l"))
     val leftStacked = left.select(
       col(leftKeyCol).as("__k"),
       col(leftTsCol).as("__t"),
-      lit(1).as("__side"),
+      lit(leftSide).as("__side"),
       lit(null).cast(right.schema(rightTiebreakCol).dataType).as("__tb"),
       lit(null).cast(rightStacked.schema("__r").dataType).as("__r"),
       struct(left.columns.map(col): _*).as("__l"))
-    val w = Window.partitionBy(col("__k"))
+    // Backward: carry the LAST right payload from the past (ties → the
+    // greatest tiebreak, which sorts last). Forward: take the FIRST
+    // right payload in the future (ties → the smallest tiebreak).
+    val order = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, carryExpr) =
+      if (backward) (
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        (c: Column) => last(c, ignoreNulls = true))
+      else (
+        order.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+        (c: Column) => first(c, ignoreNulls = true))
     val carried = rightStacked.unionByName(leftStacked)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    // Tolerance: the carried match is the latest-ever; null it out when
-    // it fell out of the lookback window. (A carried-too-old match can
-    // hide a younger one only if no younger one exists — last() keeps
-    // the newest — so the null is exact, not approximate.)
+      .withColumn("__m", carryExpr(col("__r")).over(w))
+      .filter(col("__side") === lit(leftSide))
+    // Tolerance: the carried match is the nearest-ever in the join
+    // direction; null it out when it falls outside the window. (A
+    // nearer in-window match cannot hide behind it — last()/first()
+    // keep the nearest — so the null is exact, not approximate.)
+    val gapMicros =
+      if (backward) unix_micros(col("__t").cast("timestamp")) -
+        unix_micros(col("__m.__rt").cast("timestamp"))
+      else unix_micros(col("__m.__rt").cast("timestamp")) -
+        unix_micros(col("__t").cast("timestamp"))
     val matched = toleranceSeconds match {
       case Some(tol) => when(
-        col("__m").isNotNull &&
-          unix_micros(col("__t").cast("timestamp")) -
-            unix_micros(col("__m.__rt").cast("timestamp")) <= tol * 1000000L,
+        col("__m").isNotNull && gapMicros <= tol * 1000000L,
         col("__m"))
       case None => col("__m")
     }

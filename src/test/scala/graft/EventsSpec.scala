@@ -200,6 +200,44 @@ class EventsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out shouldBe Array((100L, None), (101L, Some(3L)), (102L, None), (103L, None))
   }
 
+  test("asOfJoin forward attaches the earliest right row at-or-after, smallest-id ties") {
+    val s = spark
+    import s.implicits._
+    val right = Seq(
+      (9L, 1L, ts(30), 9.0),
+      (7L, 1L, ts(30), 7.0), // same ts: smallest id wins forward
+      (5L, 1L, ts(10), 5.0)  // in the past: never matches forward
+    ).toDF("event_id", "user_id", "ts", "value")
+    val left = Seq(
+      (100L, 1L, ts(20)), // next right at 30 → id 7
+      (101L, 1L, ts(30)), // equal ts qualifies (>= semantics) → id 7
+      (102L, 1L, ts(31)), // nothing after
+      (103L, 2L, ts(0))   // no rights at all
+    ).toDF("pid", "user_id", "pts")
+    val out = Events.asOfJoin(left, right, "user_id", "user_id", "pts", "ts",
+        rightValueCols = Seq("event_id"), rightTiebreakCol = "event_id",
+        direction = "forward")
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    out shouldBe Array(
+      (100L, Some(7L)), (101L, Some(7L)), (102L, None), (103L, None))
+  }
+
+  test("asOfJoin forward tolerance bounds the lookahead") {
+    val s = spark
+    import s.implicits._
+    val right = Seq((9L, 1L, ts(30), 9.0)).toDF("event_id", "user_id", "ts", "value")
+    val left = Seq((100L, 1L, ts(20)), (101L, 1L, ts(28)))
+      .toDF("pid", "user_id", "pts")
+    val out = Events.asOfJoin(left, right, "user_id", "user_id", "pts", "ts",
+        rightValueCols = Seq("event_id"), rightTiebreakCol = "event_id",
+        toleranceSeconds = Some(300L), direction = "forward")
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    // pid 100: next right is 600 s ahead > 300 s → null; pid 101: 120 s → match.
+    out shouldBe Array((100L, None), (101L, Some(9L)))
+  }
+
   test("rollingStats computes the trailing ROWS frame per entity") {
     val s = spark
     import s.implicits._
