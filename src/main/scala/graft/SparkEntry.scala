@@ -991,6 +991,19 @@ object SparkEntry {
       audit.crossJoin(capped)
     }),
 
+    // ---- Embedding-cluster quality: per label, cohesion (mean cosine
+    // to own centroid) and separation (max cosine to another label's
+    // centroid) — one (label, pos) scalar aggregate for the centroids,
+    // one broadcast-join scan for the cosines.
+    "ll27_cluster_quality" -> ((s, dir) => {
+      graft.similarity.Similarity.clusterQuality(
+          t(s, dir, "embeddings"), "embedding", "label")
+        .select(col("label"), col("n"),
+          round(col("mean_cos_to_centroid"), 4).as("mean_cos_to_centroid"),
+          round(col("nearest_other_centroid_cos"), 4).as("nearest_other_centroid_cos"))
+        .orderBy("label")
+    }),
+
     // ---- Source factory: the CSV path produces the same profile as
     // the parquet path. The gate round-trips the nation fixture
     // through a header'd CSV file, loads it back through
@@ -3513,6 +3526,31 @@ object SparkEntry {
         |       round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS acctbal_sum,
         |       round(CAST(avg(s_acctbal) AS DOUBLE), 4) AS acctbal_avg
         |FROM supplier""".stripMargin,
+
+    // Centroids rebuilt elementwise (embedding[i] over range(1, 65)),
+    // then the same cohesion/separation arithmetic; 4dp absorbs the
+    // float-sum fold-order gap.
+    "ll27_cluster_quality" ->
+      """WITH c AS (
+        |  SELECT label, i, avg(embedding[i]) AS cv
+        |  FROM embeddings, range(1, 65) t(i)
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |  GROUP BY label, i
+        |), cent AS (
+        |  SELECT label, list(cv ORDER BY i) AS centroid FROM c GROUP BY label
+        |), rowcos AS (
+        |  SELECT e.label, list_cosine_similarity(e.embedding, ct.centroid) AS cos
+        |  FROM embeddings e JOIN cent ct ON e.label = ct.label
+        |), agg AS (
+        |  SELECT label, count(*) AS n, round(avg(cos), 4) AS mean_cos_to_centroid
+        |  FROM rowcos GROUP BY label
+        |), pair AS (
+        |  SELECT a.label, max(list_cosine_similarity(a.centroid, b.centroid)) AS oc
+        |  FROM cent a JOIN cent b ON a.label <> b.label GROUP BY a.label
+        |)
+        |SELECT CAST(agg.label AS VARCHAR) AS label, agg.n, agg.mean_cos_to_centroid,
+        |       round(pair.oc, 4) AS nearest_other_centroid_cos
+        |FROM agg JOIN pair USING (label) ORDER BY label""".stripMargin,
 
     "src_orc_profile" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

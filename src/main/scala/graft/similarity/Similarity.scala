@@ -798,4 +798,55 @@ object Similarity {
     * emits), not a computed subtree — see the capture note there. */
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, q => q.cast("double") * scale)
+
+  /** Embedding-cluster quality report — is a labeling (k-means cells,
+    * classifier outputs, source tags) geometrically coherent? Per
+    * label: member count, mean cosine to the label's OWN centroid
+    * (cohesion, → 1 is tight), and the maximum cosine between the
+    * label's centroid and any OTHER label's centroid (separation — a
+    * high value flags a label pair the embedding space cannot tell
+    * apart). The silhouette-style screen at aggregate cost.
+    *
+    * Plan: pass 1 computes all centroids in ONE (label, position)
+    * aggregate over the posexploded vectors (a shuffle of
+    * rows × dim SCALARS — no vector objects); O(labels × dim) scalars
+    * collect to the driver (the bounded-collect contract of the
+    * k-means centroids), where the labels² pairwise matrix is
+    * driver-trivial. Pass 2 broadcast-joins the centroids back and
+    * folds each member's cosine in the native fused loop — one more
+    * corpus scan, one tiny final aggregate. Labels are compared as
+    * strings (same contract as [[graft.sampling.Sampling
+    * .temperatureMixSample]]); null labels/vectors are excluded. */
+  def clusterQuality(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).cast("string").as("lbl"),
+        col(vecCol).cast("array<double>").as("vec"))
+    val centRows = base
+      .select(col("lbl"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy("lbl", "pos").agg(avg("v").as("cv"))
+      .collect()
+    val cents: Map[String, Seq[Double]] = centRows.groupBy(_.getString(0))
+      .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.iterator.map(x => x * x).sum)
+      val nb = math.sqrt(b.iterator.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val nearestOther: Map[String, Double] = cents.map { case (l, c) =>
+      val others = cents.collect { case (l2, c2) if l2 != l => cosD(c, c2) }
+      l -> (if (others.isEmpty) 0.0 else others.max)
+    }
+    val centDf = cents.toSeq
+      .map { case (l, c) => (l, c, nearestOther(l)) }
+      .toDF("lbl", "centroid", "nearest_other_centroid_cos")
+    base.join(broadcast(centDf), "lbl")
+      .withColumn("cos", cosine(col("vec"), col("centroid")))
+      .groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("cos")).as("mean_cos_to_centroid"),
+        first(col("nearest_other_centroid_cos")).as("nearest_other_centroid_cos"))
+  }
 }

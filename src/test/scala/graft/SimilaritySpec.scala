@@ -496,4 +496,26 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     // rank boundary.
     (exact intersect approx).size should be >= 12
   }
+
+  test("clusterQuality: tight clusters cohere; co-located labels flag high separation overlap") {
+    val s = spark
+    import s.implicits._
+    // Label A along +x, label B along +y (orthogonal, tight); label C
+    // sits ON TOP of A — its centroid should be near-identical to A's.
+    def jitter(base: Seq[Double], i: Int): Seq[Double] =
+      base.zipWithIndex.map { case (v, d) => v + (if (d == (i % 4)) 0.01 else 0.0) }
+    val rows =
+      (1 to 8).map(i => ("A", jitter(Seq(1.0, 0.0, 0.0, 0.0), i))) ++
+      (1 to 8).map(i => ("B", jitter(Seq(0.0, 1.0, 0.0, 0.0), i))) ++
+      (1 to 8).map(i => ("C", jitter(Seq(1.0, 0.0, 0.0, 0.0), i + 1)))
+    val df = rows.toDF("label", "vec")
+    val out = Similarity.clusterQuality(df, "vec", "label")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    out("A")._1 shouldBe 8L
+    all(out.values.map(_._2)) should be > 0.99 // every cluster is tight
+    out("A")._3 should be > 0.99 // A and C are indistinguishable...
+    out("C")._3 should be > 0.99
+    out("B")._3 should be < 0.1  // ...while B is orthogonal to both
+  }
 }
