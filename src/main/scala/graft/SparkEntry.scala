@@ -2349,6 +2349,47 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- SCD2 history fold: ref (as of Jan 1) + cur (as of Feb 1)
+    // through applyChanges with closeMissing — carried / closed /
+    // opened intervals grouped with key and price checksums. One
+    // open-rows ⨝ snapshot full-outer join; closed rows never shuffle.
+    "cmp_scd2_history" -> ((s, dir) => {
+      val (ref, cur) = diffSnapshots(s, dir)
+      val t0 = lit("2024-01-01 00:00:00")
+      val t1 = lit("2024-02-01 00:00:00")
+      val history = graft.compare.Scd2.applyChanges(
+        graft.compare.Scd2.initial(ref, t0), cur,
+        keyCols = Seq("o_orderkey"),
+        attrCols = Seq("o_orderstatus", "o_totalprice", "o_orderpriority"),
+        effectiveTs = t1, closeMissing = true)
+      // No price checksum here: the cur snapshot's perturbed prices
+      // round differently between engines (Spark rounds the shortest
+      // decimal repr, DuckDB the binary value) — key sums pin row
+      // membership exactly without re-testing that known divergence.
+      history.groupBy(
+          to_date(col("valid_from")).cast("string").as("vf"),
+          to_date(col("valid_to")).cast("string").as("vt"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
+        .orderBy("vf", "vt")
+    }),
+
+    // ---- Point-in-time read-back over the SAME folded history: the
+    // as-of view at Jan 1 must be exactly the ref snapshot (count +
+    // checksums prove the interval algebra round-trips).
+    "cmp_scd2_asof" -> ((s, dir) => {
+      val (ref, cur) = diffSnapshots(s, dir)
+      val history = graft.compare.Scd2.applyChanges(
+        graft.compare.Scd2.initial(ref, lit("2024-01-01 00:00:00")), cur,
+        keyCols = Seq("o_orderkey"),
+        attrCols = Seq("o_orderstatus", "o_totalprice", "o_orderpriority"),
+        effectiveTs = lit("2024-02-01 00:00:00"), closeMissing = true)
+      graft.compare.Scd2.asOf(history, lit("2024-01-15 00:00:00"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"))
+    }),
+
     // ---- Categorical drift between the same two snapshots: the
     // 'X' status injected into cur appears as an `added` category,
     // every original status shifts share, and Σ tvd_term is the
@@ -5038,6 +5079,39 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.75), 4) AS q3
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // Interval algebra replayed: carried = unchanged matches, closed =
+    // changed-or-missing ref rows, opened = changed-or-new cur rows.
+    "cmp_scd2_history" ->
+      s"""WITH $diffSnapshotsSql,
+         |j AS (
+         |  SELECT r.o_orderkey AS rk, c.o_orderkey AS ck,
+         |         r.o_orderkey AS r_key, r.o_totalprice AS r_price,
+         |         c.o_orderkey AS c_key, c.o_totalprice AS c_price,
+         |         (r.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+         |          OR r.o_totalprice IS DISTINCT FROM c.o_totalprice
+         |          OR r.o_orderpriority IS DISTINCT FROM c.o_orderpriority) AS chg
+         |  FROM ref r FULL OUTER JOIN cur c ON r.o_orderkey = c.o_orderkey
+         |),
+         |rows_out AS (
+         |  SELECT '2024-01-01' AS vf, CAST(NULL AS VARCHAR) AS vt, r_key AS k, r_price AS p
+         |  FROM j WHERE rk IS NOT NULL AND ck IS NOT NULL AND NOT chg
+         |  UNION ALL
+         |  SELECT '2024-01-01', '2024-02-01', r_key, r_price
+         |  FROM j WHERE rk IS NOT NULL AND (ck IS NULL OR chg)
+         |  UNION ALL
+         |  SELECT '2024-02-01', CAST(NULL AS VARCHAR), c_key, c_price
+         |  FROM j WHERE ck IS NOT NULL AND (rk IS NULL OR chg)
+         |)
+         |SELECT vf, vt, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+         |FROM rows_out GROUP BY vf, vt ORDER BY vf, vt""".stripMargin,
+
+    // The as-of view mid-January is exactly the ref snapshot.
+    "cmp_scd2_asof" ->
+      s"""WITH $diffSnapshotsSql
+         |SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS price_sum
+         |FROM ref""".stripMargin,
 
     "cmp_category_drift" ->
       s"""WITH $diffSnapshotsSql,

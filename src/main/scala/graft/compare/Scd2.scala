@@ -1,0 +1,98 @@
+package graft.compare
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 history maintenance: fold a new
+  * snapshot into a versioned history table so every attribute change
+  * becomes a closed interval and current truth stays one open row per
+  * key — the standard warehouse answer to "what did this row look
+  * like on date X". Completes the compare family's ledger:
+  * [[SnapshotDiff]] reports what changed between snapshots; this
+  * APPLIES the change as history.
+  *
+  * History schema contract: the key and attribute columns plus
+  * `valid_from` / `valid_to` (timestamps; `valid_to` null = the open
+  * row). [[initial]] builds it from a first snapshot.
+  *
+  * Scale design: ONE full-outer join of the history's open rows
+  * against the snapshot, hash-partitioned on the key (the closed rows
+  * pass through untouched — they cannot change by definition, so they
+  * are never shuffled); everything after the join is a map-side
+  * status expression and a union. No window, no collect.
+  *
+  * Semantics per key:
+  *  - open row + snapshot row, attributes equal (null-safe): open row
+  *    carries forward unchanged;
+  *  - attributes differ: the open row CLOSES at `effectiveTs` and a
+  *    new open row starts there;
+  *  - snapshot row with no open row: a new open row starts (a re-born
+  *    key's earlier closed intervals remain);
+  *  - open row with no snapshot row: `closeMissing` decides — false
+  *    (default: partial feeds) carries it forward, true (full
+  *    snapshots) closes it at `effectiveTs` (a logical delete).
+  */
+object Scd2 {
+
+  /** First load: every snapshot row opens at `effectiveTs`. */
+  def initial(snapshot: DataFrame, effectiveTs: Column): DataFrame =
+    snapshot
+      .withColumn("valid_from", effectiveTs.cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+
+  /** Fold one snapshot into the history. `history` must carry
+    * `valid_from`/`valid_to`; `snapshot` must carry exactly the key +
+    * attribute columns. */
+  def applyChanges(history: DataFrame, snapshot: DataFrame,
+      keyCols: Seq[String], attrCols: Seq[String],
+      effectiveTs: Column, closeMissing: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    require(attrCols.nonEmpty, "applyChanges needs at least one attribute column")
+    Seq("valid_from", "valid_to").foreach { c =>
+      require(history.columns.contains(c), s"history is missing '$c'")
+      require(!snapshot.columns.contains(c), s"snapshot must not carry '$c'")
+    }
+    val ts = effectiveTs.cast("timestamp")
+    val outCols = (keyCols ++ attrCols).map(col) :+ col("valid_from") :+ col("valid_to")
+    val closed = history.filter(col("valid_to").isNotNull).select(outCols: _*)
+    val open = history.filter(col("valid_to").isNull)
+
+    val joinCond = keyCols.map(k => col(s"h.`$k`") <=> col(s"s.`$k`")).reduce(_ && _)
+    val hPresent = keyCols.map(k => col(s"h.`$k`").isNotNull).reduce(_ && _)
+    val sPresent = keyCols.map(k => col(s"s.`$k`").isNotNull).reduce(_ && _)
+    val changed = attrCols.map(c => !(col(s"h.`$c`") <=> col(s"s.`$c`"))).reduce(_ || _)
+    val j = open.alias("h").join(snapshot.alias("s"), joinCond, "full_outer")
+
+    def side(tag: String) =
+      keyCols.map(k => col(s"$tag.`$k`").as(k)) ++ attrCols.map(c => col(s"$tag.`$c`").as(c))
+
+    // Surviving open rows: unchanged matches carry forward; missing
+    // keys carry forward unless closeMissing.
+    val carried = j.filter(hPresent && ((sPresent && !changed) ||
+        (!sPresent && !closeMissing)))
+      .select(side("h") :+ col("h.valid_from").as("valid_from") :+
+        lit(null).cast("timestamp").as("valid_to"): _*)
+    // Rows the snapshot closes: changed matches, and (optionally)
+    // missing keys.
+    val closedNow = j.filter(hPresent && ((sPresent && changed) ||
+        (!sPresent && lit(closeMissing))))
+      .select(side("h") :+ col("h.valid_from").as("valid_from") :+
+        ts.as("valid_to"): _*)
+    // Rows the snapshot opens: changed matches (the new version) and
+    // brand-new keys.
+    val opened = j.filter(sPresent && (!hPresent || changed))
+      .select(side("s") :+ ts.as("valid_from") :+
+        lit(null).cast("timestamp").as("valid_to"): _*)
+
+    closed.unionByName(carried).unionByName(closedNow).unionByName(opened)
+  }
+
+  /** Point-in-time lookup over a history table: the version of each
+    * key valid AT `asOf` (valid_from ≤ asOf < valid_to, open rows
+    * unbounded). Map-side filter — the reason the history exists. */
+  def asOf(history: DataFrame, asOfTs: Column): DataFrame = {
+    val ts = asOfTs.cast("timestamp")
+    history.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || col("valid_to") > ts))
+  }
+}

@@ -50,4 +50,48 @@ class SnapshotDiffSpec extends AnyFunSuite with Matchers with SparkTestBase {
     statuses shouldBe Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
       4L -> "removed", 5L -> "unchanged", 6L -> "added")
   }
+
+  test("Scd2.applyChanges: carried/closed/opened intervals and the as-of read-back") {
+    import graft.compare.Scd2
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val snap0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val snap1 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v") // 2 changes, 3 gone, 4 new
+    val h1 = Scd2.applyChanges(Scd2.initial(snap0, lit("2024-01-01")), snap1,
+      Seq("k"), Seq("v"), lit("2024-02-01"), closeMissing = true)
+    val rows = h1.select(col("k"), col("v"),
+        to_date(col("valid_from")).cast("string"), to_date(col("valid_to")).cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), Option(r.getString(3))))
+      .toSet
+    rows shouldBe Set(
+      (1L, "a", "2024-01-01", None),               // carried
+      (2L, "b", "2024-01-01", Some("2024-02-01")), // closed
+      (2L, "B", "2024-02-01", None),               // reopened with new value
+      (3L, "c", "2024-01-01", Some("2024-02-01")), // deleted (closeMissing)
+      (4L, "d", "2024-02-01", None))               // born
+    // Point-in-time: mid-January sees snap0 exactly; today sees snap1.
+    Scd2.asOf(h1, lit("2024-01-15")).select("k", "v").collect().map(_.toSeq).toSet shouldBe
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c"))
+    Scd2.asOf(h1, lit("2024-03-01")).select("k", "v").collect().map(_.toSeq).toSet shouldBe
+      Set(Seq(1L, "a"), Seq(2L, "B"), Seq(4L, "d"))
+    // Idempotence: re-applying the same snapshot changes nothing.
+    val h2 = Scd2.applyChanges(h1, snap1, Seq("k"), Seq("v"),
+      lit("2024-03-01"), closeMissing = true)
+    h2.count() shouldBe h1.count()
+    h2.filter(col("valid_to").isNull).count() shouldBe 3L
+  }
+
+  test("Scd2.applyChanges without closeMissing carries absent keys forward") {
+    import graft.compare.Scd2
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val snap0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val partial = Seq((1L, "A")).toDF("k", "v")
+    val h = Scd2.applyChanges(Scd2.initial(snap0, lit("2024-01-01")), partial,
+      Seq("k"), Seq("v"), lit("2024-02-01"))
+    h.filter(col("valid_to").isNull).select("k", "v").collect()
+      .map(_.toSeq).toSet shouldBe Set(Seq(1L, "A"), Seq(2L, "b"))
+  }
 }
