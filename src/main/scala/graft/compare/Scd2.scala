@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * Scale design: ONE full-outer join of the history's open rows
   * against the snapshot, hash-partitioned on the key (the closed rows
   * pass through untouched — they cannot change by definition, so they
-  * are never shuffled); everything after the join is a map-side
-  * status expression and a union. No window, no collect.
+  * are never shuffled); every output interval derives from that ONE
+  * joined stream via a conditional-array explode (a filter-per-status
+  * union would re-plan the join once per branch — PlanSpec pins the
+  * single join). No window, no collect.
   *
   * Semantics per key:
   *  - open row + snapshot row, attributes equal (null-safe): open row
@@ -63,28 +65,31 @@ object Scd2 {
     val changed = attrCols.map(c => !(col(s"h.`$c`") <=> col(s"s.`$c`"))).reduce(_ || _)
     val j = open.alias("h").join(snapshot.alias("s"), joinCond, "full_outer")
 
-    def side(tag: String) =
-      keyCols.map(k => col(s"$tag.`$k`").as(k)) ++ attrCols.map(c => col(s"$tag.`$c`").as(c))
-
-    // Surviving open rows: unchanged matches carry forward; missing
-    // keys carry forward unless closeMissing.
-    val carried = j.filter(hPresent && ((sPresent && !changed) ||
-        (!sPresent && !closeMissing)))
-      .select(side("h") :+ col("h.valid_from").as("valid_from") :+
-        lit(null).cast("timestamp").as("valid_to"): _*)
-    // Rows the snapshot closes: changed matches, and (optionally)
-    // missing keys.
-    val closedNow = j.filter(hPresent && ((sPresent && changed) ||
-        (!sPresent && lit(closeMissing))))
-      .select(side("h") :+ col("h.valid_from").as("valid_from") :+
-        ts.as("valid_to"): _*)
-    // Rows the snapshot opens: changed matches (the new version) and
-    // brand-new keys.
-    val opened = j.filter(sPresent && (!hPresent || changed))
-      .select(side("s") :+ ts.as("valid_from") :+
-        lit(null).cast("timestamp").as("valid_to"): _*)
-
-    closed.unionByName(carried).unionByName(closedNow).unionByName(opened)
+    def outRow(tag: String, from: Column, to: Column) = struct(
+      (keyCols.map(k => col(s"$tag.`$k`").as(k)) ++
+        attrCols.map(c => col(s"$tag.`$c`").as(c)) :+
+        from.as("valid_from") :+ to.as("valid_to")): _*)
+    val nullTs = lit(null).cast("timestamp")
+    // Each joined row yields 0–2 output rows via ONE conditional-array
+    // explode — a filter-per-status union would re-plan (and
+    // re-shuffle) the full-outer join once per branch. Surviving open
+    // rows: unchanged matches carry forward, missing keys carry
+    // forward unless closeMissing. Closing rows: changed matches and
+    // (optionally) missing keys. Opening rows: changed matches' new
+    // versions and brand-new keys.
+    val carried = when(hPresent && ((sPresent && !changed) ||
+      (!sPresent && !lit(closeMissing))),
+      outRow("h", col("h.valid_from"), nullTs))
+    val closedNow = when(hPresent && ((sPresent && changed) ||
+      (!sPresent && lit(closeMissing))),
+      outRow("h", col("h.valid_from"), ts))
+    val opened = when(sPresent && (!hPresent || changed),
+      outRow("s", ts, nullTs))
+    val folded = j
+      .select(explode(array(carried, closedNow, opened)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.*"))
+    closed.unionByName(folded)
   }
 
   /** Point-in-time lookup over a history table: the version of each

@@ -627,13 +627,14 @@ object TextAnalysis {
     * terms in (score desc, term) order.
     *
     * Plan shape: tokens explode once → ONE (id, term) count aggregate
-    * (tf, map-side partials); term document frequency is a second
-    * aggregate OVER THE (id, term) ROWS (never a second corpus scan);
-    * the df join is term-keyed (vocabulary can be corpus-sized — no
-    * broadcast assumption); the top-k window partitions by DOCUMENT,
-    * so its sort is per-id, never global. Three key-partitioned
-    * shuffles total, each over rows already reduced to the vocabulary/
-    * posting size. */
+    * (tf, map-side partials); term document frequency is a COUNT
+    * WINDOW over that aggregate partitioned by term — the (id, term)
+    * rows flow through once (a join against a separately-aggregated df
+    * frame would recompute the whole tokenize+aggregate lineage as a
+    * second corpus scan; the window consumes the one stream). The
+    * top-k window then partitions by DOCUMENT, so its sort is per-id,
+    * never global. One corpus scan, two key-partitioned shuffles over
+    * vocabulary/posting-sized rows. */
   def tfidfTerms(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -642,16 +643,16 @@ object TextAnalysis {
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = termCounts.groupBy("term")
-      .agg(count(lit(1)).as("df_count"))
     val nDocs = df.filter(col(textCol).isNotNull).count()
-    val w = org.apache.spark.sql.expressions.Window
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
-    termCounts.join(docFreq, "term")
+    termCounts
+      .withColumn("df_count", count(lit(1)).over(byTerm))
       .withColumn("score",
         col("tf") * (log((lit(nDocs) + 1.0) / (col("df_count") + 1.0)) + 1.0))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(byDoc))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df_count"),
         col("score"), col("rank"))

@@ -523,6 +523,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("Window")
   }
 
+  test("tfidf computes tf and df from ONE corpus scan (window, not a self-join)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = physical(graft.text.TextAnalysis.tfidfTerms(docs, "text", "doc_id", k = 3))
+    plan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    plan should not include "Join"
+  }
+
+  test("SCD2 apply plans exactly one join; closed history rows bypass it") {
+    val s = spark
+    import s.implicits._
+    val snap0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val snap1 = Seq((1L, "a"), (3L, "c")).toDF("k", "v")
+    val plan = physical(graft.compare.Scd2.applyChanges(
+      graft.compare.Scd2.initial(snap0, lit("2024-01-01")), snap1,
+      Seq("k"), Seq("v"), lit("2024-02-01")))
+    plan.linesIterator.count(l => l.contains("SortMergeJoin") ||
+      l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin")) shouldBe 1
+  }
+
   test("rolling stats shuffle once on the entity key; the window frame is ROWS-bounded") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val plan = physical(graft.events.Events.rollingStats(ev,
