@@ -60,13 +60,16 @@ object SkewJoin {
     * set. Nulls count as a key (they're the classic hot key).
     *
     * One hash aggregate keyed by the join key, a second tiny
-    * aggregate over the GROUPED rows for the total (never a second
-    * corpus scan), and a TakeOrdered top-k — nothing corpus-sized
-    * reaches the driver. Ties break by key for a deterministic
-    * report. */
+    * aggregate over the GROUPED rows for the total, and a TakeOrdered
+    * top-k — nothing corpus-sized reaches the driver. The grouped
+    * counts persist (spillable, key-cardinality-sized) so the total
+    * and the top-k consume ONE corpus scan — without the cache, Spark
+    * re-plans the whole scan+aggregate for each consumer. Ties break
+    * by key for a deterministic report. */
   def skewReport(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1: $topK")
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum("n").as("total"))
     counts.crossJoin(broadcast(total))
       .select(col("key"), col("n"), (col("n") / col("total")).as("share"))
