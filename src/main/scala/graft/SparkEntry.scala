@@ -2512,6 +2512,38 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- String type inference: four stringified shapes (int key,
+    // decimal price, ISO date, mixed-case boolean) plus a genuinely
+    // textual column — shares + best_type from ONE wide conditional
+    // aggregate, every regex replayed.
+    "p24_type_inference" -> ((s, dir) => {
+      val df = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("key_str"),
+        col("o_totalprice").cast("string").as("price_str"),
+        to_date(col("o_orderdate")).cast("string").as("date_str"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0, "true").otherwise("FALSE").as("bool_str"),
+        col("o_orderpriority").as("text_str"))
+      ProfilePasses.typeInference(df,
+          Seq("key_str", "price_str", "date_str", "bool_str", "text_str"))
+        .select(col("column_name"), col("n_values"),
+          round(col("integer_share"), 6).as("integer_share"),
+          round(col("decimal_share"), 6).as("decimal_share"),
+          round(col("date_share"), 6).as("date_share"),
+          round(col("boolean_share"), 6).as("boolean_share"),
+          col("best_type"))
+        .orderBy("column_name")
+    }),
+
+    // ---- Quantile binning: l_quantity cut into 4 equal-mass bins at
+    // its own exact quartiles — one quantile aggregate + a map-side
+    // literal-boundary CASE, never an ntile sort over the corpus.
+    "p25_quantile_bin" -> ((s, dir) => {
+      ProfilePasses.quantileBin(t(s, dir, "lineitem"), "l_quantity", numBins = 4)
+        .select(col("bin"), round(col("lo"), 4).as("lo"),
+          round(col("hi"), 4).as("hi"), col("n"))
+        .orderBy("bin")
+    }),
+
     // ---- LLM-pipeline: asymmetric CONTAINMENT pairs via an inverted
     // shingle index — catches truncated/excerpted documents inside
     // longer ones, invisible to Jaccard LSH (a 40%-prefix copy has
@@ -3567,6 +3599,62 @@ object SparkEntry {
         |       round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS acctbal_sum,
         |       round(CAST(avg(s_acctbal) AS DOUBLE), 4) AS acctbal_avg
         |FROM supplier""".stripMargin,
+
+    // Per-column regex share replay; best_type = most specific shape
+    // covering >= 0.95.
+    "p24_type_inference" -> {
+      val cols = Seq(
+        ("key_str", "CAST(o_orderkey AS VARCHAR)"),
+        ("price_str", "CAST(o_totalprice AS VARCHAR)"),
+        ("date_str", "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"),
+        ("bool_str", "CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'FALSE' END"),
+        ("text_str", "o_orderpriority"))
+      val shapes = Seq(
+        ("integer", "^[+-]?[0-9]+$"),
+        ("decimal", "^[+-]?[0-9]*\\.[0-9]+$"),
+        ("date", "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+        ("boolean", "^(?i)(true|false)$"))
+      val parts = cols.map { case (name, sqlExpr) =>
+        val shareExprs = shapes.map { case (shape, re) =>
+          s"round(count(CASE WHEN regexp_matches(v, '$re') THEN 1 END) / CAST(count(v) AS DOUBLE), 6) AS ${shape}_share"
+        }.mkString(",\n         |       ")
+        val shareRaw = shapes.map { case (shape, re) =>
+          s"count(CASE WHEN regexp_matches(v, '$re') THEN 1 END) / CAST(count(v) AS DOUBLE) AS ${shape}_raw"
+        }.mkString(", ")
+        s"""SELECT column_name, n_values, integer_share, decimal_share, date_share, boolean_share,
+           |       CASE WHEN integer_raw >= 0.95 THEN 'integer'
+           |            WHEN decimal_raw >= 0.95 THEN 'decimal'
+           |            WHEN date_raw >= 0.95 THEN 'date'
+           |            WHEN boolean_raw >= 0.95 THEN 'boolean'
+           |            ELSE 'string' END AS best_type
+           |FROM (
+           |  SELECT '$name' AS column_name, count(v) AS n_values,
+           |       $shareExprs,
+           |       $shareRaw
+           |  FROM (SELECT $sqlExpr AS v FROM orders)
+           |)""".stripMargin
+      }
+      s"SELECT column_name, n_values, integer_share, decimal_share, date_share, boolean_share, best_type FROM (\n${parts.mkString("\nUNION ALL\n")}\n) ORDER BY column_name"
+    },
+
+    // Same quartile boundaries, same crossed-cut assignment.
+    "p25_quantile_bin" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(l_quantity, [0.0, 0.25, 0.5, 0.75, 1.0]) AS b FROM lineitem
+        |), binned AS (
+        |  SELECT (CASE WHEN l_quantity >= b[2] THEN 1 ELSE 0 END
+        |        + CASE WHEN l_quantity >= b[3] THEN 1 ELSE 0 END
+        |        + CASE WHEN l_quantity >= b[4] THEN 1 ELSE 0 END) AS bin
+        |  FROM lineitem, q WHERE l_quantity IS NOT NULL
+        |), counts AS (
+        |  SELECT bin, count(*) AS n FROM binned GROUP BY bin
+        |)
+        |SELECT CAST(t.i AS BIGINT) AS bin,
+        |       round(b[CAST(t.i AS INT) + 1], 4) AS lo,
+        |       round(b[CAST(t.i AS INT) + 2], 4) AS hi,
+        |       coalesce(n, 0) AS n
+        |FROM range(4) t(i) CROSS JOIN q LEFT JOIN counts ON counts.bin = t.i
+        |ORDER BY 1""".stripMargin,
 
     // Centroids rebuilt elementwise (embedding[i] over range(1, 65)),
     // then the same cohesion/separation arithmetic; 4dp absorbs the

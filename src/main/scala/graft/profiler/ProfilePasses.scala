@@ -412,6 +412,88 @@ object ProfilePasses {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Type inference for STRING columns — the CSV-world profiler
+    * question ("is this varchar column really integers/dates?") the
+    * typed-column passes can't ask. Per column: non-null count and the
+    * share of values fully matching each candidate shape (integer,
+    * decimal, ISO date, boolean), plus `best_type` = the most specific
+    * shape covering ≥ `threshold` of values (integer before decimal
+    * before date before boolean, else "string").
+    *
+    * One wide conditional-count aggregate for ALL columns (map-side
+    * partials, melted to rows off the single result row); anchored
+    * regexes that match identically under Java regex and RE2, so the
+    * shares replay externally. */
+  def typeInference(df: DataFrame, cols: Seq[String],
+      threshold: Double = 0.95): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val shapes = Seq(
+      "integer" -> "^[+-]?[0-9]+$",
+      "decimal" -> "^[+-]?[0-9]*\\.[0-9]+$",
+      "date" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+      "boolean" -> "^(?i)(true|false)$")
+    val aggs = cols.flatMap { n =>
+      count(c(n).cast("string")).as(s"${n}__n") +:
+        shapes.map { case (shape, re) =>
+          count(when(c(n).cast("string").rlike(re), lit(1))).as(s"${n}__$shape")
+        }
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val melted = cols.map { n =>
+      val nn = col(s"`${n}__n`").cast("double")
+      val share = shapes.map { case (shape, _) =>
+        shape -> when(nn > 0, col(s"`${n}__$shape`") / nn).otherwise(lit(0.0))
+      }
+      val best = share.foldRight(lit("string")) { case ((shape, s), acc) =>
+        when(s >= threshold, shape).otherwise(acc)
+      }
+      struct(lit(n).as("column_name"), nn.cast("long").as("n_values"),
+        share(0)._2.as("integer_share"), share(1)._2.as("decimal_share"),
+        share(2)._2.as("date_share"), share(3)._2.as("boolean_share"),
+        best.as("best_type"))
+    }
+    row.select(explode(array(melted: _*)).as("t")).select(col("t.*"))
+  }
+
+  /** Quantile binning (feature discretization): cut one numeric column
+    * into `numBins` equal-mass bins at its own exact quantile
+    * boundaries — the rank-preserving transform that makes skewed
+    * features comparable. Returns (bin, lo, hi, n) where lo/hi are the
+    * boundary values (first lo = min, last hi = max, both inclusive at
+    * the extremes; interior cuts are half-open [lo, hi)).
+    *
+    * One quantile aggregate (quarantined ObjectHashAggregate, numBins+1
+    * scalars to the driver), then a map-side literal-boundary CASE and
+    * a ≤numBins-key count — never a global rank/ntile sort, which is
+    * the formulation that cannot scale (a total order over the corpus
+    * for something only the boundaries decide). */
+  def quantileBin(df: DataFrame, column: String, numBins: Int,
+      exact: Boolean = true): DataFrame = {
+    require(numBins >= 2, s"need at least 2 bins: $numBins")
+    val fn = if (exact) "percentile" else "percentile_approx"
+    val extra = if (exact) "" else ", 10000"
+    val ps = (0 to numBins).map(i => s"${i.toDouble / numBins}D").mkString(", ")
+    val qRow = df.agg(expr(s"$fn(`$column`, array($ps)$extra)").as("qs")).head()
+    if (qRow.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("bin"), lit(0.0).as("lo"), lit(0.0).as("hi"),
+          lit(0L).as("n")).limit(0)
+    val bounds = qRow.getSeq[Any](0).map(_.asInstanceOf[Double])
+    // Interior boundaries assign by b_i ≤ x (count of crossed cuts);
+    // duplicate boundaries (heavy ties) produce empty bins rather
+    // than ambiguous assignment.
+    val bin = (1 until numBins).map(i => when(c(column) >= bounds(i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val counts = df.filter(c(column).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    import df.sparkSession.implicits._
+    val spine = (0L until numBins.toLong).map(i =>
+      (i, bounds(i.toInt), bounds(i.toInt + 1))).toDF("bin", "lo", "hi")
+    spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("lo"), col("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Per-group quantiles of one numeric column — the "is the tail the
     * same in every segment" screen (per-source quality distributions,
     * per-priority price bands). Output: one row per group

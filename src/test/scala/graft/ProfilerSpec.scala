@@ -323,6 +323,50 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out shouldBe Array(("a", 2.0, 3.0, 4.0), ("b", 12.5, 15.0, 17.5))
   }
 
+  test("typeInference: shape shares and the most-specific best_type") {
+    import graft.profiler.ProfilePasses
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("42", "1.5", "2024-01-02", "TRUE", "hello"),
+      ("-7", ".25", "2024-12-31", "false", "17"),
+      ("8", "3.0", "not-a-date", "true", "x"),
+      (null, "2.25", "2024-06-15", "False", "y")
+    ).toDF("ints", "decs", "dates", "bools", "mixed")
+    val out = ProfilePasses.typeInference(df,
+        Seq("ints", "decs", "dates", "bools", "mixed"), threshold = 0.7)
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("ints").getAs[String]("best_type") shouldBe "integer"
+    out("ints").getAs[Long]("n_values") shouldBe 3L // null excluded
+    out("decs").getAs[String]("best_type") shouldBe "decimal"
+    out("dates").getAs[String]("best_type") shouldBe "date" // 3/4 = 0.75 ≥ 0.7
+    out("bools").getAs[String]("best_type") shouldBe "boolean" // case-insensitive
+    out("mixed").getAs[String]("best_type") shouldBe "string"
+    out("mixed").getAs[Double]("integer_share") shouldBe 0.25 +- 1e-9
+  }
+
+  test("quantileBin: equal-mass bins at exact quantile cuts, duplicate-cut bins empty") {
+    import graft.profiler.ProfilePasses
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val out = ProfilePasses.quantileBin(df, "x", numBins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    out.map(_._4).sum shouldBe 100L
+    out.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    out(0)._2 shouldBe 1.0  // first lo = min
+    out(3)._3 shouldBe 100.0 // last hi = max
+    all(out.map(_._4)) should (be >= 24L and be <= 26L) // equal mass
+    // Heavy ties: constant column → all interior cuts equal → one bin
+    // holds everything, the rest are empty.
+    val const = Seq.fill(10)(5.0).toDF("x")
+    val c = ProfilePasses.quantileBin(const, "x", numBins = 4)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(3)))
+    c.map(_._2).sum shouldBe 10L
+    c.count(_._2 > 0) shouldBe 1
+  }
+
   test("robustStats handles an all-null column without a pass-2/3 job for it") {
     import graft.profiler.ProfilePasses
     val s = spark
