@@ -1489,6 +1489,19 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ---- Windowed EXACT quantiles per (day, event_type) — the
+    // latency-percentile dashboard; same shared batch/stream plan
+    // contract as the numeric profile (the quantile aggregate runs
+    // per window under a watermark on a stream).
+    "ev_windowed_quantiles" -> ((s, dir) => {
+      StreamProfiler.windowedQuantiles(eventsWithTs(s, dir),
+          "ts", "event_type", "value", "1 day")
+        .select(col("window_start"), col("event_type"), col("n_values"),
+          round(col("q1"), 4).as("q1"), round(col("median"), 4).as("median"),
+          round(col("q3"), 4).as("q3"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // ---- Profiler extension, streaming flavor: windowed PSI drift —
     // each day's value histogram scored against the corpus-wide
     // reference histogram (edges + shares collected once, baked into
@@ -3735,6 +3748,14 @@ object SparkEntry {
         |       round(CAST(stddev_samp(value) AS DOUBLE), 4) AS stdev_value,
         |       min(value) AS min_value,
         |       max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_windowed_quantiles" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+        |       count(value) AS n_values,
+        |       round(quantile_cont(value, 0.25), 4) AS q1,
+        |       round(quantile_cont(value, 0.5), 4) AS median,
+        |       round(quantile_cont(value, 0.75), 4) AS q3
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Recomputes the corpus-wide reference histogram and each day's

@@ -71,6 +71,36 @@ object StreamProfiler {
         col("min_value"), col("max_value"))
   }
 
+  /** Windowed quantiles per (tumbling window, key): exact p25/p50/p75
+    * (or approx in scale mode) of a value column — the latency-style
+    * percentile dashboard over an event stream. Same shared
+    * batch/stream plan contract as [[windowedNumericProfile]]: the
+    * quantile state is a TypedImperativeAggregate, which Structured
+    * Streaming runs per window like any other aggregate (state = one
+    * sketch/value-map per open window — the watermark bounds how many
+    * stay open; `exact = false` bounds the per-window state too, the
+    * 100 TB-stream setting). */
+  def windowedQuantiles(
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      windowDuration: String, watermarkDelay: Option[String] = None,
+      exact: Boolean = true): DataFrame = {
+    val withWm = watermarkDelay match {
+      case Some(d) => df.withWatermark(tsCol, d)
+      case None => df
+    }
+    val fn = if (exact) "percentile" else "percentile_approx"
+    val extra = if (exact) "" else ", 10000"
+    withWm
+      .groupBy(window(col(tsCol), windowDuration).as("win"), col(keyCol))
+      .agg(count(col(valueCol)).as("n_values"),
+        expr(s"$fn(`$valueCol`, array(0.25D, 0.5D, 0.75D)$extra)").as("qs"))
+      .select(col("win.start").as("window_start"), col(keyCol),
+        col("n_values"),
+        element_at(col("qs"), 1).cast("double").as("q1"),
+        element_at(col("qs"), 2).cast("double").as("median"),
+        element_at(col("qs"), 3).cast("double").as("q3"))
+  }
+
   /** Windowed PSI drift against a FIXED reference histogram — live
     * distribution monitoring: each time window's value histogram is
     * scored against reference shares computed once from a trusted

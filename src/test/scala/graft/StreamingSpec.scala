@@ -64,6 +64,19 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got shouldBe expected
   }
 
+  test("streaming windowed quantiles reach the batch fixpoint") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val expected = StreamProfiler.windowedQuantiles(
+      batchDf, "ts", "event_type", "value", "1 day")
+      .collect().map(_.toSeq).toSet
+    val profiled = StreamProfiler.windowedQuantiles(
+      StreamProfiler.readParquetStream(spark, eventsDir),
+      "ts", "event_type", "value", "1 day", Some("1 hour"))
+    val got = StreamProfiler.runToMemory(profiled, "win_quantiles").map(_.toSeq).toSet
+    got shouldBe expected
+    got should not be empty
+  }
+
   test("streaming windowed PSI drift matches batch, zero on the reference itself") {
     val batchDf = spark.read.parquet(eventsDir)
     val (lo, width, shares) =
