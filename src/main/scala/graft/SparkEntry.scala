@@ -2557,6 +2557,34 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ---- Benford first-digit screen on o_totalprice (spans four
+    // magnitudes — the shape Benford applies to): digit shares +
+    // χ² terms, pure float arithmetic both engines replay.
+    "p26_benford" -> ((s, dir) => {
+      ProfilePasses.benfordDigits(t(s, dir, "orders"), "o_totalprice")
+        .select(col("digit"), col("n"),
+          round(col("observed_share"), 6).as("observed_share"),
+          round(col("expected_share"), 6).as("expected_share"),
+          round(col("chi2_term"), 4).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
+    // ---- Feature standardization: z-score, min-max, and robust
+    // scalings of two lineitem columns in one gate — per-method stats
+    // from one aggregate, transform map-side, checksummed per method.
+    "ft_standardize" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem").select(col("l_quantity"), col("l_extendedprice"))
+      // abs sums: centered scalings cancel to ~0, where a sign flip in
+      // the last float bit becomes a ±0.0 hash mismatch — |x| sums
+      // carry real magnitude instead.
+      def sums(method: String) = ProfilePasses
+        .standardize(df, Seq("l_quantity", "l_extendedprice"), method)
+        .agg(round(sum(abs(col("l_quantity_scaled"))), 2).as(s"${method}_qty_abs_sum"),
+          round(sum(abs(col("l_extendedprice_scaled"))), 2).as(s"${method}_price_abs_sum"),
+          round(max(col("l_quantity_scaled")), 4).as(s"${method}_qty_max"))
+      sums("zscore").crossJoin(sums("minmax")).crossJoin(sums("robust"))
+    }),
+
     // ---- LLM-pipeline: asymmetric CONTAINMENT pairs via an inverted
     // shingle index — catches truncated/excerpted documents inside
     // longer ones, invisible to Jaccard LSH (a 40%-prefix copy has
@@ -3612,6 +3640,53 @@ object SparkEntry {
         |       round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS acctbal_sum,
         |       round(CAST(avg(s_acctbal) AS DOUBLE), 4) AS acctbal_avg
         |FROM supplier""".stripMargin,
+
+    // Identical float arithmetic: digit = floor(|x| / 10^floor(log10|x|)).
+    "p26_benford" ->
+      """WITH v AS (
+        |  SELECT abs(CAST(o_totalprice AS DOUBLE)) AS a FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0
+        |), d AS (
+        |  SELECT CAST(floor(a / pow(10.0, floor(log10(a)))) AS INT) AS digit FROM v
+        |), counts AS (
+        |  SELECT digit, count(*) AS n FROM d GROUP BY digit
+        |), spine AS (
+        |  SELECT CAST(i AS INT) AS digit, log10(1.0 + 1.0 / i) AS expected_share
+        |  FROM range(1, 10) t(i)
+        |), tot AS (SELECT sum(n) AS total FROM counts)
+        |SELECT s.digit, coalesce(c.n, 0) AS n,
+        |       round(coalesce(c.n, 0) / CAST(t.total AS DOUBLE), 6) AS observed_share,
+        |       round(s.expected_share, 6) AS expected_share,
+        |       round(pow(coalesce(c.n, 0) - s.expected_share * t.total, 2)
+        |             / (s.expected_share * t.total), 4) AS chi2_term
+        |FROM spine s LEFT JOIN counts c USING (digit) CROSS JOIN tot t
+        |ORDER BY s.digit""".stripMargin,
+
+    // The same three scalings from DuckDB's own stats (means/stddevs/
+    // extremes/quartiles agree with Spark's to ~1e-12, absorbed by the
+    // 2dp/4dp rounds on |x| magnitudes).
+    "ft_standardize" ->
+      """WITH st AS (
+        |  SELECT avg(l_quantity) AS mq, stddev_samp(l_quantity) AS sq,
+        |         avg(l_extendedprice) AS mp, stddev_samp(l_extendedprice) AS sp,
+        |         CAST(min(l_quantity) AS DOUBLE) AS loq, CAST(max(l_quantity) AS DOUBLE) AS hiq,
+        |         CAST(min(l_extendedprice) AS DOUBLE) AS lop, CAST(max(l_extendedprice) AS DOUBLE) AS hip,
+        |         quantile_cont(l_quantity, 0.25) AS q1q, quantile_cont(l_quantity, 0.5) AS medq,
+        |         quantile_cont(l_quantity, 0.75) AS q3q,
+        |         quantile_cont(l_extendedprice, 0.25) AS q1p, quantile_cont(l_extendedprice, 0.5) AS medp,
+        |         quantile_cont(l_extendedprice, 0.75) AS q3p
+        |  FROM lineitem
+        |)
+        |SELECT round(sum(abs((l_quantity - mq) / sq)), 2) AS zscore_qty_abs_sum,
+        |       round(sum(abs((l_extendedprice - mp) / sp)), 2) AS zscore_price_abs_sum,
+        |       round(max((l_quantity - mq) / sq), 4) AS zscore_qty_max,
+        |       round(sum(abs((l_quantity - loq) / (hiq - loq))), 2) AS minmax_qty_abs_sum,
+        |       round(sum(abs((l_extendedprice - lop) / (hip - lop))), 2) AS minmax_price_abs_sum,
+        |       round(max((l_quantity - loq) / (hiq - loq)), 4) AS minmax_qty_max,
+        |       round(sum(abs((l_quantity - medq) / (q3q - q1q))), 2) AS robust_qty_abs_sum,
+        |       round(sum(abs((l_extendedprice - medp) / (q3p - q1p))), 2) AS robust_price_abs_sum,
+        |       round(max((l_quantity - medq) / (q3q - q1q)), 4) AS robust_qty_max
+        |FROM lineitem, st""".stripMargin,
 
     // Per-column regex share replay; best_type = most specific shape
     // covering >= 0.95.

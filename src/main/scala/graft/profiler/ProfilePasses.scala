@@ -412,6 +412,92 @@ object ProfilePasses {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Benford first-significant-digit screen: the observed share of
+    * leading digits 1–9 of |x| against Benford's log10(1 + 1/d)
+    * expectation, with the χ² statistic — the classic
+    * fabricated-or-truncated-data smell test for naturally-spanning
+    * magnitudes (amounts, populations; NOT for bounded scales).
+    * Output: one row per digit (digit, n, observed_share,
+    * expected_share, chi2_term); Σ chi2_term vs χ²₈ critical values
+    * is the caller's test.
+    *
+    * The leading digit is string-derived (first char of the
+    * scientific-notation mantissa via format_number semantics is
+    * engine-fragile; instead: digit = floor(|x| / 10^floor(log10|x|))
+    * — pure float arithmetic both engines replay). Zeros and nulls
+    * are excluded (no leading digit). One ≤9-key aggregate. */
+  def benfordDigits(df: DataFrame, column: String): DataFrame = {
+    val absx = abs(c(column).cast("double"))
+    val digit = floor(absx / pow(lit(10.0), floor(log10(absx)))).cast("int")
+    val counts = df.filter(c(column).isNotNull && absx > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    import df.sparkSession.implicits._
+    val spine = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d))).toDF("digit", "expected_share")
+    spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"), col("expected_share"))
+      .withColumn("total", sum(col("n")).over(all))
+      .withColumn("observed_share",
+        when(col("total") > 0, col("n") / col("total")).otherwise(lit(0.0)))
+      .withColumn("chi2_term",
+        when(col("total") > 0,
+          pow(col("n") - col("expected_share") * col("total"), 2) /
+            (col("expected_share") * col("total"))).otherwise(lit(0.0)))
+      .select(col("digit"), col("n"), col("observed_share"),
+        col("expected_share"), col("chi2_term"))
+  }
+
+  /** Min-max / z-score / robust standardization of numeric columns —
+    * the feature-scaling transform: adds `{col}_scaled` per input
+    * column. `method`: "zscore" ((x − mean)/stddev), "minmax"
+    * ((x − min)/(max − min)), "robust" ((x − median)/IQR — outlier-
+    * immune). Constant columns scale to 0 rather than NaN.
+    *
+    * One stats aggregate for ALL columns (quartiles via the
+    * quarantined percentile pass when robust), O(cols) scalars on the
+    * driver, then a single map-side projection — the corpus is
+    * scanned once for stats and once for the transform, never per
+    * column. */
+  def standardize(df: DataFrame, cols: Seq[String],
+      method: String = "zscore"): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val stats: Map[String, (Double, Double)] = method match {
+      case "zscore" =>
+        val aggs = cols.flatMap(n => Seq(avg(c(n)).as(s"${n}_m"), stddev_samp(c(n)).as(s"${n}_s")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.zipWithIndex.map { case (n, i) =>
+          n -> (Option(r.get(2 * i)).fold(0.0)(_.asInstanceOf[Double]),
+            Option(r.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double]))
+        }.toMap
+      case "minmax" =>
+        val aggs = cols.flatMap(n => Seq(min(c(n)).cast(DoubleType).as(s"${n}_lo"),
+          max(c(n)).cast(DoubleType).as(s"${n}_hi")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.zipWithIndex.map { case (n, i) =>
+          val lo = Option(r.get(2 * i)).fold(0.0)(_.asInstanceOf[Double])
+          val hi = Option(r.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double])
+          n -> (lo, hi - lo)
+        }.toMap
+      case "robust" =>
+        val r = percentiles(df, cols).head()
+        cols.zipWithIndex.map { case (n, i) =>
+          val q1 = Option(r.get(3 * i)).fold(0.0)(_.asInstanceOf[Double])
+          val med = Option(r.get(3 * i + 1)).fold(0.0)(_.asInstanceOf[Double])
+          val q3 = Option(r.get(3 * i + 2)).fold(0.0)(_.asInstanceOf[Double])
+          n -> (med, q3 - q1)
+        }.toMap
+      case other => throw new IllegalArgumentException(
+        s"unknown method: $other (expected zscore, minmax, or robust)")
+    }
+    stats.foldLeft(df) { case (acc, (n, (center, scale))) =>
+      acc.withColumn(s"${n}_scaled",
+        if (scale == 0.0 || scale.isNaN) when(c(n).isNotNull, lit(0.0))
+        else (c(n) - center) / scale)
+    }
+  }
+
   /** Type inference for STRING columns — the CSV-world profiler
     * question ("is this varchar column really integers/dates?") the
     * typed-column passes can't ask. Per column: non-null count and the

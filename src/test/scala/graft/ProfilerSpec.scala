@@ -367,6 +367,41 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     c.count(_._2 > 0) shouldBe 1
   }
 
+  test("benfordDigits: digit extraction across magnitudes, spine complete, zeros excluded") {
+    import graft.profiler.ProfilePasses
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(123.0), Some(0.19), Some(1.0), Some(9500.0), Some(-2.5),
+      Some(0.0), None).toDF("x")
+    val out = ProfilePasses.benfordDigits(df, "x").orderBy("digit").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    out.length shouldBe 9 // full 1..9 spine
+    out.toMap shouldBe Map(1 -> 3L, 2 -> 1L, 9 -> 1L) ++
+      (3 to 8).map(_ -> 0L).toMap
+  }
+
+  test("standardize: three methods scale correctly; constants and nulls are safe") {
+    import graft.profiler.ProfilePasses
+    val s = spark
+    import s.implicits._
+    val df = Seq((10.0, Some(5.0)), (20.0, Some(5.0)), (30.0, None))
+      .toDF("x", "const")
+    val z = ProfilePasses.standardize(df, Seq("x", "const"), "zscore")
+      .orderBy("x").collect()
+    z.map(_.getDouble(2)) shouldBe Array(-1.0, 0.0, 1.0) // sd = 10
+    z(0).getDouble(3) shouldBe 0.0 // constant col → 0, not NaN
+    z(2).isNullAt(3) shouldBe true // null stays null
+    val m = ProfilePasses.standardize(df, Seq("x"), "minmax")
+      .orderBy("x").collect().map(_.getDouble(2))
+    m shouldBe Array(0.0, 0.5, 1.0)
+    val r = ProfilePasses.standardize(df, Seq("x"), "robust")
+      .orderBy("x").collect().map(_.getDouble(2))
+    r(1) shouldBe 0.0 // median centers
+    intercept[IllegalArgumentException] {
+      ProfilePasses.standardize(df, Seq("x"), "nope")
+    }
+  }
+
   test("robustStats handles an all-null column without a pass-2/3 job for it") {
     import graft.profiler.ProfilePasses
     val s = spark
