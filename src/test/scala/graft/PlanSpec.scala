@@ -523,6 +523,24 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("Window")
   }
 
+  test("histogram and benford are single bounded-key aggregates with no window over the corpus") {
+    val h = physical(ProfilePasses.histogram(lineitem, "l_quantity", 10, 0.0, 50.0))
+    h.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    h should not include "Window"
+    val b = physical(ProfilePasses.benfordDigits(lineitem, "l_extendedprice"))
+    b.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    // the window in benford runs over the ≤9 grouped rows, after the agg
+    b should include("HashAggregate")
+  }
+
+  test("typeInference is one wide conditional aggregate — single scan, no shuffle-per-column") {
+    val plan = physical(ProfilePasses.typeInference(
+      lineitem.select(col("l_returnflag"), col("l_linestatus")),
+      Seq("l_returnflag", "l_linestatus")))
+    plan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    plan.linesIterator.count(_.contains("Exchange")) should be <= 1
+  }
+
   test("tfidf computes tf and df from ONE corpus scan (window, not a self-join)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = physical(graft.text.TextAnalysis.tfidfTerms(docs, "text", "doc_id", k = 3))
