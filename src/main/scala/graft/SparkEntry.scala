@@ -2217,6 +2217,29 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    // ---- Per-user inter-arrival gap stats (the bot-regularity
+    // signal): microsecond-exact gaps via one entity-keyed lag window.
+    "ev_interarrival" -> ((s, dir) => {
+      graft.events.Events.interArrivalStats(eventsWithTs(s, dir),
+          "user_id", "ts", tiebreakCol = "event_id")
+        .select(col("user_id"), col("n_gaps"),
+          round(col("mean_gap_s"), 4).as("mean_gap_s"),
+          round(col("min_gap_s"), 4).as("min_gap_s"),
+          round(col("max_gap_s"), 4).as("max_gap_s"),
+          round(col("cv"), 4).as("cv"))
+        .orderBy("user_id")
+    }),
+
+    // ---- Retention cohorts by epoch-week of first activity — the
+    // per-entity MIN + entity-keyed join formulation, no corpus
+    // window.
+    "ev_retention_cohorts" -> ((s, dir) => {
+      graft.events.Events.retentionCohorts(eventsWithTs(s, dir),
+          "user_id", "ts",
+          ts => floor(unix_micros(ts.cast("timestamp")) / lit(604800000000L)))
+        .orderBy("cohort_period", "period_offset")
+    }),
+
     // ---- FORWARD as-of: each purchase gets the EARLIEST error event
     // by the same user at-or-after its timestamp within 24 h — the
     // next-event attribution shape (did the purchase precede a
@@ -5004,6 +5027,37 @@ object SparkEntry {
         |       round(CAST(m.click_value AS DOUBLE), 4) AS click_value
         |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON p.event_id = m.purchase_id
         |ORDER BY purchase_id""".stripMargin,
+
+    // The identical lag-window gap arithmetic.
+    "ev_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, count(*) AS n_gaps,
+        |       round(avg(gap), 4) AS mean_gap_s,
+        |       round(min(gap), 4) AS min_gap_s,
+        |       round(max(gap), 4) AS max_gap_s,
+        |       round(CASE WHEN avg(gap) > 0
+        |         THEN coalesce(stddev_samp(gap), 0.0) / avg(gap) ELSE 0.0 END, 4) AS cv
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // First-activity epoch-week per user, offsets counted off the
+    // distinct (user, week) activity set.
+    "ev_retention_cohorts" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS period
+        |  FROM events WHERE ts IS NOT NULL
+        |), cohorts AS (
+        |  SELECT user_id, min(period) AS cohort_period FROM active GROUP BY user_id
+        |)
+        |SELECT c.cohort_period, a.period - c.cohort_period AS period_offset,
+        |       count(DISTINCT a.user_id) AS n_entities
+        |FROM active a JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Forward replay: rank ascending (earliest ts, smallest id) over
     // the future-side pairs within the 24 h window.

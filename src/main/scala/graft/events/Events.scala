@@ -213,6 +213,58 @@ object Events {
       .withColumn(s"${prefix}mean", avg(col(valueCol)).over(w))
   }
 
+  /** Per-entity inter-arrival statistics: the distribution of gaps
+    * between an entity's consecutive events — (entity, n_gaps,
+    * mean/min/max gap seconds, and the coefficient of variation
+    * stddev/mean). Ultra-regular gaps (cv → 0) are the classic bot
+    * signature; human traffic is bursty (cv ≥ 1). Entities with fewer
+    * than two events have no gaps and are absent.
+    *
+    * One entity-keyed window (lag) over the same single shuffle shape
+    * as [[sessionize]], then a per-entity aggregate that reuses the
+    * partitioning. Microsecond-exact integer gaps. */
+  def interArrivalStats(df: DataFrame, entityCol: String, tsCol: String,
+      tiebreakCol: String): DataFrame = {
+    val order = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tiebreakCol))
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val gap = (micros - lag(micros, 1).over(order)) / lit(1000000.0)
+    df.withColumn("__gap", gap)
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        avg(col("__gap")).as("mean_gap_s"),
+        min(col("__gap")).as("min_gap_s"),
+        max(col("__gap")).as("max_gap_s"),
+        when(avg(col("__gap")) > 0,
+          coalesce(stddev_samp(col("__gap")), lit(0.0)) / avg(col("__gap")))
+          .otherwise(lit(0.0)).as("cv"))
+  }
+
+  /** Retention cohorts: entities grouped by their FIRST-activity
+    * period, tracked across subsequent periods — the product-analytics
+    * staple ("of the users who arrived in week 0, how many were still
+    * active in week k"). Output: (cohort_period, period_offset,
+    * n_entities) where offset 0 is the cohort's own size.
+    *
+    * No window over the corpus: the first-activity period is a
+    * per-entity MIN aggregate, joined back entity-keyed (both sides
+    * already reduced to one row per entity/activity-period), then one
+    * small (cohort, offset) count. `periodExpr` maps a timestamp to
+    * its period ordinal (e.g. epoch-week); keep it a pure map-side
+    * function of the timestamp. */
+  def retentionCohorts(df: DataFrame, entityCol: String, tsCol: String,
+      periodExpr: Column => Column): DataFrame = {
+    val period = periodExpr(col(tsCol))
+    val active = df.filter(col(tsCol).isNotNull)
+      .select(col(entityCol).as("entity"), period.cast("long").as("period"))
+      .distinct()
+    val cohorts = active.groupBy("entity")
+      .agg(min(col("period")).as("cohort_period"))
+    active.join(cohorts, "entity")
+      .groupBy(col("cohort_period"), (col("period") - col("cohort_period")).as("period_offset"))
+      .agg(countDistinct(col("entity")).as("n_entities"))
+  }
+
   /** Ordered funnel: how many entities reached each stage IN ORDER —
     * stage k counts an entity iff an event of `stages(k)` occurred
     * STRICTLY AFTER (in the (ts, tiebreak) total order) some event

@@ -140,6 +140,50 @@ class EventsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out shouldBe Array(("view", 1L), ("click", 1L))
   }
 
+  test("interArrivalStats: exact gaps, single-event entities absent, regular cadence → cv 0") {
+    val s = spark
+    import s.implicits._
+    val log2 = Seq(
+      (1L, ts(0), 1L, "view", 0.0),  // user 1: gaps 60 s, 60 s → cv 0
+      (2L, ts(1), 1L, "view", 0.0),
+      (3L, ts(2), 1L, "view", 0.0),
+      (4L, ts(0), 2L, "view", 0.0),  // user 2: gaps 60 s, 540 s → bursty
+      (5L, ts(1), 2L, "view", 0.0),
+      (6L, ts(10), 2L, "view", 0.0),
+      (7L, ts(5), 3L, "view", 0.0)   // user 3: one event → no gaps
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.interArrivalStats(log2, "user_id", "ts", "event_id")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(5)))
+    out.map(_._1).toSeq shouldBe Seq(1L, 2L) // user 3 absent
+    out(0) shouldBe ((1L, 2L, 60.0, 0.0))
+    out(1)._2 shouldBe 2L
+    out(1)._3 shouldBe 300.0
+    out(1)._4 should be > 1.0 // bursty
+  }
+
+  test("retentionCohorts counts entities by first-activity period and offset") {
+    val s = spark
+    import s.implicits._
+    // periods: day index. u1 starts day 0, active days 0, 1; u2 starts
+    // day 0, active day 0 only; u3 starts day 1, active days 1, 2.
+    def d(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    val log2 = Seq(
+      (1L, d(0), 1L), (2L, d(1), 1L), (3L, d(0), 1L), // dup same-day activity
+      (4L, d(0), 2L),
+      (5L, d(1), 3L), (6L, d(2), 3L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Events.retentionCohorts(log2, "user_id", "ts",
+        t => org.apache.spark.sql.functions.dayofmonth(t) - 1)
+      .orderBy("cohort_period", "period_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array(
+      (0L, 0L, 2L), // u1, u2 in cohort 0
+      (0L, 1L, 1L), // only u1 retained at +1
+      (1L, 0L, 1L), // u3's cohort
+      (1L, 1L, 1L))
+  }
+
   private lazy val asOfLeft = {
     val s = spark
     import s.implicits._
