@@ -972,4 +972,43 @@ object Dedup {
       .agg(count(lit(1)).as("occupancy"))
       .filter(col("occupancy") > maxBucketOccupancy)
   }
+
+  /** One (bands, rowsPerBand) candidate for [[LshPlan.forThreshold]]:
+    * its S-curve inflection (1/b)^(1/r) plus the candidate
+    * probability 1−(1−s^r)^b at the target and at ±0.1 around it —
+    * what the banding actually does to near-misses and clear dups. */
+  final case class LshPlan(
+      bands: Int, rowsPerBand: Int, inflection: Double,
+      pAtThreshold: Double, pBelow: Double, pAbove: Double)
+
+  object LshPlan {
+    /** P(candidate | Jaccard = s) under (b, r) banding. */
+    def candidateProbability(s: Double, bands: Int, rowsPerBand: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+
+    /** Pick the (bands, rowsPerBand) split of `numHashes` whose
+      * S-curve inflection (1/b)^(1/r) sits closest to the target
+      * Jaccard `threshold` — the standard parameter question every
+      * MinHash deployment answers by folklore, as a pure driver-side
+      * function (nothing distributed; feed the result to
+      * [[candidatePairs]]). Only exact divisors of `numHashes` are
+      * considered: padding bands with reused rows skews the curve.
+      * Ranked by |inflection − threshold|, ties to MORE bands (higher
+      * recall at the threshold — missed dups cost more than extra
+      * verify candidates, which the exact-Jaccard verify discards). */
+    def forThreshold(numHashes: Int, threshold: Double): LshPlan = {
+      require(numHashes >= 2, s"numHashes must be >= 2: $numHashes")
+      require(threshold > 0 && threshold < 1, s"threshold out of (0,1): $threshold")
+      val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+        .map { r =>
+          val b = numHashes / r
+          val inflection = math.pow(1.0 / b, 1.0 / r)
+          LshPlan(b, r, inflection,
+            candidateProbability(threshold, b, r),
+            candidateProbability(math.max(threshold - 0.1, 0.0), b, r),
+            candidateProbability(math.min(threshold + 0.1, 1.0), b, r))
+        }
+      candidates.minBy(p => (math.abs(p.inflection - threshold), -p.bands))
+    }
+  }
 }

@@ -655,4 +655,23 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
         precomputedPostings = Some(postings)).count() shouldBe 0L
     } finally { postings.unpersist(); () }
   }
+
+  test("LshPlan.forThreshold picks a divisor split whose inflection sits at the target") {
+    val p = Dedup.LshPlan.forThreshold(numHashes = 128, threshold = 0.8)
+    p.bands * p.rowsPerBand shouldBe 128
+    p.inflection shouldBe 0.8 +- 0.1
+    // The S-curve actually separates: monotone through the threshold,
+    // with a real gap across ±0.1 (near the inflection the curve is at
+    // its steepest, not yet saturated).
+    p.pAbove should be > p.pAtThreshold
+    p.pAtThreshold should be > p.pBelow
+    p.pAbove should be > p.pBelow + 0.3
+    // Known anchor: (b=32, r=4) inflection (1/32)^(1/4) ≈ 0.42 — the
+    // default candidatePairs banding targets recall-heavy ~0.4.
+    val loose = Dedup.LshPlan.forThreshold(128, 0.42)
+    (loose.bands, loose.rowsPerBand) shouldBe ((32, 4))
+    // Probability formula sanity: s=1 → always candidate; s→0 → never.
+    Dedup.LshPlan.candidateProbability(1.0, 32, 4) shouldBe 1.0
+    Dedup.LshPlan.candidateProbability(0.0, 32, 4) shouldBe 0.0
+  }
 }
