@@ -178,16 +178,22 @@ object Dedup {
     * shape would make runs irreproducible across environments. Tune it
     * explicitly, guided by the audit.)
     *
-    * Plan shape: the occupancy count rides a window partitioned by
-    * (band, bucket) — NOT a per-query funnel: the partition key is the
-    * bucket space itself (high-cardinality by construction), and its
-    * sort order is exactly what the downstream sort-merge self-join
-    * needs. The banded keys shuffle ONCE and both join sides reuse
-    * that exchange, so the cap adds no extra shuffle of the corpus and
-    * the map-side minhash scan still runs once. (A groupBy-based prune
-    * was measured instead re-running the minhash scan for the
-    * occupancy branch: column pruning rewrites that branch's subtree,
-    * defeating exchange reuse.) */
+    * Plan shape: the cap is enforced with a partial-aggregated
+    * `groupBy(band, bucket).count()` of the HOT keys only, broadcast
+    * and anti-joined back (see [[pruneHotKeys]]) — deliberately NOT a
+    * count-over-window partitioned by the bucket key: in the exact
+    * degenerate corpus the cap exists for (one bucket flooded by 10⁹
+    * near-identical documents) a window exec would buffer the whole
+    * hot bucket on ONE task just to compute the count that discards
+    * it, while the partial aggregate collapses the hot key to one row
+    * per mapper before any shuffle. The hot-key list is bounded by
+    * n_rows / cap keys (0.1% of bucket rows at the default cap), so
+    * the prune is a broadcast anti hash join — no shuffle of the
+    * corpus — and the self-join's exchange reuse is unchanged. The
+    * aggregate branch does read the buckets frame a second time; at
+    * corpus scale use this FromBuckets shape over a persisted
+    * [[bandBuckets]] frame (as the composed pipeline does) so that
+    * read is a cache hit, not a second minhash scan. */
   def candidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
@@ -206,13 +212,7 @@ object Dedup {
     requireColumns(buckets, "bandBuckets frame", "id", "band", "bucket")
     val kept =
       if (maxBucketOccupancy <= 0) buckets
-      else {
-        val perBucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-        buckets
-          .withColumn("occupancy", count(lit(1)).over(perBucket))
-          .filter(col("occupancy") <= maxBucketOccupancy)
-          .drop("occupancy")
-      }
+      else pruneHotKeys(buckets, Seq("band", "bucket"), maxBucketOccupancy)
     kept.as("a")
       .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -233,6 +233,28 @@ object Dedup {
         s"missing ${missing.mkString(", ")}; pass the frame produced by the " +
         "matching precompute, not a reshaped one")
   }
+
+  /** The shared skew-proof occupancy prune behind every bucket/block
+    * cap in this object and [[graft.similarity.Similarity]]: drop
+    * every row whose `keyCols` tuple occurs more than `cap` times.
+    * Shape: partial-aggregated `groupBy(keyCols).count()` keeps ONLY
+    * keys over the cap — map-side combine collapses even a
+    * 10⁹-row hot key to one row per mapper, so no task ever buffers a
+    * hot bucket — then that hot-key list (≤ n_rows / cap keys by
+    * pigeonhole, so ~0.1% of rows at cap 1000) broadcasts into a
+    * left_anti hash join that never shuffles `rows`. A
+    * count-over-window on the same key would funnel the hottest
+    * bucket through one window task precisely in the flooded-corpus
+    * case the cap exists for. */
+  private[graft] def pruneHotKeys(
+      rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    rows.join(
+      broadcast(rows
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("occupancy"))
+        .filter(col("occupancy") > cap)
+        .select(keyCols.map(col): _*)),
+      keyCols, "left_anti")
 
   /** The audit for [[candidatePairs]]'s occupancy cap — "no silent
     * caps": every (band, bucket) key holding more than
@@ -262,17 +284,38 @@ object Dedup {
       .filter(col("occupancy") > maxBucketOccupancy)
   }
 
+  /** Pass as `bands` to the threshold-carrying near-dup entry points
+    * ([[nearDupPairs]], [[dropNearDuplicates]], [[nearDupPairsAgainst]],
+    * [[dropNearDuplicatesAgainst]]) to have the banding resolved by
+    * [[LshPlan.forThreshold]]: the (bands, rowsPerBand) split of
+    * `numHashes` whose S-curve inflection sits closest to `threshold`.
+    * OPT-IN, deliberately not the default: the advisor balances
+    * precision against recall AT the threshold (~50% candidate
+    * probability at the inflection), which is right when there is no
+    * verify step; these operators DO verify with exact Jaccard, so
+    * their default banding (32×4 at 128 hashes, inflection 0.42) is
+    * recall-first — near-threshold true pairs survive and the verify
+    * join discards the extra candidates. */
+  val AdvisedBands: Int = -1
+
+  private def resolveBands(bands: Int, numHashes: Int, threshold: Double): Int =
+    if (bands == AdvisedBands) LshPlan.forThreshold(numHashes, threshold).bands
+    else bands
+
   /** Near-duplicate pairs: LSH candidates verified with EXACT word
     * n-gram Jaccard, keeping pairs at or above `threshold`.
     * Output: (id_a, id_b, jaccard). Never all-pairs — the only joins
-    * are the banded bucket join and two id-keyed shingle lookups. */
+    * are the banded bucket join and two id-keyed shingle lookups.
+    * `bands` accepts [[AdvisedBands]] to derive the banding from
+    * `threshold` via [[LshPlan.forThreshold]]. */
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
       signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000): DataFrame =
     nearDupPairsFromBuckets(df, idCol, textCol,
-      bandBuckets(df, idCol, textCol, shingleSize, numHashes, bands, signatureMode),
+      bandBuckets(df, idCol, textCol, shingleSize, numHashes,
+        resolveBands(bands, numHashes, threshold), signatureMode),
       threshold, shingleSize, maxBucketOccupancy)
 
   /** [[nearDupPairs]] over an already-computed [[bandBuckets]] frame —
@@ -521,11 +564,17 @@ object Dedup {
     * contract as [[candidatePairsFromBuckets]]: pruned buckets are
     * named by the audit, never dropped silently.
     *
-    * Plan shape: the two bucket frames union once, the occupancy
-    * window partitions by (band, bucket) over that union, and the two
-    * join sides filter the SAME windowed child — one shuffle of the
-    * combined banded keys, reused by both sides of the join (the
-    * exchange-reuse reasoning of [[candidatePairs]]). */
+    * Plan shape: the combined occupancy is a partial-aggregated
+    * groupBy over the UNION of both bucket frames (so a cluster split
+    * across the sides is counted whole) whose over-cap keys broadcast
+    * into a left_anti prune ([[pruneHotKeys]] — skew-proof where a
+    * count-over-window would funnel the flooded bucket through one
+    * task). The join sides then filter the pruned union by side;
+    * Catalyst pushes those filters INTO the union and prunes the
+    * opposite branch, so each side shuffles exactly its own banded
+    * keys — two exchanges whose combined volume equals the one union
+    * shuffle, with the hot-key broadcast built once and reused by
+    * both sides' anti joins. */
   def candidatePairsAgainstFromBuckets(
       incomingBuckets: DataFrame, existingBuckets: DataFrame,
       maxBucketOccupancy: Int = 1000): DataFrame = {
@@ -537,13 +586,7 @@ object Dedup {
         .select(col("id"), col("band"), col("bucket"), lit(false).as("is_incoming")))
     val kept =
       if (maxBucketOccupancy <= 0) tagged
-      else {
-        val perBucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-        tagged
-          .withColumn("occupancy", count(lit(1)).over(perBucket))
-          .filter(col("occupancy") <= maxBucketOccupancy)
-          .drop("occupancy")
-      }
+      else pruneHotKeys(tagged, Seq("band", "bucket"), maxBucketOccupancy)
     kept.filter(col("is_incoming")).as("a")
       .join(kept.filter(!col("is_incoming")).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
@@ -585,8 +628,10 @@ object Dedup {
     nearDupPairsAgainstFromBuckets(
       incoming, incomingIdCol, incomingTextCol,
       existing, existingIdCol, existingTextCol,
-      bandBuckets(incoming, incomingIdCol, incomingTextCol, shingleSize, numHashes, bands, signatureMode),
-      bandBuckets(existing, existingIdCol, existingTextCol, shingleSize, numHashes, bands, signatureMode),
+      bandBuckets(incoming, incomingIdCol, incomingTextCol, shingleSize, numHashes,
+        resolveBands(bands, numHashes, threshold), signatureMode),
+      bandBuckets(existing, existingIdCol, existingTextCol, shingleSize, numHashes,
+        resolveBands(bands, numHashes, threshold), signatureMode),
       threshold, shingleSize, maxBucketOccupancy)
 
   /** [[nearDupPairsAgainst]] over precomputed bucket frames — the
@@ -919,22 +964,18 @@ object Dedup {
     * alongside — rows there are clusters this join cannot pair;
     * collapse them with exact dedup first (the scale-correct order) or
     * raise the cap at O(occupancy²) cost. Same plan shape as
-    * candidatePairs: the occupancy count rides a window partitioned by
-    * (tbl, key) — high-cardinality by construction, sorted exactly as
-    * the self-join wants — so the keyed corpus shuffles once and both
-    * join sides reuse that exchange. */
+    * candidatePairs: hot (tbl, key) blocks are found with a
+    * partial-aggregated groupBy and broadcast-anti-joined away
+    * ([[pruneHotKeys]]) — skew-proof in the identical-sketch flood
+    * case — so the keyed corpus shuffles once for the self-join and
+    * both join sides reuse that exchange. */
   def simhashNearDupPairsFromKeys(
       keys: DataFrame, maxHamming: Int = 3,
       maxBucketOccupancy: Int = 1000): DataFrame = {
     requireColumns(keys, "blockKeys frame", "id", "sk", "tbl", "key")
     val kept =
       if (maxBucketOccupancy <= 0) keys
-      else {
-        val perKey = org.apache.spark.sql.expressions.Window.partitionBy("tbl", "key")
-        keys.withColumn("occupancy", count(lit(1)).over(perKey))
-          .filter(col("occupancy") <= maxBucketOccupancy)
-          .drop("occupancy")
-      }
+      else pruneHotKeys(keys, Seq("tbl", "key"), maxBucketOccupancy)
     kept.as("a")
       .join(kept.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&

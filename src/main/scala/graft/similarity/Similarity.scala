@@ -538,10 +538,12 @@ object Similarity {
     * (0 disables); run [[cappedBuckets]] alongside to see what was
     * dropped — rows there are clusters to collapse with exact dedup
     * first, or to keep at O(occupancy²) join cost by raising the cap.
-    * The occupancy count rides a window partitioned by the bucket key
-    * (high-cardinality, not a funnel), so the bucketed corpus shuffles
-    * once, both join sides reuse that exchange, and the sign-bucket
-    * scan runs once — same plan reasoning as
+    * Hot buckets are found with a partial-aggregated groupBy and
+    * broadcast-anti-joined away
+    * ([[graft.dedup.Dedup.pruneHotKeys]] — skew-proof where a
+    * count-over-window would buffer the flooded bucket on one task),
+    * so the bucketed corpus shuffles once for the self-join and both
+    * join sides reuse that exchange — same plan reasoning as
     * [[graft.dedup.Dedup.candidatePairs]]. */
   def nearDupByEmbedding(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
@@ -563,12 +565,7 @@ object Similarity {
     requireColumns(buckets, "id", "v", "bucket")
     val b =
       if (maxBucketOccupancy <= 0) buckets
-      else {
-        val perBucket = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-        buckets.withColumn("occupancy", count(lit(1)).over(perBucket))
-          .filter(col("occupancy") <= maxBucketOccupancy)
-          .drop("occupancy")
-      }
+      else graft.dedup.Dedup.pruneHotKeys(buckets, Seq("bucket"), maxBucketOccupancy)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -638,8 +635,12 @@ object Similarity {
     * frames — the shared-scan path (run [[cappedBucketsAgainstFromBuckets]]
     * off the same two frames; both sides must be bucketed under the
     * same hyperplanes, which the frame shape enforces by construction).
-    * The occupancy window rides the unioned buckets, so both join
-    * sides filter the SAME shuffled union and reuse one exchange. */
+    * The combined occupancy is a partial-aggregated groupBy over the
+    * unioned buckets whose over-cap keys broadcast into a left_anti
+    * prune ([[graft.dedup.Dedup.pruneHotKeys]]); the side filters
+    * push into the union so each join side shuffles exactly its own
+    * bucketed rows (combined volume = one union shuffle) and the
+    * hot-key broadcast is built once and reused by both sides. */
   def nearDupByEmbeddingAgainstFromBuckets(
       incomingBuckets: DataFrame, existingBuckets: DataFrame,
       threshold: Double = 0.95, maxBucketOccupancy: Int = 1000): DataFrame = {
@@ -651,12 +652,7 @@ object Similarity {
         .select(col("id"), col("v"), col("bucket"), lit(false).as("is_incoming")))
     val kept =
       if (maxBucketOccupancy <= 0) tagged
-      else {
-        val perBucket = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-        tagged.withColumn("occupancy", count(lit(1)).over(perBucket))
-          .filter(col("occupancy") <= maxBucketOccupancy)
-          .drop("occupancy")
-      }
+      else graft.dedup.Dedup.pruneHotKeys(tagged, Seq("bucket"), maxBucketOccupancy)
     kept.filter(col("is_incoming")).as("a")
       .join(kept.filter(!col("is_incoming")).as("b"), col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("incoming_id"), col("b.id").as("existing_id"),

@@ -514,32 +514,44 @@ object TextAnalysis {
     * lexicographically first label). Rows with null text are excluded.
     *
     * Plan shape: one text scan computes fingerprint + quality + lang
-    * counts map-side; the dup flag rides a window partitioned by the
-    * fingerprint (high-cardinality content hash, not a funnel); the
-    * final aggregate collapses per source under map-side combine with
-    * per-language counts as fixed columns (the label set is a
-    * compile-time constant, so the dominant language needs NO second
-    * shuffle). Two shuffles total, no joins, text never shuffled. */
+    * counts map-side into fixed-width per-doc rows; the dup flag
+    * comes from a partial-aggregated `groupBy(fp).count()` (a
+    * fingerprint-only second scan — column pruning drops the quality/
+    * lang work from that branch) joined back on the fingerprint —
+    * deliberately NOT a count window partitioned by fp: a corpus
+    * flooded with one duplicated document would buffer the whole hot
+    * fingerprint on ONE window task (and drag the text column through
+    * that shuffle), while the partial aggregate collapses the hot fp
+    * map-side and the join back streams it (one build row per fp; AQE
+    * can split the skewed partition). The final aggregate collapses
+    * per source under map-side combine with per-language counts as
+    * fixed columns (the label set is a compile-time constant, so the
+    * dominant language needs NO second shuffle). Text never leaves
+    * the map side. */
   def sourceMixReport(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
-    val perFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     val langs = (LanguageMarkers.map(_._1) :+ "unknown").sorted
     // Staged selects, not withColumn: the counts struct and the argmax
     // must read BOUND attributes (the capture note on [[languageId]] —
     // a collapsed projection would re-run the counts traversal once
     // per field reference).
+    val fpCounts = spread(df).filter(col(textCol).isNotNull)
+      .select(fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg((count(lit(1)) > 1).cast("double").as("is_dup"))
     val perDoc = spread(df).filter(col(textCol).isNotNull)
       .select(col(sourceCol).as("source"), col(textCol).as("t"),
         fingerprint(col(textCol)).as("fp"))
-      .withColumn("is_dup", (count(lit(1)).over(perFp) > 1).cast("double"))
-      .select(col("source"), col("is_dup"),
+      .select(col("source"), col("fp"),
         length(col("t")).cast("long").as("chars"),
         size(tokens(col("t"))).cast("long").as("toks"),
         qualityScoreExpr(col("t")).as("quality"),
         langCountsExpr(col("t")).as("c"))
-      .select(col("source"), col("is_dup"), col("chars"), col("toks"), col("quality"),
+      .select(col("source"), col("fp"), col("chars"), col("toks"), col("quality"),
         bestOf(LanguageMarkers.map(_._1), l => col("c").getField(l)).as("best"))
-      .select(col("source"), col("is_dup"), col("chars"), col("toks"), col("quality"),
+      .select(col("source"), col("fp"), col("chars"), col("toks"), col("quality"),
         when(col("best.n") > 0, col("best.lang")).otherwise(lit("unknown")).as("lang"))
+      .join(fpCounts, Seq("fp"))
+      .drop("fp")
     val aggs = Seq(
       count(lit(1)).as("n_docs"),
       sum("chars").as("total_chars"),
@@ -607,11 +619,17 @@ object TextAnalysis {
     // Everything after the authority, fragment dropped.
     val tail0 = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1), "#.*$", "")
-    // Tracking params out (one pattern per family — no alternation),
-    // then dangling separators tidied.
+    // Tracking params out (one pattern per family — no alternation).
+    // Each family is anchored to a parameter boundary `[?&]` (kept via
+    // the capture) so a legitimate param that merely EMBEDS a tracking
+    // name — `?xutm_source=1` — is never touched; RE2 has no
+    // lookbehind, so the boundary must be consumed-and-restored rather
+    // than asserted. Separator runs left behind by adjacent strips
+    // (`?&&`) collapse in the tidy pass.
     val tail = Seq("utm_[A-Za-z0-9_]*", "fbclid", "gclid")
-      .foldLeft(tail0)((t, p) => regexp_replace(t, s"$p=[^&#]*&?", ""))
-    val tidied = regexp_replace(regexp_replace(tail, "\\?&", "?"), "[?&]$", "")
+      .foldLeft(tail0)((t, p) => regexp_replace(t, s"([?&])$p=[^&#]*", "$1"))
+    val tidied = regexp_replace(regexp_replace(regexp_replace(
+      tail, "&&+", "&"), "\\?&", "?"), "[?&]$", "")
     df.filter(col(urlCol).isNotNull)
       .select(col(idCol), scheme.as("scheme"), host.as("host"),
         when(scheme === "", url) // not a URL: pass through untouched
@@ -627,14 +645,18 @@ object TextAnalysis {
     * terms in (score desc, term) order.
     *
     * Plan shape: tokens explode once → ONE (id, term) count aggregate
-    * (tf, map-side partials); term document frequency is a COUNT
-    * WINDOW over that aggregate partitioned by term — the (id, term)
-    * rows flow through once (a join against a separately-aggregated df
-    * frame would recompute the whole tokenize+aggregate lineage as a
-    * second corpus scan; the window consumes the one stream). The
-    * top-k window then partitions by DOCUMENT, so its sort is per-id,
-    * never global. One corpus scan, two key-partitioned shuffles over
-    * vocabulary/posting-sized rows. */
+    * (tf, map-side partials); term document frequency is a SECOND
+    * partial aggregate of those posting rows grouped by term, joined
+    * back on term — deliberately NOT a count window partitioned by
+    * term: a stop-word-grade term appears in essentially every
+    * document, so at corpus scale a term-keyed window would buffer
+    * O(n_docs) posting rows on ONE task, while the partial aggregate
+    * collapses the hot term map-side and the join back streams the
+    * skewed term (one build row per term; AQE can split the skewed
+    * partition). The df branch recomputes the posting lineage — a
+    * second scan is the price of skew-proofness; persist the source
+    * upstream if scanning dominates. The top-k window then partitions
+    * by DOCUMENT, so its sort is per-id, never global. */
   def tfidfTerms(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -644,12 +666,12 @@ object TextAnalysis {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val nDocs = df.filter(col(textCol).isNotNull).count()
-    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val docFreq = termCounts.groupBy("term").agg(count(lit(1)).as("df_count"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
     termCounts
-      .withColumn("df_count", count(lit(1)).over(byTerm))
+      .join(docFreq, Seq("term"))
       .withColumn("score",
         col("tf") * (log((lit(nDocs) + 1.0) / (col("df_count") + 1.0)) + 1.0))
       .withColumn("rank", row_number().over(byDoc))

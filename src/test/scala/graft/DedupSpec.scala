@@ -674,4 +674,28 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Dedup.LshPlan.candidateProbability(1.0, 32, 4) shouldBe 1.0
     Dedup.LshPlan.candidateProbability(0.0, 32, 4) shouldBe 0.0
   }
+
+  test("AdvisedBands resolves the banding from the threshold via LshPlan") {
+    val s = spark
+    import s.implicits._
+    // Near-identical docs (Jaccard well above the inflection) so the
+    // advisor's lower-recall banding still pairs them — the test pins
+    // the WIRING (sentinel → forThreshold → bandBuckets), not recall.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o p"),
+      (3L, "q r s t u v w x y z zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val advised = Dedup.LshPlan.forThreshold(128, 0.8)
+    val viaSentinel = Dedup.nearDupPairs(docs, "doc_id", "text",
+        threshold = 0.8, bands = Dedup.AdvisedBands)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaExplicit = Dedup.nearDupPairs(docs, "doc_id", "text",
+        threshold = 0.8, bands = advised.bands)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    viaSentinel shouldBe Set((1L, 2L))
+    viaSentinel shouldBe viaExplicit
+    // The advisor picked a DIFFERENT split than the recall-first
+    // default — the sentinel is a real parameter change, not a no-op.
+    advised.bands should not be 32
+  }
 }

@@ -176,7 +176,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // and the reuse is visible in the printed plan (under AQE the same
     // dedup happens at runtime via shuffle-stage reuse).
     val prev = s.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    // Force the corpus self-join to its at-scale sort-merge shape; the
+    // hot-key prune must STILL be a broadcast anti join (explicit hint).
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "g h i j k l"))
         .toDF("doc_id", "text")
@@ -184,11 +188,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
         numHashes = 16, bands = 4, maxBucketOccupancy = 10))
       val dex = dplan.linesIterator.filter(_.contains("hashpartitioning(band")).toSeq
       withClue(dplan) {
-        // One real shuffle of the banded keys; the self-join's second
-        // side (occupancy window included) reuses it — so the map-side
-        // minhash scan runs exactly once.
-        dex.count(!_.contains("ReusedExchange")) shouldBe 1
+        // One real shuffle of the corpus's banded keys (the self-join's
+        // second side reuses it) plus one tiny partial-aggregated
+        // exchange in the hot-key branch; the prune itself is a
+        // broadcast anti join, never a count-over-window (which would
+        // buffer the flooded bucket on one task).
+        dex.count(!_.contains("ReusedExchange")) shouldBe 2
         dex.count(_.contains("ReusedExchange")) should be >= 1
+        dplan should include("LeftAnti")
+        dplan should include("BroadcastHashJoin")
+        dplan should not include "Window"
       }
       val vecs = (0 until 8).map(i => (i.toLong, Seq.fill(4)(i.toDouble + 1)))
         .toDF("vec_id", "embedding")
@@ -196,26 +205,35 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
         dim = 4, maxBucketOccupancy = 10))
       val sex = splan.linesIterator.filter(_.contains("hashpartitioning(bucket")).toSeq
       withClue(splan) {
-        sex.count(!_.contains("ReusedExchange")) shouldBe 1
+        sex.count(!_.contains("ReusedExchange")) shouldBe 2
         sex.count(_.contains("ReusedExchange")) should be >= 1
+        splan should include("LeftAnti")
+        splan should not include "Window"
       }
       // The SimHash block-key join — the third member of the capped
-      // family — keeps the same one-shuffle shape.
+      // family — keeps the same shape.
       val hplan = physical(Dedup.simhashNearDupPairs(docs, "doc_id", "text",
         maxBucketOccupancy = 10))
       val hex = hplan.linesIterator.filter(_.contains("hashpartitioning(tbl")).toSeq
       withClue(hplan) {
-        hex.count(!_.contains("ReusedExchange")) shouldBe 1
+        hex.count(!_.contains("ReusedExchange")) shouldBe 2
         hex.count(_.contains("ReusedExchange")) should be >= 1
+        hplan should include("LeftAnti")
+        hplan should not include "Window"
       }
-    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prev)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 
   test("bipartite candidate join shuffles the unioned banded keys once") {
     val s = spark
     import s.implicits._
     val prev = s.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val ex = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
       val inc = Seq((9L, "a b c d e f")).toDF("inc_id", "text")
@@ -225,13 +243,21 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
         maxBucketOccupancy = 10))
       val lines = plan.linesIterator.filter(_.contains("hashpartitioning(band")).toSeq
       withClue(plan) {
-        // Both join sides filter the SAME windowed union — one real
-        // shuffle of incoming+existing keys, the other side reuses it.
-        lines.count(!_.contains("ReusedExchange")) shouldBe 1
-        lines.count(_.contains("ReusedExchange")) should be >= 1
+        // Catalyst pushes the side filters into the union, so each join
+        // side shuffles exactly its own banded keys (combined volume =
+        // one union shuffle) and the hot-key agg adds a tiny third
+        // exchange; the hot-key BROADCAST is built once and reused by
+        // both sides' anti joins. No window, no cartesian.
+        lines.count(!_.contains("ReusedExchange")) shouldBe 3
+        plan should include("ReusedExchange")
+        plan should include("LeftAnti")
+        plan should not include "Window"
         plan should not include "CartesianProduct"
       }
-    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prev)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 
   test("composed pipeline: audit and candidate join both read the ONE persisted banded scan") {
@@ -271,7 +297,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val s = spark
     import s.implicits._
     val prev = s.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val ex = (0 until 8).map(i => (i.toLong, Seq.fill(4)(i.toDouble + 1)))
         .toDF("vec_id", "embedding")
@@ -282,18 +310,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
         maxBucketOccupancy = 10))
       val lines = plan.linesIterator.filter(_.contains("hashpartitioning(bucket")).toSeq
       withClue(plan) {
-        lines.count(!_.contains("ReusedExchange")) shouldBe 1
-        lines.count(_.contains("ReusedExchange")) should be >= 1
+        // Same shape as the bipartite banded join: side filters push
+        // into the union (each side shuffles its own rows), hot-bucket
+        // agg is the tiny third exchange, broadcast reused.
+        lines.count(!_.contains("ReusedExchange")) shouldBe 3
+        plan should include("ReusedExchange")
+        plan should include("LeftAnti")
+        plan should not include "Window"
         plan should not include "CartesianProduct"
       }
-    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prev)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 
   test("semantic near-dup pairing is cell-equi-keyed and reuses one exchange") {
     val s = spark
     import s.implicits._
     val prev = s.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val vecs = (0 until 8).map(i => (i.toLong, Seq.fill(4)(i.toDouble + 1)))
         .toDF("vec_id", "embedding")
@@ -305,13 +343,18 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
       withClue(plan) {
         plan should not include "CartesianProduct"
         plan should not include "BroadcastNestedLoopJoin"
-        // One real shuffle of the cell assignments (occupancy window
-        // included); the join's second side reuses it — the codegen'd
-        // NearestCells assignment scan runs exactly once.
-        lines.count(!_.contains("ReusedExchange")) shouldBe 1
+        // One real shuffle of the cell assignments (the join's second
+        // side reuses it) plus the hot-cell branch's tiny partial-agg
+        // exchange; the prune is a broadcast anti join, never a window.
+        lines.count(!_.contains("ReusedExchange")) shouldBe 2
         lines.count(_.contains("ReusedExchange")) should be >= 1
+        plan should include("LeftAnti")
+        plan should not include "Window"
       }
-    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prev)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 
   test("two-phase top-k has no Window and no global sort of candidates") {
@@ -541,11 +584,30 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan.linesIterator.count(_.contains("Exchange")) should be <= 1
   }
 
-  test("tfidf computes tf and df from ONE corpus scan (window, not a self-join)") {
+  test("tfidf: df is a partial aggregate joined on term — no term-keyed window") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = physical(graft.text.TextAnalysis.tfidfTerms(docs, "text", "doc_id", k = 3))
-    plan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
-    plan should not include "Join"
+    // A stop-word term appears in ~every document; a window partitioned
+    // by term would buffer O(n_docs) posting rows on one task. The only
+    // window allowed here is the per-DOCUMENT top-k rank.
+    val windowLines = plan.linesIterator.filter(_.contains(" Window [")).toSeq
+    withClue(plan) {
+      windowLines should have size 1
+      windowLines.head should include("windowspecdefinition(doc_id")
+    }
+  }
+
+  test("sourceMixReport: dup flag is a fp-keyed partial aggregate — no window, text stays map-side") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = physical(graft.text.TextAnalysis.sourceMixReport(docs, "text", "source"))
+    withClue(plan) {
+      plan should not include "Window"
+      // The dup flag comes from the fp-keyed partial aggregate joined
+      // back on fp — the hot-fingerprint case collapses map-side.
+      plan should include("HashAggregate")
+      plan.linesIterator.count(l => l.contains("SortMergeJoin") ||
+        l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin")) shouldBe 1
+    }
   }
 
   test("SCD2 apply plans exactly one join; closed history rows bypass it") {
@@ -566,5 +628,20 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
       "user_id", "ts", "value", windowRows = 4, tiebreakCol = "event_id"))
     plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
     plan should include("specifiedwindowframe(RowFrame, -3, currentrow$())")
+  }
+
+  test("capPerEntity plans a PARTIAL window group limit before the shuffle") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = physical(graft.events.Events.capPerEntity(
+      ev, "user_id", cap = 50, idCol = "event_id"))
+    withClue(plan) {
+      // InferWindowGroupLimit must rewrite the rank filter into a
+      // map-side partial group limit: each task keeps ≤ cap rows per
+      // entity BEFORE the exchange, so a hot entity never floods one
+      // reducer — the whole point of the cap at 100 TB.
+      plan should include("WindowGroupLimit")
+      plan should include("Partial")
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    }
   }
 }

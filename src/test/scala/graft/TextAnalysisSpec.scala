@@ -512,7 +512,13 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (1L, "HTTPS://User:pw@WWW.Site.COM:443/Path/X?utm_source=a&q=KeepMe&fbclid=zz#frag"),
       (2L, "http://site.com:8080/x?gclid=1"),   // non-default port survives
       (3L, "https://site.com/x?utm_only=1"),    // all params stripped → bare path
-      (4L, "not a url at all")                  // passthrough
+      (4L, "not a url at all"),                 // passthrough
+      // A real param that merely EMBEDS a tracking name must survive
+      // byte-for-byte — the strip is anchored to a parameter boundary.
+      (5L, "https://site.com/x?xutm_source=1&a=2"),
+      // Consecutive same-family params both strip; the separator runs
+      // they leave behind collapse in the tidy pass.
+      (6L, "https://site.com/x?utm_a=1&utm_b=2&c=3")
     ).toDF("id", "url")
     val out = TextAnalysis.urlFeatures(df, "url", "id")
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
@@ -520,6 +526,8 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(1) shouldBe ((2L, "http", "site.com", "http://site.com:8080/x"))
     out(2) shouldBe ((3L, "https", "site.com", "https://site.com/x"))
     out(3) shouldBe ((4L, "", "", "not a url at all"))
+    out(4) shouldBe ((5L, "https", "site.com", "https://site.com/x?xutm_source=1&a=2"))
+    out(5) shouldBe ((6L, "https", "site.com", "https://site.com/x?c=3"))
   }
 
   test("tfidfTerms ties break alphabetically at equal (tf, df)") {
