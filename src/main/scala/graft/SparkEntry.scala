@@ -158,6 +158,11 @@ object SparkEntry {
     s2.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1000")
     s2.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "10m")
     extraConfs.foreach { case (k, v) => s2.conf.set(k, v) }
+    // Analysis-time checks (e.g. the stateful-operator correctness
+    // guard) read SQLConf from the THREAD-ACTIVE session, not from the
+    // session the Dataset was built against — without this, whether a
+    // replay honors extraConfs depends on which gate ran before it.
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
     val stream = MemoryStream[A]
     val sinkName = s"${name}_sink_${System.nanoTime()}"
@@ -2240,6 +2245,28 @@ object SparkEntry {
         .orderBy("cohort_period", "period_offset")
     }),
 
+    // ---- Per-entity event cap (the skew mitigation the event windows
+    // assume upstream): at most 50 events per user, kept by md5-mode
+    // deterministic hash order so DuckDB replays MEMBERSHIP (the
+    // kept-id sum), not just the counts; the cappedEntities audit
+    // joins in the true pre-cap size.
+    "ev_capped_entities" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val kept = graft.events.Events
+        .capPerEntity(ev, "user_id", cap = 50, idCol = "event_id", hashMode = "md5")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("event_id")).cast("long").as("kept_id_sum"))
+      val audit = graft.events.Events.cappedEntities(ev, "user_id", cap = 50)
+        .select(col("entity").as("user_id"), col("n_events"))
+      kept.join(audit, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("n_events"), col("n_kept")).as("n_events"),
+          col("n_kept"), col("kept_id_sum"),
+          col("n_events").isNotNull.as("was_capped"))
+        .orderBy("user_id")
+    }),
+
     // ---- FORWARD as-of: each purchase gets the EARLIEST error event
     // by the same user at-or-after its timestamp within 24 h — the
     // next-event attribution shape (did the purchase precede a
@@ -2407,7 +2434,9 @@ object SparkEntry {
           to_date(col("valid_to")).cast("string").as("vt"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_orderkey")).cast("long").as("key_sum"))
-        .orderBy("vf", "vt")
+        // NULLS LAST to match DuckDB's ASC default — the driver compare
+        // sorts rows anyway, but an order-sensitive replay should agree.
+        .orderBy(col("vf"), col("vt").asc_nulls_last)
     }),
 
     // ---- Point-in-time read-back over the SAME folded history: the
@@ -3672,7 +3701,8 @@ object SparkEntry {
         |), d AS (
         |  SELECT CAST(floor(a / pow(10.0, floor(log10(a)))) AS INT) AS digit FROM v
         |), counts AS (
-        |  SELECT digit, count(*) AS n FROM d GROUP BY digit
+        |  SELECT digit, count(*) AS n FROM d
+        |  WHERE digit BETWEEN 1 AND 9 GROUP BY digit
         |), spine AS (
         |  SELECT CAST(i AS INT) AS digit, log10(1.0 + 1.0 / i) AS expected_share
         |  FROM range(1, 10) t(i)
@@ -4618,12 +4648,12 @@ object SparkEntry {
         |         CASE WHEN (scheme = 'https' AND hostport LIKE '%:443')
         |                OR (scheme = 'http' AND hostport LIKE '%:80')
         |           THEN regexp_replace(hostport, ':[0-9]+$', '') ELSE hostport END AS chp,
-        |         regexp_replace(regexp_replace(
+        |         regexp_replace(regexp_replace(regexp_replace(
         |           regexp_replace(regexp_replace(regexp_replace(tail0,
-        |             'utm_[A-Za-z0-9_]*=[^&#]*&?', '', 'g'),
-        |             'fbclid=[^&#]*&?', '', 'g'),
-        |             'gclid=[^&#]*&?', '', 'g'),
-        |           '\?&', '?'), '[?&]$', '') AS tail
+        |             '([?&])utm_[A-Za-z0-9_]*=[^&#]*', '\1', 'g'),
+        |             '([?&])fbclid=[^&#]*', '\1', 'g'),
+        |             '([?&])gclid=[^&#]*', '\1', 'g'),
+        |           '&&+', '&', 'g'), '\?&', '?'), '[?&]$', '') AS tail
         |  FROM parts
         |)
         |SELECT doc_id, scheme, host, scheme || '://' || chp || tail AS normalized
@@ -5059,6 +5089,35 @@ object SparkEntry {
         |FROM active a JOIN cohorts c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Replays the md5-mode uniform hash digit-for-digit, then the same
+    // (u, event_id) rank-≤-50 keep; kept_id_sum hash-checks membership.
+    "ev_capped_entities" -> {
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}.0")
+        .mkString(" +\n         |         ")
+      s"""WITH h AS (
+         |  SELECT user_id, event_id, md5('42:' || CAST(event_id AS VARCHAR)) AS hx
+         |  FROM events
+         |), u AS (
+         |  SELECT user_id, event_id,
+         |        ($nibbles) / 4294967296.0 AS u
+         |  FROM h
+         |), r AS (
+         |  SELECT user_id, event_id,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY u, event_id) AS rk
+         |  FROM u
+         |), k AS (
+         |  SELECT user_id, count(*) AS n_kept,
+         |         CAST(sum(event_id) AS BIGINT) AS kept_id_sum
+         |  FROM r WHERE rk <= 50 GROUP BY user_id
+         |), tot AS (
+         |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+         |)
+         |SELECT k.user_id, tot.n_events, k.n_kept, k.kept_id_sum,
+         |       tot.n_events > 50 AS was_capped
+         |FROM k JOIN tot USING (user_id) ORDER BY user_id""".stripMargin
+    },
+
     // Forward replay: rank ascending (earliest ts, smallest id) over
     // the future-side pairs within the 24 h window.
     "ev_asof_forward" ->
@@ -5356,7 +5415,7 @@ object SparkEntry {
          |rc AS (SELECT CAST(o_orderstatus AS VARCHAR) AS value, count(*) AS rn FROM ref GROUP BY 1),
          |cc AS (SELECT CAST(o_orderstatus AS VARCHAR) AS value, count(*) AS cn FROM cur GROUP BY 1),
          |j AS (SELECT coalesce(rc.value, cc.value) AS value, rc.rn, cc.cn
-         |      FROM rc FULL OUTER JOIN cc ON rc.value = cc.value),
+         |      FROM rc FULL OUTER JOIN cc ON rc.value IS NOT DISTINCT FROM cc.value),
          |t AS (SELECT sum(coalesce(rn, 0)) AS rt, sum(coalesce(cn, 0)) AS ct FROM j)
          |SELECT value, coalesce(rn, 0) AS ref_n, coalesce(cn, 0) AS cur_n,
          |       round(coalesce(rn, 0) / CAST(t.rt AS DOUBLE), 6) AS ref_share,

@@ -56,9 +56,14 @@ object Drift {
         greatest(lit(0), floor((c.cast("double") - lit(lo)) / lit(width)).cast("int")))
     // The total is a window-sum over the ≤numBins grouped rows, so each
     // side is scanned exactly once (the single-partition window is
-    // bounded by numBins, never corpus-sized).
+    // bounded by numBins, never corpus-sized). The constant partition
+    // key is semantically a no-op — it exists so the planner does not
+    // log its move-all-data-to-one-partition warning for a frame that
+    // is bounded by construction, keeping bench logs quiet for REAL
+    // unpartitioned windows.
     def histo(df: DataFrame, share: String): DataFrame = {
-      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val all = Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       df.filter(col(valueCol).isNotNull)
         .groupBy(binOf(col(valueCol)).as("bin"))
         .agg(count(lit(1)).cast("double").as("c"))
@@ -73,7 +78,7 @@ object Drift {
         coalesce(col("cur_share"), lit(0.0)).as("cur_share"))
     val p = greatest(col("ref_share"), lit(1e-6))
     val q = greatest(col("cur_share"), lit(1e-6))
-    val w = Window.orderBy("bin")
+    val w = Window.partitionBy(lit(0)).orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined.select(col("bin"), col("ref_share"), col("cur_share"),
         ((p - q) * log(p / q)).as("psi_term"),
@@ -100,12 +105,22 @@ object Drift {
     * exactly once, nothing corpus-sized past the aggregates. */
   def categoryDrift(
       ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // lit(0) partition key: see binnedDrift — bounded frame, warning-free.
+    val all = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def counts(df: DataFrame, n: String): DataFrame =
       df.groupBy(col(valueCol).cast("string").as("value"))
         .agg(count(lit(1)).as(n))
-    val joined = counts(ref, "ref_n")
-      .join(counts(cur, "cur_n"), Seq("value"), "full_outer")
+    // Null-SAFE join key: a plain equi-join never matches null keys, so
+    // a null category present in BOTH snapshots would emit two rows
+    // (one 'added', one 'removed') and double-count its TVD term as
+    // |p|/2 + |q|/2 instead of |p−q|/2 — exactly the null-rate-shift
+    // case the scaladoc promises to measure as ONE real null row.
+    val joined = counts(ref, "ref_n").alias("r")
+      .join(counts(cur, "cur_n").alias("c"),
+        col("r.value") <=> col("c.value"), "full_outer")
+      .select(coalesce(col("r.value"), col("c.value")).as("value"),
+        col("ref_n"), col("cur_n"))
     val refShare = coalesce(col("ref_n"), lit(0L)).cast("double") /
       sum(coalesce(col("ref_n"), lit(0L))).over(all)
     val curShare = coalesce(col("cur_n"), lit(0L)).cast("double") /

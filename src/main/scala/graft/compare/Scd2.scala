@@ -60,10 +60,16 @@ object Scd2 {
     val open = history.filter(col("valid_to").isNull)
 
     val joinCond = keyCols.map(k => col(s"h.`$k`") <=> col(s"s.`$k`")).reduce(_ && _)
-    val hPresent = keyCols.map(k => col(s"h.`$k`").isNotNull).reduce(_ && _)
-    val sPresent = keyCols.map(k => col(s"s.`$k`").isNotNull).reduce(_ && _)
+    // Side presence must be detected with an explicit lit(true) marker,
+    // NOT key-column nullity: the join is null-SAFE (<=>), so a null
+    // key matches across sides and is a legitimate joined row — testing
+    // the key columns would make such a row satisfy neither branch and
+    // silently drop it from the fold.
     val changed = attrCols.map(c => !(col(s"h.`$c`") <=> col(s"s.`$c`"))).reduce(_ || _)
-    val j = open.alias("h").join(snapshot.alias("s"), joinCond, "full_outer")
+    val j = open.withColumn("_h_present", lit(true)).alias("h")
+      .join(snapshot.withColumn("_s_present", lit(true)).alias("s"), joinCond, "full_outer")
+    val hPresent = col("h._h_present").isNotNull
+    val sPresent = col("s._s_present").isNotNull
 
     def outRow(tag: String, from: Column, to: Column) = struct(
       (keyCols.map(k => col(s"$tag.`$k`").as(k)) ++

@@ -213,6 +213,50 @@ object Events {
       .withColumn(s"${prefix}mean", avg(col(valueCol)).over(w))
   }
 
+  /** The per-entity event cap this object's scaladoc names as the
+    * standard skew mitigation at 100 TB: keep at most `cap` events per
+    * entity, the kept subset chosen by DETERMINISTIC hash order
+    * (uniform hash of `idCol` under (`seed`, `hashMode`), ties broken
+    * by `idCol`) — an unbiased fixed sample of the entity's events
+    * that is stable under retries, repartitioning, and corpus growth,
+    * where a timestamp-ordered keep would bias toward an entity's
+    * early history. Same recall-tradeoff contract as
+    * [[graft.dedup.Dedup.candidatePairs]]'s occupancy cap: never
+    * silent — run [[cappedEntities]] alongside; rows there name every
+    * entity the cap truncated.
+    *
+    * Plan shape: a rank-filtered entity-keyed window, which Spark's
+    * InferWindowGroupLimit rewrites into a PARTIAL WindowGroupLimit
+    * BEFORE the exchange — each map task keeps at most `cap` rows per
+    * entity it sees, so a 10⁹-event hot entity ships ≤ cap × n_mappers
+    * rows through the shuffle instead of flooding one reducer
+    * (PlanSpec pins the partial group limit). The rewrite applies while
+    * `cap` ≤ spark.sql.optimizer.windowGroupLimitThreshold (default
+    * 1000); raise that conf in lockstep for larger caps.
+    * `hashMode`: "xxhash64" (default, codegen'd scale mode) or "md5"
+    * (engine-reproducible gate mode). */
+  def capPerEntity(df: DataFrame, entityCol: String, cap: Int, idCol: String,
+      seed: Long = 42L, hashMode: String = "xxhash64"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    Seq("__u", "__rk").foreach { c =>
+      require(!df.columns.contains(c), s"input already has reserved column '$c'")
+    }
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("__u"), col(idCol))
+    df.withColumn("__u", graft.sampling.Sampling.uniformHash(col(idCol), seed, hashMode))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__u", "__rk")
+  }
+
+  /** The audit for [[capPerEntity]] — "no silent caps": every entity
+    * holding more than `cap` events, with its true count. Empty output
+    * means the cap dropped nothing. One partial-aggregated groupBy —
+    * skew-proof at any entity size. */
+  def cappedEntities(df: DataFrame, entityCol: String, cap: Int): DataFrame =
+    df.groupBy(col(entityCol).as("entity"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > cap)
+
   /** Per-entity inter-arrival statistics: the distribution of gaps
     * between an entity's consecutive events — (entity, n_gaps,
     * mean/min/max gap seconds, and the coefficient of variation

@@ -61,19 +61,29 @@ object SkewJoin {
     *
     * One hash aggregate keyed by the join key, a second tiny
     * aggregate over the GROUPED rows for the total, and a TakeOrdered
-    * top-k — nothing corpus-sized reaches the driver. The grouped
-    * counts persist (spillable, key-cardinality-sized) so the total
-    * and the top-k consume ONE corpus scan — without the cache, Spark
-    * re-plans the whole scan+aggregate for each consumer. Ties break
-    * by key for a deterministic report. */
+    * top-k — nothing corpus-sized reaches the driver except the ≤topK
+    * report rows themselves. The grouped counts persist (spillable,
+    * key-cardinality-sized) so the total and the top-k consume ONE
+    * corpus scan — without the cache, Spark re-plans the whole
+    * scan+aggregate for each consumer — and the report is materialized
+    * EAGERLY so the cache can be unpersisted before returning:
+    * a lazily-returned plan would pin key-cardinality-sized blocks in
+    * executor storage for the session's lifetime on every call. The
+    * returned frame is a ≤topK-row local relation. Ties break by key
+    * for a deterministic report. */
   def skewReport(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1: $topK")
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = counts.agg(sum("n").as("total"))
-    counts.crossJoin(broadcast(total))
-      .select(col("key"), col("n"), (col("n") / col("total")).as("share"))
-      .orderBy(col("n").desc, col("key"))
-      .limit(topK)
+    try {
+      val total = counts.agg(sum("n").as("total"))
+      val report = counts.crossJoin(broadcast(total))
+        .select(col("key"), col("n"), (col("n") / col("total")).as("share"))
+        .orderBy(col("n").desc, col("key"))
+        .limit(topK)
+      val rows = report.collect()
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), report.schema)
+    } finally counts.unpersist(false)
   }
 }

@@ -429,9 +429,18 @@ object ProfilePasses {
   def benfordDigits(df: DataFrame, column: String): DataFrame = {
     val absx = abs(c(column).cast("double"))
     val digit = floor(absx / pow(lit(10.0), floor(log10(absx)))).cast("int")
+    // Defensive clamp to 1–9: float log10/pow edge cases (subnormals,
+    // values straddling a power of ten) could in principle yield 0 or
+    // 10; the share total must be over the SAME digit set the report
+    // shows, in this engine and in any replaying engine, or shares
+    // stop summing to 1.
     val counts = df.filter(c(column).isNotNull && absx > 0)
       .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      .filter(col("digit").between(1, 9))
+    // The constant partition key keeps the planner from logging its
+    // single-partition warning for this ≤9-row frame (see Drift).
     val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     import df.sparkSession.implicits._

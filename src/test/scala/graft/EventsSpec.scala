@@ -304,4 +304,56 @@ class EventsSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (4L, 3L, 90.0, 20.0, 40.0, 30.0), // event 1 fell out of the frame
       (5L, 1L, 5.0, 5.0, 5.0, 5.0))
   }
+
+  test("capPerEntity keeps a deterministic hash-ordered subset; audit names capped entities") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 40L).map(i => (i, if (i <= 30) 1L else 2L, s"e$i"))
+      .toDF("event_id", "user_id", "payload")
+    val capped = Events.capPerEntity(df, "user_id", cap = 10, idCol = "event_id")
+    // Schema passes through unchanged — no internal columns leak.
+    capped.columns.toSeq shouldBe df.columns.toSeq
+    val byUser = capped.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byUser shouldBe Map(1L -> 10L, 2L -> 10L) // user 2 had 10 — untouched
+    // Determinism: the same call keeps the SAME ids (hash order, not
+    // arbitrary row order), and they match a hand-derived rank.
+    val kept1 = capped.filter(col("user_id") === 1L)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val kept2 = Events.capPerEntity(df, "user_id", cap = 10, idCol = "event_id")
+      .filter(col("user_id") === 1L)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    kept1.toSeq shouldBe kept2.toSeq
+    // A different seed keeps a different (still size-10) subset.
+    val kept3 = Events.capPerEntity(df, "user_id", cap = 10, idCol = "event_id", seed = 7L)
+      .filter(col("user_id") === 1L)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    kept3.length shouldBe 10
+    assert(kept3.toSeq != kept1.toSeq,
+      "a different seed must keep a different subset")
+    val audit = Events.cappedEntities(df, "user_id", cap = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    audit.toSeq shouldBe Seq(1L -> 30L) // only the truncated entity, true count
+  }
+
+  test("capPerEntity md5 mode matches an externally-replayable rank") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 20L).map(i => (i, 1L)).toDF("event_id", "user_id")
+    val kept = Events.capPerEntity(df, "user_id", cap = 5, idCol = "event_id",
+        hashMode = "md5")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // Replay the md5 uniform hash on the driver: first 8 hex digits of
+    // md5("42:" + id) over 2^32, rank by (u, id), keep 5.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(s"42:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val expected = (1L to 20L).sortBy(id => (u(id), id)).take(5).toSet
+    kept shouldBe expected
+  }
 }

@@ -68,4 +68,17 @@ class SkewJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
     top.isNullAt(0) shouldBe true
     top.getLong(1) shouldBe 3L
   }
+
+  test("skewReport releases its internal cache before returning") {
+    val s = spark
+    import s.implicits._
+    // The grouped counts persist only for the report's own lifetime;
+    // a leaked cache would pin key-cardinality-sized blocks in
+    // executor storage on every call in a long-lived session. Compare
+    // against the pre-call census: other suites may legitimately hold
+    // caches on the shared session.
+    val before = s.sparkContext.getPersistentRDDs.size
+    SkewJoin.skewReport(big, "k", topK = 3).collect()
+    s.sparkContext.getPersistentRDDs.size shouldBe before
+  }
 }

@@ -94,4 +94,55 @@ class SnapshotDiffSpec extends AnyFunSuite with Matchers with SparkTestBase {
     h.filter(col("valid_to").isNull).select("k", "v").collect()
       .map(_.toSeq).toSet shouldBe Set(Seq(1L, "A"), Seq(2L, "b"))
   }
+
+  test("Scd2.applyChanges folds null-keyed rows — the null-safe join's legit match") {
+    import graft.compare.Scd2
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // The join is null-safe (<=>), so a null key is an ordinary key
+    // value: it must match across sides, close/reopen on change, and
+    // never be silently dropped from the fold.
+    val snap0 = Seq((Option(1L), "a"), (Option.empty[Long], "n0")).toDF("k", "v")
+    val snap1 = Seq((Option(1L), "a"), (Option.empty[Long], "n1")).toDF("k", "v")
+    val h = Scd2.applyChanges(Scd2.initial(snap0, lit("2024-01-01")), snap1,
+      Seq("k"), Seq("v"), lit("2024-02-01"), closeMissing = true)
+    val rows = h.select(col("k"), col("v"),
+        to_date(col("valid_from")).cast("string"), to_date(col("valid_to")).cast("string"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1), r.getString(2), Option(r.getString(3))))
+      .toSet
+    rows shouldBe Set(
+      (Some(1L), "a", "2024-01-01", None),       // carried
+      (None, "n0", "2024-01-01", Some("2024-02-01")), // null key CLOSED on change
+      (None, "n1", "2024-02-01", None))          // null key reopened
+    // And with closeMissing = false, an open null-keyed row missing
+    // from the snapshot carries forward instead of vanishing.
+    val partial = Seq((Option(1L), "a")).toDF("k", "v")
+    val h2 = Scd2.applyChanges(Scd2.initial(snap0, lit("2024-01-01")), partial,
+      Seq("k"), Seq("v"), lit("2024-02-01"))
+    h2.filter(col("valid_to").isNull).count() shouldBe 2L
+  }
+
+  test("categoryDrift counts a both-sides null category ONCE, as shared") {
+    import graft.compare.Drift
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val ref = Seq(Some("x"), Some("x"), None, None).toDF("c")
+    val cur = Seq(Some("x"), None, None, None).toDF("c")
+    val out = Drift.categoryDrift(ref, cur, "c").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getString(5),
+        r.getDouble(6)))
+    out.length shouldBe 2 // one 'x' row + ONE null row, never added+removed
+    val nullRow = out.find(_._1.isEmpty).get
+    nullRow._2 shouldBe 2L
+    nullRow._3 shouldBe 3L
+    nullRow._4 shouldBe "shared"
+    // TVD term is |p − q|/2 = |0.5 − 0.75|/2, not (0.5 + 0.75)/2.
+    nullRow._5 shouldBe (0.125 +- 1e-12)
+    // Σ tvd_term stays a true total-variation distance.
+    out.map(_._5).sum shouldBe (0.25 +- 1e-12)
+  }
 }
