@@ -377,9 +377,60 @@ object Bench {
         r
       } else if (!dirty(rerun) || rerun.wall < r.wall) rerun else r
     }
-    val results = (clean ++ healed).sortBy(_.name)
+    var results = (clean ++ healed).sortBy(_.name)
     val requeued = toRequeue.map(_.name).sorted
     val stillDirty = healed.filter(dirty).map(_.name).sorted
+    // End-probe re-certification: a run can START certified and still
+    // absorb a co-tenant mid-run — the r14/r15 driver artifacts both
+    // carried clean start probes and a collapsed END probe, with the
+    // damage concentrated in the documented CPU-heavy flappers. So the
+    // end probe is now a GATE like the start probe: if it reads below
+    // the floor, wait for the host to recover (same retry/delay
+    // budget); once it re-certifies, re-run the flapper set plus
+    // anything starved-or-still-dirty ONCE on the now-quiet host and
+    // keep the faster measurement. The artifact records the recovery
+    // attempts and what was re-timed (`end_recert`) — a committed
+    // artifact therefore self-certifies: start AND end probes above
+    // floor, or the flags say exactly why not.
+    val knownFlappers = Seq(
+      "txt_repetition", "ll15_pipeline", "ll16_stream_near_dup", "txt_pattern_counts")
+    var calEnd = calibrateMops()
+    var calEndAttempts = 1
+    val endRecert = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (calFloor > 0 && calEnd < calFloor) {
+      while (calEnd < calFloor && calEndAttempts < calMaxAttempts) {
+        System.err.println(
+          f"[bench] end cal probe $calEndAttempts%d read $calEnd%.0f Mops < floor $calFloor%.0f — waiting for host to recover")
+        Thread.sleep(15000)
+        calEnd = calibrateMops()
+        calEndAttempts += 1
+      }
+      if (calEnd >= calFloor) {
+        val suspect = (knownFlappers ++ stillDirty ++
+          results.filter(r => isStarved(r.wall, r.cpu, r.extLoad, workers, cores)).map(_.name))
+          .distinct.filter(selected.contains).filterNot(errors.contains)
+        val recertified = suspect.flatMap { name =>
+          val rerun = runQuery(name, selected(name))
+          if (errors.contains(name)) {
+            // Keep the valid first-pass time; a failed recert rerun
+            // must not poison a run that already measured cleanly.
+            errors -= name
+            System.err.println(s"[bench] recert rerun of $name failed; keeping first-pass result")
+            None
+          } else Some(rerun)
+        }
+        val replaced = recertified.filter { rerun =>
+          results.find(_.name == rerun.name).exists(orig => rerun.wall < orig.wall)
+        }
+        results = (results.filterNot(r => replaced.exists(_.name == r.name)) ++ replaced)
+          .sortBy(_.name)
+        endRecert ++= replaced.map(_.name).sorted
+        // The reruns themselves burn CPU; re-probe so the recorded end
+        // calibration reflects the post-recert instant.
+        calEnd = calibrateMops()
+      }
+    }
+    val calEndBelowFloor = calFloor > 0 && calEnd < calFloor
     // JSON has no NaN literal: an unsupported CPU bean reports -1.
     def num(v: Double): String = if (v.isNaN || v.isInfinite) "-1" else f"$v%.3f"
     def jmap(f: QueryResult => Double): String =
@@ -420,14 +471,13 @@ object Bench {
     // unscheduled or D-state threads, and a single boundary sample can
     // catch a transient blip — neither should condemn a whole run, but
     // demand that persists across several query boundaries is real.
-    val calEnd = calibrateMops()
     val calRatio = if (calStart > 0) calEnd / calStart else Double.NaN
     val extHot = results.count(r => !r.extLoad.isNaN && r.extLoad > cores / 2.0)
     // A start probe that never cleared the pollution floor is positive
     // evidence by itself: the first-third timings are hot even when no
     // per-query signal fires (drift recovery isn't contamination).
     val contended = starved.nonEmpty || (!calRatio.isNaN && calRatio < 0.6) ||
-      extHot >= 3 || calBelowFloor
+      extHot >= 3 || calBelowFloor || calEndBelowFloor
     // The driver's artifact keeps only the last ~2000 chars of this
     // process's output, and sbt's own "[success] Total time" banner
     // eats ~80 of them. Three rounds of artifacts (r11–r13) recorded
@@ -447,6 +497,8 @@ object Bench {
       s""""load_max":${num(loadMax)},"ext_load_max":${num(extLoadMax)},""" +
       s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +
       s""""cal_attempts":$calAttempts,"cal_below_floor":$calBelowFloor,""" +
+      s""""cal_end_attempts":$calEndAttempts,"cal_end_below_floor":$calEndBelowFloor,""" +
+      s""""end_recert":${endRecert.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""slowest":$slowest,"starved":$starvedJson,""" +
       s""""warmup_failed":${warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""requeued":${requeued.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -483,7 +535,8 @@ object Bench {
         s""""load_max":${num(loadMax)},"ext_load_max":${num(extLoadMax)},""" +
         s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +
         s""""cal_attempts":$calAttempts,"cal_below_floor":$calBelowFloor,""" +
-        s""""slowest":$slow,""" +
+        s""""cal_end_attempts":$calEndAttempts,"cal_end_below_floor":$calEndBelowFloor,""" +
+        s""""end_recert_n":${endRecert.size},"slowest":$slow,""" +
         s""""starved_n":${starved.size},"warmup_failed_n":${warmupFailed.size},""" +
         s""""requeued_n":${requeued.size},"dirty_n":${stillDirty.size},""" +
         s""""contended":$contended,"detail":"$detailPath"}"""
