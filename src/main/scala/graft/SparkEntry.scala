@@ -760,6 +760,18 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // ---- Near-dup removal keeping the BEST cluster member by score
+    // (here: text length — "keep the longest", a real crawl policy).
+    // Components come from the same verified pair graph as ll8b; the
+    // keeper is argmax (score, id) via a partial-aggregated struct
+    // max, never a per-component window. Full survivor id list.
+    "ll28_drop_keep_best" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .withColumn("score", length(col("text")).cast("long"))
+      Dedup.dropNearDuplicatesKeepBest(df, "doc_id", "text", "score", threshold = 0.8)
+        .select(col("doc_id"), col("score")).orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: connected components over the near-dup pair
     // graph (alternating large-star/small-star) — the cluster-exact
     // canonicalization step: every paired document labeled with its
@@ -1221,6 +1233,30 @@ object SparkEntry {
     "txt_quality" -> ((s, dir) => {
       val df = t(s, dir, "documents")
       TextAnalysis.qualityScore(df, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // ---- Gopher-style quality FILTER: keep/drop verdict + the sorted
+    // failed-rule names per document. The fixture is single-line, so
+    // the gate synthesizes line pathologies from doc_id — %13==0 docs
+    // append three identical lines (duplicate_lines), %13==1 become
+    // pure bullet lists (bullet_lines + short/word-shape failures),
+    // %13==2 append ellipsis-terminated teaser lines — and DuckDB
+    // replays every rule over the same construction.
+    "txt_quality_filter" -> ((s, dir) => {
+      val mangled = when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit("\nsame line\nsame line\nsame line")))
+        .when(pmod(col("doc_id"), lit(13)) === 1,
+          lit("- alpha\n- beta\n- gamma\n- delta"))
+        .when(pmod(col("doc_id"), lit(13)) === 2,
+          concat(col("text"), lit("\nto be continued...\nmore soon...\nend...")))
+        .otherwise(col("text"))
+      val df = t(s, dir, "documents").select(col("doc_id"), mangled.as("text"))
+      TextAnalysis.qualityFilter(df, "text", "doc_id")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("alpha_word_frac"), col("n_stopwords"), col("ellipsis_line_frac"),
+          col("bullet_line_frac"), col("dup_line_frac"), col("keep"),
+          array_join(col("reasons"), ",").as("reasons"))
+        .orderBy("doc_id")
     }),
 
     // ---- LLM-pipeline: marker-word language identification ------------
@@ -3308,6 +3344,41 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
         |ORDER BY doc_id""".stripMargin,
 
+    // Same recursive closure; the keeper per component is argmax
+    // (score desc, id desc) — Spark's max(struct(score, id)) tiebreak
+    // — and unpaired documents keep themselves.
+    "ll28_drop_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |              ELSE [array_to_string(w, ' ')] END AS ts
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+        |), comp AS (
+        |  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+        |), ranked AS (
+        |  SELECT c.doc_id,
+        |         row_number() OVER (PARTITION BY c.component
+        |           ORDER BY len(d.text) DESC, c.doc_id DESC) AS rk
+        |  FROM comp c JOIN documents d USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(len(text) AS BIGINT) AS score FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+        |ORDER BY doc_id""".stripMargin,
+
     // ll11's recursive closure left-joined back onto the corpus:
     // unpaired documents coalesce to themselves (singletons).
     "ll13_component_ids" ->
@@ -4495,6 +4566,56 @@ object SparkEntry {
         |  round(stop_r, 4) AS stopword_ratio,
         |  round(least(least(n_tok / 100.0, 1.0) * (1.0 - punct_r) * (0.5 + 0.5 * stop_r), 1.0), 4) AS quality_score
         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    // Replays every rule over the same doc_id-derived line pathologies:
+    // the same token/line splits, list-lambda metrics, thresholds, and
+    // sorted failed-rule names.
+    "txt_quality_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || chr(10) || 'same line' || chr(10) || 'same line' || chr(10) || 'same line'
+        |         WHEN doc_id % 13 = 1 THEN '- alpha' || chr(10) || '- beta' || chr(10) || '- gamma' || chr(10) || '- delta'
+        |         WHEN doc_id % 13 = 2 THEN text || chr(10) || 'to be continued...' || chr(10) || 'more soon...' || chr(10) || 'end...'
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL
+        |), b AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+        |  FROM m
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_words,
+        |    list_sum(list_transform(w, x -> len(x))) * 1.0 / greatest(len(w), 1) AS mwl,
+        |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / greatest(len(w), 1) AS awf,
+        |    len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+        |        ['the','a','an','and','or','of','to','in','is','it'])) AS n_stop,
+        |    len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…')) * 1.0 / greatest(len(lines), 1) AS elf,
+        |    len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%')) * 1.0 / greatest(len(lines), 1) AS blf,
+        |    len(list_filter(lines, x -> len(list_filter(lines, y -> y = x)) > 1)) * 1.0 / greatest(len(lines), 1) AS dlf
+        |  FROM b
+        |), r AS (
+        |  SELECT doc_id, n_words, mwl, awf, n_stop, elf, blf, dlf,
+        |    list_sort(list_filter([
+        |      CASE WHEN n_words < 50 THEN 'too_few_words' END,
+        |      CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+        |      CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_length' END,
+        |      CASE WHEN awf < 0.8 THEN 'alpha_words' END,
+        |      CASE WHEN n_stop < 2 THEN 'stopword_diversity' END,
+        |      CASE WHEN elf > 0.3 THEN 'ellipsis_lines' END,
+        |      CASE WHEN blf > 0.9 THEN 'bullet_lines' END,
+        |      CASE WHEN dlf > 0.3 THEN 'duplicate_lines' END
+        |    ], x -> x IS NOT NULL)) AS reasons
+        |  FROM s
+        |)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(mwl, 4) AS mean_word_len, round(awf, 4) AS alpha_word_frac,
+        |  CAST(n_stop AS BIGINT) AS n_stopwords,
+        |  round(elf, 4) AS ellipsis_line_frac, round(blf, 4) AS bullet_line_frac,
+        |  round(dlf, 4) AS dup_line_frac,
+        |  len(reasons) = 0 AS keep,
+        |  coalesce(array_to_string(reasons, ','), '') AS reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "txt_lang_id" ->
       """WITH w AS (

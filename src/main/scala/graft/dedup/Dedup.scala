@@ -541,6 +541,46 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup removal keeping the BEST document of each duplicate
+    * cluster by `scoreCol` — the production policy ([[dropNearDuplicates]]'s
+    * greedy/components policies keep by id, which is deterministic but
+    * quality-blind; a crawl pipeline wants the longest / highest-
+    * quality / most-recent representative). Clusters are the connected
+    * components of the verified pair graph; within a cluster the
+    * keeper is argmax (score, id) — id breaks score ties, so the
+    * choice is deterministic and type-generic (numeric or string ids
+    * order lexicographically). Null scores lose to any non-null score.
+    * Documents in no pair keep themselves.
+    *
+    * Plan shape: pair graph → O(log n) component rounds
+    * ([[connectedComponents]]) → ONE partial-aggregated
+    * `groupBy(component).agg(max(struct(score, id)))` — argmax via
+    * struct max, which map-side combine collapses even for a
+    * pathological million-document cluster (never a per-component
+    * window) — then a semi-join of the corpus against the keeper ids.
+    * Only paired documents enter the aggregate; the untouched corpus
+    * majority streams through the final semi-join alone. */
+  def dropNearDuplicatesKeepBest(
+      df: DataFrame, idCol: String, textCol: String, scoreCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32,
+      signatureMode: String = "k-hash", maxBucketOccupancy: Int = 1000): DataFrame = {
+    require(df.columns.contains(scoreCol), s"missing score column '$scoreCol'")
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleSize, numHashes,
+      bands, signatureMode, maxBucketOccupancy)
+    requireIdCastCompatible(pairs.schema("id_a").dataType, df.schema(idCol).dataType)
+    val members = connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").cast(df.schema(idCol).dataType).as(idCol), col("component"))
+      .join(df.select(col(idCol), col(scoreCol).as("__score")), Seq(idCol))
+    val keepers = members
+      .groupBy(col("component"))
+      .agg(max(struct(col("__score").as("s"), col(idCol).as("i"))).as("best"))
+      .select(col("best.i").as(idCol))
+    val losers = members.select(col(idCol))
+      .join(keepers, Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- Bipartite (incremental) near-dup dedup: an INCOMING batch
   // against an EXISTING curated corpus — the every-crawl-cycle shape.
   // A self-join over the union would also pair incoming×incoming and

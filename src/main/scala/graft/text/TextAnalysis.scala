@@ -95,6 +95,89 @@ object TextAnalysis {
       lit(1.0))
   }
 
+  /** Thresholds for [[qualityFilter]] — the Gopher-style rule battery
+    * (Rae et al. 2021, table A1's shape, with this engine's fixed
+    * small stopword list). Every bound is a plain scalar so a
+    * deployment can tighten or disable a rule (`Int.MaxValue` /
+    * `Double.MaxValue` / 0 / negative bounds make a rule vacuous). */
+  final case class QualityFilterConfig(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaWordFrac: Double = 0.8, minDistinctStopwords: Int = 2,
+      maxEllipsisLineFrac: Double = 0.3, maxBulletLineFrac: Double = 0.9,
+      maxDupLineFrac: Double = 0.3)
+
+  /** Gopher-style composite document-quality FILTER: evaluates the
+    * whole rule battery per document and emits a keep/drop verdict
+    * with the NAMES of every failed rule — the production shape where
+    * a pipeline both filters and reports WHY (a bare boolean makes
+    * threshold tuning blind; [[qualityScore]] scores, this DECIDES).
+    * Rules: word-count band, mean-word-length band, alphabetic-word
+    * fraction, distinct-stopword diversity, ellipsis-terminated and
+    * bullet-led line fractions, and the duplicate-line fraction of
+    * [[repetitionStats]]. Output: (id, n_words, mean_word_len,
+    * alpha_word_frac, n_stopwords, ellipsis_line_frac,
+    * bullet_line_frac, dup_line_frac, keep, reasons) with `reasons`
+    * the sorted array of failed rule names (empty ⇔ keep). Rows with
+    * null text are excluded.
+    *
+    * Pure map-side column expressions over token/line arrays BOUND to
+    * attributes first (the [[repetitionStats]] capture note); the
+    * line-duplicate count is O(L²) in a document's line count and
+    * embarrassingly parallel across documents. No shuffle anywhere —
+    * the filter costs one scan at any corpus size. */
+  def qualityFilter(df: DataFrame, textCol: String, idCol: String,
+      cfg: QualityFilterConfig = QualityFilterConfig()): DataFrame = {
+    val bound = spread(df).filter(col(textCol).isNotNull).select(
+      col(idCol),
+      filter(tokens(col(textCol)), t => t =!= "").as("w"),
+      filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "").as("lines"))
+    val nW = greatest(size(col("w")), lit(1)).cast("double")
+    val nL = greatest(size(col("lines")), lit(1)).cast("double")
+    val lineOcc = transform(col("lines"),
+      l => size(filter(col("lines"), x => x === l)))
+    val metrics = bound.select(
+      col(idCol),
+      size(col("w")).cast("long").as("n_words"),
+      (aggregate(col("w"), lit(0L), (a, t) => a + length(t)).cast("double") / nW)
+        .as("mean_word_len"),
+      (size(filter(col("w"), t => t.rlike("[A-Za-z]"))).cast("double") / nW)
+        .as("alpha_word_frac"),
+      size(array_intersect(
+        array_distinct(transform(col("w"), t => lower(t))),
+        typedlit(Stopwords))).cast("long").as("n_stopwords"),
+      (size(filter(col("lines"), l => l.endsWith("...") || l.endsWith("…")))
+        .cast("double") / nL).as("ellipsis_line_frac"),
+      (size(filter(col("lines"), l =>
+        l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+        .cast("double") / nL).as("bullet_line_frac"),
+      (size(filter(lineOcc, o => o > 1)).cast("double") / nL).as("dup_line_frac"))
+    // Rule names are emitted in array_sort order regardless of the
+    // declaration order here, so adding a rule never reorders reasons.
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_words" -> (col("n_words") < cfg.minWords),
+      "too_many_words" -> (col("n_words") > cfg.maxWords),
+      "word_length" -> (col("mean_word_len") < cfg.minMeanWordLen ||
+        col("mean_word_len") > cfg.maxMeanWordLen),
+      "alpha_words" -> (col("alpha_word_frac") < cfg.minAlphaWordFrac),
+      "stopword_diversity" -> (col("n_stopwords") < cfg.minDistinctStopwords),
+      "ellipsis_lines" -> (col("ellipsis_line_frac") > cfg.maxEllipsisLineFrac),
+      "bullet_lines" -> (col("bullet_line_frac") > cfg.maxBulletLineFrac),
+      "duplicate_lines" -> (col("dup_line_frac") > cfg.maxDupLineFrac))
+    val reasons = array_sort(filter(
+      array(rules.map { case (n, c) => when(c, lit(n)) }: _*), r => r.isNotNull))
+    metrics.select(
+      col(idCol), col("n_words"),
+      round(col("mean_word_len"), 4).as("mean_word_len"),
+      round(col("alpha_word_frac"), 4).as("alpha_word_frac"),
+      col("n_stopwords"),
+      round(col("ellipsis_line_frac"), 4).as("ellipsis_line_frac"),
+      round(col("bullet_line_frac"), 4).as("bullet_line_frac"),
+      round(col("dup_line_frac"), 4).as("dup_line_frac"),
+      (size(reasons) === 0).as("keep"),
+      reasons.as("reasons"))
+  }
+
   /** Language identification by marker-word counting: the language
     * whose marker words occur most often among the document's tokens
     * wins; ties break alphabetically; zero hits → "unknown".

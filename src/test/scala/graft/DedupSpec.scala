@@ -675,6 +675,28 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Dedup.LshPlan.candidateProbability(0.0, 32, 4) shouldBe 0.0
   }
 
+  test("dropNearDuplicatesKeepBest keeps the argmax-(score, id) member per cluster") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base, 10L),            // cluster {1,2,3}: 3 has the top score
+      (2L, base, 20L),
+      (3L, base, 30L),
+      (4L, "one two three four five six seven eight", 5L),  // cluster {4,5}: tie
+      (5L, "one two three four five six seven eight", 5L),  //   → higher id (5) wins
+      (6L, "completely unrelated content nothing shared here at all", 1L) // singleton
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.dropNearDuplicatesKeepBest(docs, "doc_id", "text", "score",
+        threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept.toSeq shouldBe Seq(3L, 5L, 6L)
+    // Schema passes through: the caller's columns, nothing internal.
+    Dedup.dropNearDuplicatesKeepBest(docs, "doc_id", "text", "score")
+      .columns.toSeq shouldBe docs.columns.toSeq
+  }
+
   test("AdvisedBands resolves the banding from the threshold via LshPlan") {
     val s = spark
     import s.implicits._

@@ -530,6 +530,46 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(5) shouldBe ((6L, "https", "site.com", "https://site.com/x?c=3"))
   }
 
+  test("qualityFilter: every rule fires on its pathology; clean prose keeps") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val longProse = ("the quick brown fox jumps over a lazy dog and " * 6).trim // 60 words, stopwords the/a/and/or...
+    val df = Seq(
+      (1L, longProse),                                    // keeps
+      (2L, "tiny doc"),                                   // too_few_words (+ others)
+      (3L, longProse + "\nrepeat me\nrepeat me\nrepeat me"), // duplicate_lines
+      (4L, "- one\n- two\n- three\n- four"),              // bullet_lines (+ short)
+      (5L, longProse + "\nwait for it...\nmore...\nsoon..."), // ellipsis_lines
+      (6L, (1 to 60).map(_ => "12345").mkString(" "))     // alpha_words + stopword_diversity
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(8), r.getSeq[String](9).toList))
+    out(0) shouldBe ((1L, true, Nil))
+    out(1)._2 shouldBe false
+    out(1)._3 should contain("too_few_words")
+    out(2) shouldBe ((3L, false, List("duplicate_lines")))
+    out(3)._2 shouldBe false
+    out(3)._3 should contain allOf ("bullet_lines", "too_few_words")
+    out(4) shouldBe ((5L, false, List("ellipsis_lines")))
+    out(5)._2 shouldBe false
+    out(5)._3 shouldBe List("alpha_words", "stopword_diversity")
+    // Reasons come out sorted regardless of rule declaration order.
+    out.foreach { case (_, _, rs) => rs shouldBe rs.sorted }
+  }
+
+  test("qualityFilter: bounds are configurable and can disable rules") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "three short words")).toDF("doc_id", "text")
+    val lax = TextAnalysis.QualityFilterConfig(
+      minWords = 1, minMeanWordLen = 0.0, minAlphaWordFrac = 0.0,
+      minDistinctStopwords = 0)
+    val out = TextAnalysis.qualityFilter(df, "text", "doc_id", lax).collect().head
+    out.getBoolean(8) shouldBe true
+  }
+
   test("tfidfTerms ties break alphabetically at equal (tf, df)") {
     val df = docs((1L, "beta alpha"), (2L, "gamma delta"))
     val out = TextAnalysis.tfidfTerms(df, "text", "doc_id", k = 2)
