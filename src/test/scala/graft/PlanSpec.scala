@@ -630,6 +630,21 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("specifiedwindowframe(RowFrame, -3, currentrow$())")
   }
 
+  test("qualityFilter is one map-side scan — no keyed exchange, no window, no join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = physical(graft.text.TextAnalysis.qualityFilter(docs, "text", "doc_id"))
+    withClue(plan) {
+      // The only permissible exchange is spread()'s round-robin
+      // repartition (CPU-heavy map work wants every core); nothing may
+      // shuffle BY KEY and no window/join/aggregate machinery appears.
+      plan should not include "Exchange hashpartitioning"
+      plan should not include "Exchange rangepartitioning"
+      plan should not include "Window"
+      plan should not include "Join"
+      plan should not include "HashAggregate"
+    }
+  }
+
   test("capPerEntity plans a PARTIAL window group limit before the shuffle") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val plan = physical(graft.events.Events.capPerEntity(
