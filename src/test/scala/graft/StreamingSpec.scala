@@ -510,4 +510,29 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       got shouldBe Array((1L, 1L, 10.0), (2L, 2L, 30.0)) // frame crossed batches
     } finally q.stop()
   }
+
+  test("qualityFilter is stream-safe: streaming append output equals batch") {
+    // The filter is pure map-side (PlanSpec pins no keyed exchange /
+    // window / aggregate), so it must run UNCHANGED on a stream in
+    // append mode with no watermark and no state — the shape a live
+    // ingestion filter needs.
+    val dir = Files.createTempDirectory("docs_stream")
+    dir.toFile.deleteOnExit()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val expected = graft.text.TextAnalysis
+      .qualityFilter(spark.read.parquet(dir.toString), "text", "doc_id")
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.text.TextAnalysis.qualityFilter(
+      StreamProfiler.readParquetStream(spark, dir.toString), "text", "doc_id")
+    streamed.isStreaming shouldBe true
+    val q = streamed.writeStream.format("memory").queryName("qf_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("qf_stream").collect().map(_.toSeq).toSet
+    got shouldBe expected
+    got should not be empty
+  }
 }
