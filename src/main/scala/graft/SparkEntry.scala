@@ -1721,6 +1721,32 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- Streaming per-entity admission cap (first-N-per-key,
+    // O(keys)×8 B state): the events table replays as daily batches in
+    // day order, within-batch rows sorted by (ts, event_id), so the
+    // admission order per user is exactly (ts, event_id) — which is
+    // what the oracle ranks. Cap 30 exercises both outcomes (max 86
+    // events/user at sf0.01). seq is the admission index, so the
+    // oracle checks ORDER, not just membership.
+    "ev_capped_stream" -> ((s, dir) => {
+      import s.implicits._
+      val rows = eventsWithTs(s, dir)
+        .filter(col("ts").isNotNull)
+        .select(to_date(col("ts")).cast("string").as("d"),
+          col("user_id").cast("string").as("key"),
+          unix_micros(col("ts").cast("timestamp")).as("tsm"),
+          col("event_id"))
+        .as[(String, String, Long, Long)].collect()
+      val batches = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rs) => rs.toSeq.sortBy(r => (r._3, r._4))
+          .map(r => (r._2, r._3, r._4)) }
+      replayToMemory(s, "ev_capped_stream", batches)(ds =>
+        graft.streaming.StreamGuards.capPerEntityStream(ds, cap = 30).toDF())
+        .select(col("tiebreak").as("event_id"),
+          col("key").cast("long").as("user_id"), col("seq"))
+        .orderBy("event_id")
+    }),
+
     // ---- Streaming exact dedup (first-arrival-wins dropDuplicates on
     // the content fingerprint), verified by deterministic replay: the
     // documents table arrives as 5 micro-batches keyed by doc_id % 5
@@ -4209,6 +4235,18 @@ object SparkEntry {
         |SELECT fp, count(*) AS df_count FROM f
         |GROUP BY fp HAVING count(*) > 100
         |ORDER BY df_count DESC, fp""".stripMargin,
+
+    // Day-ordered batches + within-batch (ts, event_id) sort make the
+    // stream's admission order per user exactly (ts, event_id): the
+    // oracle ranks it directly. seq checks admission ORDER.
+    "ev_capped_stream" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        |  FROM events WHERE ts IS NOT NULL
+        |)
+        |SELECT event_id, user_id, CAST(seq AS BIGINT) AS seq
+        |FROM r WHERE seq <= 30 ORDER BY event_id""".stripMargin,
 
     "ll10_stream_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

@@ -511,6 +511,36 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("capPerEntityStream admits each key's first N events across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamGuards.capPerEntityStream(input.toDS(), cap = 4)
+      .writeStream.format("memory").queryName("cap_stream")
+      .outputMode("append").start()
+    try {
+      // Batch 1: a×3 (out of order — in-batch sort must fix it), b×1.
+      input.addData(("a", 30L, 3L), ("a", 10L, 1L), ("a", 20L, 2L), ("b", 10L, 9L))
+      q.processAllAvailable()
+      // Batch 2: a×3 — only ONE fits the remaining budget (seq 4).
+      input.addData(("a", 40L, 4L), ("a", 50L, 5L), ("a", 60L, 6L))
+      q.processAllAvailable()
+      // Batch 3: a exhausted, b still has room.
+      input.addData(("a", 70L, 7L), ("b", 20L, 8L))
+      q.processAllAvailable()
+      val got = s2.table("cap_stream")
+        .as[graft.streaming.StreamGuards.AdmittedEvent]
+        .collect().sortBy(r => (r.key, r.seq))
+        .map(r => (r.key, r.tsMicros, r.seq))
+      got shouldBe Array(
+        ("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L), ("a", 40L, 4L),
+        ("b", 10L, 1L), ("b", 20L, 2L))
+    } finally q.stop()
+  }
+
   test("qualityFilter is stream-safe: streaming append output equals batch") {
     // The filter is pure map-side (PlanSpec pins no keyed exchange /
     // window / aggregate), so it must run UNCHANGED on a stream in
