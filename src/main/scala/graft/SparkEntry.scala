@@ -1259,6 +1259,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Unicode normalization (native expression): every document
+    // gains a suffix holding a BEL control, a DECOMPOSED é (e +
+    // U+0301), and a zero-width space — NFC must compose the accent
+    // and the strip must remove Cc/Cf while the words survive.
+    // DuckDB replays with nfc_normalize + an RE2 class strip.
+    "txt_normalize" -> ((s, dir) => {
+      val df = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\u0007 cafe\u0301 \u200Bzero")).as("text"))
+      df.select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("normalized"))
+        .withColumn("n_chars", length(col("normalized")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: marker-word language identification ------------
     "txt_lang_id" -> ((s, dir) => {
       val df = t(s, dir, "documents")
@@ -4654,6 +4668,22 @@ object SparkEntry {
         |  len(reasons) = 0 AS keep,
         |  coalesce(array_to_string(reasons, ','), '') AS reasons
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // The same construction via chr(); the strip class is the
+    // documented Cc-minus-tab/LF/CR plus Cf definition, expressible
+    // directly in RE2.
+    "txt_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         text || chr(7) || ' cafe' || chr(769) || ' ' || chr(8203) || 'zero' AS text
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F\p{Cf}]', '', 'g') AS normalized
+        |  FROM m
+        |)
+        |SELECT doc_id, normalized, CAST(length(normalized) AS BIGINT) AS n_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "txt_lang_id" ->
       """WITH w AS (

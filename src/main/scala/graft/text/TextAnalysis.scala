@@ -31,6 +31,19 @@ object TextAnalysis {
   /** Count of BPE-ish tokens (regexp_count is codegen'd; no UDF). */
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenPattern))
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) with an optional
+    * control/format-character strip — run it BEFORE fingerprinting or
+    * shingling so composed-vs-decomposed accents and zero-width
+    * padding cannot split an exact-dup group. Native codegen'd
+    * expression, no UDF; strip semantics documented (and replayable)
+    * in [[graft.functions.TextNormalizeUtil]]. */
+  def normalizeText(text: Column, form: String = "NFC",
+      stripControls: Boolean = true): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.NormalizeText(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        form, stripControls))
+
   /** Small stopword list used by the quality heuristic. Deliberately
     * tiny and fixed so the score is reproducible across engines. */
   val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

@@ -530,6 +530,35 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(5) shouldBe ((6L, "https", "site.com", "https://site.com/x?c=3"))
   }
 
+  test("normalizeText composes NFC, folds NFKC, strips Cc/Cf but keeps tab/LF/CR") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "café"),                 // decomposed accent → composed
+      (2L, "ab​c"),            // BEL (Cc) and ZWSP (Cf) stripped
+      (3L, "l1\nl2\tl3\rl4"),             // line structure survives
+      (4L, "ﬁne")                    // NFKC folds the ﬁ ligature; NFC keeps it
+    ).toDF("id", "t")
+    val nfc = df.select(col("id"), TextAnalysis.normalizeText(col("t")).as("n"))
+      .orderBy("id").collect().map(_.getString(1))
+    nfc(0) shouldBe "café"
+    nfc(1) shouldBe "abc"
+    nfc(2) shouldBe "l1\nl2\tl3\rl4"
+    nfc(3) shouldBe "ﬁne"
+    val nfkc = df.select(TextAnalysis.normalizeText(col("t"), form = "NFKC"))
+      .orderBy(col("id")).collect().map(_.getString(0))
+    nfkc(3) shouldBe "fine"
+    // strip disabled: controls survive, normalization still applies
+    df.select(TextAnalysis.normalizeText(col("t"), stripControls = false))
+      .orderBy(col("id")).collect()(1).getString(0) shouldBe "ab​c"
+    // nulls pass through; an unknown form fails at construction
+    Seq((1L, Option.empty[String])).toDF("id", "t")
+      .select(TextAnalysis.normalizeText(col("t"))).head().isNullAt(0) shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.normalizeText(col("t"), form = "NOPE")
+  }
+
   test("qualityFilter: every rule fires on its pathology; clean prose keeps") {
     val s = spark
     import s.implicits._
