@@ -2713,6 +2713,23 @@ object SparkEntry {
       sums("zscore").crossJoin(sums("minmax")).crossJoin(sums("robust"))
     }),
 
+    // ---- Quantile winsorization: both columns clamped into their own
+    // exact [p5, p95] band; sums + extremes checksum the clamp, and
+    // the extremes ARE the cut points (so the oracle re-derives the
+    // same interpolated order statistics via quantile_cont).
+    "ft_winsorize" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem").select(col("l_quantity"), col("l_extendedprice"))
+      ProfilePasses.winsorize(df, Seq("l_quantity", "l_extendedprice"),
+          loP = 0.05, hiP = 0.95)
+        .agg(
+          round(sum(col("l_quantity_winsorized")), 2).as("qty_sum"),
+          round(min(col("l_quantity_winsorized")), 4).as("qty_lo"),
+          round(max(col("l_quantity_winsorized")), 4).as("qty_hi"),
+          round(sum(col("l_extendedprice_winsorized")), 2).as("price_sum"),
+          round(min(col("l_extendedprice_winsorized")), 4).as("price_lo"),
+          round(max(col("l_extendedprice_winsorized")), 4).as("price_hi"))
+    }),
+
     // ---- LLM-pipeline: asymmetric CONTAINMENT pairs via an inverted
     // shingle index — catches truncated/excerpted documents inside
     // longer ones, invisible to Jaccard LSH (a 40%-prefix copy has
@@ -3825,6 +3842,27 @@ object SparkEntry {
         |             / (s.expected_share * t.total), 4) AS chi2_term
         |FROM spine s LEFT JOIN counts c USING (digit) CROSS JOIN tot t
         |ORDER BY s.digit""".stripMargin,
+
+    // quantile_cont is the same interpolated order statistic as the
+    // engine's exact distributed percentiles; the clamp is pure
+    // arithmetic on identical doubles.
+    "ft_winsorize" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(CAST(l_quantity AS DOUBLE), 0.05) AS ql,
+        |         quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS qh,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS pl,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS ph
+        |  FROM lineitem
+        |), w AS (
+        |  SELECT least(greatest(CAST(l_quantity AS DOUBLE), q.ql), q.qh) AS wq,
+        |         least(greatest(CAST(l_extendedprice AS DOUBLE), q.pl), q.ph) AS wp
+        |  FROM lineitem, q
+        |)
+        |SELECT round(sum(wq), 2) AS qty_sum, round(min(wq), 4) AS qty_lo,
+        |       round(max(wq), 4) AS qty_hi,
+        |       round(sum(wp), 2) AS price_sum, round(min(wp), 4) AS price_lo,
+        |       round(max(wp), 4) AS price_hi
+        |FROM w""".stripMargin,
 
     // The same three scalings from DuckDB's own stats (means/stddevs/
     // extremes/quartiles agree with Spark's to ~1e-12, absorbed by the

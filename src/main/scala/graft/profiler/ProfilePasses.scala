@@ -507,6 +507,41 @@ object ProfilePasses {
     }
   }
 
+  /** Quantile winsorization — clamp each column into its own exact
+    * [loP, hiP] percentile band, the standard heavy-tail taming step
+    * before scaling/regression (an outlier CAP, where
+    * [[outliers]]/[[robustStats]] only REPORT and [[standardize]]'s
+    * robust mode rescales without bounding). Adds `{col}{suffix}`
+    * (double) per input column; nulls stay null; a column with no
+    * non-null values passes through unclamped.
+    *
+    * Cuts come from [[DistributedPercentiles]]' exact interpolated
+    * order statistics (identical to SQL `quantile_cont`/
+    * `percentile_cont`, so an external engine replays the clamp
+    * bit-for-bit) — two scalars per column to the driver, then the
+    * clamp is pure map-side `least(greatest(...))`: the transform
+    * itself never shuffles at any corpus size. */
+  def winsorize(df: DataFrame, cols: Seq[String],
+      loP: Double = 0.01, hiP: Double = 0.99,
+      suffix: String = "_winsorized"): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(loP >= 0.0 && hiP <= 1.0 && loP < hiP,
+      s"need 0 <= loP < hiP <= 1: [$loP, $hiP]")
+    cols.foldLeft(df) { (acc, n) =>
+      val Seq(lo, hi) = DistributedPercentiles.of(df, n, Seq(loP, hiP))
+      val clamped = (lo, hi) match {
+        case (Some(l), Some(h)) =>
+          // greatest/least SKIP nulls (they return the extreme of the
+          // non-null arguments), so an unguarded clamp would turn a
+          // null value into the cut point — guard explicitly.
+          when(c(n).isNotNull,
+            least(greatest(c(n).cast(DoubleType), lit(l)), lit(h)))
+        case _ => c(n).cast(DoubleType)
+      }
+      acc.withColumn(s"$n$suffix", clamped)
+    }
+  }
+
   /** Type inference for STRING columns — the CSV-world profiler
     * question ("is this varchar column really integers/dates?") the
     * typed-column passes can't ask. Per column: non-null count and the

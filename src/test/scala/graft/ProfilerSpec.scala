@@ -402,6 +402,26 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("winsorize clamps into the exact percentile band; nulls and empty columns safe") {
+    import graft.profiler.ProfilePasses
+    val s = spark
+    import s.implicits._
+    // 0..10: p10 = 1.0, p90 = 9.0 (exact interpolated order stats).
+    val df = (0 to 10).map(i => (i.toDouble, Option.empty[Double])).toDF("x", "empty")
+    val out = ProfilePasses.winsorize(df, Seq("x", "empty"), loP = 0.1, hiP = 0.9)
+      .orderBy("x").collect()
+    out.map(_.getDouble(2)) shouldBe
+      Array(1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 9.0)
+    out.foreach(_.isNullAt(3) shouldBe true) // all-null column passes through
+    // Nulls in a clamped column stay null.
+    val withNull = Seq(Some(1.0), None, Some(100.0)).toDF("x")
+    ProfilePasses.winsorize(withNull, Seq("x"), 0.25, 0.75)
+      .collect().count(_.isNullAt(1)) shouldBe 1
+    intercept[IllegalArgumentException] {
+      ProfilePasses.winsorize(df, Seq("x"), 0.9, 0.1)
+    }
+  }
+
   test("robustStats handles an all-null column without a pass-2/3 job for it") {
     import graft.profiler.ProfilePasses
     val s = spark
