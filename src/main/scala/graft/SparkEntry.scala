@@ -1273,6 +1273,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Hashing-trick TF vectors (vocabulary-free featurizer), in
+    // the md5 gate mode so DuckDB replays every bucket assignment
+    // digit-for-digit at dim 64; the sparse (indices, values) arrays
+    // explode back to (doc_id, bucket, tf) rows for hashing.
+    "txt_hashed_tf" -> ((s, dir) => {
+      TextAnalysis.hashedTfVectors(t(s, dir, "documents"), "text", "doc_id",
+          dim = 64, hashMode = "md5")
+        .select(col("doc_id"),
+          explode(arrays_zip(col("indices"), col("values"))).as("e"))
+        .select(col("doc_id"), col("e.indices").as("bucket"),
+          col("e.values").as("tf"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // ---- LLM-pipeline: marker-word language identification ------------
     "txt_lang_id" -> ((s, dir) => {
       val df = t(s, dir, "documents")
@@ -4706,6 +4720,25 @@ object SparkEntry {
         |  len(reasons) = 0 AS keep,
         |  coalesce(array_to_string(reasons, ','), '') AS reasons
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // The same first-8-md5-hex-digits-mod-dim bucket per token.
+    "txt_hashed_tf" -> {
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+        .mkString(" +\n         |         ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |), h AS (
+         |  SELECT doc_id, md5(t) AS hx FROM tok WHERE t <> ''
+         |), b AS (
+         |  SELECT doc_id,
+         |        CAST(($nibbles) % 64 AS INT) AS bucket
+         |  FROM h
+         |)
+         |SELECT doc_id, bucket, count(*) AS tf
+         |FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
+    },
 
     // The same construction via chr(); the strip class is the
     // documented Cc-minus-tab/LF/CR plus Cf definition, expressible

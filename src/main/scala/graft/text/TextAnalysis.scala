@@ -191,6 +191,52 @@ object TextAnalysis {
       reasons.as("reasons"))
   }
 
+  /** Hashing-trick term-frequency vectors — the vocabulary-free text
+    * featurizer (Weinberger et al. 2009): each token hashes into one
+    * of `dim` buckets and the document becomes a sparse count vector,
+    * with no vocabulary build, no driver-side dictionary, and a fixed
+    * output width any downstream model can rely on. Output:
+    * (id, indices: array<int> ascending, values: array<long>) — the
+    * standard sparse (indices, values) pair; absent buckets are zero.
+    * Documents with null text or no tokens emit no row (an all-zero
+    * vector carries no signal; left-join on id to materialize them).
+    * Collisions are the technique's documented trade (two terms
+    * sharing a bucket add their counts); size `dim` to the task.
+    *
+    * `hashMode`: "xxhash64" (default, codegen'd scale mode) or "md5"
+    * (engine-reproducible gate mode — the first 8 md5 hex digits mod
+    * `dim`, the same digit-for-digit convention as
+    * [[graft.sampling.Sampling]]'s uniform hash).
+    *
+    * Plan shape: tokens explode map-side → ONE (id, bucket) count
+    * aggregate (map-side partials collapse repeated terms before the
+    * shuffle) → one id-keyed aggregate assembling the sparse arrays
+    * from ≤dim rows per document. Nothing is ever vocabulary-sized:
+    * both shuffles carry at most (documents × min(dim, distinct
+    * terms)) rows regardless of corpus vocabulary. */
+  def hashedTfVectors(df: DataFrame, textCol: String, idCol: String,
+      dim: Int = 1024, hashMode: String = "xxhash64"): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2: $dim")
+    val bucket = hashMode match {
+      case "xxhash64" => pmod(xxhash64(col("t")), lit(dim.toLong)).cast("int")
+      case "md5" =>
+        pmod(conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"),
+          lit(dim.toLong)).cast("int")
+      case other => throw new IllegalArgumentException(
+        s"unknown hashMode: $other (expected xxhash64 or md5)")
+    }
+    spread(df).filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .select(col(idCol), bucket.as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("tf")))).as("e"))
+      .select(col(idCol),
+        transform(col("e"), x => x.getField("bucket")).as("indices"),
+        transform(col("e"), x => x.getField("tf")).as("values"))
+  }
+
   /** Language identification by marker-word counting: the language
     * whose marker words occur most often among the document's tokens
     * wins; ties break alphabetically; zero hits → "unknown".

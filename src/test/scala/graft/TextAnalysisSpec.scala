@@ -559,6 +559,36 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
       TextAnalysis.normalizeText(col("t"), form = "NOPE")
   }
 
+  test("hashedTfVectors: sparse shape, collision-added counts, md5 driver replay") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "aa bb aa cc"), (2L, "   "), (3L, Option.empty[String].orNull))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedTfVectors(df, "text", "doc_id",
+        dim = 16, hashMode = "md5")
+      .orderBy("doc_id").collect()
+    out.length shouldBe 1 // token-less and null docs emit no row
+    val (idx, vals) = (out(0).getSeq[Int](1), out(0).getSeq[Long](2))
+    idx.toList shouldBe idx.toList.sorted
+    vals.sum shouldBe 4L // every token lands somewhere
+    // Replay the md5 bucket on the driver.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(t: String): Int = {
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 16).toInt
+    }
+    val expected = Seq("aa", "bb", "aa", "cc").groupBy(bucket)
+      .view.mapValues(_.size.toLong).toMap
+    idx.zip(vals).toMap shouldBe expected
+    // xxhash64 mode: same shape, deterministic across calls.
+    val x1 = TextAnalysis.hashedTfVectors(df, "text", "doc_id", dim = 8)
+      .collect().map(_.toSeq)
+    val x2 = TextAnalysis.hashedTfVectors(df, "text", "doc_id", dim = 8)
+      .collect().map(_.toSeq)
+    x1 shouldBe x2
+  }
+
   test("qualityFilter: every rule fires on its pathology; clean prose keeps") {
     val s = spark
     import s.implicits._
