@@ -1287,6 +1287,19 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     }),
 
+    // ---- The TF-IDF-weighted variant: bucket-granular smoothed idf
+    // over the same md5 buckets; weights rounded 4dp (pure float
+    // arithmetic on identical (tf, df, N) integers in both engines).
+    "txt_hashed_tfidf" -> ((s, dir) => {
+      TextAnalysis.hashedTfIdfVectors(t(s, dir, "documents"), "text", "doc_id",
+          dim = 64, hashMode = "md5")
+        .select(col("doc_id"),
+          explode(arrays_zip(col("indices"), col("values"))).as("e"))
+        .select(col("doc_id"), col("e.indices").as("bucket"),
+          round(col("e.values"), 4).as("w"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // ---- LLM-pipeline: marker-word language identification ------------
     "txt_lang_id" -> ((s, dir) => {
       val df = t(s, dir, "documents")
@@ -4738,6 +4751,34 @@ object SparkEntry {
          |)
          |SELECT doc_id, bucket, count(*) AS tf
          |FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
+    },
+
+    // Same buckets; df per bucket = docs holding it; N = non-null-text
+    // docs; smoothed idf arithmetic identical on both engines.
+    "txt_hashed_tfidf" -> {
+      val nibbles = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+        .mkString(" +\n         |         ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |), h AS (
+         |  SELECT doc_id, md5(t) AS hx FROM tok WHERE t <> ''
+         |), b AS (
+         |  SELECT doc_id,
+         |        CAST(($nibbles) % 64 AS INT) AS bucket
+         |  FROM h
+         |), tc AS (
+         |  SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY doc_id, bucket
+         |), dfq AS (
+         |  SELECT bucket, count(*) AS df_count FROM tc GROUP BY bucket
+         |), n AS (
+         |  SELECT count(*) AS nd FROM documents WHERE text IS NOT NULL
+         |)
+         |SELECT doc_id, bucket,
+         |       round(tf * (ln((nd + 1.0) / (df_count + 1.0)) + 1.0), 4) AS w
+         |FROM tc JOIN dfq USING (bucket), n
+         |ORDER BY doc_id, bucket""".stripMargin
     },
 
     // The same construction via chr(); the strip class is the

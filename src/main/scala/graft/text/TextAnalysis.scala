@@ -215,7 +215,15 @@ object TextAnalysis {
     * both shuffles carry at most (documents × min(dim, distinct
     * terms)) rows regardless of corpus vocabulary. */
   def hashedTfVectors(df: DataFrame, textCol: String, idCol: String,
-      dim: Int = 1024, hashMode: String = "xxhash64"): DataFrame = {
+      dim: Int = 1024, hashMode: String = "xxhash64"): DataFrame =
+    assembleSparse(hashedBucketCounts(df, textCol, idCol, dim, hashMode),
+      idCol, col("tf"))
+
+  /** The (id, bucket, tf) posting rows behind [[hashedTfVectors]] /
+    * [[hashedTfIdfVectors]] — one map-side explode + ONE partial-agg
+    * (id, bucket) count. */
+  private def hashedBucketCounts(df: DataFrame, textCol: String,
+      idCol: String, dim: Int, hashMode: String): DataFrame = {
     require(dim >= 2, s"dim must be >= 2: $dim")
     val bucket = hashMode match {
       case "xxhash64" => pmod(xxhash64(col("t")), lit(dim.toLong)).cast("int")
@@ -230,11 +238,41 @@ object TextAnalysis {
       .filter(col("t") =!= "")
       .select(col(idCol), bucket.as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** Assemble (id, bucket, value) posting rows into the sparse
+    * ascending (indices, values) pair. */
+  private def assembleSparse(rows: DataFrame, idCol: String,
+      value: Column): DataFrame =
+    rows
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("bucket"), col("tf")))).as("e"))
+      .agg(sort_array(collect_list(struct(col("bucket"), value.as("v")))).as("e"))
       .select(col(idCol),
         transform(col("e"), x => x.getField("bucket")).as("indices"),
-        transform(col("e"), x => x.getField("tf")).as("values"))
+        transform(col("e"), x => x.getField("v")).as("values"))
+
+  /** [[hashedTfVectors]] with smoothed TF-IDF weights — the canonical
+    * hashed featurizer: value = tf · (ln((N + 1)/(df + 1)) + 1) where
+    * `df` is the number of documents whose text hits the BUCKET
+    * (bucket-granular document frequency — collisions merge terms'
+    * df exactly as they merge tf, the hashing trick's documented
+    * semantics) and `N` counts documents with non-null text. `values`
+    * are double.
+    *
+    * Plan: the same (id, bucket) partial-agg posting rows feed BOTH
+    * the per-bucket df aggregate (≤dim rows, broadcast back — never a
+    * bucket-partitioned window, the [[tfidfTerms]] reasoning) and the
+    * weighted assembly; one extra tiny shuffle over the tf path. */
+  def hashedTfIdfVectors(df: DataFrame, textCol: String, idCol: String,
+      dim: Int = 1024, hashMode: String = "xxhash64"): DataFrame = {
+    val counts = hashedBucketCounts(df, textCol, idCol, dim, hashMode)
+    val nDocs = df.filter(col(textCol).isNotNull).count()
+    val bucketDf = counts.groupBy("bucket").agg(count(lit(1)).as("df_count"))
+    val weighted = counts.join(broadcast(bucketDf), Seq("bucket"))
+      .select(col(idCol), col("bucket"),
+        (col("tf") * (log((lit(nDocs) + 1.0) / (col("df_count") + 1.0)) + 1.0))
+          .as("w"))
+    assembleSparse(weighted, idCol, col("w"))
   }
 
   /** Language identification by marker-word counting: the language

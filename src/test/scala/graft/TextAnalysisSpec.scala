@@ -589,6 +589,32 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     x1 shouldBe x2
   }
 
+  test("hashedTfIdfVectors: bucket-granular smoothed idf downweights shared buckets") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // 'common' hits every doc's bucket (df = 3); each rare term one.
+    val df = Seq((1L, "common rare1"), (2L, "common rare2"), (3L, "common rare3"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedTfIdfVectors(df, "text", "doc_id",
+        dim = 1024, hashMode = "md5")
+      .orderBy("doc_id").collect()
+    out.length shouldBe 3
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(t: String): Int = {
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 1024).toInt
+    }
+    val commonB = bucket("common")
+    val doc1 = out(0).getSeq[Int](1).zip(out(0).getSeq[Double](2)).toMap
+    val commonW = doc1(commonB)
+    val rareW = doc1(bucket("rare1"))
+    // tf = 1 for both; df(common) = 3, df(rare1) = 1 ⇒ smaller weight.
+    commonW shouldBe (math.log(4.0 / 4.0) + 1.0) +- 1e-12
+    rareW shouldBe (math.log(4.0 / 2.0) + 1.0) +- 1e-12
+    rareW should be > commonW
+  }
+
   test("qualityFilter: every rule fires on its pathology; clean prose keeps") {
     val s = spark
     import s.implicits._
