@@ -1021,6 +1021,19 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // ---- Chunk→document mean pooling: one vector per label (the
+    // pooled "document" of its member chunks), L2-normalized, dumped
+    // as (label, pos, value) rows — every element checked.
+    "ll29_mean_pool" -> ((s, dir) => {
+      graft.similarity.Similarity.meanPool(
+          t(s, dir, "embeddings"), "label", "embedding", normalize = true)
+        .select(col("label"),
+          posexplode(col("vec")).as(Seq("pos", "v")))
+        .select(col("label").cast("long").as("label"), col("pos").cast("long").as("pos"),
+          round(col("v"), 4).as("v"))
+        .orderBy("label", "pos")
+    }),
+
     // ---- Source factory: the CSV path produces the same profile as
     // the parquet path. The gate round-trips the nation fixture
     // through a header'd CSV file, loads it back through
@@ -3972,6 +3985,22 @@ object SparkEntry {
         |       coalesce(n, 0) AS n
         |FROM range(4) t(i) CROSS JOIN q LEFT JOIN counts ON counts.bin = t.i
         |ORDER BY 1""".stripMargin,
+
+    // Per-(label, position) means then an L2 rescale; 4dp absorbs the
+    // float-sum fold-order gap.
+    "ll29_mean_pool" ->
+      """WITH m AS (
+        |  SELECT label, i - 1 AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS mv
+        |  FROM embeddings, range(1, 65) t(i)
+        |  WHERE embedding IS NOT NULL
+        |  GROUP BY label, i
+        |), n AS (
+        |  SELECT label, sqrt(sum(mv * mv)) AS nrm FROM m GROUP BY label
+        |)
+        |SELECT CAST(m.label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+        |       round(CASE WHEN n.nrm > 0 THEN mv / n.nrm ELSE mv END, 4) AS v
+        |FROM m JOIN n USING (label)
+        |ORDER BY label, pos""".stripMargin,
 
     // Centroids rebuilt elementwise (embedding[i] over range(1, 65)),
     // then the same cohesion/separation arithmetic; 4dp absorbs the

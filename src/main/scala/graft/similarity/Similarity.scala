@@ -795,6 +795,45 @@ object Similarity {
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, q => q.cast("double") * scale)
 
+  /** Element-wise MEAN of each key's vectors — the chunk→document
+    * pooling step (documents embed as chunks under a context-window
+    * limit; retrieval and dedup often want ONE vector per document).
+    * Output: (keyCol, vec: array<double>); `normalize = true` rescales
+    * each pooled vector to unit L2 (cosine-ready). Null vectors are
+    * excluded; a key whose remaining vectors have UNEQUAL lengths
+    * fails loudly (a silent ragged mean would average different
+    * position sets per element).
+    *
+    * Plan: posexplode map-side → ONE (key, position) partial-agg mean
+    * (the hot-key-safe shape: even a million-chunk document collapses
+    * map-side per position) → one key-keyed assembly of ≤dim rows per
+    * key. Never a key-partitioned window, nothing driver-side. */
+  def meanPool(df: DataFrame, keyCol: String, vecCol: String,
+      normalize: Boolean = false): DataFrame = {
+    val byPos = df.filter(col(vecCol).isNotNull)
+      .select(col(keyCol), posexplode(col(vecCol)))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"), count(lit(1)).as("cnt"))
+    val assembled = byPos
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("e"),
+        (max(col("cnt")) === min(col("cnt"))).as("rect"))
+      .select(col(keyCol),
+        when(col("rect"), transform(col("e"), x => x.getField("m")))
+          .otherwise(raise_error(concat(lit("meanPool: key "), col(keyCol).cast("string"),
+            lit(" pools vectors of unequal length"))))
+          .as("vec"))
+    if (!normalize) assembled
+    // Bind the norm to an attribute BEFORE the per-element lambda — a
+    // captured l2Norm subtree would re-run its O(d) aggregate once per
+    // element (the wordShingles capture hazard).
+    else assembled
+      .withColumn("__n", l2Norm(col("vec")))
+      .select(col(keyCol),
+        when(col("__n") > 0.0, transform(col("vec"), x => x / col("__n")))
+          .otherwise(col("vec")).as("vec"))
+  }
+
   /** Embedding-cluster quality report — is a labeling (k-means cells,
     * classifier outputs, source tags) geometrically coherent? Per
     * label: member count, mean cosine to the label's OWN centroid

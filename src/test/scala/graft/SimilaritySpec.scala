@@ -518,4 +518,33 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     out("C")._3 should be > 0.99
     out("B")._3 should be < 0.1  // ...while B is orthogonal to both
   }
+
+  test("meanPool averages per position, normalizes on request, rejects ragged keys") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("d1", Seq(1.0, 2.0, 3.0)),
+      ("d1", Seq(3.0, 4.0, 5.0)),
+      ("d2", Seq(0.0, 0.0, 2.0))
+    ).toDF("doc", "vec")
+    val out = Similarity.meanPool(df, "doc", "vec")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    out("d1") shouldBe List(2.0, 3.0, 4.0)
+    out("d2") shouldBe List(0.0, 0.0, 2.0)
+    val norm = Similarity.meanPool(df, "doc", "vec", normalize = true)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    math.sqrt(norm("d1").map(x => x * x).sum) shouldBe (1.0 +- 1e-12)
+    norm("d2") shouldBe List(0.0, 0.0, 1.0)
+    // A key pooling unequal-length vectors fails loudly, not raggedly.
+    val ragged = Seq(("d1", Seq(1.0, 2.0)), ("d1", Seq(1.0, 2.0, 3.0))).toDF("doc", "vec")
+    val e = intercept[Exception] {
+      Similarity.meanPool(ragged, "doc", "vec").collect()
+    }
+    e.getMessage should include("unequal length")
+    // Null vectors are excluded, not pooled as zeros.
+    val withNull = Seq(("d1", Some(Seq(2.0, 4.0))), ("d1", None)).toDF("doc", "vec")
+    Similarity.meanPool(withNull, "doc", "vec")
+      .collect().head.getSeq[Double](1).toList shouldBe List(2.0, 4.0)
+  }
 }
