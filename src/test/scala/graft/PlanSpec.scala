@@ -645,6 +645,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("hashedTfVectors: two keyed aggregates, no window, no join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = physical(graft.text.TextAnalysis.hashedTfVectors(
+      docs, "text", "doc_id", dim = 64))
+    withClue(plan) {
+      plan should not include "Window"
+      plan should not include "Join"
+      // (id, bucket) count then id-keyed assembly — the posting rows
+      // partial-aggregate map-side before each shuffle.
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 2
+    }
+  }
+
+  test("meanPool: (key, pos) partial aggregate, never a key window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = physical(graft.similarity.Similarity.meanPool(emb, "label", "embedding"))
+    withClue(plan) {
+      plan should not include "Window"
+      plan should include("HashAggregate")
+    }
+  }
+
   test("capPerEntity plans a PARTIAL window group limit before the shuffle") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val plan = physical(graft.events.Events.capPerEntity(
