@@ -760,6 +760,15 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // ---- Corpus duplication profile: the cluster-size histogram of
+    // ll2's verified pair graph — same recursive-closure oracle, two
+    // more group-bys.
+    "ll30_cluster_histogram" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.8)
+      Dedup.clusterSizeHistogram(pairs).orderBy("cluster_size")
+    }),
+
     // ---- Near-dup removal keeping the BEST cluster member by score
     // (here: text length — "keep the longest", a real crawl policy).
     // Components come from the same verified pair graph as ll8b; the
@@ -3442,6 +3451,36 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
         |ORDER BY doc_id""".stripMargin,
+
+    // Same recursive closure, then size-per-component and
+    // clusters-per-size.
+    "ll30_cluster_histogram" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |              ELSE [array_to_string(w, ' ')] END AS ts
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.ts, b.ts)) * 1.0 / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+        |), comp AS (
+        |  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+        |), sizes AS (
+        |  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+        |)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     // Same recursive closure; the keeper per component is argmax
     // (score desc, id desc) — Spark's max(struct(score, id)) tiebreak

@@ -1054,6 +1054,26 @@ object Dedup {
       .filter(col("occupancy") > maxBucketOccupancy)
   }
 
+  /** Cluster-size histogram over a near-dup pair graph — the corpus
+    * duplication profile ("how duplicated is my data"): one row per
+    * observed cluster size with the number of clusters at that size.
+    * Singletons (documents in no pair) are NOT rows here — the graph
+    * doesn't see them; subtract Σ(size·n) from the corpus count for
+    * the singleton mass. The curation dashboard next to the per-key
+    * audits: audits name what a CAP dropped, this profiles what the
+    * pairing FOUND (a heavy tail of big clusters says run exact dedup
+    * first; mass at size 2 says the threshold is doing fine work).
+    *
+    * Plan: the O(log n) component rounds ([[connectedComponents]]),
+    * then two partial-aggregated groupBys (component → size,
+    * size → count) — skew-proof at any cluster size, output bounded
+    * by the distinct-size count. */
+  def clusterSizeHistogram(pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** One (bands, rowsPerBand) candidate for [[LshPlan.forThreshold]]:
     * its S-curve inflection (1/b)^(1/r) plus the candidate
     * probability 1−(1−s^r)^b at the target and at ±0.1 around it —

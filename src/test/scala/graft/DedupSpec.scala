@@ -675,6 +675,16 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Dedup.LshPlan.candidateProbability(0.0, 32, 4) shouldBe 0.0
   }
 
+  test("clusterSizeHistogram profiles the pair graph; singletons absent") {
+    val s = spark
+    import s.implicits._
+    // Components: {1,2,3} (size 3), {4,5} and {6,7} (two of size 2).
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterSizeHistogram(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(3L -> 1L, 2L -> 2L)
+  }
+
   test("dropNearDuplicatesKeepBest keeps the argmax-(score, id) member per cluster") {
     val s = spark
     import s.implicits._
