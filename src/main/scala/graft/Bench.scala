@@ -379,7 +379,6 @@ object Bench {
     }
     var results = (clean ++ healed).sortBy(_.name)
     val requeued = toRequeue.map(_.name).sorted
-    val stillDirty = healed.filter(dirty).map(_.name).sorted
     // End-probe re-certification: a run can START certified and still
     // absorb a co-tenant mid-run — the r14/r15 driver artifacts both
     // carried clean start probes and a collapsed END probe, with the
@@ -394,9 +393,21 @@ object Bench {
     // floor, or the flags say exactly why not.
     val knownFlappers = Seq(
       "txt_repetition", "ll15_pipeline", "ll16_stream_near_dup", "txt_pattern_counts")
+    // Pre-recert contamination snapshot: feeds the recert suspect set.
+    // The ARTIFACT's `dirty` list is recomputed from the FINAL results
+    // below, so a query whose recert rerun came back clean is no longer
+    // reported dirty.
+    val dirtyPreRecert = healed.filter(dirty).map(_.name).sorted
     var calEnd = calibrateMops()
     var calEndAttempts = 1
+    // `endRecertTimed` records EVERY name the recert phase re-timed;
+    // `endRecert` only those whose rerun replaced the first-pass
+    // measurement. The replacement rule is one-sided (keep the faster),
+    // so a recert round is NOT methodologically like-for-like with a
+    // single-shot round — `recert_round` flags it so baselines compare
+    // same-methodology artifacts.
     val endRecert = scala.collection.mutable.ArrayBuffer.empty[String]
+    val endRecertTimed = scala.collection.mutable.ArrayBuffer.empty[String]
     if (calFloor > 0 && calEnd < calFloor) {
       while (calEnd < calFloor && calEndAttempts < calMaxAttempts) {
         System.err.println(
@@ -406,7 +417,7 @@ object Bench {
         calEndAttempts += 1
       }
       if (calEnd >= calFloor) {
-        val suspect = (knownFlappers ++ stillDirty ++
+        val suspect = (knownFlappers ++ dirtyPreRecert ++
           results.filter(r => isStarved(r.wall, r.cpu, r.extLoad, workers, cores)).map(_.name))
           .distinct.filter(selected.contains).filterNot(errors.contains)
         val recertified = suspect.flatMap { name =>
@@ -417,10 +428,15 @@ object Bench {
             errors -= name
             System.err.println(s"[bench] recert rerun of $name failed; keeping first-pass result")
             None
-          } else Some(rerun)
+          } else { endRecertTimed += name; Some(rerun) }
         }
+        // Same replacement rule as the self-heal pass: a clean rerun
+        // replaces a dirty first-pass even when slower (honest, not
+        // min-of-two); otherwise only a faster rerun replaces.
         val replaced = recertified.filter { rerun =>
-          results.find(_.name == rerun.name).exists(orig => rerun.wall < orig.wall)
+          results.find(_.name == rerun.name).exists { orig =>
+            (dirty(orig) && !dirty(rerun)) || rerun.wall < orig.wall
+          }
         }
         results = (results.filterNot(r => replaced.exists(_.name == r.name)) ++ replaced)
           .sortBy(_.name)
@@ -431,6 +447,13 @@ object Bench {
       }
     }
     val calEndBelowFloor = calFloor > 0 && calEnd < calFloor
+    // Recomputed from the FINAL per-query results (post-recert): a
+    // requeued query counts as dirty only if the measurement actually
+    // in the artifact is still contaminated.
+    val stillDirty = results
+      .filter(r => requeued.contains(r.name) && dirty(r) && !errors.contains(r.name))
+      .map(_.name).sorted
+    val recertRound = endRecertTimed.nonEmpty
     // JSON has no NaN literal: an unsupported CPU bean reports -1.
     def num(v: Double): String = if (v.isNaN || v.isInfinite) "-1" else f"$v%.3f"
     def jmap(f: QueryResult => Double): String =
@@ -499,6 +522,8 @@ object Bench {
       s""""cal_attempts":$calAttempts,"cal_below_floor":$calBelowFloor,""" +
       s""""cal_end_attempts":$calEndAttempts,"cal_end_below_floor":$calEndBelowFloor,""" +
       s""""end_recert":${endRecert.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""end_recert_timed":${endRecertTimed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""recert_round":$recertRound,""" +
       s""""slowest":$slowest,"starved":$starvedJson,""" +
       s""""warmup_failed":${warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""requeued":${requeued.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -536,7 +561,8 @@ object Bench {
         s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +
         s""""cal_attempts":$calAttempts,"cal_below_floor":$calBelowFloor,""" +
         s""""cal_end_attempts":$calEndAttempts,"cal_end_below_floor":$calEndBelowFloor,""" +
-        s""""end_recert_n":${endRecert.size},"slowest":$slow,""" +
+        s""""end_recert_n":${endRecert.size},"end_recert_timed_n":${endRecertTimed.size},""" +
+        s""""recert_round":$recertRound,"slowest":$slow,""" +
         s""""starved_n":${starved.size},"warmup_failed_n":${warmupFailed.size},""" +
         s""""requeued_n":${requeued.size},"dirty_n":${stillDirty.size},""" +
         s""""contended":$contended,"detail":"$detailPath"}"""

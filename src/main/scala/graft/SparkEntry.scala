@@ -162,6 +162,10 @@ object SparkEntry {
     // guard) read SQLConf from the THREAD-ACTIVE session, not from the
     // session the Dataset was built against — without this, whether a
     // replay honors extraConfs depends on which gate ran before it.
+    // The previous active session is restored in the finally block so
+    // the replay-tuned child (shuffle.partitions=1, extraConfs) cannot
+    // leak into later driver-side SQLConf.get reads.
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
     org.apache.spark.sql.SparkSession.setActiveSession(s2)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
     val stream = MemoryStream[A]
@@ -181,7 +185,13 @@ object SparkEntry {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
-      try q.stop() finally rm(new java.io.File(ckpt))
+      try q.stop() finally {
+        rm(new java.io.File(ckpt))
+        prevActive match {
+          case Some(p) => org.apache.spark.sql.SparkSession.setActiveSession(p)
+          case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+        }
+      }
     }
     s2.table(sinkName)
   }
@@ -4385,7 +4395,7 @@ object SparkEntry {
         |GROUP BY fp HAVING count(*) > 100
         |ORDER BY df_count DESC, fp""".stripMargin,
 
-    // Day-ordered batches + within-batch (ts, event_id) sort make the
+    // Week-ordered batches + within-batch (ts, event_id) sort make the
     // stream's admission order per user exactly (ts, event_id): the
     // oracle ranks it directly. seq checks admission ORDER.
     "ev_capped_stream" ->

@@ -54,20 +54,21 @@ object Drift {
       if (width == 0.0) lit(0)
       else least(lit(numBins - 1),
         greatest(lit(0), floor((c.cast("double") - lit(lo)) / lit(width)).cast("int")))
-    // The total is a window-sum over the ≤numBins grouped rows, so each
-    // side is scanned exactly once (the single-partition window is
-    // bounded by numBins, never corpus-sized). The constant partition
-    // key is semantically a no-op — it exists so the planner does not
-    // log its move-all-data-to-one-partition warning for a frame that
-    // is bounded by construction, keeping bench logs quiet for REAL
-    // unpartitioned windows.
+    // The total is a 1-row aggregate over the ≤numBins grouped rows,
+    // broadcast back via cross join — each corpus side is scanned
+    // exactly once (the two consumers of the grouped counts share one
+    // shuffle via ReuseExchange). An unpartitioned window would compute
+    // the same total but logs Spark's move-all-data-to-one-partition
+    // warning on every run (and Spark 4's EliminateWindowPartitions
+    // strips any constant partition key meant to dodge it), burying
+    // real warnings for a frame that is bounded by construction.
     def histo(df: DataFrame, share: String): DataFrame = {
-      val all = Window.partitionBy(lit(0))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      df.filter(col(valueCol).isNotNull)
+      val counts = df.filter(col(valueCol).isNotNull)
         .groupBy(binOf(col(valueCol)).as("bin"))
         .agg(count(lit(1)).cast("double").as("c"))
-        .select(col("bin"), (col("c") / sum(col("c")).over(all)).as(share))
+      val total = counts.agg(sum(col("c")).as("__total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("bin"), (col("c") / col("__total")).as(share))
     }
     val spine = (0 until numBins).toDF("bin")
     val joined = spine
@@ -78,12 +79,21 @@ object Drift {
         coalesce(col("cur_share"), lit(0.0)).as("cur_share"))
     val p = greatest(col("ref_share"), lit(1e-6))
     val q = greatest(col("cur_share"), lit(1e-6))
-    val w = Window.partitionBy(lit(0)).orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined.select(col("bin"), col("ref_share"), col("cur_share"),
+    // Running (cumulative) shares WITHOUT an unpartitioned window: a
+    // broadcast ≤numBins×numBins triangular self-join — b.bin ≤ a.bin —
+    // summed per bin. numBins is a small constant (default 10), so the
+    // triangle is ≤100 rows; the corpus-side histogram exchanges are
+    // shared with `joined` via ReuseExchange, so no side is re-scanned.
+    val cums = joined.select(col("bin").as("b_bin"),
+      col("ref_share").as("b_ref"), col("cur_share").as("b_cur"))
+    val cum = joined.select(col("bin"))
+      .join(broadcast(cums), col("b_bin") <= col("bin"))
+      .groupBy("bin")
+      .agg(sum(col("b_ref")).as("__cum_ref"), sum(col("b_cur")).as("__cum_cur"))
+    joined.join(broadcast(cum), Seq("bin"))
+      .select(col("bin"), col("ref_share"), col("cur_share"),
         ((p - q) * log(p / q)).as("psi_term"),
-        abs(sum(col("ref_share")).over(w) - sum(col("cur_share")).over(w))
-          .as("cum_gap"))
+        abs(col("__cum_ref") - col("__cum_cur")).as("cum_gap"))
   }
 
   /** Categorical drift between snapshots of one low-cardinality
@@ -105,9 +115,6 @@ object Drift {
     * exactly once, nothing corpus-sized past the aggregates. */
   def categoryDrift(
       ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
-    // lit(0) partition key: see binnedDrift — bounded frame, warning-free.
-    val all = Window.partitionBy(lit(0))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def counts(df: DataFrame, n: String): DataFrame =
       df.groupBy(col(valueCol).cast("string").as("value"))
         .agg(count(lit(1)).as(n))
@@ -121,11 +128,18 @@ object Drift {
         col("r.value") <=> col("c.value"), "full_outer")
       .select(coalesce(col("r.value"), col("c.value")).as("value"),
         col("ref_n"), col("cur_n"))
+    // Totals as a 1-row aggregate broadcast back (not an unpartitioned
+    // window — see binnedDrift). The two consumers of `joined` share
+    // the per-side count exchanges via ReuseExchange, so each snapshot
+    // is still scanned exactly once.
+    val totals = joined.agg(
+      sum(coalesce(col("ref_n"), lit(0L))).as("__ref_total"),
+      sum(coalesce(col("cur_n"), lit(0L))).as("__cur_total"))
     val refShare = coalesce(col("ref_n"), lit(0L)).cast("double") /
-      sum(coalesce(col("ref_n"), lit(0L))).over(all)
+      col("__ref_total")
     val curShare = coalesce(col("cur_n"), lit(0L)).cast("double") /
-      sum(coalesce(col("cur_n"), lit(0L))).over(all)
-    joined.select(col("value"),
+      col("__cur_total")
+    joined.crossJoin(broadcast(totals)).select(col("value"),
       coalesce(col("ref_n"), lit(0L)).as("ref_n"),
       coalesce(col("cur_n"), lit(0L)).as("cur_n"),
       refShare.as("ref_share"), curShare.as("cur_share"),

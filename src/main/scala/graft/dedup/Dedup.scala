@@ -245,16 +245,26 @@ object Dedup {
     * left_anti hash join that never shuffles `rows`. A
     * count-over-window on the same key would funnel the hottest
     * bucket through one window task precisely in the flooded-corpus
-    * case the cap exists for. */
+    * case the cap exists for.
+    *
+    * Null keys: the anti-join matches with null-safe equality (`<=>`),
+    * so a null-keyed group over the cap IS pruned — unlike a plain
+    * equi-key anti-join, which never matches nulls and would silently
+    * exempt them from the cap. All current call sites pass non-null
+    * hash-derived bucket keys, but the shared prune must not depend on
+    * that. */
   private[graft] def pruneHotKeys(
-      rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
-    rows.join(
-      broadcast(rows
-        .groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("occupancy"))
-        .filter(col("occupancy") > cap)
-        .select(keyCols.map(col): _*)),
-      keyCols, "left_anti")
+      rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val hot = rows
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("occupancy"))
+      .filter(col("occupancy") > cap)
+      .select(keyCols.zipWithIndex.map { case (n, i) => col(n).as(s"__hot_$i") }: _*)
+    val cond = keyCols.zipWithIndex
+      .map { case (n, i) => col(n) <=> col(s"__hot_$i") }
+      .reduce(_ && _)
+    rows.join(broadcast(hot), cond, "left_anti")
+  }
 
   /** The audit for [[candidatePairs]]'s occupancy cap — "no silent
     * caps": every (band, bucket) key holding more than

@@ -437,17 +437,20 @@ object ProfilePasses {
     val counts = df.filter(c(column).isNotNull && absx > 0)
       .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
       .filter(col("digit").between(1, 9))
-    // The constant partition key keeps the planner from logging its
-    // single-partition warning for this ≤9-row frame (see Drift).
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // The total is a 1-row aggregate broadcast back via cross join —
+    // NOT an unpartitioned window, whose single-partition warning Spark
+    // logs on every run even for this ≤9-row frame (and Spark 4's
+    // EliminateWindowPartitions strips any constant partition key used
+    // to dodge it). ReuseExchange shares the digit-count shuffle
+    // between the total and the join, so the corpus is scanned once.
+    // An empty counts frame sums to null → coalesce to the 0 the
+    // 9-row spine would have totalled.
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L)).as("total"))
     import df.sparkSession.implicits._
     val spine = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d))).toDF("digit", "expected_share")
     spine.join(counts, Seq("digit"), "left")
       .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"), col("expected_share"))
-      .withColumn("total", sum(col("n")).over(all))
+      .crossJoin(broadcast(total))
       .withColumn("observed_share",
         when(col("total") > 0, col("n") / col("total")).otherwise(lit(0.0)))
       .withColumn("chi2_term",
@@ -527,8 +530,11 @@ object ProfilePasses {
     require(cols.nonEmpty, "need at least one column")
     require(loP >= 0.0 && hiP <= 1.0 && loP < hiP,
       s"need 0 <= loP < hiP <= 1: [$loP, $hiP]")
+    // ALL columns' cut points in the 2-job batched pipeline — N
+    // per-column percentile jobs would scan the corpus N times.
+    val cuts = DistributedPercentiles.ofAll(df, cols, Seq(loP, hiP))
     cols.foldLeft(df) { (acc, n) =>
-      val Seq(lo, hi) = DistributedPercentiles.of(df, n, Seq(loP, hiP))
+      val Seq(lo, hi) = cuts(n)
       val clamped = (lo, hi) match {
         case (Some(l), Some(h)) =>
           // greatest/least SKIP nulls (they return the extreme of the

@@ -570,10 +570,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val h = physical(ProfilePasses.histogram(lineitem, "l_quantity", 10, 0.0, 50.0))
     h.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
     h should not include "Window"
-    val b = physical(ProfilePasses.benfordDigits(lineitem, "l_extendedprice"))
-    b.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
-    // the window in benford runs over the ≤9 grouped rows, after the agg
-    b should include("HashAggregate")
+    // benford's total is a 1-row agg cross-joined back; statically that
+    // is a second consumer of the digit-count aggregate, so pin the
+    // EXECUTED adaptive plan: the total branch must read the join
+    // branch's shuffle via ReusedExchange, leaving exactly one live
+    // corpus scan.
+    val bdf = ProfilePasses.benfordDigits(lineitem, "l_extendedprice")
+    bdf.collect()
+    val b = bdf.queryExecution.executedPlan.toString
+    val bFinal = b.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    bFinal.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    bFinal should include("ReusedExchange")
+    bFinal should not include "Window"
+    bFinal should include("HashAggregate")
   }
 
   test("typeInference is one wide conditional aggregate — single scan, no shuffle-per-column") {
