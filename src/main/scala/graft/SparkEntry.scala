@@ -1261,6 +1261,29 @@ object SparkEntry {
       TextAnalysis.tokenStats(df, "text", "doc_id").orderBy("doc_id")
     }),
 
+    // ---- LLM-pipeline: corpus-learned BPE merge table -----------------
+    // 12 deterministic rounds (max pair count, lexicographic tiebreak)
+    // over the distinct-word vocabulary; the DuckDB oracle re-learns
+    // the table from scratch with the same chained replace semantics.
+    "txt_bpe_merges" -> ((s, dir) => {
+      val df = t(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = graft.text.Bpe.learnMerges(df, "text", numMerges = BpeRounds)
+      graft.text.Bpe.mergesDf(s, merges)
+        .select(col("rank").cast("long").as("rank"),
+          col("left"), col("right"), col("freq"))
+        .orderBy("rank")
+    }),
+
+    // ---- LLM-pipeline: BPE tokenization under the learned merges ------
+    // Per-doc token counts + the full token sequence, encoded by the
+    // native BpeEncode expression; the oracle replays learning AND
+    // encoding (distinct-word encode chain joined back per position).
+    "txt_bpe_tokens" -> ((s, dir) => {
+      val df = t(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = graft.text.Bpe.learnMerges(df, "text", numMerges = BpeRounds)
+      graft.text.Bpe.tokenize(df, "text", "doc_id", merges).orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: per-document quality heuristics ----------------
     "txt_quality" -> ((s, dir) => {
       val df = t(s, dir, "documents")
@@ -2971,6 +2994,71 @@ object SparkEntry {
       |    FROM emb e CROSS JOIN c1n c
       |  ) GROUP BY vec_id
       |)""".stripMargin
+
+  /** Rounds for the BPE gates — small enough that the DuckDB replay
+    * (one chained-CTE block per round) stays cheap, large enough to
+    * produce multi-char tokens on the documents corpus. */
+  private val BpeRounds = 12
+
+  /** The BPE learning chain as DuckDB CTEs: w0 = word frequencies,
+    * v0 = separator-framed vocab, then per round i: p_i = adjacent
+    * pair counts, b_i = argmax pair (count desc, then lexicographic),
+    * v_i = vocab after the literal replace. MATERIALIZED is required:
+    * v_i references b_i three times and b_i chains back through every
+    * earlier round, so inlined CTEs would expand exponentially. */
+  private def bpeLearnCtes: String = {
+    val head = Seq(
+      """w0 AS MATERIALIZED (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY word)""".stripMargin,
+      """v0 AS MATERIALIZED (
+        |  SELECT left(s, len(s) - 1) AS w, freq FROM (
+        |    SELECT '|' || regexp_replace(word, '(.)', '\1||', 'g') AS s, freq FROM w0))""".stripMargin)
+    val rounds = (1 to BpeRounds).flatMap { i =>
+      Seq(
+        s"""p$i AS MATERIALIZED (
+           |  SELECT p.x AS x, p.y AS y, sum(freq) AS cnt FROM (
+           |    SELECT unnest([{'x': s[j], 'y': s[j+1]} for j in range(1, len(s))]) AS p, freq FROM (
+           |      SELECT string_split(substr(w, 2, len(w) - 2), '||') AS s, freq FROM v${i - 1}))
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""b$i AS MATERIALIZED (
+           |  SELECT CAST($i AS BIGINT) AS rank, x, y, CAST(cnt AS BIGINT) AS cnt FROM p$i ORDER BY cnt DESC, x, y LIMIT 1)""".stripMargin,
+        s"""v$i AS MATERIALIZED (
+           |  SELECT replace(w, '|' || (SELECT x FROM b$i) || '||' || (SELECT y FROM b$i) || '|',
+           |                    '|' || (SELECT x FROM b$i) || (SELECT y FROM b$i) || '|') AS w, freq FROM v${i - 1})""".stripMargin)
+    }
+    (head ++ rounds).mkString(",\n")
+  }
+
+  /** Encoding chain for the tokens oracle: each DISTINCT word runs the
+    * same replace chain (e_0..e_N), then joins back to per-doc word
+    * positions — the replay-side mirror of BpeEncoder's memoization. */
+  private def bpeTokenCtes: String = {
+    val enc0 =
+      """e0 AS MATERIALIZED (
+        |  SELECT word, left(s, len(s) - 1) AS w FROM (
+        |    SELECT word, '|' || regexp_replace(word, '(.)', '\1||', 'g') AS s FROM w0))""".stripMargin
+    val encRounds = (1 to BpeRounds).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT word, replace(w, '|' || (SELECT x FROM b$i) || '||' || (SELECT y FROM b$i) || '|',
+         |                          '|' || (SELECT x FROM b$i) || (SELECT y FROM b$i) || '|') AS w FROM e${i - 1})""".stripMargin
+    }
+    val tail = Seq(
+      s"""wtoks AS MATERIALIZED (
+         |  SELECT word, string_split(substr(w, 2, len(w) - 2), '||') AS ts FROM e$BpeRounds)""".stripMargin,
+      """docw AS MATERIALIZED (
+        |  SELECT doc_id, j AS wi, words[j] AS word FROM (
+        |    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS words
+        |    FROM documents WHERE text IS NOT NULL) t,
+        |    LATERAL unnest(range(1, len(words) + 1)) u(j))""".stripMargin,
+      """flat AS MATERIALIZED (
+        |  SELECT d.doc_id, d.wi, u.ti, w.ts[u.ti] AS tok
+        |  FROM docw d JOIN wtoks w USING (word),
+        |       LATERAL unnest(range(1, len(w.ts) + 1)) u(ti))""".stripMargin)
+    (Seq(enc0) ++ encRounds ++ tail).mkString(",\n")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "p1_row_count" ->
@@ -4733,6 +4821,25 @@ object SparkEntry {
     "txt_fingerprints" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Full replay of BPE learning: 12 chained-CTE rounds re-derive the
+    // merge table from the raw documents (see bpeLearnCtes).
+    "txt_bpe_merges" -> {
+      val union = (1 to BpeRounds).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+      s"""WITH $bpeLearnCtes
+         |SELECT rank, x AS "left", y AS "right", cnt AS freq
+         |FROM ($union) ORDER BY rank""".stripMargin
+    },
+
+    // Learning replay PLUS encoding replay: the distinct-word encode
+    // chain (e0..eN) joined back to per-doc word positions.
+    "txt_bpe_tokens" ->
+      s"""WITH $bpeLearnCtes,
+         |$bpeTokenCtes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT tok) AS BIGINT) AS n_unique_tokens,
+         |       string_agg(tok, ' ' ORDER BY wi, ti) AS tokens_str
+         |FROM flat GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "txt_token_stats" ->
       """SELECT doc_id,

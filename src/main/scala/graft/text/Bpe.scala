@@ -1,0 +1,163 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-learned byte-pair-encoding (BPE) tokenization — the real
+  * token counts behind training-data budgets, replacing the
+  * whitespace/"BPE-ish" placeholder of [[TextAnalysis.tokenStats]].
+  * Reference scope: the reference engine has no tokenizer (its token
+  * surface stops at text length stats, profile_engine.py:200-236);
+  * this is a north-star LLM-pipeline operator.
+  *
+  * == Semantics (fixed, engine-replayable) ==
+  *
+  * Pre-tokenization: `lower(text)` split on runs of `[^a-z0-9]+`;
+  * empty strings dropped. Every word is represented as a
+  * separator-framed symbol string — `"|"` + symbols joined by `"||"`
+  * + `"|"` — so that one merge step is ONE literal, non-overlapping,
+  * left-to-right string replace (`"|x||y|"` → `"|xy|"`): the exact
+  * semantics of `replace()` in Spark, DuckDB, Java and Postgres, which
+  * is what makes the whole learning loop externally replayable. The
+  * separator cannot collide because symbols are `[a-z0-9]`-only.
+  *
+  * Learning (`learnMerges`): per round, count every adjacent symbol
+  * pair over the DISTINCT-WORD vocabulary weighted by word frequency,
+  * pick the pair with the highest count — ties broken by lexicographic
+  * (left, right), so the merge table is fully deterministic — record
+  * it, and apply its replace to the vocabulary. `numMerges` rounds.
+  *
+  * Encoding (`tokenize` / [[graft.functions.BpeEncode]]): apply the
+  * learned merges to each word IN RANK ORDER, each exhaustively
+  * left-to-right — identical to the learning-time procedure. (For pure
+  * pair merges this equals the classic lowest-rank-first encoder:
+  * merging two symbols never creates a new adjacency of two OTHER
+  * already-existing symbols, so an earlier merge can never become
+  * applicable again after a later one.)
+  *
+  * == 100 TB shape ==
+  *
+  * The corpus is scanned ONCE (the word-frequency aggregate, map-side
+  * partial). Every learning round then runs over the distinct-word
+  * vocabulary — orders of magnitude smaller than the corpus (~10⁷–10⁸
+  * rows for web-scale text vs 10¹¹ documents) — as one partial-agg
+  * groupBy plus one map-side replace; only the single best-pair row is
+  * collected per round (bounded driver state, like the k-means
+  * centroids). The vocabulary frame is re-persisted each round and
+  * checkpointed periodically (reliable dir when configured, else
+  * localCheckpoint) so lineage stays flat across hundreds of rounds —
+  * same discipline as [[graft.dedup.Dedup.connectedComponents]].
+  * Encoding is a map-side native expression with no shuffle at all.
+  */
+object Bpe {
+
+  /** One learned merge: at `rank` (1-based), adjacent symbol pair
+    * (`left`, `right`) had the highest corpus pair count `freq`. */
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  private[graft] val Sep = "|"
+
+  /** `lower`, split on non-alphanumeric runs, drop empties — the fixed
+    * pre-tokenization contract shared with the DuckDB replay. */
+  private[graft] def words(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+
+  /** A word as its separator-framed base-symbol string: "ab" →
+    * `"|a||b|"`. Built with the same regexp_replace both engines run. */
+  private[graft] def framed(word: Column): Column = {
+    val doubled = concat(lit(Sep), regexp_replace(word, "(.)", "$1||"))
+    // drop the trailing "|" of the final "||"
+    substr(doubled, lit(1), length(doubled) - 1)
+  }
+
+  /** Learn `numMerges` merges from `df.textCol`. Returns the merge
+    * table in rank order. Driver state: one (pair, count) row per
+    * round — everything else stays distributed. */
+  def learnMerges(df: DataFrame, textCol: String,
+      numMerges: Int, checkpointEvery: Int = 10): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    val spark = df.sparkSession
+    val useReliable = spark.sparkContext.getCheckpointDir.isDefined
+    def materialize(v: DataFrame): DataFrame =
+      if (useReliable) v.checkpoint(eager = true) else v.localCheckpoint(true)
+
+    // ONE corpus scan: per-word occurrence counts, then the framed
+    // symbol form. Distinct words only from here on.
+    var vocab = df
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(framed(col("word")).as("w"), col("freq"))
+      .persist()
+    vocab.count() // materialize before the loop
+
+    val merges = Seq.newBuilder[Merge]
+    var round = 1
+    var exhausted = false
+    while (round <= numMerges && !exhausted) {
+      // Adjacent symbol pairs of every vocab word, weighted by word
+      // frequency. split on the literal "||" after trimming the single
+      // framing "|" from each end.
+      val syms = split(expr("substring(w, 2, length(w) - 2)"), "\\|\\|")
+      val pairs = vocab
+        .select(col("freq"),
+          explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum("freq").as("cnt"))
+      val best = pairs
+        .orderBy(desc("cnt"), asc("x"), asc("y"))
+        .limit(1).collect()
+      if (best.isEmpty) {
+        // every word is a single symbol — nothing left to merge
+        exhausted = true
+      } else {
+        val (x, y, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(round, x, y, cnt)
+        val prev = vocab
+        var next = vocab.withColumn("w",
+          expr(s"replace(w, '$Sep$x$Sep$Sep$y$Sep', '$Sep$x$y$Sep')"))
+          .persist()
+        if (round % checkpointEvery == 0) next = materialize(next)
+        next.count()
+        prev.unpersist()
+        vocab = next
+        round += 1
+      }
+    }
+    vocab.unpersist()
+    merges.result()
+  }
+
+  /** The learned merge table as a DataFrame —
+    * (rank int, left, right, freq). */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "freq")
+  }
+
+  /** Tokenize `textCol` with a learned merge table: per document, the
+    * full BPE token sequence (words in order, each word's tokens in
+    * order) as `array<string>`. Map-side native expression
+    * ([[graft.functions.BpeEncode]]) — no shuffle, no UDF. */
+  def bpeTokens(text: Column, merges: Seq[Merge]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        merges.sortBy(_.rank).map(m => (m.left, m.right))))
+
+  /** Per-document token stats under a learned merge table:
+    * (id, n_tokens, n_unique_tokens, tokens_str). */
+  def tokenize(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val toks = bpeTokens(col(textCol), merges)
+    df.select(col(idCol), toks.as("tokens"))
+      .select(col(idCol),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tokens"))).cast("long").as("n_unique_tokens"),
+        concat_ws(" ", col("tokens")).as("tokens_str"))
+  }
+}

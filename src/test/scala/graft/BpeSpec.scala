@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.text.Bpe
+
+class BpeSpec extends AnyFunSuite with SparkTestBase with Matchers {
+
+  private def docs(texts: String*) = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("learnMerges picks the highest-count pair, lexicographic tiebreak, in order") {
+    // words: aa ×3, ab ×2 → round 1 merges (a,a) cnt 3, round 2 (a,b) cnt 2
+    val df = docs("aa ab aa", "ab aa")
+    val merges = Bpe.learnMerges(df, "text", numMerges = 5)
+    merges.map(m => (m.rank, m.left, m.right, m.freq)) shouldBe
+      Seq((1, "a", "a", 3L), (2, "a", "b", 2L))
+    // exhausted after 2: every vocab word is a single symbol
+  }
+
+  test("tiebreak is lexicographic on (left, right)") {
+    // "ba" and "ab" each once → pairs (b,a):1 and (a,b):1 → (a,b) wins
+    val df = docs("ba ab")
+    val merges = Bpe.learnMerges(df, "text", numMerges = 1)
+    merges.head.left shouldBe "a"
+    merges.head.right shouldBe "b"
+  }
+
+  test("merge-order determinism: two runs produce the identical table") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Bpe.learnMerges(df, "text", numMerges = 8)
+    val b = Bpe.learnMerges(df, "text", numMerges = 8)
+    a shouldBe b
+    a should have size 8
+  }
+
+  test("encode applies merges in rank order, exhaustive left-to-right") {
+    // merges (a,a) then (a,b): "aaab" → [aa, ab]; "aaa" → [aa, a]
+    val merges = Seq(Bpe.Merge(1, "a", "a", 3), Bpe.Merge(2, "a", "b", 2))
+    val out = docs("aaab aaa")
+      .select(Bpe.bpeTokens(col("text"), merges).as("t"))
+      .head().getSeq[String](0)
+    out shouldBe Seq("aa", "ab", "aa", "a")
+  }
+
+  test("pre-tokenization: lower, non-alphanumeric split, empties dropped") {
+    val merges = Seq.empty[Bpe.Merge]
+    val out = docs("  Ab,9-c!  ")
+      .select(Bpe.bpeTokens(col("text"), merges).as("t"))
+      .head().getSeq[String](0)
+    out shouldBe Seq("a", "b", "9", "c")
+  }
+
+  test("learned merges reproduce words as single tokens once fully merged") {
+    // one word repeated: enough merges collapse it back to itself
+    val df = docs("table table table")
+    val merges = Bpe.learnMerges(df, "text", numMerges = 10)
+    val toks = Bpe.tokenize(df, "text", "doc_id", merges)
+    val row = toks.orderBy("doc_id").head()
+    row.getLong(1) shouldBe 3L        // n_tokens: 3 occurrences × 1 token
+    row.getLong(2) shouldBe 1L        // n_unique_tokens
+    row.getString(3) shouldBe "table table table"
+  }
+
+  test("tokenize output shape and null text → null tokens row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Option("aa ab")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val merges = Seq(Bpe.Merge(1, "a", "a", 1))
+    val out = Bpe.tokenize(df, "text", "doc_id", merges).orderBy("doc_id").collect()
+    out(0).getLong(1) shouldBe 3L // aa → [aa]; ab → [a, b]
+    out(1).isNullAt(1) shouldBe true
+  }
+}
