@@ -1361,6 +1361,15 @@ object SparkEntry {
       TextAnalysis.languageId(df, "text", "doc_id").orderBy("doc_id")
     }),
 
+    // ---- LLM-pipeline: char-n-gram statistical language ID ------------
+    // Bigram log-likelihood against per-language seed profiles; the
+    // oracle re-derives the profiles from the same seed literals and
+    // replays the scoring join end-to-end.
+    "txt_lang_id2" -> ((s, dir) => {
+      val df = t(s, dir, "documents").filter(col("text").isNotNull)
+      TextAnalysis.languageIdNgram(df, "text", "doc_id").orderBy("doc_id")
+    }),
+
     // ---- Within-document repetition stats (the Gopher-style quality
     // signals: documents that repeat THEMSELVES). The fixture has no
     // newlines, so the gate synthesizes line structure from doc_id —
@@ -5005,6 +5014,46 @@ object SparkEntry {
         |       ELSE 'zh' END AS lang_pred,
         |  CAST(greatest(de,en,es,fr,zh) AS BIGINT) AS marker_hits
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Full replay of the char-bigram language classifier: profiles are
+    // re-derived from the SAME seed literals (graft.text.TextAnalysis
+    // .LanguageSeeds), additive smoothing over the union vocabulary,
+    // then the scoring join + deterministic argmax.
+    "txt_lang_id2" -> {
+      val seedValues = graft.text.TextAnalysis.LanguageSeeds
+        .map { case (l, s) => s"('$l', '$s')" }.mkString(", ")
+      s"""WITH seeds(lang, s) AS (VALUES $seedValues),
+         |sg AS MATERIALIZED (
+         |  SELECT lang, unnest([substr(lower(s), j, 2) for j in range(1, len(s))]) AS gram FROM seeds),
+         |pc AS MATERIALIZED (SELECT lang, gram, count(*) AS c FROM sg GROUP BY 1, 2),
+         |vocab AS MATERIALIZED (SELECT DISTINCT gram FROM pc),
+         |vn AS MATERIALIZED (SELECT count(*) AS v FROM vocab),
+         |tot AS MATERIALIZED (SELECT lang, CAST(sum(c) AS DOUBLE) AS total FROM pc GROUP BY 1),
+         |prof AS MATERIALIZED (
+         |  SELECT vo.gram, t.lang, ln((coalesce(pc.c, 0) + 0.5) / (t.total + 0.5 * vn.v)) AS logp
+         |  FROM vocab vo CROSS JOIN tot t CROSS JOIN vn
+         |  LEFT JOIN pc ON pc.gram = vo.gram AND pc.lang = t.lang),
+         |floors AS MATERIALIZED (
+         |  SELECT t.lang, ln(0.5 / (t.total + 0.5 * vn.v)) AS floorp FROM tot t CROSS JOIN vn),
+         |dg AS MATERIALIZED (
+         |  SELECT doc_id, unnest([substr(lower(text), j, 2) for j in range(1, len(text))]) AS gram
+         |  FROM documents WHERE text IS NOT NULL),
+         |dgc AS MATERIALIZED (SELECT doc_id, gram, count(*) AS c FROM dg GROUP BY 1, 2),
+         |sc AS MATERIALIZED (
+         |  SELECT d.doc_id, f.lang,
+         |         sum(d.c * coalesce(p.logp, f.floorp)) AS score, sum(d.c) AS n
+         |  FROM dgc d CROSS JOIN floors f
+         |  LEFT JOIN prof p ON p.gram = d.gram AND p.lang = f.lang
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, max(n) AS n_grams,
+         |         (list(lang ORDER BY score DESC, lang ASC))[1] AS lang_pred,
+         |         (list(score ORDER BY score DESC, lang ASC))[1] AS best_score
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, lang_pred, CAST(n_grams AS BIGINT) AS n_grams,
+         |       round(best_score / n_grams, 4) AS avg_logp
+         |FROM best ORDER BY doc_id""".stripMargin
+    },
 
     "txt_pattern_counts" ->
       """WITH c AS (

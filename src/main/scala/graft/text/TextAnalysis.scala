@@ -294,6 +294,120 @@ object TextAnalysis {
         col("best.n").cast("long").as("marker_hits"))
   }
 
+  /** Seed text per language for the char-n-gram language profiles:
+    * each is a list of that language's most common function words —
+    * public, fixed, deterministic. The PROFILE is the char-bigram
+    * distribution of this text, so the classifier keys on
+    * orthographic shape (th/er/de/qu/ç/ü/CJK codepoints …), not on
+    * exact word hits — which is what lets it classify sentences that
+    * contain none of [[LanguageMarkers]]'s five words. */
+  val LanguageSeeds: Seq[(String, String)] = Seq(
+    "de" -> ("der die das und ist nicht ein eine ich sie wir ihr haben sein " +
+      "werden wurde können müssen sollen über für schön wäre gewesen zeit " +
+      "jahr tag welt leben wasser sprache straße zwischen durch nach vor " +
+      "bei mit von zu auf als auch noch schon immer wieder gegen ohne um"),
+    "en" -> ("the and of to in is it you that he was for on are with as his " +
+      "they be at one have this from or had by word but what some we can " +
+      "out other were all there when up use your how said an each which " +
+      "their time will about if then them would make like him into has"),
+    "es" -> ("el la que de no a los se del las un por con una su para es al " +
+      "lo como más pero sus le ya o este sí porque esta entre cuando muy " +
+      "sin sobre también me hasta hay donde quien desde todo nos durante " +
+      "todos uno les ni contra otros ese eso ante ellos e esto mí antes"),
+    "fr" -> ("le de un être et à il avoir ne je son que se qui ce dans en du " +
+      "elle au pour pas vous par sur faire plus dire me on mon lui nous " +
+      "comme mais avec tout y aller voir bien où sans tu ou leur homme " +
+      "si deux mari moi vouloir te femme venir quand grand celui aussi"),
+    "zh" -> ("的 一 是 不 了 人 我 在 有 他 这 中 大 来 上 国 个 到 说 们 " +
+      "为 子 和 你 地 出 道 也 时 年 得 就 那 要 下 以 生 会 自 着 去 之 " +
+      "过 家 学 对 可 她 里 后 小 么 心 多 天 而 能 好 都 然 没 日 于 起"))
+
+  /** Additive-smoothing constant and n-gram order for
+    * [[languageIdNgram]] — fixed so the profiles are reproducible. */
+  private val LangIdAlpha = 0.5
+  private val LangIdN = 2
+
+  /** Driver-built dense profile: for every char bigram in the union
+    * vocabulary of all seeds, the per-language log-probability
+    * `ln((count + α) / (total + α·V))`; plus each language's
+    * out-of-vocabulary floor `ln(α / (total + α·V))`. Bounded by
+    * construction (V ≈ hundreds), computed once per JVM. */
+  private lazy val langProfiles: (Seq[(String, Seq[Double])], Seq[Double]) = {
+    val langs = LanguageSeeds.map(_._1)
+    val grams: Map[String, Map[String, Int]] = LanguageSeeds.map {
+      case (lang, seed) =>
+        val s = seed.toLowerCase(java.util.Locale.ROOT)
+        val gs = (0 to s.length - LangIdN).map(i => s.substring(i, i + LangIdN))
+        lang -> gs.groupBy(identity).map { case (g, occ) => g -> occ.size }
+    }.toMap
+    val vocab = grams.values.flatMap(_.keys).toSeq.distinct.sorted
+    val v = vocab.size
+    val totals = langs.map(l => l -> grams(l).values.sum.toDouble).toMap
+    val rows = vocab.map { g =>
+      g -> langs.map { l =>
+        math.log((grams(l).getOrElse(g, 0) + LangIdAlpha) /
+          (totals(l) + LangIdAlpha * v))
+      }
+    }
+    val floors = langs.map(l => math.log(LangIdAlpha / (totals(l) + LangIdAlpha * v)))
+    (rows, floors)
+  }
+
+  /** Char-n-gram language identification — the statistical upgrade of
+    * [[languageId]]: each document is scored against K per-language
+    * bigram profiles (built from [[LanguageSeeds]], additive smoothing
+    * over the union vocabulary) and labelled with the
+    * max-log-likelihood language; ties break to the alphabetically
+    * first language, documents with no grams → "unknown". Output:
+    * (idCol, lang_pred, n_grams, avg_logp ∈ 4dp — the winning
+    * language's mean per-gram log-probability).
+    *
+    * Plan shape: ONE corpus scan — doc bigrams explode map-side
+    * (explode_outer keeps zero-gram documents as a null-gram row, so
+    * no second spine scan) and partially aggregate to (id, gram, cnt);
+    * one broadcast left join against the ≤V-row dense profile table;
+    * per-language weighted sums partial-aggregate per document — the
+    * only shuffle is the per-doc aggregate, and the document text
+    * itself never shuffles. Scale-safe at any corpus size (the profile
+    * is constant-sized). */
+  def languageIdNgram(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val langs = LanguageSeeds.map(_._1)
+    val (profRows, floors) = langProfiles
+    import spark.implicits._
+    val prof = profRows.map { case (g, lps) => (g, lps(0), lps(1), lps(2), lps(3), lps(4)) }
+      .toDF("gram" +: langs.map("logp_" + _): _*)
+    val docGrams = spread(df)
+      .select(col(idCol),
+        explode_outer(charNgrams(lower(col(textCol)), LangIdN)).as("gram"))
+      .groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
+    val isReal = col("gram").isNotNull
+    val scored = docGrams
+      .join(broadcast(prof), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(sum(when(isReal, col("cnt")).otherwise(lit(0L))).as("n_grams"),
+        langs.zipWithIndex.map { case (l, i) =>
+          sum(when(isReal,
+            col("cnt") * coalesce(col(s"logp_$l"), lit(floors(i))))
+            .otherwise(lit(0.0))).as(s"score_$l")
+        }: _*)
+    // deterministic argmax: fold in alphabetical order, strict > keeps
+    // the earliest language on ties (same contract as languageId)
+    val best = langs.tail.foldLeft(
+      struct(col(s"score_${langs.head}").as("s"), lit(langs.head).as("lang"))) {
+      case (acc, l) =>
+        when(col(s"score_$l") > acc.getField("s"),
+          struct(col(s"score_$l").as("s"), lit(l).as("lang"))).otherwise(acc)
+    }
+    scored.select(col(idCol), col("n_grams"), best.as("b"))
+      .select(col(idCol),
+        when(col("n_grams") > 0, col("b.lang")).otherwise(lit("unknown"))
+          .as("lang_pred"),
+        col("n_grams").cast("long").as("n_grams"),
+        when(col("n_grams") > 0, round(col("b.s") / col("n_grams"), 4))
+          .as("avg_logp"))
+  }
+
   /** Per-language marker-hit counts as one struct, built in a single
     * traversal of the token array (see the capture note on
     * [[languageId]]). */

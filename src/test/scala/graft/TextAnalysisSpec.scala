@@ -661,4 +661,50 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .orderBy("doc_id", "rank").collect().map(r => (r.getLong(0), r.getString(1)))
     out shouldBe Array((1L, "alpha"), (1L, "beta"), (2L, "delta"), (2L, "gamma"))
   }
+
+  // Multilingual fixture with NO occurrences of the five marker words
+  // per language — marker-word argmax cannot classify these, the
+  // char-bigram profiles can.
+  private val markerlessFixture = Seq(
+    (1L, "morgen gehen wir zusammen spazieren weil das wetter wirklich herrlich aussieht", "de"),
+    (2L, "tomorrow we shall take a long walk because everything looks so lovely outside", "en"),
+    (3L, "mañana caminaremos juntos porque hace muy buen tiempo según dicen por ahí", "es"),
+    (4L, "demain nous marcherons ensemble parce qu'il fait vraiment beau dehors", "fr"),
+    (5L, "他们明天会一起去公园散步因为天气很好大家都很开心", "zh"))
+
+  test("languageIdNgram classifies markerless sentences; languageId cannot") {
+    val s = spark
+    import s.implicits._
+    val df = markerlessFixture.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val expected = markerlessFixture.map { case (id, _, l) => id -> l }.toMap
+    val ngramPred = TextAnalysis.languageIdNgram(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    val markerPred = TextAnalysis.languageId(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    val ngramAcc = expected.count { case (id, l) => ngramPred(id) == l }
+    val markerAcc = expected.count { case (id, l) => markerPred(id) == l }
+    ngramAcc shouldBe 5
+    markerAcc should be < ngramAcc
+  }
+
+  test("languageIdNgram: zero-gram and null docs → unknown with 0 grams") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Option("x")), (2L, Option.empty[String]), (3L, Option("guten morgen liebe sorgen")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageIdNgram(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang_pred"), r.getAs[Long]("n_grams")))).toMap
+    out(1L) shouldBe ("unknown", 0L) // single char: no bigram
+    out(2L) shouldBe ("unknown", 0L)
+    out(3L)._1 shouldBe "de"
+  }
+
+  test("languageIdNgram is deterministic and covers every input row once") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextAnalysis.languageIdNgram(df, "text", "doc_id").orderBy("doc_id").collect()
+    val b = TextAnalysis.languageIdNgram(df, "text", "doc_id").orderBy("doc_id").collect()
+    a.toSeq shouldBe b.toSeq
+    a.length shouldBe df.count()
+  }
 }
