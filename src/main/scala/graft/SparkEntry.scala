@@ -36,6 +36,80 @@ object SparkEntry {
     * must skip, or a RIFF/WAVE fmt+data pair (little-endian audio
     * params). Every field derives from doc_id, so a DuckDB oracle can
     * recompute the expected decode without parsing bytes. */
+  /** 2-hex-digit rendering of a byte-valued column expression. */
+  private def hxByte(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lpad(hex(pmod(c, lit(256))), 2, "0")
+
+  /** Hex of a literal byte array (header constants for the synthetic
+    * image fixtures). */
+  private def hexOf(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02X").mkString
+
+  /** 54-byte BMP file+DIB header (24 bpp, BI_RGB, bottom-up). */
+  private def bmpHeaderHex(w: Int, h: Int): String = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24).putInt(0)
+      .putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    hexOf(buf.array())
+  }
+
+  /** Synthetic 18×16 image per document — even doc_ids a P6 PPM, odd
+    * a 24-bit bottom-up BMP (4-byte padded rows, BGR) — with RGB at
+    * (x, y) following a fixed doc_id formula the oracle recomputes.
+    * Built entirely with hex column math + one unhex. */
+  private def syntheticImageBin: org.apache.spark.sql.Column = {
+    val W = 18; val H = 16
+    val d = col("doc_id")
+    def r(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      lit(7) * d + lit(13) * x + lit(31) * y
+    def g(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      lit(11) * d + lit(3) * x + lit(17) * y
+    def b(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      lit(5) * d + lit(19) * x + lit(23) * y
+    val ppmPix = array_join(flatten(transform(sequence(lit(0), lit(H - 1)), y =>
+      transform(sequence(lit(0), lit(W - 1)), x =>
+        concat(hxByte(r(x, y)), hxByte(g(x, y)), hxByte(b(x, y)))))), "")
+    // bottom-up rows, BGR order, 2 padding bytes per 54-byte row
+    val bmpPix = array_join(transform(sequence(lit(H - 1), lit(0), lit(-1)), y =>
+      concat(array_join(transform(sequence(lit(0), lit(W - 1)), x =>
+        concat(hxByte(b(x, y)), hxByte(g(x, y)), hxByte(r(x, y)))), ""),
+        lit("0000"))), "")
+    val ppmHeader = hexOf(s"P6\n$W $H\n255\n".getBytes("US-ASCII"))
+    unhex(when(pmod(d, lit(2)) === 0, concat(lit(ppmHeader), ppmPix))
+      .otherwise(concat(lit(bmpHeaderHex(W, H)), bmpPix)))
+  }
+
+  /** Synthetic 9×8 grayscale PPM pairs for image near-dup dedup:
+    * doc_id/2 selects the pattern, odd doc_ids perturb one pixel of
+    * their even sibling — so consecutive (even, odd) ids are near-dups
+    * and different patterns are far apart in Hamming space. The
+    * pattern varies the GRADIENT with the group id (dHash is invariant
+    * to uniform brightness shifts). */
+  private def syntheticPairImageBin: org.apache.spark.sql.Column = {
+    val W = 9; val H = 8
+    val d = col("doc_id")
+    val gid = floor(d / 2).cast("long")
+    def v0(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      pmod(pmod(x * x * (pmod(gid, lit(5)) + 1) + y * (lit(3) + pmod(gid, lit(7))) +
+        x * y * (gid + 1), lit(97)) * 2, lit(256))
+    def v(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      when(pmod(d, lit(2)) === 1 && x === 4 && y === 3,
+        pmod(v0(x, y) + 50, lit(256))).otherwise(v0(x, y))
+    val pix = array_join(flatten(transform(sequence(lit(0), lit(H - 1)), y =>
+      transform(sequence(lit(0), lit(W - 1)), x => {
+        val h = hxByte(v(x, y))
+        concat(h, h, h)
+      }))), "")
+    val header = hexOf(s"P6\n$W $H\n255\n".getBytes("US-ASCII"))
+    unhex(concat(lit(header), pix))
+  }
+
   private def syntheticMediaBin: org.apache.spark.sql.Column = {
     def beHex32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
     def beHex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
@@ -1609,6 +1683,40 @@ object SparkEntry {
       Multimodal.extractFeatures(df.withColumn("bin", syntheticVideoBin), "doc_id", "bin")
         .select(col("id").as("doc_id"), col("format"), col("width"), col("height"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Perceptual image hashing: each document synthesizes an
+    // 18×16 uncompressed image (even ids → PPM, odd → 24-bit
+    // bottom-up BMP with 4-byte row padding) whose RGB values follow a
+    // doc_id formula; PixelDecoder parses the BYTES back to luma and
+    // the dHash/aHash bits are re-derived by the oracle from the pixel
+    // rule — every bit ground-truthed, and the PPM/BMP byte layouts
+    // (padding, BGR, bottom-up) verified end-to-end.
+    "mm6_image_dhash" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      Multimodal.imageHashes(
+          df.withColumn("bin", syntheticImageBin), "doc_id", "bin")
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("dhash_hex"), col("ahash_hex"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Image near-dup dedup: 9×8 grayscale PPMs in doc_id/2 pairs
+    // (odd ids perturb one pixel of their even sibling's pattern), fed
+    // through the SAME Manku-blocked Hamming join as text simhash.
+    // maxHamming(4) < blocks(6) guarantees recall and the occupancy
+    // cap is disabled, so the blocked join is exactly brute-force —
+    // which is what the oracle replays (xor + bit_count).
+    "mm7_image_near_dups" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      val hashes = Multimodal.imageHashes(
+        df.withColumn("bin", syntheticPairImageBin), "doc_id", "bin")
+      val keys = graft.dedup.Dedup.blockKeysFromSketches(
+        hashes, "id", "dhash", maxHamming = 4, blocks = 6)
+      graft.dedup.Dedup.simhashNearDupPairsFromKeys(
+          keys, maxHamming = 4, maxBucketOccupancy = 0)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- Streaming-profile plan, verified through its batch fixpoint:
@@ -4205,6 +4313,75 @@ object SparkEntry {
         |  CAST(doc_id % 512 + 16 AS INTEGER) AS width,
         |  CAST(doc_id % 256 + 16 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Every dHash/aHash bit re-derived from the pixel rule: sampled
+    // grid luma (integer 299/587/114 weights), neighbor comparisons /
+    // mean threshold, bits packed row-major MSB-first into hex — the
+    // Spark side must parse the actual PPM/BMP bytes back to the same
+    // values.
+    "mm6_image_dhash" ->
+      """WITH dgrid AS MATERIALIZED (
+        |  SELECT doc_id, r, c,
+        |    (299*((7*doc_id + 13*(c*18//9) + 31*(r*16//8)) % 256)
+        |     + 587*((11*doc_id + 3*(c*18//9) + 17*(r*16//8)) % 256)
+        |     + 114*((5*doc_id + 19*(c*18//9) + 23*(r*16//8)) % 256)) // 1000 AS lum
+        |  FROM documents, range(0, 8) tr(r), range(0, 9) tc(c)),
+        |dbits AS (
+        |  SELECT a.doc_id, a.r, a.c, CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+        |  FROM dgrid a JOIN dgrid b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |drows AS (
+        |  SELECT doc_id, r, CAST(sum(bit * (1 << (7 - c))) AS INTEGER) AS byte FROM dbits GROUP BY 1, 2),
+        |dhex AS (
+        |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY r) AS dhash_hex FROM drows GROUP BY 1),
+        |agrid AS MATERIALIZED (
+        |  SELECT doc_id, r, c,
+        |    (299*((7*doc_id + 13*(c*18//8) + 31*(r*16//8)) % 256)
+        |     + 587*((11*doc_id + 3*(c*18//8) + 17*(r*16//8)) % 256)
+        |     + 114*((5*doc_id + 19*(c*18//8) + 23*(r*16//8)) % 256)) // 1000 AS lum
+        |  FROM documents, range(0, 8) tr(r), range(0, 8) tc(c)),
+        |am AS (SELECT doc_id, sum(lum) / 64.0 AS mean FROM agrid GROUP BY 1),
+        |abits AS (
+        |  SELECT g.doc_id, g.r, g.c, CASE WHEN g.lum > m.mean THEN 1 ELSE 0 END AS bit
+        |  FROM agrid g JOIN am m ON m.doc_id = g.doc_id),
+        |arows AS (
+        |  SELECT doc_id, r, CAST(sum(bit * (1 << (7 - c))) AS INTEGER) AS byte FROM abits GROUP BY 1, 2),
+        |ahex AS (
+        |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY r) AS ahash_hex FROM arows GROUP BY 1)
+        |SELECT d.doc_id, CASE WHEN d.doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        |       CAST(18 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |       dh.dhash_hex, ah.ahash_hex
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |JOIN dhex dh USING (doc_id) JOIN ahex ah USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Brute-force Hamming pairs over the formula-derived dHashes
+    // (signed 64-bit reconstruction, xor + bit_count): exactly what
+    // the recall-guaranteed uncapped Manku-blocked join must emit.
+    "mm7_image_near_dups" ->
+      """WITH grid AS MATERIALIZED (
+        |  SELECT doc_id, r, c,
+        |    CASE WHEN doc_id % 2 = 1 AND c = 4 AND r = 3
+        |      THEN ((c*c*((doc_id//2) % 5 + 1) + r*(3 + (doc_id//2) % 7) + c*r*((doc_id//2) + 1)) % 97 * 2 % 256 + 50) % 256
+        |      ELSE (c*c*((doc_id//2) % 5 + 1) + r*(3 + (doc_id//2) % 7) + c*r*((doc_id//2) + 1)) % 97 * 2 % 256
+        |    END AS lum
+        |  FROM documents, range(0, 8) tr(r), range(0, 9) tc(c)),
+        |rws AS (
+        |  SELECT a.doc_id, a.r,
+        |         CAST(sum(CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END * (1 << (7 - a.c))) AS BIGINT) AS byte
+        |  FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+        |  WHERE a.c < 8 GROUP BY 1, 2),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN r = 0 AND byte >= 128 THEN (byte - 256) * 72057594037927936
+        |             WHEN r = 0 THEN byte * 72057594037927936
+        |             ELSE byte * (CAST(1 AS BIGINT) << (8 * (7 - r))) END) AS h
+        |  FROM rws GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "mm_binary_metadata" ->
       """WITH b AS (

@@ -982,6 +982,20 @@ object Dedup {
       blockKeys(df, idCol, textCol, maxHamming, blocks, shingleSize, hashMode),
       maxHamming, maxBucketOccupancy)
 
+  /** [[blockKeys]] over an ALREADY-SKETCHED frame — any 64-bit
+    * similarity-preserving sketch works (text simhash, image
+    * dHash/aHash from [[graft.multimodal.Multimodal.imageHashes]], …):
+    * the Manku blocking only assumes "near-dup ⇒ small Hamming
+    * distance". Null sketches (e.g. undecodable images) are dropped —
+    * they carry no signal to block on. */
+  def blockKeysFromSketches(
+      sketches: DataFrame, idCol: String, skCol: String,
+      maxHamming: Int = 3, blocks: Int = 6): DataFrame =
+    sketches.filter(col(skCol).isNotNull)
+      .select(col(idCol).as("id"), col(skCol).as("sk"),
+        explode(simhashBlockKeys(col(skCol), maxHamming, blocks)).as("bk"))
+      .select(col("id"), col("sk"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
+
   /** Exploded (id, sk, tbl, key) Manku block keys for every document —
     * the shared input of [[simhashNearDupPairsFromKeys]] and
     * [[cappedBlockKeysFromKeys]]. A caller running the audit alongside

@@ -35,6 +35,8 @@ object Multimodal {
       .when(substring(h, 9, 8) === "66747970", "mp4") // ....ftyp
       .when(h.startsWith("4F676753"), "ogg")
       .when(h.startsWith("1A45DFA3"), "mkv")
+      .when(h.startsWith("424D"), "bmp") // "BM"
+      .when(h.startsWith("5036"), "ppm") // "P6"
       .otherwise("unknown")
   }
 
@@ -395,5 +397,189 @@ object Multimodal {
     features.select(col("id"), col("format"), col("width"), col("height"),
       greatest(round(col("width") * scale).cast("int"), lit(1)).as("out_width"),
       greatest(round(col("height") * scale).cast("int"), lit(1)).as("out_height"))
+  }
+
+  /** Pixel access for the UNCOMPRESSED image formats a codec-free
+    * container can decode honestly: PPM (P6 binary, maxval ≤ 255, no
+    * comment lines) and BMP (24-bit BI_RGB, bottom-up or top-down).
+    * Everything compressed stays behind the [[BinaryDecoder]] plug
+    * point. Returns the image as row-major TOP-DOWN integer luma
+    * (`(299·r + 587·g + 114·b) / 1000`, integer division — exactly
+    * replayable arithmetic, no float rounding). */
+  object PixelDecoder {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = (u8(b, i + 1) << 8) | u8(b, i)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (le16(b, i + 2).toLong << 16) | le16(b, i)
+
+    private def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+
+    /** P6 header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+      * then raw RGB triples. */
+    private def ppm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (b.length < 11 || b(0) != 'P' || b(1) != '6') return None
+      var i = 2
+      def skipWs(): Unit = while (i < b.length && Character.isWhitespace(b(i))) i += 1
+      def readInt(): Option[Int] = {
+        skipWs()
+        var v = 0
+        var any = false
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+          v = v * 10 + (b(i) - '0'); any = true; i += 1
+        }
+        if (any) Some(v) else None
+      }
+      for {
+        w <- readInt(); h <- readInt(); maxv <- readInt()
+        if w > 0 && h > 0 && maxv > 0 && maxv <= 255
+        _ = { i += 1 } // the single whitespace after maxval
+        if b.length - i >= w * h * 3
+      } yield {
+        val out = new Array[Int](w * h)
+        var p = 0
+        while (p < w * h) {
+          out(p) = luma(u8(b, i + 3 * p), u8(b, i + 3 * p + 1), u8(b, i + 3 * p + 2))
+          p += 1
+        }
+        (w, h, out)
+      }
+    }
+
+    /** 24-bit uncompressed BMP; rows 4-byte padded, BGR order,
+      * bottom-up unless the DIB height is negative. */
+    private def bmp(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+      val off = le32(b, 10).toInt
+      val w = le32(b, 18).toInt
+      val rawH = le32(b, 22).toInt
+      val topDown = rawH < 0
+      val h = math.abs(rawH)
+      val bpp = le16(b, 28)
+      val compression = le32(b, 30)
+      if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      if (off < 0 || b.length - off < rowBytes * h) return None
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = if (topDown) y else h - 1 - y
+        val base = off + srcRow * rowBytes
+        var x = 0
+        while (x < w) {
+          // BGR on disk
+          out(y * w + x) =
+            luma(u8(b, base + 3 * x + 2), u8(b, base + 3 * x + 1), u8(b, base + 3 * x))
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+
+    def decodeLuma(format: String, bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      format match {
+        case "ppm" => ppm(bytes)
+        case "bmp" => bmp(bytes)
+        case _ => None
+      }
+
+    /** Point-sample `gw × gh` grid positions: `sx(c) = c·w / gw`,
+      * `sy(r) = r·h / gh` (integer division) — deterministic nearest
+      * sampling, the replayable stand-in for area-average downscale
+      * (which needs a real resize kernel behind the decoder plug
+      * point). */
+    private[multimodal] def sampleGrid(
+        w: Int, h: Int, lum: Array[Int], gw: Int, gh: Int): Array[Int] = {
+      val out = new Array[Int](gw * gh)
+      var r = 0
+      while (r < gh) {
+        val sy = r * h / gh
+        var c = 0
+        while (c < gw) {
+          out(r * gw + c) = lum(sy * w + c * w / gw)
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    /** dHash: 9×8 sampled luma, bit (row, c) = luma(row, c+1) >
+      * luma(row, c); bits pack row-major, first comparison = MSB. */
+    private[multimodal] def dhash64(w: Int, h: Int, lum: Array[Int]): Long = {
+      val g = sampleGrid(w, h, lum, 9, 8)
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          hash = (hash << 1) | (if (g(r * 9 + c + 1) > g(r * 9 + c)) 1L else 0L)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
+    /** aHash: 8×8 sampled luma, bit = luma > mean (mean = sum/64.0,
+      * exact in double); bits pack row-major, first pixel = MSB. */
+    private[multimodal] def ahash64(w: Int, h: Int, lum: Array[Int]): Long = {
+      val g = sampleGrid(w, h, lum, 8, 8)
+      var sum = 0L
+      var i = 0
+      while (i < 64) { sum += g(i); i += 1 }
+      val mean = sum / 64.0
+      var hash = 0L
+      i = 0
+      while (i < 64) {
+        hash = (hash << 1) | (if (g(i) > mean) 1L else 0L)
+        i += 1
+      }
+      hash
+    }
+  }
+
+  /** Perceptual image hashes over a binary column — the signal image
+    * near-dup dedup runs on (the multimodal counterpart of the text
+    * MinHash/SimHash sketches): per decodable row, 64-bit dHash and
+    * aHash plus their 16-hex-char renderings. Undecodable rows (wrong
+    * format, truncated, compressed) keep their row with null hashes
+    * and 0×0 dims — honest nulls, no fabricated signal.
+    *
+    * Plan: per-partition iterator like [[extractFeatures]] (bytes
+    * never shuffle; only id + 2 longs + dims leave the scan). Feed
+    * `dhash` into [[graft.dedup.Dedup.blockKeysFromSketches]] +
+    * [[graft.dedup.Dedup.simhashNearDupPairsFromKeys]] for the
+    * Manku-blocked Hamming join — identical plan shape to text
+    * simhash near-dup at any corpus size. */
+  def imageHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val withFormat = df.select(
+      col(idCol).as("id"),
+      sniffFormat(col(binCol)).as("format"),
+      col(binCol).as("bytes"))
+    val outSchema = StructType(Seq(
+      StructField("id", withFormat.schema("id").dataType),
+      StructField("format", StringType),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = true),
+      StructField("ahash", LongType, nullable = true),
+      StructField("dhash_hex", StringType, nullable = true),
+      StructField("ahash_hex", StringType, nullable = true)))
+    withFormat.mapPartitions { it =>
+      it.map { row =>
+        val format = row.getString(1)
+        PixelDecoder.decodeLuma(format, row.getAs[Array[Byte]](2)) match {
+          case Some((w, h, lum)) =>
+            val d = PixelDecoder.dhash64(w, h, lum)
+            val a = PixelDecoder.ahash64(w, h, lum)
+            Row(row.get(0), format, w, h, d, a, f"$d%016x", f"$a%016x")
+          case None =>
+            Row(row.get(0), format, 0, 0, null, null, null, null)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

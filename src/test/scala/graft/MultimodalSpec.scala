@@ -242,4 +242,106 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .select("width").distinct().collect()
     rows.map(_.getInt(0)) shouldBe Array(100)
   }
+
+  // ---- perceptual hashes over uncompressed pixels --------------------
+
+  /** P6 PPM with the given per-pixel RGB function (row-major). */
+  private def ppmBytes(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val pix = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      pix(3 * (y * w + x)) = r.toByte
+      pix(3 * (y * w + x) + 1) = g.toByte
+      pix(3 * (y * w + x) + 2) = b.toByte
+    }
+    header ++ pix
+  }
+
+  /** 24-bit BMP (bottom-up, 4-byte padded rows) with the same pixel fn. */
+  private def bmpBytes(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)                   // reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h)          // DIB size, width, height (bottom-up)
+      .putShort(1).putShort(24).putInt(0)      // planes, bpp, BI_RGB
+      .putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (h - 1) to 0 by -1) {
+      for (x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+      }
+      for (_ <- w * 3 until rowBytes) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  test("PixelDecoder: PPM and BMP of the same pixels give identical luma and hashes") {
+    def px(x: Int, y: Int) = ((x * 7 + y) % 256, (y * 13) % 256, (x + y * 3) % 256)
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, ppmBytes(18, 16)(px)), (2L, bmpBytes(18, 16)(px)))
+      .toDF("img_id", "content")
+    val out = Multimodal.imageHashes(df, "img_id", "content")
+      .orderBy("id").collect()
+    out(0).getString(1) shouldBe "ppm"
+    out(1).getString(1) shouldBe "bmp"
+    out(0).getInt(2) shouldBe 18
+    out(0).getInt(3) shouldBe 16
+    out(0).getLong(4) shouldBe out(1).getLong(4) // dhash equal
+    out(0).getLong(5) shouldBe out(1).getLong(5) // ahash equal
+    out(0).getString(6) should fullyMatch regex "[0-9a-f]{16}"
+  }
+
+  test("dhash bits are ground-truthable: horizontal gradient → all ones") {
+    // luma strictly increases left-to-right → every comparison is 1
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, ppmBytes(9, 8)((x, _) => (x * 20, x * 20, x * 20))))
+      .toDF("img_id", "content")
+    val r = Multimodal.imageHashes(df, "img_id", "content").head()
+    r.getLong(4) shouldBe -1L           // 64 one-bits
+    r.getString(6) shouldBe "ffffffffffffffff"
+  }
+
+  test("near-identical images pair under the Manku-blocked Hamming join; distinct ones do not") {
+    // gid must change the GRADIENT structure, not just add a constant
+    // offset — dhash is invariant to uniform brightness shifts.
+    def img(gid: Int, flip: Boolean) = ppmBytes(9, 8) { (x, y) =>
+      val v0 = (x * x * (gid % 5 + 1) + y * (3 + gid % 7) + x * y * (gid + 1)) % 97 * 2 % 256
+      val v = if (flip && x == 4 && y == 3) (v0 + 50) % 256 else v0
+      (v, v, v)
+    }
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, img(0, flip = false)), (1L, img(0, flip = true)),
+      (2L, img(9, flip = false)), (3L, img(9, flip = true)),
+      (4L, "not an image".getBytes)).toDF("img_id", "content")
+    val hashes = Multimodal.imageHashes(df, "img_id", "content")
+    val keys = graft.dedup.Dedup.blockKeysFromSketches(
+      hashes, "id", "dhash", maxHamming = 4, blocks = 6)
+    val pairs = graft.dedup.Dedup.simhashNearDupPairsFromKeys(
+      keys, maxHamming = 4, maxBucketOccupancy = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain allOf ((0L, 1L), (2L, 3L))
+    pairs.foreach { case (a, b) => Set((0L, 1L), (2L, 3L)) should contain ((a, b)) }
+  }
+
+  test("undecodable and truncated images keep their row with null hashes") {
+    val s = spark
+    import s.implicits._
+    val truncated = ppmBytes(18, 16)((_, _) => (1, 2, 3)).take(40)
+    val df = Seq((1L, truncated), (2L, "garbage".getBytes)).toDF("img_id", "content")
+    val out = Multimodal.imageHashes(df, "img_id", "content").orderBy("id").collect()
+    out.foreach { r =>
+      r.isNullAt(4) shouldBe true
+      r.isNullAt(6) shouldBe true
+      r.getInt(2) shouldBe 0
+    }
+    out(0).getString(1) shouldBe "ppm" // sniffed, but honestly undecodable
+  }
 }
