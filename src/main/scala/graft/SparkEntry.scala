@@ -1832,26 +1832,28 @@ object SparkEntry {
     // expanding window over per-day sums in SQL.
     "ev_mean_drift" -> ((s, dir) => {
       import s.implicits._
-      val day = to_date(col("ts"))
+      // WEEKLY batches (weeks partition event time; ~1/7 the
+      // micro-batch fixed cost of daily replay). The synthetic shifts
+      // move with the grain — each shifts one whole WEEK's values for
+      // one key, so the weekly batch mean carries the full shift and
+      // the z-test fires exactly as the daily variant's did.
+      val wk = floor(unix_micros(col("ts").cast("timestamp")) / lit(604800000000L))
       val shifted = eventsWithTs(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("event_type").as("key"), day.as("d"),
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type").as("key"), wk.as("wk"),
           (col("value") +
-            when(col("event_type") === "click" && day === lit("2024-01-25").cast("date"), 200.0)
-              .when(col("event_type") === "view" && day === lit("2024-01-28").cast("date"), -200.0)
-              .when(col("event_type") === "purchase" && day === lit("2024-01-15").cast("date"), 300.0)
+            when(col("event_type") === "click" && wk === 2821L, 200.0)
+              .when(col("event_type") === "view" && wk === 2819L, -200.0)
+              .when(col("event_type") === "purchase" && wk === 2820L, 300.0)
               .otherwise(0.0)).as("v"))
-      // Null-day rows are dropped explicitly (the old per-day `d ===
-      // lit(day)` filter dropped them silently; groupBy/sortBy on a
-      // null string key would NPE instead).
-      val momentRows = shifted.filter(col("d").isNotNull)
-        .groupBy(col("d"), col("key"))
+      val momentRows = shifted
+        .groupBy(col("wk"), col("key"))
         .agg(count(lit(1)).as("n"), avg(col("v")).as("mean"),
           // M2 = var_samp × (n−1); a single-value group has null
           // var_samp and zero M2.
           coalesce(var_samp(col("v")) * (count(lit(1)) - 1), lit(0.0)).as("m2"))
-        .select(col("d").cast("string"), col("key"), col("n"), col("mean"), col("m2"))
-        .as[(String, String, Long, Double, Double)].collect()
+        .select(col("wk"), col("key"), col("n"), col("mean"), col("m2"))
+        .as[(Long, String, Long, Double, Double)].collect()
       val batches = momentRows.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (_, rs) =>
           rs.toSeq.map(r => StreamProfiler.BatchMoments(r._2, r._3, r._4, r._5))
@@ -1877,19 +1879,20 @@ object SparkEntry {
     // moments gate above stays the scale-shaped one.
     "ev_mean_drift_raw" -> ((s, dir) => {
       import s.implicits._
-      val day = to_date(col("ts"))
+      // Weekly batches, same grain + shifts as ev_mean_drift above.
+      val wk = floor(unix_micros(col("ts").cast("timestamp")) / lit(604800000000L))
       val shifted = eventsWithTs(s, dir)
-        .filter(col("value").isNotNull)
-        .select(col("event_type").as("key"), day.as("d"),
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type").as("key"), wk.as("wk"),
           (col("value") +
-            when(col("event_type") === "click" && day === lit("2024-01-25").cast("date"), 200.0)
-              .when(col("event_type") === "view" && day === lit("2024-01-28").cast("date"), -200.0)
-              .when(col("event_type") === "purchase" && day === lit("2024-01-15").cast("date"), 300.0)
+            when(col("event_type") === "click" && wk === 2821L, 200.0)
+              .when(col("event_type") === "view" && wk === 2819L, -200.0)
+              .when(col("event_type") === "purchase" && wk === 2820L, 300.0)
               .otherwise(0.0)).as("v"))
-      val rows = shifted.filter(col("d").isNotNull)
-        .select(col("d").cast("string"), col("key"), col("v"))
-        .as[(String, String, Double)].collect()
-      // Rows sort by (key, value) WITHIN each day batch: collect()
+      val rows = shifted
+        .select(col("wk"), col("key"), col("v"))
+        .as[(Long, String, Double)].collect()
+      // Rows sort by (key, value) WITHIN each week batch: collect()
       // order follows scan partition order, and meanDrift's per-batch
       // float fold is summation-order-sensitive — without a fixed
       // order a borderline value could flip a rounded 4th decimal
@@ -2995,20 +2998,20 @@ object SparkEntry {
     * (columns sorted by name). */
   private val meanDriftOracle: String =
     """WITH ev AS (
-        |  SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
-        |         value + CASE WHEN event_type = 'click' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-25' THEN 200.0
-        |                      WHEN event_type = 'view' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-28' THEN -200.0
-        |                      WHEN event_type = 'purchase' AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-15' THEN 300.0
+        |  SELECT event_type AS key, CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk,
+        |         value + CASE WHEN event_type = 'click' AND CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) = 2821 THEN 200.0
+        |                      WHEN event_type = 'view' AND CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) = 2819 THEN -200.0
+        |                      WHEN event_type = 'purchase' AND CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) = 2820 THEN 300.0
         |                      ELSE 0.0 END AS v
-        |  FROM events WHERE value IS NOT NULL
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
         |), batches AS (
-        |  SELECT key, d, count(*) AS bc, avg(v) AS bm, sum(v) AS s1, sum(v * v) AS s2
-        |  FROM ev GROUP BY key, d
+        |  SELECT key, wk, count(*) AS bc, avg(v) AS bm, sum(v) AS s1, sum(v * v) AS s2
+        |  FROM ev GROUP BY key, wk
         |), hist AS (
-        |  SELECT key, d, bc, bm,
+        |  SELECT key, wk, bc, bm,
         |    sum(bc) OVER w AS pn, sum(s1) OVER w AS ps1, sum(s2) OVER w AS ps2
         |  FROM batches
-        |  WINDOW w AS (PARTITION BY key ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  WINDOW w AS (PARTITION BY key ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |)
         |SELECT key, bc AS batch_count, round(bm, 4) AS batch_mean,
         |  round(ps1 / pn, 4) AS running_mean,
