@@ -585,6 +585,52 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     bFinal should include("HashAggregate")
   }
 
+  test("hashedTfIdfVectors: the df aggregate reuses the posting exchange — one live corpus scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.text.TextAnalysis.hashedTfIdfVectors(docs, "text", "doc_id", dim = 64)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    // two consumers of the (id, bucket) posting aggregate — df counts
+    // and weighted assembly — must share ONE shuffle: a regression here
+    // silently doubles a 100 TB corpus scan.
+    finalPlan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    finalPlan should include("ReusedExchange")
+  }
+
+  test("lmScore: model-build and scoring share one live corpus-gram exchange per consumer pair") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.text.TextAnalysis.lmScore(docs, "text", "doc_id", n = 3, vocabSize = 256)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    // lmScore legitimately scans text twice (model + scoring,
+    // documented) plus a doc_id-only spine projection; within the
+    // model side, the vocab top-k and the total must reuse the same
+    // gram-count exchange rather than re-aggregate the corpus.
+    finalPlan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("text:string")) shouldBe 2
+    finalPlan should include("ReusedExchange")
+  }
+
+  test("ll14 shape: cappedBlockKeysFromKeys + pair join share the block-key scan when persisted") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val keys = graft.dedup.Dedup.blockKeys(docs, "doc_id", "text").persist()
+    try {
+      keys.count()
+      val audit = graft.dedup.Dedup.cappedBlockKeysFromKeys(keys, maxBucketOccupancy = 10)
+      audit.collect()
+      val plan = audit.queryExecution.executedPlan.toString
+      // the audit over a persisted keys frame must read the cache, not
+      // re-run the sketch scan: nothing above the InMemoryRelation
+      // (whose description echoes the ORIGINAL cached plan, FileScan
+      // included) may touch parquet.
+      val live = plan.linesIterator.takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+      live should include("InMemoryTableScan")
+      live should not include "Scan parquet"
+    } finally { keys.unpersist(); () }
+  }
+
   test("typeInference is one wide conditional aggregate — single scan, no shuffle-per-column") {
     val plan = physical(ProfilePasses.typeInference(
       lineitem.select(col("l_returnflag"), col("l_linestatus")),
