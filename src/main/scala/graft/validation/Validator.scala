@@ -42,7 +42,21 @@ object Validator {
       val pool = Executors.newFixedThreadPool(parallelism)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
-        val fs = rules.map(r => Future(runOne(spark, r)))
+        val fs = rules.map { r =>
+          Future {
+            // Tag every rule job with a named scheduler pool: under a
+            // FAIR-mode session (spark.scheduler.mode=FAIR) concurrent
+            // rules then share cluster slots fairly instead of queuing
+            // FIFO behind one wide rule; under FIFO this is a no-op.
+            // The property is thread-local, so pool worker threads must
+            // set it per task (and clear it — threads are reused).
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-validation")
+            try runOne(spark, r)
+            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          }
+        }
+        // Future.sequence preserves input order: result i is rule i,
+        // exactly as the sequential path reports.
         Await.result(Future.sequence(fs), Duration.Inf)
       } finally pool.shutdown()
     }

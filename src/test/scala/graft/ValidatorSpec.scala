@@ -112,6 +112,57 @@ class ValidatorSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("parallel run: identical results to sequential, per-rule errors never interleave") {
+    withViews {
+      // mix of passing, failing-comparison, and ERRORING (bad SQL)
+      // rules — under concurrency each error must land on exactly its
+      // own rule's result, with neighbors untouched.
+      val rules = (1 to 12).flatMap { i =>
+        Seq(
+          ValidationRule(s"ok$i", "", "SELECT COUNT(*) FROM products", "equals", 5L),
+          ValidationRule(s"bad$i", "", s"SELECT no_such_col_$i FROM products", "equals", 1L))
+      }
+      val seqR = Validator.run(spark, rules)
+      val parR = Validator.run(spark, rules, parallelism = 4)
+      parR.map(_.ruleName) shouldBe rules.map(_.name)
+      parR.zip(seqR).foreach { case (p, s) =>
+        p.ruleName shouldBe s.ruleName
+        p.isValid shouldBe s.isValid
+        p.error.isDefined shouldBe s.error.isDefined
+      }
+      parR.filter(_.ruleName.startsWith("ok")).foreach { r =>
+        r.isValid shouldBe true
+        r.error shouldBe None
+      }
+      parR.filter(_.ruleName.startsWith("bad")).foreach { r =>
+        r.isValid shouldBe false
+        // the captured error names ITS OWN missing column — proof the
+        // concurrent failures did not cross-contaminate
+        r.error.get should include(r.ruleName.replace("bad", "no_such_col_"))
+      }
+    }
+  }
+
+  test("parallel run is measurably faster than sequential on a 20-rule set") {
+    val s = spark
+    s.range(2000000).selectExpr("id", "id % 97 AS k")
+      .createOrReplaceTempView("wide_range")
+    val rules = (1 to 20).map(i => ValidationRule(
+      s"r$i", "", s"SELECT COUNT(*) FROM wide_range WHERE k = $i", "greater_than", 0L))
+    def time(p: Int): Long = {
+      val t0 = System.nanoTime()
+      val rs = Validator.run(s, rules, parallelism = p)
+      all(rs.map(_.isValid)) shouldBe true
+      (System.nanoTime() - t0) / 1000000
+    }
+    time(4) // warm both paths' codegen before timing
+    val sequential = time(1)
+    val parallel = time(4)
+    withClue(s"sequential=${sequential}ms parallel=${parallel}ms: ") {
+      parallel should be < sequential
+    }
+  }
+
   test("D4 unique-name heuristic fires on product_id and passes") {
     withViews {
       val rules = DefaultValidations.generate(productsDf.schema, "products")
