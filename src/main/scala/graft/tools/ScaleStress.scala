@@ -1,0 +1,189 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.dedup.Dedup
+import graft.events.Events
+import graft.profiler.{Profiler, ProfilerConfig}
+import graft.text.TextAnalysis
+
+/** Committed scale harness: runs the five heaviest operator families
+  * at sf0.1 and at a synthetically amplified `factor`× of the same
+  * data, and reports the wall-clock ratio per operator. A scale-safe
+  * (shuffle-linear, skew-proof) plan should scale ≈ linearly in rows —
+  * ratios well under `factor` mean fixed overhead still dominates,
+  * ratios well over it are the superlinear red flag (an all-pairs
+  * explosion, a single-task funnel, spill thrash) this harness exists
+  * to catch before a 100 TB run does.
+  *
+  * Amplification is a map-side explode of `factor` perturbed copies —
+  * ids offset per copy, text suffixed per copy (so copies are near
+  * each other but not byte-identical, keeping LSH bucket occupancy
+  * realistic rather than flooding one bucket), event entities offset
+  * per copy (key cardinality scales with data, as it does in
+  * production). Deterministic: no randomness, no clock.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain
+  * graft.tools.ScaleStress [factor]"`. Emits one JSON line; the round
+  * snapshot records the table in BASELINE.md. */
+object ScaleStress {
+
+  private def amplifyDocs(docs: DataFrame, factor: Int): DataFrame =
+    docs.select(explode(sequence(lit(0), lit(factor - 1))).as("copy"),
+        col("doc_id"), col("text"))
+      .select((col("doc_id") + col("copy").cast("long") * 10000000L).as("doc_id"),
+        concat(col("text"), lit(" v"), col("copy")).as("text"))
+
+  private def amplifyEvents(ev: DataFrame, factor: Int): DataFrame =
+    ev.select(explode(sequence(lit(0), lit(factor - 1))).as("copy"),
+        col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select((col("event_id") + col("copy").cast("long") * 1000000000L).as("event_id"),
+        (col("user_id") + col("copy").cast("long") * 1000000000L).as("user_id"),
+        col("ts"), col("value"))
+
+  private def amplifyRows(df: DataFrame, factor: Int): DataFrame =
+    df.select(explode(sequence(lit(0), lit(factor - 1))).as("copy"), col("*"))
+      .drop("copy")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    require(factor >= 2, s"factor must be >= 2: $factor")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+    val lineitem1 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val eventsRaw = {
+      val df = spark.read.parquet(s"$sfDir/events.parquet")
+      val withTs =
+        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        else df
+      withTs.select("event_id", "user_id", "ts", "value")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+    }
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Each op materializes its inputs first (persist + count) so the
+    // measured time is the OPERATOR, not the amplification scan.
+    def withMaterialized[A](dfs: Seq[DataFrame])(body: => A): A = {
+      dfs.foreach(d => { d.persist(); d.count(); () })
+      try body finally dfs.foreach(d => { d.unpersist(); () })
+    }
+
+    def components(docs: DataFrame): Unit = {
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text")
+      Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      ()
+    }
+
+    def topNgrams(docs: DataFrame): Unit = {
+      TextAnalysis.topNgrams(docs, "text", "doc_id", n = 3, k = 20).collect()
+      ()
+    }
+
+    def profile(li: DataFrame): Unit = {
+      Profiler.profile(li, "lineitem", ProfilerConfig(exact = false))
+      ()
+    }
+
+    def asof(ev: DataFrame): Unit = {
+      val left = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_id") % 2 === 1)
+      // aggregate over the CARRIED column: a bare count() would let the
+      // optimizer prune the window carry (cardinality-preserving,
+      // columns unused) and time an empty shell
+      Events.asOfJoin(left, right, "user_id", "user_id", "ts", "ts",
+          rightValueCols = Seq("value"), rightTiebreakCol = "event_id")
+        .agg(sum(col("asof_value"))).collect()
+      ()
+    }
+
+    def streamNearDup(docs: DataFrame): Unit = {
+      val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      def dayTs(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+      val batches = rows.groupBy(r => (r._1 % 5).toInt).toSeq.sortBy(_._1)
+        .map { case (day, rs) => rs.toSeq.map(r => (r._1, dayTs(day), r._2)) } :+
+        Seq((-1L, dayTs(29), "zz1 zz2 zz3"))
+      SparkEntry.replayToMemory(spark, "scale_stream_near_dup", batches,
+        noDataBatches = true,
+        extraConfs = Map(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false")) { ds =>
+        graft.streaming.StreamDedup.dropNearDuplicates(
+          ds.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", "1 day")
+      }.count()
+      ()
+    }
+
+    val docsK = amplifyDocs(docs1, factor)
+    val liK = amplifyRows(lineitem1, factor)
+    val evK = amplifyEvents(eventsRaw, factor)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    val superlinear = scala.collection.mutable.ArrayBuffer.empty[String]
+    def report(name: String, t1: Double, tk: Double): Unit = {
+      val ratio = if (t1 > 0) tk / t1 else Double.NaN
+      System.err.println(
+        f"[scale-stress] $name%-16s 1x $t1%7.2fs  ${factor}x $tk%7.2fs  ratio $ratio%5.2f")
+      results += f""""$name":{"t1":$t1%.3f,"tk":$tk%.3f,"ratio":$ratio%.3f}"""
+      // superlinear flag: kx wall more than 2·factor× the 1x wall (the
+      // 2× headroom absorbs partition-count and spill-boundary noise)
+      if (!ratio.isNaN && ratio > 2.0 * factor) superlinear += name
+    }
+
+    // warm-up runs precede each 1x measurement so JIT/codegen cost
+    // lands outside the timings; the kx run reuses the same compiled
+    // plans modulo literals.
+    withMaterialized(Seq(docs1, docsK)) {
+      components(docs1)
+      val t1 = time(components(docs1))
+      val tk = time(components(docsK))
+      report("components", t1, tk)
+      val s1 = time(streamNearDup(docs1))
+      val sk = time(streamNearDup(docsK))
+      report("stream_near_dup", s1, sk)
+      topNgrams(docs1)
+      val n1 = time(topNgrams(docs1))
+      val nk = time(topNgrams(docsK))
+      report("top_ngrams", n1, nk)
+    }
+    withMaterialized(Seq(lineitem1, liK)) {
+      profile(lineitem1)
+      val t1 = time(profile(lineitem1))
+      val tk = time(profile(liK))
+      report("full_profile", t1, tk)
+    }
+    withMaterialized(Seq(eventsRaw, evK)) {
+      asof(eventsRaw)
+      val t1 = time(asof(eventsRaw))
+      val tk = time(asof(evK))
+      report("asof_join", t1, tk)
+    }
+
+    println(s"""{"metric":"scale_stress","factor":$factor,"sf":"$sfDir","ops":{${results.mkString(",")}}}""")
+    spark.stop()
+    if (superlinear.nonEmpty) {
+      System.err.println(s"[scale-stress] SUPERLINEAR: ${superlinear.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+}
