@@ -110,6 +110,32 @@ object SparkEntry {
     unhex(concat(lit(header), pix))
   }
 
+  /** Synthetic mono 16-bit PCM WAV per document — sample i follows a
+    * fixed doc_id formula, sample count varies with doc_id so the
+    * integer frame bounds are exercised unevenly. */
+  private def syntheticWavBin: org.apache.spark.sql.Column = {
+    def leHex16(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(pmod(c, lit(65536))), 4, "0")
+      concat(substring(hx, 3, 2), substring(hx, 1, 2))
+    }
+    def leHex32(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c), 8, "0")
+      concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2))
+    }
+    val d = col("doc_id")
+    val n = lit(130) + pmod(d, lit(4)) * 33
+    val dataSize = n * 2
+    val header = concat(
+      lit("52494646"), leHex32(dataSize + 36),
+      lit("57415645" + "666D7420" + "10000000" + "0100" + "0100"),
+      leHex32(lit(8000)), leHex32(lit(16000)),
+      lit("0200" + "1000" + "64617461"), leHex32(dataSize))
+    val samples = array_join(transform(sequence(lit(0), n - 1), i =>
+      leHex16(pmod(lit(13) * d + lit(7) * i * i + lit(3) * i, lit(65536)) - 32768)), "")
+    unhex(concat(header, samples))
+  }
+
   private def syntheticMediaBin: org.apache.spark.sql.Column = {
     def beHex32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
     def beHex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
@@ -1358,6 +1384,18 @@ object SparkEntry {
       graft.text.Bpe.tokenize(df, "text", "doc_id", merges).orderBy("doc_id")
     }),
 
+    // ---- LLM-pipeline: context windows over REAL BPE tokens -----------
+    // The learned-tokenizer upgrade of txt_chunks: 32-token windows
+    // with 8 overlap over the BPE token sequence, map-side; the oracle
+    // replays learning, encoding, global token positions, and the
+    // window slicing.
+    "txt_bpe_chunks" -> ((s, dir) => {
+      val df = t(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = graft.text.Bpe.learnMerges(df, "text", numMerges = BpeRounds)
+      graft.text.Bpe.chunk(df, "text", "doc_id", merges, maxTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---- LLM-pipeline: per-document quality heuristics ----------------
     "txt_quality" -> ((s, dir) => {
       val df = t(s, dir, "documents")
@@ -1698,6 +1736,21 @@ object SparkEntry {
           df.withColumn("bin", syntheticImageBin), "doc_id", "bin")
         .select(col("id").as("doc_id"), col("format"), col("width"),
           col("height"), col("dhash_hex"), col("ahash_hex"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Audio fingerprinting over REAL decoded PCM: each document
+    // synthesizes a mono 16-bit WAV whose samples follow a doc_id
+    // formula (RIFF chunk walk + LE16 sample decode exercised
+    // end-to-end); the 65-frame energy hash's every bit is re-derived
+    // by the oracle from the sample rule — exact integer arithmetic,
+    // no float anywhere.
+    "mm8_audio_ehash" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      Multimodal.audioHashes(
+          df.withColumn("bin", syntheticWavBin), "doc_id", "bin")
+        .select(col("id").as("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_samples"), col("ehash_hex"))
         .orderBy("doc_id")
     }),
 
@@ -4358,6 +4411,35 @@ object SparkEntry {
         |JOIN dhex dh USING (doc_id) JOIN ahex ah USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // Every energy-hash bit re-derived from the sample rule: per-frame
+    // integer |sample| sums over the same f·n/65 bounds, neighbor
+    // comparisons, MSB-first packing into hex.
+    "mm8_audio_ehash" ->
+      """WITH params AS MATERIALIZED (
+        |  SELECT doc_id, 130 + (doc_id % 4) * 33 AS n FROM documents),
+        |en AS MATERIALIZED (
+        |  SELECT doc_id, f,
+        |         sum(abs(((13*doc_id + 7*i*i + 3*i) % 65536) - 32768)) AS e
+        |  FROM params, range(0, 65) tf(f),
+        |       LATERAL unnest(range(f * n // 65, ((f + 1) * n) // 65)) ti(i)
+        |  GROUP BY doc_id, f),
+        |bits AS (
+        |  SELECT a.doc_id, a.f, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64),
+        |bys AS (
+        |  SELECT doc_id, f // 8 AS byt,
+        |         CAST(sum(bit * (1 << (7 - (f % 8)))) AS INTEGER) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |hx AS (
+        |  SELECT doc_id, string_agg(printf('%02x', v), '' ORDER BY byt) AS ehash_hex
+        |  FROM bys GROUP BY doc_id)
+        |SELECT p.doc_id, 'wav' AS format, CAST(1 AS INTEGER) AS channels,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(p.n AS BIGINT) AS n_samples, h.ehash_hex
+        |FROM params p JOIN hx h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // Brute-force Hamming pairs over the formula-derived dHashes
     // (signed 64-bit reconstruction, xor + bit_count): exactly what
     // the recall-guaranteed uncapped Manku-blocked join must emit.
@@ -5029,6 +5111,26 @@ object SparkEntry {
          |       CAST(count(DISTINCT tok) AS BIGINT) AS n_unique_tokens,
          |       string_agg(tok, ' ' ORDER BY wi, ti) AS tokens_str
          |FROM flat GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Learning + encoding + global token positions + window slicing
+    // all replayed; stride 24 = 32 − 8, final window short, chunk
+    // count ceil((n−32)/24)+1 past one window.
+    "txt_bpe_chunks" ->
+      s"""WITH $bpeLearnCtes,
+         |$bpeTokenCtes,
+         |pos_ AS MATERIALIZED (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) AS pos, tok
+         |  FROM flat),
+         |nn AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM pos_ GROUP BY 1),
+         |ck AS MATERIALIZED (
+         |  SELECT doc_id, k FROM nn, LATERAL unnest(range(0,
+         |    CASE WHEN n <= 32 THEN 1 ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END)) tk(k))
+         |SELECT c.doc_id, CAST(c.k AS BIGINT) AS chunk_idx,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       string_agg(p.tok, ' ' ORDER BY p.pos) AS chunk_text
+         |FROM ck c JOIN pos_ p
+         |  ON p.doc_id = c.doc_id AND p.pos BETWEEN c.k * 24 + 1 AND c.k * 24 + 32
+         |GROUP BY 1, 2 ORDER BY c.doc_id, chunk_idx""".stripMargin,
 
     "txt_token_stats" ->
       """SELECT doc_id,

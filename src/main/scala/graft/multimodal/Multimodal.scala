@@ -539,6 +539,137 @@ object Multimodal {
     }
   }
 
+  /** PCM sample access for RIFF/WAVE audio — the one audio container a
+    * codec-free engine can decode honestly (16-bit PCM, any channel
+    * count; channel 0 is taken for fingerprinting). Compressed audio
+    * stays behind the [[BinaryDecoder]] plug point. */
+  object AudioDecoder {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = (u8(b, i + 1) << 8) | u8(b, i)
+    private def le16s(b: Array[Byte], i: Int): Int = {
+      val v = le16(b, i)
+      if (v >= 0x8000) v - 0x10000 else v
+    }
+    private def le32(b: Array[Byte], i: Int): Long =
+      (le16(b, i + 2).toLong << 16) | le16(b, i)
+
+    /** Walks the RIFF chunks for fmt (PCM, 16-bit) and data; returns
+      * (channels, sampleRate, channel-0 samples). */
+    def pcm16Samples(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (b.length < 44) return None
+      if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      var i = 12
+      var channels = 0
+      var rate = 0
+      var bits = 0
+      var fmtOk = false
+      var data: Option[(Int, Int)] = None
+      while (i + 8 <= b.length && data.isEmpty) {
+        val id = new String(b.slice(i, i + 4), "US-ASCII")
+        val size = le32(b, i + 4).toInt
+        if (size < 0 || i + 8 + size > b.length) return None
+        if (id == "fmt ") {
+          if (size < 16) return None
+          val audioFormat = le16(b, i + 8)
+          channels = le16(b, i + 10)
+          rate = le32(b, i + 12).toInt
+          bits = le16(b, i + 22)
+          fmtOk = audioFormat == 1 && bits == 16 && channels >= 1
+        } else if (id == "data") {
+          data = Some((i + 8, size))
+        }
+        // chunks are word-aligned: odd sizes carry one pad byte
+        i += 8 + size + (size & 1)
+      }
+      if (!fmtOk) return None
+      data.map { case (off, size) =>
+        val frameBytes = channels * 2
+        val nFrames = size / frameBytes
+        val out = new Array[Int](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          out(f) = le16s(b, off + f * frameBytes) // channel 0
+          f += 1
+        }
+        (channels, rate, out)
+      }
+    }
+
+    /** 64-bit audio energy hash — the temporal analogue of
+      * [[PixelDecoder.dhash64]]: the samples split into 65 equal-count
+      * frames (`frame f = samples[f·n/65, (f+1)·n/65)`, integer
+      * bounds), per-frame energy = Σ |sample| (exact integer), bit f =
+      * energy(f+1) > energy(f), packed MSB-first. Needs ≥ 65 samples
+      * (one per frame) — else None. Loudness-scale-sensitive by
+      * design at this tier; a production acoustic fingerprint swaps in
+      * spectral bands behind the same shape. */
+    def energyHash64(samples: Array[Int]): Option[Long] = {
+      val frames = 65
+      if (samples.length < frames) return None
+      val energy = new Array[Long](frames)
+      var f = 0
+      while (f < frames) {
+        val lo = f * samples.length / frames
+        val hi = (f + 1) * samples.length / frames
+        var s = 0L
+        var i = lo
+        while (i < hi) { s += math.abs(samples(i).toLong); i += 1 }
+        energy(f) = s
+        f += 1
+      }
+      var hash = 0L
+      f = 0
+      while (f < 64) {
+        hash = (hash << 1) | (if (energy(f + 1) > energy(f)) 1L else 0L)
+        f += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Audio fingerprints over a binary column — the audio counterpart
+    * of [[imageHashes]]: per decodable PCM WAV row, the 64-bit energy
+    * hash plus its hex rendering; undecodable/too-short rows keep
+    * their row with null hashes. Same per-partition plan shape (bytes
+    * never shuffle); feed `ehash` into
+    * [[graft.dedup.Dedup.blockKeysFromSketches]] for audio near-dup
+    * dedup on the shared Manku-blocked Hamming join. */
+  def audioHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val withFormat = df.select(
+      col(idCol).as("id"),
+      sniffFormat(col(binCol)).as("format"),
+      col(binCol).as("bytes"))
+    val outSchema = StructType(Seq(
+      StructField("id", withFormat.schema("id").dataType),
+      StructField("format", StringType),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("ehash", LongType, nullable = true),
+      StructField("ehash_hex", StringType, nullable = true)))
+    withFormat.mapPartitions { it =>
+      it.map { row =>
+        val format = row.getString(1)
+        val parsed =
+          if (format == "wav") AudioDecoder.pcm16Samples(row.getAs[Array[Byte]](2))
+          else None
+        parsed match {
+          case Some((ch, rate, samples)) =>
+            AudioDecoder.energyHash64(samples) match {
+              case Some(h) =>
+                Row(row.get(0), format, ch, rate, samples.length.toLong, h, f"$h%016x")
+              case None =>
+                Row(row.get(0), format, ch, rate, samples.length.toLong, null, null)
+            }
+          case None => Row(row.get(0), format, 0, 0, 0L, null, null)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Perceptual image hashes over a binary column — the signal image
     * near-dup dedup runs on (the multimodal counterpart of the text
     * MinHash/SimHash sketches): per decodable row, 64-bit dHash and

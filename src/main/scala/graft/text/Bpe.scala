@@ -160,4 +160,39 @@ object Bpe {
         size(array_distinct(col("tokens"))).cast("long").as("n_unique_tokens"),
         concat_ws(" ", col("tokens")).as("tokens_str"))
   }
+
+  /** Context-window chunking over the REAL token sequence — the
+    * learned-BPE upgrade of [[TextAnalysis.chunk]]'s whitespace
+    * windows: sliding windows of `maxTokens` BPE tokens with
+    * `overlap`, stride = maxTokens − overlap, final window short, same
+    * chunk-count arithmetic (`ceil((n − max) / stride) + 1` past one
+    * window). Output: (idCol, chunk_idx, n_tokens, chunk_text) with
+    * chunk_text the space-joined token window — token space is what a
+    * training pipeline feeds the model, and unlike character offsets
+    * it is well-defined under subword tokenization.
+    *
+    * Pure map-side: tokenization is the [[bpeTokens]] expression and
+    * the one Generate (explode of the per-doc window list) IS the
+    * operator's output — no shuffle, no join, stream-safe. */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge], maxTokens: Int = 32, overlap: Int = 8): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens): $overlap")
+    val stride = maxTokens - overlap
+    val toks = bpeTokens(col(textCol), merges)
+    val n = size(col("tokens"))
+    val nChunks = when(n <= maxTokens, lit(1))
+      .otherwise(ceil((n - maxTokens).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("tokens"))
+      .filter(size(col("tokens")) > 0)
+      .select(col(idCol), col("tokens"),
+        explode(transform(sequence(lit(0), nChunks - 1), k =>
+          struct(k.cast("long").as("chunk_idx"),
+            slice(col("tokens"), k * stride + 1, lit(maxTokens)).as("w")))).as("c"))
+      .select(col(idCol),
+        col("c.chunk_idx").as("chunk_idx"),
+        size(col("c.w")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("c.w")).as("chunk_text"))
+  }
 }

@@ -67,6 +67,26 @@ class BpeSpec extends AnyFunSuite with SparkTestBase with Matchers {
     row.getString(3) shouldBe "table table table"
   }
 
+  test("chunk: sliding BPE-token windows with overlap; short doc → one window") {
+    // no merges → tokens are chars; "a b c ..." of 80 single-char words
+    val text = (0 until 80).map(i => ('a' + i % 26).toChar).mkString(" ")
+    val df = docs(text, "ab cd")
+    val out = graft.text.Bpe.chunk(df, "text", "doc_id", Seq.empty,
+        maxTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val chunks0 = out.filter(_.getLong(0) == 0L)
+    chunks0.map(_.getLong(1)) shouldBe Array(0L, 1L, 2L) // ceil((80-32)/24)+1
+    chunks0.map(_.getLong(2)) shouldBe Array(32L, 32L, 32L)
+    // stride 24: chunk 1 starts at token 25 (1-based) — its first 8
+    // tokens are chunk 0's last 8
+    val c0 = chunks0(0).getString(3).split(" ")
+    val c1 = chunks0(1).getString(3).split(" ")
+    c1.take(8) shouldBe c0.takeRight(8)
+    val chunks1 = out.filter(_.getLong(0) == 1L)
+    chunks1.map(r => (r.getLong(1), r.getLong(2), r.getString(3))) shouldBe
+      Array((0L, 4L, "a b c d"))
+  }
+
   test("tokenize output shape and null text → null tokens row") {
     val s = spark
     import s.implicits._

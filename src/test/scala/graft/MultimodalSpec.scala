@@ -331,6 +331,55 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     pairs.foreach { case (a, b) => Set((0L, 1L), (2L, 3L)) should contain ((a, b)) }
   }
 
+  // ---- audio energy hashes over real PCM ------------------------------
+
+  /** Mono-or-stereo 16-bit PCM WAV with channel-0 samples from fn. */
+  private def wavPcmBytes(channels: Int, rate: Int, n: Int)(s0: Int => Int): Array[Byte] = {
+    val dataSize = n * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    for (i <- 0 until n; c <- 0 until channels)
+      buf.putShort((if (c == 0) s0(i) else -1 - s0(i)).toShort)
+    buf.array()
+  }
+
+  test("audio energy hash: monotone-energy ramp → all ones; stereo reads channel 0") {
+    val s = spark
+    import s.implicits._
+    // 130 samples, 2 per frame; |sample| strictly increases → every
+    // frame-energy comparison is 1
+    val mono = wavPcmBytes(1, 8000, 130)(i => i * 10)
+    val stereo = wavPcmBytes(2, 44100, 130)(i => i * 10)
+    val df = Seq((1L, mono), (2L, stereo)).toDF("a_id", "content")
+    val out = Multimodal.audioHashes(df, "a_id", "content").orderBy("id").collect()
+    out(0).getString(6) shouldBe "ffffffffffffffff"
+    out(0).getInt(2) shouldBe 1
+    out(0).getLong(4) shouldBe 130L
+    // stereo: channel 0 is identical → identical hash; channel count parsed
+    out(1).getString(6) shouldBe out(0).getString(6)
+    out(1).getInt(2) shouldBe 2
+    out(1).getInt(3) shouldBe 44100
+  }
+
+  test("audio energy hash: too-short, non-PCM and truncated audio → null hash") {
+    val s = spark
+    import s.implicits._
+    val short = wavPcmBytes(1, 8000, 30)(i => i)          // < 65 samples
+    val truncated = wavPcmBytes(1, 8000, 130)(i => i).take(40)
+    val df = Seq((1L, short), (2L, truncated)).toDF("a_id", "content")
+    val out = Multimodal.audioHashes(df, "a_id", "content").orderBy("id").collect()
+    out(0).isNullAt(5) shouldBe true
+    out(0).getLong(4) shouldBe 30L  // decoded fine, just unhashable
+    out(1).isNullAt(5) shouldBe true
+    out(1).getLong(4) shouldBe 0L
+  }
+
   test("undecodable and truncated images keep their row with null hashes") {
     val s = spark
     import s.implicits._
