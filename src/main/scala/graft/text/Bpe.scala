@@ -161,6 +161,48 @@ object Bpe {
         concat_ws(" ", col("tokens")).as("tokens_str"))
   }
 
+  /** Persist a learned merge table as JSON — the tokenizer artifact a
+    * pipeline trains once and ships with every job that must tokenize
+    * consistently (same contract as
+    * [[graft.validation.RuleFiles.export]] for rules). Rank order is
+    * preserved; [[loadMerges]] round-trips exactly. */
+  def saveMerges(merges: Seq[Merge], filePath: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    merges.sortBy(_.rank).foreach { m =>
+      val o = mapper.createObjectNode()
+      o.put("rank", m.rank); o.put("left", m.left)
+      o.put("right", m.right); o.put("freq", m.freq)
+      arr.add(o)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(filePath),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(arr))
+    ()
+  }
+
+  /** Load a merge table saved by [[saveMerges]]. Fails loudly on a
+    * malformed file — a silently-empty merge table would tokenize
+    * every word to characters. */
+  def loadMerges(filePath: String): Seq[Merge] = {
+    val path = java.nio.file.Paths.get(filePath)
+    require(java.nio.file.Files.exists(path), s"File not found: $path")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(path))
+    require(root.isArray, s"$filePath: expected a JSON array of merges")
+    import scala.jdk.CollectionConverters._
+    val merges = root.elements().asScala.map { n =>
+      require(n.hasNonNull("rank") && n.hasNonNull("left") && n.hasNonNull("right"),
+        s"$filePath: merge entry missing rank/left/right: $n")
+      Merge(n.get("rank").asInt(), n.get("left").asText(),
+        n.get("right").asText(),
+        if (n.hasNonNull("freq")) n.get("freq").asLong() else 0L)
+    }.toSeq
+    val ranks = merges.map(_.rank)
+    require(ranks == ranks.sorted && ranks.distinct == ranks,
+      s"$filePath: merge ranks must be strictly increasing: $ranks")
+    merges
+  }
+
   /** Context-window chunking over the REAL token sequence — the
     * learned-BPE upgrade of [[TextAnalysis.chunk]]'s whitespace
     * windows: sliding windows of `maxTokens` BPE tokens with

@@ -87,6 +87,47 @@ class BpeSpec extends AnyFunSuite with SparkTestBase with Matchers {
       Array((0L, 4L, "a b c d"))
   }
 
+  test("merge table file round-trip: save → load → identical table and tokenization") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.learnMerges(df, "text", numMerges = 6)
+    val f = java.nio.file.Files.createTempFile("bpe_merges", ".json").toString
+    try {
+      Bpe.saveMerges(merges, f)
+      val loaded = Bpe.loadMerges(f)
+      loaded shouldBe merges
+      val a = Bpe.tokenize(df, "text", "doc_id", merges).orderBy("doc_id").collect()
+      val b = Bpe.tokenize(df, "text", "doc_id", loaded).orderBy("doc_id").collect()
+      a.toSeq shouldBe b.toSeq
+    } finally { java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)); () }
+  }
+
+  test("loadMerges fails loudly on malformed input") {
+    val f = java.nio.file.Files.createTempFile("bpe_bad", ".json")
+    try {
+      java.nio.file.Files.writeString(f, """[{"rank": 2, "left": "a"}]""")
+      an[IllegalArgumentException] should be thrownBy Bpe.loadMerges(f.toString)
+      java.nio.file.Files.writeString(f,
+        """[{"rank": 2, "left": "a", "right": "b"}, {"rank": 1, "left": "c", "right": "d"}]""")
+      an[IllegalArgumentException] should be thrownBy Bpe.loadMerges(f.toString)
+    } finally { java.nio.file.Files.deleteIfExists(f); () }
+  }
+
+  test("property: tokens always concatenate back to the pre-tokenized words") {
+    // whatever the merge table, BPE only groups adjacent characters —
+    // concatenating a doc's tokens must equal its words joined
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (rounds <- Seq(1, 4, 9)) {
+      val merges = Bpe.learnMerges(df, "text", numMerges = rounds)
+      val check = df.filter(col("text").isNotNull)
+        .select(
+          concat_ws("", Bpe.bpeTokens(col("text"), merges)).as("joined"),
+          concat_ws("", filter(split(lower(col("text")), "[^a-z0-9]+"),
+            w => org.apache.spark.sql.functions.length(w) > 0)).as("words"))
+        .filter(col("joined") =!= col("words"))
+      check.count() shouldBe 0L
+    }
+  }
+
   test("tokenize output shape and null text → null tokens row") {
     val s = spark
     import s.implicits._
