@@ -30,6 +30,9 @@ import graft.text.TextAnalysis
   * snapshot records the table in BASELINE.md. */
 object ScaleStress {
 
+  private def hexOf(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02X").mkString
+
   private def amplifyDocs(docs: DataFrame, factor: Int): DataFrame =
     docs.select(explode(sequence(lit(0), lit(factor - 1))).as("copy"),
         col("doc_id"), col("text"))
@@ -165,6 +168,39 @@ object ScaleStress {
       val n1 = time(topNgrams(docs1))
       val nk = time(topNgrams(docsK))
       report("top_ngrams", n1, nk)
+    }
+    // BPE learning runs over the DISTINCT-WORD vocabulary — the
+    // amplified corpus adds only the " v<copy>" suffix words, so the
+    // per-round pair aggregates should be nearly flat and the ratio
+    // dominated by the one corpus word-count scan.
+    def bpeLearn(docs: DataFrame): Unit = {
+      graft.text.Bpe.learnMerges(docs, "text", numMerges = 8)
+      ()
+    }
+    // image hashing is map-side byte work — expect ~linear.
+    def imageHash(docs: DataFrame): Unit = {
+      val withBin = docs.withColumn("bin",
+        unhex(concat(lit(hexOf("P6\n9 8\n255\n".getBytes("US-ASCII"))),
+          array_join(flatten(transform(sequence(lit(0), lit(7)), y =>
+            transform(sequence(lit(0), lit(8)), x => {
+              val h = lpad(hex(pmod(col("doc_id") * 7 + x * 13 + y * 31, lit(256))), 2, "0")
+              concat(h, h, h)
+            }))), ""))))
+      // bit_count keeps the forcing aggregate bounded — a raw
+      // sum(dhash) overflows long over full-range 64-bit hashes
+      graft.multimodal.Multimodal.imageHashes(withBin, "doc_id", "bin")
+        .agg(sum(bit_count(col("dhash")))).collect()
+      ()
+    }
+    withMaterialized(Seq(docs1, docsK)) {
+      bpeLearn(docs1)
+      val b1 = time(bpeLearn(docs1))
+      val bk = time(bpeLearn(docsK))
+      report("bpe_learn", b1, bk)
+      imageHash(docs1)
+      val i1 = time(imageHash(docs1))
+      val ik = time(imageHash(docsK))
+      report("image_hashes", i1, ik)
     }
     withMaterialized(Seq(lineitem1, liK)) {
       profile(lineitem1)
