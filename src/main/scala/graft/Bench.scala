@@ -432,10 +432,14 @@ object Bench {
         }
         // Same replacement rule as the self-heal pass: a clean rerun
         // replaces a dirty first-pass even when slower (honest, not
-        // min-of-two); otherwise only a faster rerun replaces.
+        // min-of-two) or a clean-and-faster one replaces a clean
+        // first-pass; a DIRTY rerun may only replace an equally dirty
+        // original (never a clean measurement — a contaminated-but-
+        // faster rerun would otherwise slip into the artifact unflagged).
         val replaced = recertified.filter { rerun =>
           results.find(_.name == rerun.name).exists { orig =>
-            (dirty(orig) && !dirty(rerun)) || rerun.wall < orig.wall
+            if (!dirty(rerun)) dirty(orig) || rerun.wall < orig.wall
+            else dirty(orig) && rerun.wall < orig.wall
           }
         }
         results = (results.filterNot(r => replaced.exists(_.name == r.name)) ++ replaced)
@@ -447,11 +451,13 @@ object Bench {
       }
     }
     val calEndBelowFloor = calFloor > 0 && calEnd < calFloor
-    // Recomputed from the FINAL per-query results (post-recert): a
-    // requeued query counts as dirty only if the measurement actually
-    // in the artifact is still contaminated.
+    // Recomputed from the FINAL per-query results (post-recert), over
+    // every name whose measurement was ever suspect (first-pass
+    // requeues AND recert replacements): a query counts as dirty only
+    // if the measurement actually in the artifact is contaminated.
+    val everSuspect = (requeued ++ endRecert).distinct
     val stillDirty = results
-      .filter(r => requeued.contains(r.name) && dirty(r) && !errors.contains(r.name))
+      .filter(r => everSuspect.contains(r.name) && dirty(r) && !errors.contains(r.name))
       .map(_.name).sorted
     val recertRound = endRecertTimed.nonEmpty
     // JSON has no NaN literal: an unsupported CPU bean reports -1.

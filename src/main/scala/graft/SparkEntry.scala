@@ -267,33 +267,38 @@ object SparkEntry {
     // leak into later driver-side SQLConf.get reads.
     val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
     org.apache.spark.sql.SparkSession.setActiveSession(s2)
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
-    val stream = MemoryStream[A]
-    val sinkName = s"${name}_sink_${System.nanoTime()}"
-    val ckpt = if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_$sinkName"
-               else s"${System.getProperty("java.io.tmpdir")}/graft_$sinkName"
-    val q = build(stream.toDS())
-      .writeStream.format("memory").queryName(sinkName)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
+    // The restore must cover build()/start() too: an AnalysisException
+    // while PLANNING the replay would otherwise leave the tuned child
+    // session thread-active — exactly the leak the restore exists to
+    // prevent.
     try {
-      batches.foreach { batch =>
-        stream.addData(batch)
-        q.processAllAvailable()
-      }
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      try q.stop() finally {
-        rm(new java.io.File(ckpt))
-        prevActive match {
-          case Some(p) => org.apache.spark.sql.SparkSession.setActiveSession(p)
-          case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+      val stream = MemoryStream[A]
+      val sinkName = s"${name}_sink_${System.nanoTime()}"
+      val ckpt = if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_$sinkName"
+                 else s"${System.getProperty("java.io.tmpdir")}/graft_$sinkName"
+      val q = build(stream.toDS())
+        .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        batches.foreach { batch =>
+          stream.addData(batch)
+          q.processAllAvailable()
         }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        try q.stop() finally rm(new java.io.File(ckpt))
+      }
+      s2.table(sinkName)
+    } finally {
+      prevActive match {
+        case Some(p) => org.apache.spark.sql.SparkSession.setActiveSession(p)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
       }
     }
-    s2.table(sinkName)
   }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark can only read
@@ -5335,9 +5340,13 @@ object SparkEntry {
          |         (list(lang ORDER BY score DESC, lang ASC))[1] AS lang_pred,
          |         (list(score ORDER BY score DESC, lang ASC))[1] AS best_score
          |  FROM sc GROUP BY doc_id)
-         |SELECT doc_id, lang_pred, CAST(n_grams AS BIGINT) AS n_grams,
-         |       round(best_score / n_grams, 4) AS avg_logp
-         |FROM best ORDER BY doc_id""".stripMargin
+         |SELECT d.doc_id,
+         |       coalesce(b.lang_pred, 'unknown') AS lang_pred,
+         |       CAST(coalesce(b.n_grams, 0) AS BIGINT) AS n_grams,
+         |       round(b.best_score / b.n_grams, 4) AS avg_logp
+         |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         |LEFT JOIN best b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "txt_pattern_counts" ->

@@ -407,6 +407,11 @@ object Multimodal {
     * (`(299·r + 587·g + 114·b) / 1000`, integer division — exactly
     * replayable arithmetic, no float rounding). */
   object PixelDecoder {
+    /** Dimension sanity cap: 16384² is far beyond any honest fixture
+      * and keeps every w·h·3 product safely inside Int (and every
+      * allocation bounded) even on crafted headers. */
+    private val MaxPixelDim = 16384
+
     private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
     private def le16(b: Array[Byte], i: Int): Int = (u8(b, i + 1) << 8) | u8(b, i)
     private def le32(b: Array[Byte], i: Int): Long =
@@ -432,8 +437,13 @@ object Multimodal {
       for {
         w <- readInt(); h <- readInt(); maxv <- readInt()
         if w > 0 && h > 0 && maxv > 0 && maxv <= 255
+        // Long arithmetic + a hard dimension cap: a corrupt/crafted
+        // header like "P6 65536 65536 255" must yield None (the
+        // null-hash row), never an int-overflowed bounds check that
+        // later crashes the task with AIOOBE / a multi-GB allocation.
+        if w <= MaxPixelDim && h <= MaxPixelDim
         _ = { i += 1 } // the single whitespace after maxval
-        if b.length - i >= w * h * 3
+        if (b.length - i).toLong >= w.toLong * h * 3
       } yield {
         val out = new Array[Int](w * h)
         var p = 0
@@ -457,8 +467,13 @@ object Multimodal {
       val bpp = le16(b, 28)
       val compression = le32(b, 30)
       if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+      // Same crafted-header hardening as ppm(): cap dimensions and do
+      // the size check in Long so wrapped int arithmetic can never
+      // admit a buffer the pixel loop then overruns.
+      // h <= 0 also catches abs(Int.MinValue), which stays negative
+      if (w > MaxPixelDim || h <= 0 || h > MaxPixelDim) return None
       val rowBytes = (w * 3 + 3) / 4 * 4
-      if (off < 0 || b.length - off < rowBytes * h) return None
+      if (off < 0 || (b.length - off).toLong < rowBytes.toLong * h) return None
       val out = new Array[Int](w * h)
       var y = 0
       while (y < h) {
@@ -568,7 +583,9 @@ object Multimodal {
       while (i + 8 <= b.length && data.isEmpty) {
         val id = new String(b.slice(i, i + 4), "US-ASCII")
         val size = le32(b, i + 4).toInt
-        if (size < 0 || i + 8 + size > b.length) return None
+        // Long comparison: a crafted size near Int.MaxValue would wrap
+        // i+8+size negative and bypass the truncation guard
+        if (size < 0 || i.toLong + 8 + size > b.length) return None
         if (id == "fmt ") {
           if (size < 16) return None
           val audioFormat = le16(b, i + 8)
@@ -610,8 +627,12 @@ object Multimodal {
       val energy = new Array[Long](frames)
       var f = 0
       while (f < frames) {
-        val lo = f * samples.length / frames
-        val hi = (f + 1) * samples.length / frames
+        // Long bounds: f·length overflows Int past ~33M samples (a
+        // perfectly valid ~13-minute 44.1 kHz file) — and the DuckDB
+        // oracle computes these bounds exactly, so int wraparound
+        // would diverge before it crashed.
+        val lo = (f.toLong * samples.length / frames).toInt
+        val hi = ((f + 1).toLong * samples.length / frames).toInt
         var s = 0L
         var i = lo
         while (i < hi) { s += math.abs(samples(i).toLong); i += 1 }

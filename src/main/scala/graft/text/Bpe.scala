@@ -117,11 +117,14 @@ object Bpe {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(round, x, y, cnt)
         val prev = vocab
-        var next = vocab.withColumn("w",
+        val computed = vocab.withColumn("w",
           expr(s"replace(w, '$Sep$x$Sep$Sep$y$Sep', '$Sep$x$y$Sep')"))
-          .persist()
-        if (round % checkpointEvery == 0) next = materialize(next)
-        next.count()
+        // Checkpoint rounds materialize eagerly through the checkpoint
+        // itself — persisting first would strand an extra cache entry
+        // per checkpoint round that nothing ever unpersists.
+        val next =
+          if (round % checkpointEvery == 0) materialize(computed)
+          else { val p = computed.persist(); p.count(); p }
         prev.unpersist()
         vocab = next
         round += 1

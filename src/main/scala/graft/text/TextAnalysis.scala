@@ -1,5 +1,7 @@
 package graft.text
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -374,9 +376,18 @@ object TextAnalysis {
     val spark = df.sparkSession
     val langs = LanguageSeeds.map(_._1)
     val (profRows, floors) = langProfiles
-    import spark.implicits._
-    val prof = profRows.map { case (g, lps) => (g, lps(0), lps(1), lps(2), lps(3), lps(4)) }
-      .toDF("gram" +: langs.map("logp_" + _): _*)
+    // Row-built generically from the seed list — a fixed-arity tuple
+    // here would compile for any seed count and then break at runtime
+    // the day a language is added.
+    val prof = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(StructField("gram", StringType) +:
+        langs.map(l => StructField(s"logp_$l", DoubleType, nullable = false)))
+      spark.createDataFrame(
+        profRows.map { case (g, lps) =>
+          org.apache.spark.sql.Row.fromSeq(g +: lps)
+        }.asJava, schema)
+    }
     val docGrams = spread(df)
       .select(col(idCol),
         explode_outer(charNgrams(lower(col(textCol)), LangIdN)).as("gram"))

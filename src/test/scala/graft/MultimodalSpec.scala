@@ -380,6 +380,33 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(1).getLong(4) shouldBe 0L
   }
 
+  test("crafted headers (dimension/size overflow) yield null hashes, never a crash") {
+    val s = spark
+    import s.implicits._
+    // PPM claiming 65536×65536: w*h*3 wraps 32-bit to 0 — must be rejected
+    val hugePpm = "P6\n65536 65536\n255\n".getBytes("US-ASCII") ++ Array.fill(300)(1.toByte)
+    // BMP with a wrapped-arithmetic width field
+    val hugeBmp = {
+      val b = bmpBytes(4, 4)((_, _) => (1, 2, 3))
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(18, 0x20000000) // width: (w*3+3) wraps int
+      b
+    }
+    // WAV whose data-chunk size field wraps i+8+size past Int.MaxValue
+    val hugeWav = {
+      val b = wavPcmBytes(1, 8000, 130)(i => i)
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(40, 0x7FFFFFF0) // data size
+      b
+    }
+    val imgs = Seq((1L, hugePpm), (2L, hugeBmp)).toDF("img_id", "content")
+    val imgOut = Multimodal.imageHashes(imgs, "img_id", "content").orderBy("id").collect()
+    imgOut.foreach { r => r.isNullAt(4) shouldBe true; r.getInt(2) shouldBe 0 }
+    val wavs = Seq((1L, hugeWav)).toDF("a_id", "content")
+    val wavOut = Multimodal.audioHashes(wavs, "a_id", "content").collect()
+    wavOut(0).isNullAt(5) shouldBe true
+  }
+
   test("undecodable and truncated images keep their row with null hashes") {
     val s = spark
     import s.implicits._
