@@ -333,10 +333,18 @@ object TextAnalysis {
     * vocabulary of all seeds, the per-language log-probability
     * `ln((count + α) / (total + α·V))`; plus each language's
     * out-of-vocabulary floor `ln(α / (total + α·V))`. Bounded by
-    * construction (V ≈ hundreds), computed once per JVM. */
-  private lazy val langProfiles: (Seq[(String, Seq[Double])], Seq[Double]) = {
-    val langs = LanguageSeeds.map(_._1)
-    val grams: Map[String, Map[String, Int]] = LanguageSeeds.map {
+    * construction (V ≈ hundreds); memoized per seed list so repeated
+    * calls with the default (or any fixed custom) seeds build once. */
+  private val langProfileCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      Seq[(String, String)], (Seq[(String, Seq[Double])], Seq[Double])]()
+  private def langProfiles(
+      seeds: Seq[(String, String)]): (Seq[(String, Seq[Double])], Seq[Double]) =
+    langProfileCache.computeIfAbsent(seeds, buildLangProfiles(_))
+  private def buildLangProfiles(
+      seeds: Seq[(String, String)]): (Seq[(String, Seq[Double])], Seq[Double]) = {
+    val langs = seeds.map(_._1)
+    val grams: Map[String, Map[String, Int]] = seeds.map {
       case (lang, seed) =>
         val s = seed.toLowerCase(java.util.Locale.ROOT)
         val gs = (0 to s.length - LangIdN).map(i => s.substring(i, i + LangIdN))
@@ -372,10 +380,17 @@ object TextAnalysis {
     * only shuffle is the per-doc aggregate, and the document text
     * itself never shuffles. Scale-safe at any corpus size (the profile
     * is constant-sized). */
-  def languageIdNgram(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def languageIdNgram(df: DataFrame, textCol: String, idCol: String,
+      seeds: Seq[(String, String)] = LanguageSeeds): DataFrame = {
+    require(seeds.nonEmpty, "need at least one language seed")
+    require(seeds.map(_._1).distinct.size == seeds.size,
+      s"duplicate language labels in seeds: ${seeds.map(_._1)}")
     val spark = df.sparkSession
-    val langs = LanguageSeeds.map(_._1)
-    val (profRows, floors) = langProfiles
+    // scoring folds in sorted-label order so the documented
+    // alphabetical tiebreak holds whatever order the caller passes
+    val ordered = seeds.sortBy(_._1)
+    val langs = ordered.map(_._1)
+    val (profRows, floors) = langProfiles(ordered)
     // Row-built generically from the seed list — a fixed-arity tuple
     // here would compile for any seed count and then break at runtime
     // the day a language is added.

@@ -700,6 +700,27 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(3L)._1 shouldBe "de"
   }
 
+  test("languageIdNgram accepts custom seed corpora; label order never changes the result") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "blarg blorg blurg"), (2L, "zix zax zux")).toDF("doc_id", "text")
+    val seeds = Seq(
+      "blargish" -> "blarg blorg blurg blip blop bleep",
+      "zixish" -> "zix zax zux zim zam zum")
+    def preds(ss: Seq[(String, String)]) =
+      TextAnalysis.languageIdNgram(df, "text", "doc_id", ss)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    val out = preds(seeds)
+    out(1L) shouldBe "blargish"
+    out(2L) shouldBe "zixish"
+    preds(seeds.reverse) shouldBe out // internal sort fixes the fold order
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.languageIdNgram(df, "text", "doc_id", Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.languageIdNgram(df, "text", "doc_id",
+        Seq("a" -> "x", "a" -> "y"))
+  }
+
   test("languageIdNgram is deterministic and covers every input row once") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = TextAnalysis.languageIdNgram(df, "text", "doc_id").orderBy("doc_id").collect()
