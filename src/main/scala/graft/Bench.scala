@@ -553,7 +553,9 @@ object Bench {
       "ll18_incremental_near_dups", "ev_mean_drift", "ev_mean_drift_raw",
       "p3_distinct_counts", "p5_numeric_stats", "p13_anomaly_detection",
       "txt_repetition", "txt_top_ngrams", "ll3_ann_topk",
-      "ll20_semantic_near_dups", "sql_join_revenue", "rpt_source_mix")
+      "ll20_semantic_near_dups", "sql_join_revenue", "rpt_source_mix",
+      // round-17 families: learned BPE and perceptual media hashing
+      "txt_bpe_tokens", "mm6_image_dhash")
     def compactLine(headline: Seq[QueryResult], slowN: Int): String = {
       val hq = headline.map(r => "\"" + r.name + "\":" + num(r.wall))
         .mkString("{", ",", "}")
