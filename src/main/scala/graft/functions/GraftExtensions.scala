@@ -26,6 +26,10 @@ import org.apache.spark.sql.types._
   *     'xxhash64')
   *   - `graft_oph_signature(hashes, k)` → array<bigint>
   *     one-permutation MinHash signature with optimal densification
+  *   - `graft_bpe_encode(text, lefts, rights)` → array<string> BPE
+  *     tokens under the learned merge table given as two parallel
+  *     LITERAL string arrays in rank order
+  *     ([[graft.text.Bpe.learnMerges]] produces it)
   *
   * The matrix/planes argument must be a LITERAL array<array<numeric>>
   * — it is folded at plan time into the expression's reference-object
@@ -151,6 +155,32 @@ object GraftFunctions {
         stringOf(args(3), "graft_winnowing_mins", "mode"))
     })
 
+  private def stringArrayOf(e: Expression, fn: String, what: String): Seq[String] = {
+    require(e.foldable, s"$fn: $what must be a literal array<string>")
+    e.dataType match {
+      case ArrayType(StringType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be array<string>, got $other")
+    }
+    val data = e.eval().asInstanceOf[ArrayData]
+    (0 until data.numElements()).map(i => data.getUTF8String(i).toString)
+  }
+
+  val bpeEncode: FunctionDescription = (
+    FunctionIdentifier("graft_bpe_encode"),
+    new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"graft_bpe_encode(text, lefts, rights) takes 3 arguments, got ${args.length}")
+      val lefts = stringArrayOf(args(1), "graft_bpe_encode", "lefts")
+      val rights = stringArrayOf(args(2), "graft_bpe_encode", "rights")
+      require(lefts.length == rights.length,
+        s"graft_bpe_encode: lefts (${lefts.length}) and rights (${rights.length}) " +
+          "must pair up rank-for-rank")
+      // rank order = array order: the merge table the caller learned
+      BpeEncode(args(0), lefts.zip(rights))
+    })
+
   val ophSignature: FunctionDescription = (
     FunctionIdentifier("graft_oph_signature"),
     new ExpressionInfo(classOf[OnePermSignature].getName, "graft_oph_signature"),
@@ -162,7 +192,7 @@ object GraftFunctions {
 
   def all: Seq[FunctionDescription] =
     Seq(nearestCells, signBucket, cosineSim, shingleHashes, shingleHashStarts,
-      simhashSketch, winnowingMins, ophSignature)
+      simhashSketch, winnowingMins, ophSignature, bpeEncode)
 
   /** Register on an already-built session (no extensions config). */
   def register(spark: SparkSession): Unit =

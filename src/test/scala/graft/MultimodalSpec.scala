@@ -380,6 +380,39 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(1).getLong(4) shouldBe 0L
   }
 
+  test("property: dHash and aHash are invariant to unsaturated uniform brightness shifts") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random gray values capped at 200 so +55
+    // never saturates: comparisons (dhash) and mean-threshold (ahash)
+    // are both order-preserved under a uniform shift
+    def px(seed: Int, shift: Int)(x: Int, y: Int) = {
+      val v = ((seed * 31 + x * 7919 + y * 104729) % 201 + shift).min(255)
+      (v, v, v)
+    }
+    val rows = (0 until 8).flatMap { seed =>
+      Seq((seed * 2L, ppmBytes(18, 16)(px(seed, 0))),
+        (seed * 2L + 1, ppmBytes(18, 16)(px(seed, 55))))
+    }
+    val out = Multimodal.imageHashes(rows.toDF("img_id", "content"), "img_id", "content")
+      .orderBy("id").collect()
+    out.grouped(2).foreach { pair =>
+      pair(0).getLong(4) shouldBe pair(1).getLong(4) // dhash
+      pair(0).getLong(5) shouldBe pair(1).getLong(5) // ahash
+    }
+  }
+
+  test("property: audio energy hash is invariant to waveform negation") {
+    val s = spark
+    import s.implicits._
+    def sample(i: Int) = ((i * 37) % 3001) - 1500
+    val df = Seq(
+      (1L, wavPcmBytes(1, 8000, 300)(sample)),
+      (2L, wavPcmBytes(1, 8000, 300)(i => -sample(i)))).toDF("a_id", "content")
+    val out = Multimodal.audioHashes(df, "a_id", "content").orderBy("id").collect()
+    out(0).getLong(5) shouldBe out(1).getLong(5)
+  }
+
   test("crafted headers (dimension/size overflow) yield null hashes, never a crash") {
     val s = spark
     import s.implicits._

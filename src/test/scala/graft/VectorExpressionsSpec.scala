@@ -308,4 +308,27 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
     spark.sql("SELECT graft_shingle_hash_starts(t, 3) AS hs FROM vex_sbp WHERE id = 1")
       .head().getSeq[Long](0) shouldBe got(0).getSeq[Long](1)
   }
+
+  test("graft_bpe_encode registers in SQL and agrees with the Column API") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, "aaab banana")).toDF("id", "t").createOrReplaceTempView("vex_bpe")
+    val sql = spark.sql(
+      "SELECT graft_bpe_encode(t, array('a', 'an'), array('n', 'a')) AS toks FROM vex_bpe")
+      .head().getSeq[String](0)
+    val merges = Seq(graft.text.Bpe.Merge(1, "a", "n", 0),
+      graft.text.Bpe.Merge(2, "an", "a", 0))
+    val api = Seq((1L, "aaab banana")).toDF("id", "t")
+      .select(graft.text.Bpe.bpeTokens(col("t"), merges))
+      .head().getSeq[String](0)
+    sql shouldBe api
+    // aaab: neither merge applies; banana → (a,n)×2 → (an,a) on the tail
+    sql shouldBe Seq("a", "a", "a", "b", "b", "an", "ana")
+    // non-literal and mismatched-arity merge arrays fail at plan time
+    an[Exception] should be thrownBy
+      spark.sql("SELECT graft_bpe_encode(t, array(t), array('a')) FROM vex_bpe").collect()
+    an[Exception] should be thrownBy
+      spark.sql("SELECT graft_bpe_encode(t, array('a'), array('a', 'b')) FROM vex_bpe").collect()
+  }
 }
