@@ -193,4 +193,61 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
     hits.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
       r.getAs[Long]("neighbor_id"))).toSet shouldBe again
   }
+
+  test("tokenizer-true data prep: learn BPE → budget-select on real tokens → chunk") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+
+    // Stage 1: learn the tokenizer from the corpus itself, then attach
+    // REAL token counts (not whitespace proxies) to every document.
+    val merges = graft.text.Bpe.learnMerges(docs, "text", numMerges = 10)
+    val withTokens = docs.join(
+      graft.text.Bpe.tokenize(docs, "text", "doc_id", merges)
+        .select(col("doc_id"), col("n_tokens")),
+      Seq("doc_id"))
+
+    // Stage 2: per-source token budgets driven by those counts — the
+    // data-mixing step now measures budget in the same unit the model
+    // will consume.
+    val budgets = Map("src0" -> 600L, "src1" -> 600L)
+    val picked = graft.sampling.BudgetSelect.budgetSelect(
+      withTokens, "doc_id", "source", "doc_id", "n_tokens",
+      budgets, defaultBudget = 0L)
+    val bySource = picked.select("doc_id").join(withTokens, Seq("doc_id"))
+      .groupBy("source").agg(sum("n_tokens").as("toks"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bySource.keySet shouldBe budgets.keySet // zero-budget sources excluded
+    bySource.values.foreach { case (toks, n) =>
+      toks should be <= 600L
+      n should be >= 1L
+    }
+
+    // Stage 3: context windows over the SAME learned tokenizer; every
+    // selected document chunks completely (full coverage, stride 24).
+    val chunks = graft.text.Bpe.chunk(
+      picked.select("doc_id").join(docs, Seq("doc_id")), "text", "doc_id", merges,
+      maxTokens = 32, overlap = 8)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(max("chunk_idx").as("last"), sum("n_tokens").as("window_tokens"))
+      .join(withTokens.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .collect()
+    perDoc.length.toLong shouldBe picked.count()
+    perDoc.foreach { r =>
+      val (last, winToks, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // window coverage: last chunk's start + its length reaches n
+      val stride = 24L
+      (last * stride) should be < n
+      // windows cover every token at least once: sum of window sizes ≥ n
+      winToks should be >= n
+    }
+
+    // Determinism end-to-end: the whole pipeline reruns identically.
+    val merges2 = graft.text.Bpe.learnMerges(docs, "text", numMerges = 10)
+    merges2 shouldBe merges
+    val picked2 = graft.sampling.BudgetSelect.budgetSelect(
+      withTokens, "doc_id", "source", "doc_id", "n_tokens",
+      budgets, defaultBudget = 0L)
+    picked2.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      picked.select("doc_id").collect().map(_.getLong(0)).sorted
+  }
 }
