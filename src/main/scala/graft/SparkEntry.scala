@@ -1478,6 +1478,20 @@ object SparkEntry {
       TextAnalysis.languageId(df, "text", "doc_id").orderBy("doc_id")
     }),
 
+    // ---- LLM-pipeline: class-based TF-IDF (BERTopic c-TF-IDF shape)
+    // per SOURCE — each source's most characteristic terms; the
+    // cluster variant (Similarity.clusterTopTerms) is the same
+    // operator fed k-means cells. The oracle replays tokenization,
+    // class-grouped tf, class df, the smoothed idf, and the per-class
+    // rank tiebreak.
+    "txt_class_tfidf" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      TextAnalysis.classTfidfTerms(df, "text", "source", k = 3)
+        .select(col("source"), col("term"), col("tf"), col("df_count"),
+          round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("source", "rank")
+    }),
+
     // ---- LLM-pipeline: char-n-gram statistical language ID ------------
     // Bigram log-likelihood against per-language seed profiles; the
     // oracle re-derives the profiles from the same seed literals and
@@ -5514,6 +5528,31 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, df_count, round(score, 4) AS score, rank
         |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Class-based TF-IDF: the txt_tfidf_terms replay with the SOURCE
+    // as the class — class-grouped tf, class df, idf base = distinct
+    // classes.
+    "txt_class_tfidf" ->
+      """WITH w AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |  WHERE text IS NOT NULL
+        |), t AS (
+        |  SELECT source, unnest(w) AS term FROM w
+        |), tc AS (
+        |  SELECT source, term, count(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df_count FROM tc GROUP BY 1
+        |), n AS (
+        |  SELECT count(DISTINCT source) AS nc FROM documents WHERE text IS NOT NULL
+        |), s AS (
+        |  SELECT source, term, tf, df_count,
+        |         tf * (ln((nc + 1.0) / (df_count + 1.0)) + 1.0) AS score,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY tf * (ln((nc + 1.0) / (df_count + 1.0)) + 1.0) DESC, term) AS rank
+        |  FROM tc JOIN dfq USING (term), n
+        |)
+        |SELECT source, term, tf, df_count, round(score, 4) AS score, CAST(rank AS BIGINT) AS rank
+        |FROM s WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
 
     // Boilerplate mining: word-trigram document frequency >= 5, full
     // n-grams only (no short-doc fallback — a span shorter than the

@@ -743,6 +743,31 @@ object Similarity {
       kmeansCells(df, idCol, vecCol, nCells, kmeansIterations, centroidInitOrder),
       threshold, maxCellOccupancy)
 
+  /** Describe each semantic cluster by its characteristic vocabulary —
+    * the BERTopic pipeline shape (embed → cluster → class-based
+    * TF-IDF): assign every vector to its k-means cell
+    * ([[kmeansCells]]), join the documents on id, and rank each cell's
+    * terms with [[graft.text.TextAnalysis.classTfidfTerms]]. The
+    * report a curation decision reads after SemDeDup-style clustering:
+    * WHAT each dense region actually contains. Output:
+    * (bucket, term, tf, df_count, score, rank ≤ k).
+    *
+    * Plan: the centroid pass + one map-side assignment (both from
+    * kmeansCells), one broadcast-friendly id equi-join, then
+    * classTfidfTerms' bounded aggregates — nothing corpus-sized past
+    * the (cell, term) counts. */
+  def clusterTopTerms(
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      docs: DataFrame, docIdCol: String, textCol: String,
+      nCells: Int = 16, kmeansIterations: Int = 3, k: Int = 5,
+      centroidInitOrder: Option[Seq[Column]] = None): DataFrame = {
+    val cells = kmeansCells(emb, embIdCol, vecCol, nCells, kmeansIterations,
+      centroidInitOrder)
+    val labeled = docs.select(col(docIdCol).as("id"), col(textCol).as("__text"))
+      .join(cells.select(col("id"), col("bucket")), Seq("id"))
+    graft.text.TextAnalysis.classTfidfTerms(labeled, "__text", "bucket", k)
+  }
+
   /** The audit for [[semanticNearDupPairs]]'s occupancy cap — "no
     * silent caps": every k-means cell holding more than
     * `maxCellOccupancy` vectors, as (bucket, occupancy). Rows here are

@@ -1000,6 +1000,50 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Class-based TF-IDF top-k terms — BERTopic's c-TF-IDF shape
+    * (Grootendorst 2022, arXiv:2203.05794 §2.3) generalized to ANY
+    * label column: the class plays the document's role, so tf(c, t) is
+    * t's total occurrences across class c's documents and the idf base
+    * is the number of CLASSES (same smoothed sklearn idf as
+    * [[tfidfTerms]], `ln((C + 1)/(df + 1)) + 1`). The result — each
+    * class's most characteristic terms — is the "describe my clusters
+    * / sources / languages" report a curation decision reads next to
+    * [[sourceMixReport]]. Pair with
+    * [[graft.similarity.Similarity.clusterTopTerms]] for semantic
+    * clusters. Output: (classCol, term, tf, df_count, score, rank ≤ k),
+    * rank ordered (score desc, term) per class; null-class rows group
+    * under a real null row.
+    *
+    * Plan shape: one (class, term) partial-agg count (map-side
+    * combine collapses each class's Zipfian term mass), a ≤vocab-row
+    * class-count aggregate joined back on term, and a per-CLASS top-k
+    * window — partitioned on the class key, never a global sort; the
+    * window input is (classes × vocab) rows, not corpus-sized. */
+  def classTfidfTerms(df: DataFrame, textCol: String, classCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val termCounts = tokenized(df, textCol, classCol)
+      .select(col(classCol), explode(col("w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(classCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // idf base = distinct classes with at least one non-null doc
+    val nClasses = df.filter(col(textCol).isNotNull)
+      .select(col(classCol)).distinct().count()
+    val docFreq = termCounts.groupBy("term").agg(count(lit(1)).as("df_count"))
+    val byClass = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol))
+      .orderBy(col("score").desc, col("term"))
+    termCounts
+      .join(docFreq, Seq("term"))
+      .withColumn("score",
+        col("tf") * (log((lit(nClasses) + 1.0) / (col("df_count") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(byClass))
+      .filter(col("rank") <= k)
+      .select(col(classCol), col("term"), col("tf"), col("df_count"),
+        col("score"), col("rank"))
+  }
+
   /** Corpus boilerplate patterns: word n-grams whose DOCUMENT
     * frequency reaches `minDocFreq` — the shared headers, footers,
     * cookie banners, and license blurbs of a web corpus. One row per

@@ -547,4 +547,25 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     Similarity.meanPool(withNull, "doc", "vec")
       .collect().head.getSeq[Double](1).toList shouldBe List(2.0, 4.0)
   }
+
+  test("clusterTopTerms: each semantic cluster is described by its own vocabulary") {
+    val s = spark
+    import s.implicits._
+    // two well-separated embedding cones with distinct vocabularies
+    val emb = ((0L to 4L).map(i => (i, Seq(1.0, 0.0, 0.01 * i))) ++
+      (5L to 9L).map(i => (i, Seq(0.0, 1.0, 0.01 * i)))).toDF("vec_id", "embedding")
+    val docs = ((0L to 4L).map(i => (i, "spark shuffle partition agg")) ++
+      (5L to 9L).map(i => (i, "tokenizer corpus merge vocab"))).toDF("doc_id", "text")
+    val out = Similarity.clusterTopTerms(emb, "vec_id", "embedding",
+        docs, "doc_id", "text", nCells = 2, kmeansIterations = 2, k = 2,
+        centroidInitOrder = Some(Seq(col("vec_id"))))
+      .collect().map(r => (r.getInt(0), r.getString(1))).groupBy(_._1)
+    out.size shouldBe 2
+    val vocabByCell = out.view.mapValues(_.map(_._2).toSet).toMap
+    // the clusters' top terms are disjoint — each cone's vocabulary
+    val Seq(a, b) = vocabByCell.values.toSeq
+    a.intersect(b) shouldBe empty
+    (a ++ b).subsetOf(
+      Set("spark", "shuffle", "partition", "agg", "tokenizer", "corpus", "merge", "vocab")) shouldBe true
+  }
 }

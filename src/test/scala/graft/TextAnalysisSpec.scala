@@ -700,6 +700,30 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(3L)._1 shouldBe "de"
   }
 
+  test("classTfidfTerms: class-grouped tf, class-count idf base, per-class rank tiebreak") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "apple apple banana", "fruit"),
+      (2L, "apple cherry", "fruit"),
+      (3L, "bolt bolt nut banana", "hardware"))
+      .toDF("doc_id", "text", "cls")
+    val out = TextAnalysis.classTfidfTerms(df, "text", "cls", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5)))
+    val byClass = out.groupBy(_._1)
+    // C = 2 classes; "apple" tf=3 in fruit, df=1 → score 3·(ln(3/2)+1)
+    val fruitTop = byClass("fruit").find(_._6 == 1).get
+    fruitTop._2 shouldBe "apple"
+    fruitTop._3 shouldBe 3L
+    fruitTop._5 shouldBe (3.0 * (math.log(3.0 / 2.0) + 1.0) +- 1e-9)
+    // hardware: bolt (tf 2, df 1, score 2·(ln(3/2)+1)) > nut (1.405) >
+    // banana (cross-class df 2 → score exactly 1.0, cut by k=2)
+    byClass("hardware").find(_._6 == 1).get._2 shouldBe "bolt"
+    byClass("hardware").find(_._6 == 2).get._2 shouldBe "nut"
+    out.find(t => t._1 == "hardware" && t._2 == "banana") shouldBe None
+  }
+
   test("languageIdNgram accepts custom seed corpora; label order never changes the result") {
     val s = spark
     import s.implicits._
