@@ -194,6 +194,43 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
       r.getAs[Long]("neighbor_id"))).toSet shouldBe again
   }
 
+  test("text-native semantic dedup: hashed TF → JL projection → SemDeDup, no external model") {
+    import graft.similarity.Similarity
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull).limit(60)
+    // plant a near-duplicate of the lowest doc under a fresh id
+    val donor = base.orderBy("doc_id").select("doc_id", "text").head()
+    val planted = Seq((donor.getLong(0) + 1000000L, donor.getString(1) + " tail"))
+    val s0 = spark
+    import s0.implicits._
+    val docs = base.select("doc_id", "text")
+      .unionByName(planted.toDF("doc_id", "text"))
+
+    // Stage 1: vocabulary-free text vectors (hashed TF, dim 256).
+    val dim = 256
+    val sparse = TextAnalysis.hashedTfVectors(docs, "text", "doc_id", dim = dim)
+    val dense = sparse.withColumn("v",
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        coalesce(
+          element_at(map_from_arrays(col("indices"), col("values")), i),
+          lit(0L)).cast("double")))
+
+    // Stage 2: JL-compress 256 → 32 dims, map-side.
+    val projected = Similarity.randomProjection(dense, "v", dim = dim, outDim = 32)
+
+    // Stage 3: SemDeDup over the projected vectors — the planted copy
+    // must pair with its donor at high cosine; every emitted pair
+    // clears the threshold by construction.
+    val pairs = Similarity.semanticNearDupPairs(
+      projected.select(col("doc_id"), col("projected")),
+      "doc_id", "projected", nCells = 4, threshold = 0.9,
+      kmeansIterations = 2, centroidInitOrder = Some(Seq(col("doc_id"))))
+      .collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    ids should contain ((donor.getLong(0), donor.getLong(0) + 1000000L))
+    pairs.foreach(r => r.getDouble(2) should be >= 0.9)
+  }
+
   test("tokenizer-true data prep: learn BPE → budget-select on real tokens → chunk") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)
