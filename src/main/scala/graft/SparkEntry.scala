@@ -815,6 +815,22 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ---- EXACT two-sample KS statistic between the same snapshot
+    // split as cmp_psi_drift — the bin-free drift answer; the Spark
+    // side computes it with the funnel-free distributed prefix-sum
+    // walk, the oracle with a value-ordered window. Same scale/shift,
+    // so the two drift gates corroborate each other.
+    "cmp_ks_exact" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ref = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select(col("l_extendedprice").cast("double").as("v"))
+      val cur = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+        .select((col("l_extendedprice").cast("double") * 1.2).as("v"))
+      graft.compare.Drift.ksStatistic(ref, cur, "v")
+        .select(round(col("ks_stat"), 6).as("ks_stat"), col("at_value"),
+          col("n_ref"), col("n_cur"))
+    }),
+
     // ---- LLM-pipeline: exact-duplicate groups by content fingerprint.
     // The base table has no exact dups at gate scale, so the query
     // unions in a case/whitespace-mangled copy of every 10th doc — the
@@ -3624,6 +3640,31 @@ object SparkEntry {
     // Replays the deterministic binning (reference min/max edges,
     // identical two-step width arithmetic), per-side shares over a
     // full 0..9 spine, smoothed PSI terms, and the running CDF gap.
+    // Exact KS over the same split: gap values are bit-identical in
+    // both engines (integer cumulative counts through one division
+    // each), so the argmin-value tiebreak on gap equality is robust.
+    "cmp_ks_exact" ->
+      """WITH r AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL
+        |), c AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) * 1.2 AS v FROM lineitem
+        |  WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL
+        |), n AS (
+        |  SELECT (SELECT count(*) FROM r) AS nr, (SELECT count(*) FROM c) AS nc
+        |), m AS (
+        |  SELECT v, sum(rn) AS rn, sum(cn) AS cn FROM (
+        |    SELECT v, 1 AS rn, 0 AS cn FROM r
+        |    UNION ALL SELECT v, 0, 1 FROM c) GROUP BY v
+        |), g AS (
+        |  SELECT v, abs(sum(rn) OVER w / CAST(nr AS DOUBLE) - sum(cn) OVER w / CAST(nc AS DOUBLE)) AS gap
+        |  FROM m, n WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT round((SELECT max(gap) FROM g), 6) AS ks_stat,
+        |       (SELECT min(v) FROM g WHERE gap = (SELECT max(gap) FROM g)) AS at_value,
+        |       CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur
+        |FROM n""".stripMargin,
+
     "cmp_psi_drift" ->
       """WITH ref AS (
         |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem

@@ -178,4 +178,81 @@ object Drift {
       if (n == 0) 0.0 else counts.getOrElse(i, 0.0) / n)
     (lo, width, shares)
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between two
+    * snapshots of a numeric column — `max over observed v of
+    * |F_ref(v) − F_cur(v)|` with the empirical step CDFs — plus where
+    * the gap peaks. [[binnedDrift]]'s `cum_gap` bounds this from below
+    * on a 10-bin histogram; this is the bin-free answer a drift
+    * investigation wants when the binned gap is borderline. Output:
+    * ONE row (ks_stat, at_value = the smallest v attaining the max,
+    * n_ref, n_cur).
+    *
+    * Plan shape — the funnel-free exact order statistic, same
+    * discipline as [[graft.profiler.DistributedPercentiles]]: both
+    * sides partially aggregate to (value, ref_n, cur_n) — distinct
+    * values, not rows — then ONE range-partitioned sort by value;
+    * pass 1 collects per-partition (ref, cur) count totals (two longs
+    * per partition to the driver), pass 2 walks each partition's run
+    * with its broadcast prefix offsets and emits one (max gap, argmin
+    * value) candidate per partition; the driver reduces ≤ partitions
+    * rows. Nothing corpus-sized is ever windowed, sorted into one
+    * task, or collected. Evaluates eagerly (two tiny jobs) and
+    * returns a literal 1-row frame — the [[referenceHistogram]]
+    * bounded-collect contract. */
+  def ksStatistic(
+      ref: DataFrame, cur: DataFrame, valueCol: String,
+      curValueCol: Option[String] = None): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val curCol = curValueCol.getOrElse(valueCol)
+    def side(df: DataFrame, c: String, a: Int) = df
+      .filter(col(c).isNotNull)
+      .select(col(c).cast("double").as("v"), lit(a).as("side"))
+    val counts = side(ref, valueCol, 0).unionByName(side(cur, curCol, 1))
+      .groupBy("v")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("rn"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cn"))
+      .orderBy("v")
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perPart: Array[(Int, Long, Long)] = counts.rdd
+        .mapPartitionsWithIndex { case (i, it) =>
+          var r = 0L; var c = 0L
+          it.foreach { case (_, rn, cn) => r += rn; c += cn }
+          Iterator.single((i, r, c))
+        }.collect()
+      val nRef = perPart.map(_._2).sum
+      val nCur = perPart.map(_._3).sum
+      if (nRef == 0 || nCur == 0) {
+        Seq((Option.empty[Double], Option.empty[Double], nRef, nCur))
+          .toDF("ks_stat", "at_value", "n_ref", "n_cur")
+      } else {
+        val offsets = perPart.sortBy(_._1).scanLeft((0, 0L, 0L)) {
+          case ((_, ar, ac), (i, r, c)) => (i + 1, ar + r, ac + c)
+        }.map { case (i, ar, ac) => i -> ((ar, ac)) }.toMap
+        val offB = spark.sparkContext.broadcast(offsets)
+        val nRefD = nRef.toDouble
+        val nCurD = nCur.toDouble
+        val candidates = counts.rdd
+          .mapPartitionsWithIndex { case (i, it) =>
+            var (cumR, cumC) = offB.value(i)
+            var best = -1.0
+            var bestV = Double.NaN
+            it.foreach { case (v, rn, cn) =>
+              cumR += rn; cumC += cn
+              val gap = math.abs(cumR / nRefD - cumC / nCurD)
+              if (gap > best) { best = gap; bestV = v }
+            }
+            if (best >= 0) Iterator.single((best, bestV)) else Iterator.empty
+          }.collect()
+        // max gap; ties across partitions break to the SMALLEST value
+        // (within a partition the walk already keeps the first/smallest)
+        val (ks, atV) = candidates.sortBy { case (g, v) => (-g, v) }.head
+        Seq((Option(ks), Option(atV), nRef, nCur))
+          .toDF("ks_stat", "at_value", "n_ref", "n_cur")
+      }
+    } finally { counts.unpersist(blocking = false); () }
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.compare.ProfileCompare
+import graft.compare.{Drift, ProfileCompare}
 import graft.model._
 import graft.profiler.{Profiler, ProfilerConfig}
 
@@ -222,5 +222,36 @@ class ProfileCompareSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val same = Drift.categoryDrift(ref, ref, "v").collect()
     same.map(_.getAs[Double]("tvd_term")).sum shouldBe 0.0 +- 1e-12
     same.forall(_.getAs[String]("status") == "shared") shouldBe true
+  }
+
+  test("ksStatistic: hand-computed gap, identical → 0, empty side → nulls, shift detected") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val ref = Seq(1.0, 2.0, 3.0).toDF("v")
+    val cur = Seq(3.0, 4.0).toDF("v")
+    // F_ref at {1,2,3,4} = 1/3, 2/3, 1, 1; F_cur = 0, 0, 1/2, 1 →
+    // gaps .333, .667, .5, 0 → ks 2/3 at v=2
+    val r = Drift.ksStatistic(ref, cur, "v").head()
+    r.getDouble(0) shouldBe (2.0 / 3.0 +- 1e-12)
+    r.getDouble(1) shouldBe 2.0
+    r.getLong(2) shouldBe 3L
+    r.getLong(3) shouldBe 2L
+
+    val same = Drift.ksStatistic(ref, ref, "v").head()
+    same.getDouble(0) shouldBe 0.0
+    same.getDouble(1) shouldBe 1.0 // smallest value attains the (zero) max
+
+    val empty = Drift.ksStatistic(ref, Seq.empty[Double].toDF("v"), "v").head()
+    empty.isNullAt(0) shouldBe true
+    empty.getLong(3) shouldBe 0L
+
+    // a location shift on a bigger sample is clearly detected and the
+    // result is stable across recomputation (determinism)
+    val a = s.range(2000).select((col("id") % 97).cast("double").as("v"))
+    val b = s.range(2000).select((col("id") % 97 + 25).cast("double").as("v"))
+    val shift = Drift.ksStatistic(a, b, "v").head()
+    shift.getDouble(0) should be > 0.2
+    Drift.ksStatistic(a, b, "v").head().toSeq shouldBe shift.toSeq
   }
 }
