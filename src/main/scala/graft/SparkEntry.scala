@@ -2099,8 +2099,8 @@ object SparkEntry {
     // == 0 docs share constant text A, % 10 == 5 share constant text B
     // (identical signatures ⇒ estimated Jaccard 1), everything else is
     // pairwise-disjoint (estimate 0). Docs arrive as 5 daily batches
-    // (day = doc_id % 100 / 20, fed in order) under a 1-day horizon,
-    // then a far-future sentinel flushes the append aggregation. The
+    // (day = doc_id % 100 / 20, fed in order) under a 1-day horizon;
+    // retention verdicts emit in the arrival batch (zero-state OR). The
     // watermark walk is exact: a cluster's day-0 claim lapses at day 1
     // but the watermark only REACHES day 1 when the day-3 batch
     // processes — so each cluster re-emits exactly its first day-3
@@ -2121,9 +2121,12 @@ object SparkEntry {
           else s"u${id}a u${id}b u${id}c"
         (id, dayTs((id % 100 / 20).toInt), text)
       }
-      val batches = rows.groupBy(_._2).toSeq.sortBy(_._1.getTime).map(_._2.toSeq) :+
-        Seq((-1L, dayTs(29), "zz1 zz2 zz3")) // sentinel: flushes, never emits
-      replayToMemory(s, "ll16_stream_near_dup", batches, noDataBatches = true,
+      // No sentinel flush batch and no trailing no-data micro-batches:
+      // the one-stage plan emits each document's verdict in its arrival
+      // batch, and the claim watermark advances from the data batches
+      // themselves (the day-3 batch still sees watermark = day 1).
+      val batches = rows.groupBy(_._2).toSeq.sortBy(_._1.getTime).map(_._2.toSeq)
+      replayToMemory(s, "ll16_stream_near_dup", batches, noDataBatches = false,
         extraConfs = Map(
           // Verdicts keep their input rows' event time within the same
           // micro-batch — the checker's documented false positive (see

@@ -80,6 +80,26 @@ object StreamDedup {
   private[streaming] final case class NearDupVerdict(
       id: Long, ts: java.sql.Timestamp, dropped: Boolean)
 
+  /** A retained document — the final output row. */
+  private[streaming] final case class NearDupRetained(id: Long, ts: java.sql.Timestamp)
+
+  /** The per-document OR over its buckets' verdicts, as a ZERO-STATE
+    * flatMapGroupsWithState: every verdict row for a document is
+    * produced in the micro-batch its input row arrived in (the claim
+    * stage neither holds nor re-emits rows), so the group sees the
+    * complete verdict set at once and can emit the retention decision
+    * in the SAME batch — no state is ever read or written, no
+    * watermark hold, no extra flush micro-batches. This replaced a
+    * watermarked groupBy/max aggregation that finalized each document
+    * one watermark advance later and made the gate's replay latency
+    * two stateful commits + trailing no-data batches per fed batch. */
+  private def orVerdicts(
+      key: (Long, java.sql.Timestamp), rows: Iterator[NearDupVerdict],
+      state: GroupState[Boolean]): Iterator[NearDupRetained] = {
+    if (rows.exists(_.dropped)) Iterator.empty
+    else Iterator.single(NearDupRetained(key._1, key._2))
+  }
+
   /** Millis of a Spark interval string ("1 day", "30 minutes", …);
     * calendar months have no fixed millis and are rejected. */
   private def delayMillis(delay: String): Long = {
@@ -150,9 +170,11 @@ object StreamDedup {
     * signature, and its lapse time. A later document sharing any
     * bucket with a live claimant whose signature agrees on ≥
     * `threshold` of the minhash positions (the unbiased Jaccard
-    * estimate) is dropped; the per-document OR over its bands rides a
-    * downstream watermarked aggregation, which finalizes a document's
-    * retention one watermark step later (append semantics).
+    * estimate) is dropped; the per-document OR over its bands is a
+    * zero-state group step ([[orVerdicts]]) that emits the retention
+    * decision in the same micro-batch the document arrived in — a
+    * document's verdicts never span batches, so nothing needs to wait
+    * for a watermark advance.
     *
     * Scale design: state is one signature per DISTINCT occupied
     * bucket — `bands` × 8·numHashes bytes per retained-claim document,
@@ -166,17 +188,20 @@ object StreamDedup {
     *
     * The id column must be losslessly castable to long (state and
     * verdicts carry fixed-width keys). Output: (id, ts) of RETAINED
-    * documents. On a batch frame the same call degenerates to greedy
-    * single-batch semantics (no watermark → claims never lapse).
+    * documents, emitted in the arrival micro-batch. A cross-batch
+    * re-delivery of a retained claimant re-emits its row (at-least-once
+    * on re-delivered input); chain [[dropExactDuplicates]] first if the
+    * source can re-deliver. On a batch frame the same call degenerates
+    * to greedy single-batch semantics (no watermark → claims never
+    * lapse).
     *
     * Streaming callers must set
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
-    * the static checker flags EVERY stateful-op-after-fMGWS pattern
-    * because it cannot see through the lambda, but this operator's
-    * verdicts carry their input rows' event time UNCHANGED within the
-    * same micro-batch — they are never late to the downstream
-    * aggregation, which is exactly the false-positive case the escape
-    * hatch exists for. */
+    * the static checker flags EVERY fMGWS-after-fMGWS chain because it
+    * cannot see through the lambdas, but the claim stage's verdicts
+    * carry their input rows' event time UNCHANGED within the same
+    * micro-batch and the OR stage holds no state at all — exactly the
+    * false-positive case the escape hatch exists for. */
   def dropNearDuplicates(
       df: DataFrame, idCol: String, textCol: String, tsCol: String,
       watermarkDelay: String, threshold: Double = 0.8,
@@ -207,11 +232,9 @@ object StreamDedup {
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         claimAndJudge(threshold, delayMs) _)
-    verdicts.toDF()
-      .withWatermark("ts", watermarkDelay)
-      .groupBy(col("ts"), col("id"))
-      .agg(max(col("dropped")).as("dropped"))
-      .filter(!col("dropped"))
-      .select(col("id"), col("ts"))
+    verdicts
+      .groupByKey(v => (v.id, v.ts))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(orVerdicts _)
+      .toDF()
   }
 }

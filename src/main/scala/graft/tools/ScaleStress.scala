@@ -125,10 +125,9 @@ object ScaleStress {
       val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
       def dayTs(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
       val batches = rows.groupBy(r => (r._1 % 5).toInt).toSeq.sortBy(_._1)
-        .map { case (day, rs) => rs.toSeq.map(r => (r._1, dayTs(day), r._2)) } :+
-        Seq((-1L, dayTs(29), "zz1 zz2 zz3"))
+        .map { case (day, rs) => rs.toSeq.map(r => (r._1, dayTs(day), r._2)) }
       SparkEntry.replayToMemory(spark, "scale_stream_near_dup", batches,
-        noDataBatches = true,
+        noDataBatches = false,
         extraConfs = Map(
           "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false")) { ds =>
         graft.streaming.StreamDedup.dropNearDuplicates(

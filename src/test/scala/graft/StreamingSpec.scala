@@ -284,12 +284,12 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       // 13:00 — inside doc 5's fresh claim (lapse 13:30) → dropped.
       input.addData((6L, ts("13:00"), a))
       q.processAllAvailable()
-      // 16:00 — flush: pushes the watermark past every earlier ts so
-      // the append aggregation finalizes them; itself stays pending.
+      // 16:00 — disjoint doc; emits immediately like every retained
+      // row (the one-stage plan has no pending append state to flush).
       input.addData((9L, ts("16:00"), "u9a u9b u9c"))
       q.processAllAvailable()
       val got = spark.table("stream_near_dup").select("id").as[Long].collect().sorted
-      got shouldBe Array(1L, 3L, 5L, 7L)
+      got shouldBe Array(1L, 3L, 5L, 7L, 9L)
     } finally {
       q.stop()
       s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
@@ -332,7 +332,7 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
         input.addData((9L, ts("16:00"), "u9a u9b u9c"))
         q.processAllAvailable()
         spark.table("rocksdb_near_dup").select("id").as[Long].collect().sorted shouldBe
-          Array(1L, 3L, 5L, 7L)
+          Array(1L, 3L, 5L, 7L, 9L)
       } finally q.stop()
 
       // Exact dedup (dropDuplicates state) under the same provider.
