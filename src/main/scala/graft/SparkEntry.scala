@@ -1417,6 +1417,27 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ---- LLM-pipeline: BYTE-LEVEL BPE — learning + encoding over the
+    // full byte alphabet (case, punctuation, whitespace and multi-byte
+    // UTF-8 survive pre-tokenization; base symbols are hex-framed
+    // UTF-8 bytes). The corpus is a punctuation-heavy fixture both
+    // engines synthesize identically from doc_id; the oracle re-learns
+    // the merge table AND re-encodes every document with the same
+    // chained replace() semantics as the word-mode gates.
+    "txt_bpe_bytes" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("text").isNotNull)
+      val fx = base.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("Dr. O'Brien said: \""), col("text"), lit("!\" (cost: $1,234.56)")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(upper(substring(col("text"), 1, 40)), lit("... don't; re-do?  "), col("text")))
+        .otherwise(concat(col("text"), lit("  -- endé"))).as("text"))
+      val merges = graft.text.Bpe.learnMerges(fx, "text",
+        numMerges = ByteBpeRounds, byteLevel = true)
+      graft.text.Bpe.tokenize(fx, "text", "doc_id", merges, byteLevel = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: per-document quality heuristics ----------------
     "txt_quality" -> ((s, dir) => {
       val df = t(s, dir, "documents")
@@ -3214,23 +3235,44 @@ object SparkEntry {
     * produce multi-char tokens on the documents corpus. */
   private val BpeRounds = 12
 
-  /** The BPE learning chain as DuckDB CTEs: w0 = word frequencies,
-    * v0 = separator-framed vocab, then per round i: p_i = adjacent
-    * pair counts, b_i = argmax pair (count desc, then lexicographic),
-    * v_i = vocab after the literal replace. MATERIALIZED is required:
-    * v_i references b_i three times and b_i chains back through every
-    * earlier round, so inlined CTEs would expand exponentially. */
-  private def bpeLearnCtes: String = {
+  /** Rounds for the byte-level BPE gate — the byte alphabet's richer
+    * base vocabulary makes each replay round a little heavier, so the
+    * gate runs slightly fewer. */
+  private val ByteBpeRounds = 10
+
+  /** Word-mode pre-tokenization + framing, as DuckDB expressions. */
+  private val BpeWordsList =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+  private val BpeWordFrame = ("word", "(.)")
+
+  /** Byte-mode pre-tokenization (Bpe.BytePattern — single-quoted for
+    * SQL) + hex framing: base symbols are lowercase 2-hex-digit UTF-8
+    * bytes, so the frame regex groups two chars per symbol. */
+  private val BpeByteWordsList =
+    """regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')"""
+  private val BpeByteFrame = ("lower(hex(encode(word)))", "(..)")
+
+  /** The BPE learning chain as DuckDB CTEs: srcdocs = the corpus
+    * (parameterized so gates can synthesize fixtures), w0 = pre-token
+    * frequencies, v0 = separator-framed vocab, then per round i: p_i =
+    * adjacent pair counts, b_i = argmax pair (count desc, then
+    * lexicographic), v_i = vocab after the literal replace.
+    * MATERIALIZED is required: v_i references b_i three times and b_i
+    * chains back through every earlier round, so inlined CTEs would
+    * expand exponentially. */
+  private def bpeLearnCtesFor(docsSql: String, wordsList: String,
+      frame: (String, String), numRounds: Int): String = {
+    val (frameInput, frameGroup) = frame
     val head = Seq(
-      """w0 AS MATERIALIZED (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS word
-        |    FROM documents WHERE text IS NOT NULL)
-        |  GROUP BY word)""".stripMargin,
-      """v0 AS MATERIALIZED (
-        |  SELECT left(s, len(s) - 1) AS w, freq FROM (
-        |    SELECT '|' || regexp_replace(word, '(.)', '\1||', 'g') AS s, freq FROM w0))""".stripMargin)
-    val rounds = (1 to BpeRounds).flatMap { i =>
+      s"""srcdocs AS MATERIALIZED ($docsSql)""",
+      s"""w0 AS MATERIALIZED (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest($wordsList) AS word FROM srcdocs)
+         |  GROUP BY word)""".stripMargin,
+      s"""v0 AS MATERIALIZED (
+         |  SELECT left(s, len(s) - 1) AS w, freq FROM (
+         |    SELECT '|' || regexp_replace($frameInput, '$frameGroup', '\\1||', 'g') AS s, freq FROM w0))""".stripMargin)
+    val rounds = (1 to numRounds).flatMap { i =>
       Seq(
         s"""p$i AS MATERIALIZED (
            |  SELECT p.x AS x, p.y AS y, sum(freq) AS cnt FROM (
@@ -3246,33 +3288,54 @@ object SparkEntry {
     (head ++ rounds).mkString(",\n")
   }
 
-  /** Encoding chain for the tokens oracle: each DISTINCT word runs the
-    * same replace chain (e_0..e_N), then joins back to per-doc word
-    * positions — the replay-side mirror of BpeEncoder's memoization. */
-  private def bpeTokenCtes: String = {
+  private def bpeLearnCtes: String = bpeLearnCtesFor(
+    "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+    BpeWordsList, BpeWordFrame, BpeRounds)
+
+  /** Encoding chain for the tokens oracles: each DISTINCT pre-token
+    * runs the same replace chain (e_0..e_N), then joins back to
+    * per-doc pre-token positions — the replay-side mirror of
+    * BpeEncoder's memoization. */
+  private def bpeTokenCtesFor(wordsList: String,
+      frame: (String, String), numRounds: Int): String = {
+    val (frameInput, frameGroup) = frame
     val enc0 =
-      """e0 AS MATERIALIZED (
-        |  SELECT word, left(s, len(s) - 1) AS w FROM (
-        |    SELECT word, '|' || regexp_replace(word, '(.)', '\1||', 'g') AS s FROM w0))""".stripMargin
-    val encRounds = (1 to BpeRounds).map { i =>
+      s"""e0 AS MATERIALIZED (
+         |  SELECT word, left(s, len(s) - 1) AS w FROM (
+         |    SELECT word, '|' || regexp_replace($frameInput, '$frameGroup', '\\1||', 'g') AS s FROM w0))""".stripMargin
+    val encRounds = (1 to numRounds).map { i =>
       s"""e$i AS MATERIALIZED (
          |  SELECT word, replace(w, '|' || (SELECT x FROM b$i) || '||' || (SELECT y FROM b$i) || '|',
          |                          '|' || (SELECT x FROM b$i) || (SELECT y FROM b$i) || '|') AS w FROM e${i - 1})""".stripMargin
     }
     val tail = Seq(
       s"""wtoks AS MATERIALIZED (
-         |  SELECT word, string_split(substr(w, 2, len(w) - 2), '||') AS ts FROM e$BpeRounds)""".stripMargin,
-      """docw AS MATERIALIZED (
-        |  SELECT doc_id, j AS wi, words[j] AS word FROM (
-        |    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS words
-        |    FROM documents WHERE text IS NOT NULL) t,
-        |    LATERAL unnest(range(1, len(words) + 1)) u(j))""".stripMargin,
+         |  SELECT word, string_split(substr(w, 2, len(w) - 2), '||') AS ts FROM e$numRounds)""".stripMargin,
+      s"""docw AS MATERIALIZED (
+         |  SELECT doc_id, j AS wi, words[j] AS word FROM (
+         |    SELECT doc_id, $wordsList AS words FROM srcdocs) t,
+         |    LATERAL unnest(range(1, len(words) + 1)) u(j))""".stripMargin,
       """flat AS MATERIALIZED (
         |  SELECT d.doc_id, d.wi, u.ti, w.ts[u.ti] AS tok
         |  FROM docw d JOIN wtoks w USING (word),
         |       LATERAL unnest(range(1, len(w.ts) + 1)) u(ti))""".stripMargin)
     (Seq(enc0) ++ encRounds ++ tail).mkString(",\n")
   }
+
+  private def bpeTokenCtes: String =
+    bpeTokenCtesFor(BpeWordsList, BpeWordFrame, BpeRounds)
+
+  /** The punctuation-heavy fixture for the byte-level BPE gate, as
+    * DuckDB SQL — case, quotes, apostrophes, digits-with-separators,
+    * a double-space whitespace run, and a multi-byte UTF-8 char, all
+    * synthesized deterministically from doc_id so both engines build
+    * the identical corpus. */
+  private val ByteBpeFixtureSql =
+    """SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
+      |  WHEN 0 THEN 'Dr. O''Brien said: "' || text || '!" (cost: $1,234.56)'
+      |  WHEN 1 THEN upper(substr(text, 1, 40)) || '... don''t; re-do?  ' || text
+      |  ELSE text || '  -- endé' END AS text
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_row_count" ->
@@ -5173,6 +5236,16 @@ object SparkEntry {
     "txt_bpe_tokens" ->
       s"""WITH $bpeLearnCtes,
          |$bpeTokenCtes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT tok) AS BIGINT) AS n_unique_tokens,
+         |       string_agg(tok, ' ' ORDER BY wi, ti) AS tokens_str
+         |FROM flat GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Byte-level replay: the punctuation-heavy fixture, byte-hex
+    // framing, and the same learning + distinct-pre-token encode chain.
+    "txt_bpe_bytes" ->
+      s"""WITH ${bpeLearnCtesFor(ByteBpeFixtureSql, BpeByteWordsList, BpeByteFrame, ByteBpeRounds)},
+         |${bpeTokenCtesFor(BpeByteWordsList, BpeByteFrame, ByteBpeRounds)}
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |       CAST(count(DISTINCT tok) AS BIGINT) AS n_unique_tokens,
          |       string_agg(tok, ' ' ORDER BY wi, ti) AS tokens_str

@@ -12,10 +12,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen paths run the identical object.
   *
   * Semantics contract (see [[graft.text.Bpe]]): pre-tokenize with
-  * `lower` + split on `[^a-z0-9]+`, then per word apply the merges in
-  * rank order, each as an exhaustive left-to-right non-overlapping
-  * literal replace on the separator-framed symbol string — byte-equal
-  * to the `replace()` chain the DuckDB oracle runs.
+  * `lower` + split on `[^a-z0-9]+` (word mode) or with the
+  * case/punctuation/whitespace-preserving [[graft.text.Bpe.BytePattern]]
+  * whose base symbols are hex-framed UTF-8 bytes (byte mode), then per
+  * pre-token apply the merges in rank order, each as an exhaustive
+  * left-to-right non-overlapping literal replace on the
+  * separator-framed symbol string — byte-equal to the `replace()`
+  * chain the DuckDB oracle runs.
   *
   * Performance: a merge `(x, y)` can only apply if `x + y` occurs
   * contiguously in the raw word (merged symbols are always contiguous
@@ -25,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * words repeat heavily in real text, so encodings are memoized in a
   * per-thread bounded map (cleared when full — corpus vocabularies are
   * Zipfian, so the hot words stay resident). */
-final class BpeEncoder(merges: Seq[(String, String)]) extends Serializable {
+final class BpeEncoder(merges: Seq[(String, String)],
+    byteLevel: Boolean = false) extends Serializable {
   private val cats = merges.map { case (x, y) => x + y }.toArray
   private val searches = merges.map { case (x, y) => s"|$x||$y|" }.toArray
   private val replacements = merges.map { case (x, y) => s"|$x$y|" }.toArray
@@ -37,21 +41,48 @@ final class BpeEncoder(merges: Seq[(String, String)]) extends Serializable {
   private val MemoCap = 1 << 16
 
   private val splitter = java.util.regex.Pattern.compile("[^a-z0-9]+")
+  @transient private lazy val bytePattern =
+    java.util.regex.Pattern.compile(graft.text.Bpe.BytePattern)
+  private val HexDigits = "0123456789abcdef"
+
+  /** `word` in the symbol alphabet: the raw chars (word mode) or the
+    * lowercase hex of its UTF-8 bytes (byte mode — 2 hex digits = 1
+    * base symbol). */
+  private def symChars(word: String): String =
+    if (!byteLevel) word
+    else {
+      val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val sb = new java.lang.StringBuilder(bytes.length * 2)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        sb.append(HexDigits.charAt(b >> 4)).append(HexDigits.charAt(b & 0xf))
+        i += 1
+      }
+      sb.toString
+    }
 
   private def encodeWord(word: String): Array[String] = {
     val m = memo.get()
     val hit = m.get(word)
     if (hit != null) return hit
-    // "ab" → "|a||b|": one '|' at each end, "||" between symbols.
-    val sb = new java.lang.StringBuilder(word.length * 3 + 1)
+    val chars = symChars(word)
+    val symLen = if (byteLevel) 2 else 1
+    // "ab" → "|a||b|": one '|' at each end, "||" between symbols
+    // (byte mode: "|61||62|" — a base symbol is 2 hex chars).
+    val sb = new java.lang.StringBuilder(chars.length * 3 + 1)
     sb.append('|')
     var i = 0
-    while (i < word.length) { sb.append(word.charAt(i)).append("||"); i += 1 }
+    while (i < chars.length) {
+      sb.append(chars, i, i + symLen).append("||"); i += symLen
+    }
     var framed = sb.substring(0, sb.length - 1)
     var r = 0
     while (r < cats.length) {
-      // pre-screen on the raw word: x+y must be a contiguous substring
-      if (word.contains(cats(r)) && framed.contains(searches(r)))
+      // pre-screen on the unframed symbol string: x+y must be a
+      // contiguous substring (in byte mode an odd-offset hex hit is a
+      // false positive, but the screen only has to be a superset).
+      if (chars.contains(cats(r)) && framed.contains(searches(r)))
         framed = framed.replace(searches(r), replacements(r))
       r += 1
     }
@@ -62,17 +93,22 @@ final class BpeEncoder(merges: Seq[(String, String)]) extends Serializable {
   }
 
   def encode(text: UTF8String): ArrayData = {
-    val lowered = text.toLowerCase.toString
-    val words = splitter.split(lowered, -1)
     val out = new java.util.ArrayList[UTF8String]()
-    var i = 0
-    while (i < words.length) {
-      if (words(i).nonEmpty) {
-        val toks = encodeWord(words(i))
-        var j = 0
-        while (j < toks.length) { out.add(UTF8String.fromString(toks(j))); j += 1 }
+    def emit(word: String): Unit = {
+      val toks = encodeWord(word)
+      var j = 0
+      while (j < toks.length) { out.add(UTF8String.fromString(toks(j))); j += 1 }
+    }
+    if (byteLevel) {
+      val matcher = bytePattern.matcher(text.toString)
+      while (matcher.find()) emit(matcher.group())
+    } else {
+      val words = splitter.split(text.toLowerCase.toString, -1)
+      var i = 0
+      while (i < words.length) {
+        if (words(i).nonEmpty) emit(words(i))
+        i += 1
       }
-      i += 1
     }
     new GenericArrayData(out.toArray)
   }
@@ -83,10 +119,11 @@ final class BpeEncoder(merges: Seq[(String, String)]) extends Serializable {
   * expression with codegen — no UDF serialization, null-safe in
   * generated code, the merge table shipped once per task as a
   * reference object rather than per row. */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
     extends UnaryExpression {
 
-  @transient private lazy val encoder = new BpeEncoder(merges)
+  @transient private lazy val encoder = new BpeEncoder(merges, byteLevel)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable

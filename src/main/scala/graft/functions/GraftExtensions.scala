@@ -163,22 +163,39 @@ object GraftFunctions {
         s"$fn: $what must be array<string>, got $other")
     }
     val data = e.eval().asInstanceOf[ArrayData]
-    (0 until data.numElements()).map(i => data.getUTF8String(i).toString)
+    (0 until data.numElements()).map { i =>
+      // A null element would NPE deep in UTF8String; fail with the
+      // same clean plan-time message as the other validations.
+      val v = data.getUTF8String(i)
+      require(v != null, s"$fn: $what must not contain null elements (element $i is null)")
+      v.toString
+    }
+  }
+
+  private def booleanOf(e: Expression, fn: String, what: String): Boolean = {
+    require(e.foldable && e.dataType == org.apache.spark.sql.types.BooleanType,
+      s"$fn: $what must be a literal boolean")
+    val v = e.eval()
+    require(v != null, s"$fn: $what must not be null")
+    v.asInstanceOf[Boolean]
   }
 
   val bpeEncode: FunctionDescription = (
     FunctionIdentifier("graft_bpe_encode"),
     new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
     (args: Seq[Expression]) => {
-      require(args.length == 3,
-        s"graft_bpe_encode(text, lefts, rights) takes 3 arguments, got ${args.length}")
+      require(args.length == 3 || args.length == 4,
+        s"graft_bpe_encode(text, lefts, rights[, byte_level]) takes 3 or 4 arguments, " +
+          s"got ${args.length}")
       val lefts = stringArrayOf(args(1), "graft_bpe_encode", "lefts")
       val rights = stringArrayOf(args(2), "graft_bpe_encode", "rights")
       require(lefts.length == rights.length,
         s"graft_bpe_encode: lefts (${lefts.length}) and rights (${rights.length}) " +
           "must pair up rank-for-rank")
+      val byteLevel =
+        args.length == 4 && booleanOf(args(3), "graft_bpe_encode", "byte_level")
       // rank order = array order: the merge table the caller learned
-      BpeEncode(args(0), lefts.zip(rights))
+      BpeEncode(args(0), lefts.zip(rights), byteLevel)
     })
 
   val ophSignature: FunctionDescription = (

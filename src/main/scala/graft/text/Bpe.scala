@@ -62,6 +62,34 @@ object Bpe {
   private[graft] def words(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
 
+  /** Byte-level pre-tokenization contract (GPT-2-style, simplified to
+    * stay replayable under both Java regex and RE2): leading-space
+    * letter runs, leading-space digit runs, leading-space punctuation
+    * runs, or whitespace runs. Alternation is leftmost-first in both
+    * engines and every character lands in exactly one pre-token, so
+    * case, punctuation and whitespace all survive into the vocabulary
+    * — the fidelity the `[a-z0-9]` word mode destroys. (The GPT-2
+    * lookahead `\s+(?!\S)` is dropped: RE2 has no lookahead, so a
+    * multi-space run becomes one whitespace pre-token instead of
+    * donating its last space to the next word.) */
+  private[graft] val BytePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Byte-level pre-tokens of `text`, in order. */
+  private[graft] def preTokensBytes(text: Column): Column =
+    regexp_extract_all(text, lit(BytePattern), lit(0))
+
+  /** A pre-token as its separator-framed BYTE-symbol string: each
+    * UTF-8 byte is a lowercase 2-hex-digit base symbol, so "Hi" →
+    * `"|48||69|"`. Hex symbols are `[0-9a-f]`-only — the same
+    * no-collision argument as the word mode's `[a-z0-9]`, with the
+    * full byte alphabet (any case, punctuation, whitespace, or
+    * multi-byte UTF-8) representable. */
+  private[graft] def framedHex(word: Column): Column = {
+    val doubled = concat(lit(Sep),
+      regexp_replace(lower(hex(encode(word, "UTF-8"))), "(..)", "$1||"))
+    substr(doubled, lit(1), length(doubled) - 1)
+  }
+
   /** A word as its separator-framed base-symbol string: "ab" →
     * `"|a||b|"`. Built with the same regexp_replace both engines run. */
   private[graft] def framed(word: Column): Column = {
@@ -72,9 +100,17 @@ object Bpe {
 
   /** Learn `numMerges` merges from `df.textCol`. Returns the merge
     * table in rank order. Driver state: one (pair, count) row per
-    * round — everything else stays distributed. */
+    * round — everything else stays distributed.
+    *
+    * `byteLevel = true` switches to the [[BytePattern]] byte-alphabet
+    * contract: pre-tokens keep case/punctuation/whitespace and base
+    * symbols are hex-framed UTF-8 bytes, so the learned table matches
+    * what a real byte-level tokenizer would see; merges then name hex
+    * symbol strings ("74" + "68" → "7468"). The default remains the
+    * `[a-z0-9]` word mode. */
   def learnMerges(df: DataFrame, textCol: String,
-      numMerges: Int, checkpointEvery: Int = 10): Seq[Merge] = {
+      numMerges: Int, checkpointEvery: Int = 10,
+      byteLevel: Boolean = false): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     val spark = df.sparkSession
     val useReliable = spark.sparkContext.getCheckpointDir.isDefined
@@ -83,10 +119,12 @@ object Bpe {
 
     // ONE corpus scan: per-word occurrence counts, then the framed
     // symbol form. Distinct words only from here on.
+    val wordsOf = if (byteLevel) preTokensBytes(col(textCol)) else words(col(textCol))
+    val frameOf: Column => Column = if (byteLevel) framedHex else framed
     var vocab = df
-      .select(explode(words(col(textCol))).as("word"))
+      .select(explode(wordsOf).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(framed(col("word")).as("w"), col("freq"))
+      .select(frameOf(col("word")).as("w"), col("freq"))
       .persist()
     vocab.count() // materialize before the loop
 
@@ -146,17 +184,19 @@ object Bpe {
     * full BPE token sequence (words in order, each word's tokens in
     * order) as `array<string>`. Map-side native expression
     * ([[graft.functions.BpeEncode]]) — no shuffle, no UDF. */
-  def bpeTokens(text: Column, merges: Seq[Merge]): Column =
+  def bpeTokens(text: Column, merges: Seq[Merge],
+      byteLevel: Boolean = false): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.BpeEncode(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
-        merges.sortBy(_.rank).map(m => (m.left, m.right))))
+        merges.sortBy(_.rank).map(m => (m.left, m.right)), byteLevel))
 
   /** Per-document token stats under a learned merge table:
-    * (id, n_tokens, n_unique_tokens, tokens_str). */
+    * (id, n_tokens, n_unique_tokens, tokens_str). In byte mode the
+    * tokens are the hex byte-symbol strings the merges name. */
   def tokenize(df: DataFrame, textCol: String, idCol: String,
-      merges: Seq[Merge]): DataFrame = {
-    val toks = bpeTokens(col(textCol), merges)
+      merges: Seq[Merge], byteLevel: Boolean = false): DataFrame = {
+    val toks = bpeTokens(col(textCol), merges, byteLevel)
     df.select(col(idCol), toks.as("tokens"))
       .select(col(idCol),
         size(col("tokens")).cast("long").as("n_tokens"),

@@ -128,6 +128,36 @@ class BpeSpec extends AnyFunSuite with SparkTestBase with Matchers {
     }
   }
 
+  test("byte-level: whitespace/case/punctuation round-trip losslessly through tokens") {
+    // Byte mode's whole point: nothing is destroyed before encoding.
+    // Decoding the concatenated hex tokens must reproduce the EXACT
+    // original text — including case, punctuation, a double space,
+    // a tab, and multi-byte UTF-8.
+    val df = docs(
+      "Dr. O'Brien said: \"Hello,  World!\"\tcost $1,234.56",
+      "plain lower text",
+      "café — résumé; twice  spaced")
+    for (rounds <- Seq(1, 6)) {
+      val merges = Bpe.learnMerges(df, "text", numMerges = rounds, byteLevel = true)
+      val bad = df
+        .select(col("text"),
+          decode(unhex(concat_ws("", Bpe.bpeTokens(col("text"), merges, byteLevel = true))),
+            "UTF-8").as("roundtrip"))
+        .filter(col("roundtrip") =!= col("text"))
+      bad.count() shouldBe 0L
+    }
+  }
+
+  test("byte-level: merges are hex byte symbols with deterministic tiebreak") {
+    // "to be to be": pre-tokens "to", " be", " to", " be" → pair
+    // counts (74,6f)=2 [to], (20,62)=2 [space+b], (62,65)=2 [be],
+    // (20,74)=1 — three-way count tie broken lexicographically.
+    val df = docs("to be to be")
+    val merges = Bpe.learnMerges(df, "text", numMerges = 3, byteLevel = true)
+    merges.map(m => (m.left, m.right, m.freq)) shouldBe
+      Seq(("20", "62", 2L), ("2062", "65", 2L), ("74", "6f", 2L))
+  }
+
   test("tokenize output shape and null text → null tokens row") {
     val s = spark
     import s.implicits._

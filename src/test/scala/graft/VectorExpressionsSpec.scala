@@ -330,5 +330,18 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase with Matchers
       spark.sql("SELECT graft_bpe_encode(t, array(t), array('a')) FROM vex_bpe").collect()
     an[Exception] should be thrownBy
       spark.sql("SELECT graft_bpe_encode(t, array('a'), array('a', 'b')) FROM vex_bpe").collect()
+    // a NULL merge-array element gets the clean plan-time message, not an NPE
+    val nullElem = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode(t, array('a', CAST(NULL AS STRING)), " +
+        "array('b', 'c')) FROM vex_bpe").collect()
+    }
+    nullElem.getMessage should include("must not contain null elements")
+    // optional 4th arg switches to byte mode: hex tokens, case preserved
+    val byteToks = spark.sql(
+      "SELECT graft_bpe_encode('Ab', array('41'), array('62'), true) AS toks")
+      .head().getSeq[String](0)
+    byteToks shouldBe Seq("4162") // 0x41='A', 0x62='b' merged
+    an[Exception] should be thrownBy
+      spark.sql("SELECT graft_bpe_encode('x', array('a'), array('b'), 'yes')").collect()
   }
 }
