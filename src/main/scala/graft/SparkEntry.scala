@@ -1438,6 +1438,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- LLM-pipeline: HTML/markup stripping — the web-corpus
+    // ingestion step ahead of every text operator. The fixture wraps
+    // each document in deterministic messy HTML (comments, script and
+    // STYLE blocks, attributes, named/decimal/hex entities, an
+    // unknown entity and invalid codepoints that must stay literal);
+    // the oracle replays the exact regexp_replace chain + one-pass
+    // entity segmentation documented in HtmlStripUtil, and the full
+    // cleaned text hash-matches.
+    "txt_html_strip" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("text").isNotNull)
+      val html = concat(
+        lit("<html><head><title>Doc</title><style type=\"text/css\">p{color:red}</style></head>" +
+          "<body><!-- id "), col("doc_id").cast("string"), lit(" --><p class=\"lead\">"),
+        substring(col("text"), 1, 60), lit("</p>"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("<script>var t = \"<b>js</b>\";</script><div>Fish &amp; Chips &lt;tagged&gt;</div>"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          lit("<DIV CLASS=\"x\">&#65;&#x42;C &copy; 2024&nbsp;&mdash;&hellip;</DIV><STYLE>.x{}</STYLE>"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit("<p>caf&eacute; stays &unknown; &#55296; &#0; literal</p>"))
+        .otherwise(concat(lit("<br/><span>"), expr("substring(text, 61)"),
+          lit(" &quot;quoted&apos;&raquo;</span>"))),
+        lit("</body></html>"))
+      base.select(col("doc_id"),
+          TextAnalysis.stripHtml(html).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: per-document quality heuristics ----------------
     "txt_quality" -> ((s, dir) => {
       val df = t(s, dir, "documents")
@@ -3336,6 +3364,53 @@ object SparkEntry {
       |  WHEN 1 THEN upper(substr(text, 1, 40)) || '... don''t; re-do?  ' || text
       |  ELSE text || '  -- endé' END AS text
       |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** The txt_html_strip oracle: the messy-HTML fixture plus the exact
+    * chain documented in [[graft.functions.HtmlStripUtil]] — four
+    * regexp_replace steps, the one-pass entity segmentation (named
+    * table generated from the SAME Scala map the expression uses, so
+    * the two engines cannot drift), and whitespace collapse. */
+  private def htmlStripOracleSql: String = {
+    val namedCases = graft.functions.HtmlStripUtil.named.toSeq.sorted.map {
+      case (n, v) => s"WHEN seg = '&$n;' THEN '${v.replace("'", "''")}'"
+    }.mkString("\n        ")
+    val dec = "CAST(substr(seg, 3, len(seg) - 3) AS BIGINT)"
+    val hex = "CAST('0x' || substr(seg, 4, len(seg) - 4) AS BIGINT)"
+    s"""WITH fx AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc</title><style type="text/css">p{color:red}</style></head><body><!-- id '
+       |    || CAST(doc_id AS VARCHAR) || ' --><p class="lead">' || substr(text, 1, 60) || '</p>' ||
+       |    CASE CAST(doc_id % 4 AS INTEGER)
+       |      WHEN 0 THEN '<script>var t = "<b>js</b>";</script><div>Fish &amp; Chips &lt;tagged&gt;</div>'
+       |      WHEN 1 THEN '<DIV CLASS="x">&#65;&#x42;C &copy; 2024&nbsp;&mdash;&hellip;</DIV><STYLE>.x{}</STYLE>'
+       |      WHEN 2 THEN '<p>caf&eacute; stays &unknown; &#55296; &#0; literal</p>'
+       |      ELSE '<br/><span>' || substr(text, 61) || ' &quot;quoted&apos;&raquo;</span>'
+       |    END || '</body></html>' AS html
+       |  FROM documents WHERE text IS NOT NULL),
+       |s4 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+       |      '(?s)<!--.*?-->', '', 'g'),
+       |      '(?is)<script\\b.*?</script\\s*>', '', 'g'),
+       |      '(?is)<style\\b.*?</style\\s*>', '', 'g'),
+       |      '(?s)<[^>]*>', '', 'g') AS s
+       |  FROM fx),
+       |dec AS MATERIALIZED (
+       |  SELECT doc_id, array_to_string(list_transform(
+       |    regexp_extract_all(s, '&[A-Za-z]+;|&#[0-9]{1,8};|&#[xX][0-9A-Fa-f]{1,6};|[^&]+|&'),
+       |    seg -> CASE
+       |        $namedCases
+       |      WHEN regexp_matches(seg, '^&#[0-9]+;$$') THEN
+       |        CASE WHEN $dec BETWEEN 1 AND 1114111 AND $dec NOT BETWEEN 55296 AND 57343
+       |             THEN chr(CAST($dec AS INTEGER)) ELSE seg END
+       |      WHEN regexp_matches(seg, '^&#[xX]') THEN
+       |        CASE WHEN $hex BETWEEN 1 AND 1114111 AND $hex NOT BETWEEN 55296 AND 57343
+       |             THEN chr(CAST($hex AS INTEGER)) ELSE seg END
+       |      ELSE seg END), '') AS s
+       |  FROM s4)
+       |SELECT doc_id, trim(regexp_replace(s, '\\s+', ' ', 'g')) AS clean_text
+       |FROM dec ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "p1_row_count" ->
@@ -5279,6 +5354,8 @@ object SparkEntry {
         |  round(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) * 1.0
         |        / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS avg_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_html_strip" -> htmlStripOracleSql,
 
     "txt_quality" ->
       """WITH raw AS (

@@ -198,6 +198,15 @@ object GraftFunctions {
       BpeEncode(args(0), lefts.zip(rights), byteLevel)
     })
 
+  val htmlStrip: FunctionDescription = (
+    FunctionIdentifier("graft_html_strip"),
+    new ExpressionInfo(classOf[HtmlStrip].getName, "graft_html_strip"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1,
+        s"graft_html_strip(text) takes 1 argument, got ${args.length}")
+      HtmlStrip(args(0))
+    })
+
   val ophSignature: FunctionDescription = (
     FunctionIdentifier("graft_oph_signature"),
     new ExpressionInfo(classOf[OnePermSignature].getName, "graft_oph_signature"),
@@ -209,7 +218,7 @@ object GraftFunctions {
 
   def all: Seq[FunctionDescription] =
     Seq(nearestCells, signBucket, cosineSim, shingleHashes, shingleHashStarts,
-      simhashSketch, winnowingMins, ophSignature, bpeEncode)
+      simhashSketch, winnowingMins, ophSignature, bpeEncode, htmlStrip)
 
   /** Register on an already-built session (no extensions config). */
   def register(spark: SparkSession): Unit =

@@ -46,6 +46,18 @@ object TextAnalysis {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
         form, stripControls))
 
+  /** Strip HTML/markup down to its text: comments, script/style
+    * blocks and tags removed, entities decoded (named + numeric, one
+    * left-to-right pass), whitespace collapsed — the ingestion step a
+    * web corpus needs BEFORE quality scoring, fingerprinting or
+    * tokenization. Native codegen'd expression, no UDF; the exact
+    * regexp_replace chain is documented (and replayable) in
+    * [[graft.functions.HtmlStripUtil]]. */
+  def stripHtml(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HtmlStrip(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** Small stopword list used by the quality heuristic. Deliberately
     * tiny and fixed so the score is reproducible across engines. */
   val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

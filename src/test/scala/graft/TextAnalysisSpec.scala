@@ -752,4 +752,54 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
     a.toSeq shouldBe b.toSeq
     a.length shouldBe df.count()
   }
+
+  test("stripHtml: tags, scripts, comments drop; entities decode one-pass; whitespace collapses") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // tags + attributes + comment + whitespace collapse
+      ("<p class=\"x\">Hello   <b>world</b></p><!-- gone -->", "Hello world"),
+      // script/style blocks drop wholesale, case-insensitive
+      ("<SCRIPT>var x = \"<b>no</b>\";</SCRIPT>text<style>p{}</style>", "text"),
+      // one-pass decode: &amp;lt; → &lt;, never <
+      ("&amp;lt;b&amp;gt; &amp; &lt;kept&gt;", "&lt;b&gt; & <kept>"),
+      // numeric decimal + hex + named; nbsp collapses
+      ("&#65;&#x42;C&nbsp;&mdash;&copy;", "ABC —©"),
+      // unknown named / invalid codepoints stay literal
+      ("caf&eacute; &unknown; &#0; &#55296; &#99999999;", "caf&eacute; &unknown; &#0; &#55296; &#99999999;"),
+      // multi-line tag and dotall comment
+      ("a<div\nclass='y'>b</div><!-- multi\nline -->c", "abc"))
+    val got = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.stripHtml(col("t")).as("c"))
+      .orderBy("id").collect().map(_.getString(1))
+    got.toSeq shouldBe cases.map(_._2)
+  }
+
+  test("stripHtml composes: fingerprint and qualityFilter see the clean text") {
+    val s = spark
+    import s.implicits._
+    val clean = "the quick brown fox jumps over the lazy dog and runs on"
+    // whitespace between block elements: tag removal splices adjacent
+    // text directly, so "</p><div>" with no separator would weld words
+    val html = "<html><body><!-- c --><p>the quick   brown fox " +
+      "<b>jumps</b> over the lazy dog</p>\n<script>spam();</script>\n" +
+      "<div>and runs on</div></body></html>"
+    val df = Seq((1L, html), (2L, clean)).toDF("doc_id", "text")
+    val stripped = df.select(col("doc_id"),
+      TextAnalysis.stripHtml(col("text")).as("text"))
+    // Identical content → identical fingerprints: the HTML doc and the
+    // clean doc collapse into one exact-dup group after stripping.
+    val fps = stripped.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct().count()
+    fps shouldBe 1L
+    // qualityFilter on the stripped text matches the clean-text verdict
+    // (unstripped, the script/tag tokens would fail alpha_word_frac).
+    val verdicts = TextAnalysis.qualityFilter(stripped, "text", "doc_id")
+      .select("doc_id", "keep").orderBy("doc_id").collect()
+    val cleanOnly = TextAnalysis.qualityFilter(
+      Seq((2L, clean)).toDF("doc_id", "text"), "text", "doc_id")
+      .select("keep").head().getBoolean(0)
+    verdicts.map(_.getBoolean(1)).toSeq shouldBe Seq(cleanOnly, cleanOnly)
+  }
 }
