@@ -1026,11 +1026,24 @@ object TextAnalysis {
     * rank ordered (score desc, term) per class; null-class rows group
     * under a real null row.
     *
-    * Plan shape: one (class, term) partial-agg count (map-side
-    * combine collapses each class's Zipfian term mass), a ≤vocab-row
-    * class-count aggregate joined back on term, and a per-CLASS top-k
-    * window — partitioned on the class key, never a global sort; the
-    * window input is (classes × vocab) rows, not corpus-sized. */
+    * Idf-base semantic (fixed): the class count is the number of
+    * DISTINCT class labels holding at least one token — derived from
+    * the aggregated (class, term) frame itself, so a class whose
+    * documents are all null or tokenless is not counted (it
+    * contributes no terms, so it cannot dilute anything), and a NULL
+    * label counts as one real class, exactly as it groups in the
+    * output.
+    *
+    * Plan shape: ONE corpus scan — the (class, term) partial-agg count
+    * (map-side combine collapses each class's Zipfian term mass) is
+    * the only corpus-sized exchange, and all three consumers (term
+    * counts, per-term class df, the 1-row class-count used as the idf
+    * base) reuse that exchange; the class count rides a broadcast, not
+    * a separate driver action. The per-class top-k is a rank window
+    * whose `rank <= k` filter Catalyst rewrites into a PARTIAL window
+    * group limit (InferWindowGroupLimit): each task keeps ≤ k rows per
+    * class BEFORE the class shuffle, so a hot class's vocabulary never
+    * funnels through one reducer. */
   def classTfidfTerms(df: DataFrame, textCol: String, classCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -1039,17 +1052,20 @@ object TextAnalysis {
       .filter(col("term") =!= "")
       .groupBy(col(classCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // idf base = distinct classes with at least one non-null doc
-    val nClasses = df.filter(col(textCol).isNotNull)
-      .select(col(classCol)).distinct().count()
+    // idf base = distinct classes with >= 1 token, null label included
+    // (count(lit(1)) over the distinct frame — countDistinct would
+    // silently drop the null class the output groups under).
+    val nClasses = termCounts.select(col(classCol)).distinct()
+      .agg(count(lit(1)).as("__n_classes"))
     val docFreq = termCounts.groupBy("term").agg(count(lit(1)).as("df_count"))
     val byClass = org.apache.spark.sql.expressions.Window
       .partitionBy(col(classCol))
       .orderBy(col("score").desc, col("term"))
     termCounts
       .join(docFreq, Seq("term"))
+      .crossJoin(broadcast(nClasses))
       .withColumn("score",
-        col("tf") * (log((lit(nClasses) + 1.0) / (col("df_count") + 1.0)) + 1.0))
+        col("tf") * (log((col("__n_classes") + 1.0) / (col("df_count") + 1.0)) + 1.0))
       .withColumn("rank", row_number().over(byClass))
       .filter(col("rank") <= k)
       .select(col(classCol), col("term"), col("tf"), col("df_count"),
