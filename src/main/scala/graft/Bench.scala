@@ -138,6 +138,47 @@ object Bench {
     isStarved(wall, cpu, extLoad, workers, hostCores) ||
       (!extLoad.isNaN && extLoad > hostCores / 2.0)
 
+  /** One recert rerun with FAILURE CAPTURE: runs `run(name)`; if the
+    * rerun failed — it threw, or the error registry gained `name` —
+    * the first-pass measurement stands, the error is cleared from the
+    * registry, the failure is recorded as (name, first line of the
+    * error) so the ARTIFACT carries it, and None is returned. The r17
+    * and r18 driver tails both showed a swallowed recert failure
+    * visible only as a stderr stack trace — the artifact's
+    * `recert_failed` field exists so a flaky recert is data, not a
+    * log archaeology exercise. Pure control flow — unit-tested in
+    * BenchMathSpec with a forced-failure run. */
+  private[graft] def recertAttempt[R](
+      name: String,
+      run: String => R,
+      errorOf: String => Option[String],
+      clearError: String => Unit,
+      failed: scala.collection.mutable.Buffer[(String, String)]): Option[R] = {
+    def firstLine(msg: String): String =
+      String.valueOf(msg).linesIterator.take(1).mkString
+    val attempt =
+      try Right(run(name))
+      catch { case e: Throwable => Left(s"${e.getClass.getName}: ${e.getMessage}") }
+    (attempt, errorOf(name)) match {
+      case (Right(r), None) => Some(r)
+      case (_, registered) =>
+        registered.foreach(_ => clearError(name))
+        failed += name -> firstLine(attempt.left.toOption.orElse(registered).getOrElse(""))
+        System.err.println(s"[bench] recert rerun of $name failed; keeping first-pass result")
+        None
+    }
+  }
+
+  /** Minimal JSON string escaping for artifact fields that carry
+    * free-form error text. */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Effective-core-throughput calibration: every core spins a fixed
     * integer mixer for ~400 ms; returns aggregate Mops/s. This is the
     * contention signal the load/starvation detectors CANNOT provide:
@@ -362,20 +403,23 @@ object Bench {
     // when it is clean or faster; anything still dirty afterwards is
     // flagged in the artifact rather than silently recorded. Failed
     // queries are not re-queued — an error is not contamination.
+    // (name, first error line) of heal/recert reruns that FAILED — the
+    // first-pass result is kept, but the artifact must say so
+    // (`recert_failed`): the r17/r18 driver tails carried these
+    // failures only as stderr stack traces.
+    val recertFailed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val (toRequeue, clean) = firstPass.partition(r => dirty(r) && !errors.contains(r.name))
     val healed = toRequeue.map { r =>
       System.err.println(f"[bench] requeue ${r.name}: boundary ext_load ${r.extLoad}%.1f")
-      val rerun = runQuery(r.name, selected(r.name))
-      if (errors.contains(r.name)) {
-        // The rerun itself threw (runQuery recorded it and returned a
-        // time-to-exception result). The query SUCCEEDED on the first
-        // pass — a failed healing attempt must not replace that valid
-        // measurement (rerun.wall < r.wall is trivially true for a
-        // fast failure) nor flip the whole run to exit 1.
-        errors -= r.name
-        System.err.println(s"[bench] rerun of ${r.name} failed; keeping the first-pass result")
-        r
-      } else if (!dirty(rerun) || rerun.wall < r.wall) rerun else r
+      // The query SUCCEEDED on the first pass — a failed healing
+      // attempt must not replace that valid measurement (rerun.wall <
+      // r.wall is trivially true for a fast failure) nor flip the
+      // whole run to exit 1; it is recorded in `recert_failed`.
+      recertAttempt(r.name, n => runQuery(n, selected(n)),
+          n => errors.get(n), n => errors -= n, recertFailed) match {
+        case Some(rerun) if !dirty(rerun) || rerun.wall < r.wall => rerun
+        case _ => r
+      }
     }
     var results = (clean ++ healed).sortBy(_.name)
     val requeued = toRequeue.map(_.name).sorted
@@ -421,14 +465,11 @@ object Bench {
           results.filter(r => isStarved(r.wall, r.cpu, r.extLoad, workers, cores)).map(_.name))
           .distinct.filter(selected.contains).filterNot(errors.contains)
         val recertified = suspect.flatMap { name =>
-          val rerun = runQuery(name, selected(name))
-          if (errors.contains(name)) {
-            // Keep the valid first-pass time; a failed recert rerun
-            // must not poison a run that already measured cleanly.
-            errors -= name
-            System.err.println(s"[bench] recert rerun of $name failed; keeping first-pass result")
-            None
-          } else { endRecertTimed += name; Some(rerun) }
+          // Keep the valid first-pass time on any rerun failure; the
+          // failure lands in the artifact's `recert_failed` field.
+          recertAttempt(name, n => runQuery(n, selected(n)),
+              n => errors.get(n), n => errors -= n, recertFailed)
+            .map { rerun => endRecertTimed += name; rerun }
         }
         // Same replacement rule as the self-heal pass: a clean rerun
         // replaces a dirty first-pass even when slower (honest, not
@@ -529,13 +570,21 @@ object Bench {
       s""""cal_end_attempts":$calEndAttempts,"cal_end_below_floor":$calEndBelowFloor,""" +
       s""""end_recert":${endRecert.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""end_recert_timed":${endRecertTimed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""recert_failed":${recertFailed.map { case (n, e) =>
+        s"""{"q":${jstr(n)},"err":${jstr(e)}}""" }.mkString("[", ",", "]")},""" +
       s""""recert_round":$recertRound,""" +
       s""""slowest":$slowest,"starved":$starvedJson,""" +
       s""""warmup_failed":${warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""requeued":${requeued.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""dirty":${stillDirty.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""contended":$contended}"""
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
+    // A NARROWED run (positional args) writes its detail to a separate
+    // default path: a 2-query targeted re-bench once clobbered the
+    // committed full-suite BENCH_DETAIL.json, losing the per-query
+    // history the warm-band/floor re-basing reads. Only an unfiltered
+    // run may claim the canonical file (env override still wins).
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT",
+      if (args.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_partial.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
@@ -570,6 +619,7 @@ object Bench {
         s""""cal_attempts":$calAttempts,"cal_below_floor":$calBelowFloor,""" +
         s""""cal_end_attempts":$calEndAttempts,"cal_end_below_floor":$calEndBelowFloor,""" +
         s""""end_recert_n":${endRecert.size},"end_recert_timed_n":${endRecertTimed.size},""" +
+        s""""recert_failed":${recertFailed.map(f => jstr(f._1)).mkString("[", ",", "]")},""" +
         s""""recert_round":$recertRound,"slowest":$slow,""" +
         s""""starved_n":${starved.size},"warmup_failed_n":${warmupFailed.size},""" +
         s""""requeued_n":${requeued.size},"dirty_n":${stillDirty.size},""" +

@@ -1457,7 +1457,7 @@ object SparkEntry {
         .when(pmod(col("doc_id"), lit(4)) === 1,
           lit("<DIV CLASS=\"x\">&#65;&#x42;C &copy; 2024&nbsp;&mdash;&hellip;</DIV><STYLE>.x{}</STYLE>"))
         .when(pmod(col("doc_id"), lit(4)) === 2,
-          lit("<p>caf&eacute; stays &unknown; &#55296; &#0; literal</p>"))
+          lit("<p>caf&eacute; stays &unknown; &#55296; &#0; literal A&#11;B</p>"))
         .otherwise(concat(lit("<br/><span>"), expr("substring(text, 61)"),
           lit(" &quot;quoted&apos;&raquo;</span>"))),
         lit("</body></html>"))
@@ -3273,11 +3273,15 @@ object SparkEntry {
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
   private val BpeWordFrame = ("word", "(.)")
 
-  /** Byte-mode pre-tokenization (Bpe.BytePattern — single-quoted for
-    * SQL) + hex framing: base symbols are lowercase 2-hex-digit UTF-8
-    * bytes, so the frame regex groups two chars per symbol. */
+  /** Byte-mode pre-tokenization + hex framing: base symbols are
+    * lowercase 2-hex-digit UTF-8 bytes, so the frame regex groups two
+    * chars per symbol. The pre-token regex is spliced from
+    * [[graft.text.Bpe.BytePattern]] VERBATIM (it is RE2-compatible and
+    * spells whitespace out as `[ \t\n\x0B\f\r]` precisely so the same
+    * string means the same thing under Java regex and RE2) — one
+    * source of truth, no engine/oracle drift. */
   private val BpeByteWordsList =
-    """regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')"""
+    s"regexp_extract_all(text, '${graft.text.Bpe.BytePattern}')"
   private val BpeByteFrame = ("lower(hex(encode(word)))", "(..)")
 
   /** The BPE learning chain as DuckDB CTEs: srcdocs = the corpus
@@ -3383,7 +3387,7 @@ object SparkEntry {
        |    CASE CAST(doc_id % 4 AS INTEGER)
        |      WHEN 0 THEN '<script>var t = "<b>js</b>";</script><div>Fish &amp; Chips &lt;tagged&gt;</div>'
        |      WHEN 1 THEN '<DIV CLASS="x">&#65;&#x42;C &copy; 2024&nbsp;&mdash;&hellip;</DIV><STYLE>.x{}</STYLE>'
-       |      WHEN 2 THEN '<p>caf&eacute; stays &unknown; &#55296; &#0; literal</p>'
+       |      WHEN 2 THEN '<p>caf&eacute; stays &unknown; &#55296; &#0; literal A&#11;B</p>'
        |      ELSE '<br/><span>' || substr(text, 61) || ' &quot;quoted&apos;&raquo;</span>'
        |    END || '</body></html>' AS html
        |  FROM documents WHERE text IS NOT NULL),
@@ -3391,8 +3395,8 @@ object SparkEntry {
        |  SELECT doc_id,
        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
        |      '(?s)<!--.*?-->', '', 'g'),
-       |      '(?is)<script\\b.*?</script\\s*>', '', 'g'),
-       |      '(?is)<style\\b.*?</style\\s*>', '', 'g'),
+       |      '(?is)<script\\b.*?</script[ \\t\\n\\x0B\\f\\r]*>', '', 'g'),
+       |      '(?is)<style\\b.*?</style[ \\t\\n\\x0B\\f\\r]*>', '', 'g'),
        |      '(?s)<[^>]*>', '', 'g') AS s
        |  FROM fx),
        |dec AS MATERIALIZED (
@@ -3408,7 +3412,7 @@ object SparkEntry {
        |             THEN chr(CAST($hex AS INTEGER)) ELSE seg END
        |      ELSE seg END), '') AS s
        |  FROM s4)
-       |SELECT doc_id, trim(regexp_replace(s, '\\s+', ' ', 'g')) AS clean_text
+       |SELECT doc_id, trim(regexp_replace(s, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS clean_text
        |FROM dec ORDER BY doc_id""".stripMargin
   }
 
@@ -5737,7 +5741,10 @@ object SparkEntry {
         |), dfq AS (
         |  SELECT term, count(*) AS df_count FROM tc GROUP BY 1
         |), n AS (
-        |  SELECT count(DISTINCT source) AS nc FROM documents WHERE text IS NOT NULL
+        |  -- idf base = distinct classes holding >= 1 token (NULL label
+        |  -- counted) — derived from tc, the same frame the engine uses,
+        |  -- so tokenless classes and NULL labels agree on both sides.
+        |  SELECT count(*) AS nc FROM (SELECT DISTINCT source FROM tc)
         |), s AS (
         |  SELECT source, term, tf, df_count,
         |         tf * (ln((nc + 1.0) / (df_count + 1.0)) + 1.0) AS score,

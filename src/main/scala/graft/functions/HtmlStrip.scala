@@ -21,8 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * engine replays it byte-for-byte:
   *
   *  1. drop comments            `(?s)<!--.*?-->`
-  *  2. drop script blocks       `(?is)<script\b.*?</script\s*>`
-  *  3. drop style blocks        `(?is)<style\b.*?</style\s*>`
+  *  2. drop script blocks       `(?is)<script\b.*?</script[ \t\n\x0B\f\r]*>`
+  *  3. drop style blocks        `(?is)<style\b.*?</style[ \t\n\x0B\f\r]*>`
   *  4. drop remaining tags      `(?s)<[^>]*>`
   *  5. decode entities in ONE left-to-right pass (so `&amp;lt;` →
   *     `&lt;`, never `<`): a named entity `&[A-Za-z]+;` from the
@@ -31,7 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     than the bounds, or naming an invalid codepoint (0,
   *     surrogates, > U+10FFFF) stays literal. `&nbsp;` decodes to a
   *     PLAIN space so step 6 collapses it.
-  *  6. collapse whitespace      `\s+` → one space, then trim.
+  *  6. collapse whitespace      `[ \t\n\x0B\f\r]+` → one space, then
+  *     trim. (The class is Java's ASCII `\s` spelled out — RE2's `\s`
+  *     omits U+000B, so a bare `\s` would drift from the replay.)
   *
   * Entities are decoded AFTER tag removal — browser order: markup the
   * author escaped (`&lt;b&gt;`) is text, not a tag, so it survives as
@@ -51,12 +53,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object HtmlStripUtil {
 
   private val comments = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  // Whitespace is the EXPLICIT class [ \t\n\x0B\f\r] (Java's ASCII \s)
+  // everywhere: RE2's \s omits U+000B, so a bare \s would diverge from
+  // the DuckDB replay on a vertical tab (e.g. a decoded &#11;).
+  private[graft] val WsClass = "[ \\t\\n\\x0B\\f\\r]"
   private val scripts =
-    java.util.regex.Pattern.compile("(?is)<script\\b.*?</script\\s*>")
+    java.util.regex.Pattern.compile(s"(?is)<script\\b.*?</script$WsClass*>")
   private val styles =
-    java.util.regex.Pattern.compile("(?is)<style\\b.*?</style\\s*>")
+    java.util.regex.Pattern.compile(s"(?is)<style\\b.*?</style$WsClass*>")
   private val tags = java.util.regex.Pattern.compile("(?s)<[^>]*>")
-  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val ws = java.util.regex.Pattern.compile(s"$WsClass+")
 
   /** One segment per match: an entity candidate or a literal run —
     * every character of the input lands in exactly one segment. */

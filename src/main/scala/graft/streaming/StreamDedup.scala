@@ -93,9 +93,31 @@ object StreamDedup {
     * watermarked groupBy/max aggregation that finalized each document
     * one watermark advance later and made the gate's replay latency
     * two stateful commits + trailing no-data batches per fed batch. */
-  private def orVerdicts(
+  /** Per-document OR over band verdicts, with a one-bit "already
+    * decided" state per (id, ts) so a cross-batch RE-DELIVERY of a
+    * retained document does not re-emit its row — exactly-once output
+    * per document within the watermark horizon (the suppression the
+    * pre-r18 watermarked max-aggregation provided, at one boolean per
+    * in-horizon document instead of a second watermark stage). The
+    * state carries no payload: the first batch's verdict is final
+    * (all of a document's band verdicts arrive in its arrival batch),
+    * so a re-delivered group only needs to know the key was seen.
+    * Event-time timeout evicts the bit once the claim horizon passes;
+    * the timeout is clamped above the current watermark exactly as in
+    * [[claimAndJudge]]. */
+  private def orVerdicts(delayMs: Long)(
       key: (Long, java.sql.Timestamp), rows: Iterator[NearDupVerdict],
       state: GroupState[Boolean]): Iterator[NearDupRetained] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    if (state.exists) return Iterator.empty
+    val wmMs = scala.util.Try(state.getCurrentWatermarkMs()).toOption
+    // Mark decided only under a real watermark (streaming): in the
+    // batch degeneration every group is seen exactly once, so the
+    // state (which could never time out there) is pure overhead.
+    wmMs.filter(_ >= 0).foreach { wm =>
+      state.update(true)
+      state.setTimeoutTimestamp(math.max(key._2.getTime + delayMs, wm + 1))
+    }
     if (rows.exists(_.dropped)) Iterator.empty
     else Iterator.single(NearDupRetained(key._1, key._2))
   }
@@ -170,11 +192,11 @@ object StreamDedup {
     * signature, and its lapse time. A later document sharing any
     * bucket with a live claimant whose signature agrees on ≥
     * `threshold` of the minhash positions (the unbiased Jaccard
-    * estimate) is dropped; the per-document OR over its bands is a
-    * zero-state group step ([[orVerdicts]]) that emits the retention
-    * decision in the same micro-batch the document arrived in — a
-    * document's verdicts never span batches, so nothing needs to wait
-    * for a watermark advance.
+    * estimate) is dropped; the per-document OR over its bands
+    * ([[orVerdicts]], one decided-bit of state per in-horizon
+    * document) emits the retention decision in the same micro-batch
+    * the document arrived in — a document's verdicts never span
+    * batches, so nothing needs to wait for a watermark advance.
     *
     * Scale design: state is one signature per DISTINCT occupied
     * bucket — `bands` × 8·numHashes bytes per retained-claim document,
@@ -188,12 +210,13 @@ object StreamDedup {
     *
     * The id column must be losslessly castable to long (state and
     * verdicts carry fixed-width keys). Output: (id, ts) of RETAINED
-    * documents, emitted in the arrival micro-batch. A cross-batch
-    * re-delivery of a retained claimant re-emits its row (at-least-once
-    * on re-delivered input); chain [[dropExactDuplicates]] first if the
-    * source can re-deliver. On a batch frame the same call degenerates
-    * to greedy single-batch semantics (no watermark → claims never
-    * lapse).
+    * documents, emitted in the arrival micro-batch, exactly once per
+    * (id, ts) within the watermark horizon: the OR step keeps a
+    * one-bit "decided" state per document so a cross-batch re-delivery
+    * of a retained claimant is suppressed, not re-emitted. On a batch
+    * frame the same call degenerates to greedy single-batch semantics
+    * (no watermark → claims never lapse, and the decided-bit is
+    * skipped — every group is seen exactly once anyway).
     *
     * Streaming callers must set
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
@@ -232,9 +255,18 @@ object StreamDedup {
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         claimAndJudge(threshold, delayMs) _)
+    // The watermark re-annotation is required for the OR stage's
+    // event-time timeout (the claim fMGWS consumes the upstream
+    // annotation); it does NOT reintroduce the pre-r18 emission
+    // latency — Append-mode fMGWS emits its returned rows in the same
+    // micro-batch, the watermark only drives state eviction and the
+    // late-row filter (which the claim stage already applied at the
+    // same delay, so no row admitted there is late here).
     verdicts
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(v => (v.id, v.ts))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(orVerdicts _)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        orVerdicts(delayMs) _)
       .toDF()
   }
 }

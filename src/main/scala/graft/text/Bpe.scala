@@ -71,8 +71,12 @@ object Bpe {
     * — the fidelity the `[a-z0-9]` word mode destroys. (The GPT-2
     * lookahead `\s+(?!\S)` is dropped: RE2 has no lookahead, so a
     * multi-space run becomes one whitespace pre-token instead of
-    * donating its last space to the next word.) */
-  private[graft] val BytePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    * donating its last space to the next word. Whitespace is the
+    * EXPLICIT class `[ \t\n\x0B\f\r]` — Java's ASCII `\s` — spelled
+    * out because RE2's `\s` omits U+000B, so a bare `\s` would
+    * pre-tokenize a vertical tab differently in the two engines.) */
+  private[graft] val BytePattern =
+    " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+"
 
   /** Byte-level pre-tokens of `text`, in order. */
   private[graft] def preTokensBytes(text: Column): Column =

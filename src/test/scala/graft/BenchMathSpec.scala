@@ -82,4 +82,39 @@ class BenchMathSpec extends AnyFunSuite with Matchers {
     // Unknown external load (no CPU bean) must not condemn the run.
     Bench.isDirty(8.0, 16.0, Double.NaN, 32, cores) shouldBe false
   }
+
+  test("recertAttempt: forced failures populate recert_failed and keep the first pass") {
+    import scala.collection.mutable
+    val failed = mutable.ArrayBuffer.empty[(String, String)]
+
+    // 1. The rerun THROWS: recorded with the exception's first line,
+    //    None returned (caller keeps the first-pass result).
+    Bench.recertAttempt[Int]("boom",
+      _ => throw new IllegalStateException("kaboom\nstack line 2"),
+      _ => None, _ => (), failed) shouldBe None
+    failed should have size 1
+    failed.head._1 shouldBe "boom"
+    failed.head._2 should include("IllegalStateException")
+    failed.head._2 should not include "stack line 2"
+
+    // 2. The rerun returns but registered an error (the runQuery path:
+    //    exceptions are caught internally and logged to the registry):
+    //    recorded with the registry's first line, registry cleared.
+    val registry = mutable.Map("flaky" -> "first line of error\nsecond line")
+    Bench.recertAttempt("flaky", _ => 42,
+      n => registry.get(n), n => registry -= n, failed) shouldBe None
+    failed should have size 2
+    failed(1) shouldBe ("flaky" -> "first line of error")
+    registry shouldBe empty
+
+    // 3. A clean rerun passes through untouched and records nothing.
+    Bench.recertAttempt("ok", _ => 7, _ => None, _ => (), failed) shouldBe Some(7)
+    failed should have size 2
+  }
+
+  test("jstr escapes quotes, backslashes and control chars for artifact JSON") {
+    Bench.jstr("plain") shouldBe "\"plain\""
+    Bench.jstr("a\"b\\c") shouldBe "\"a\\\"b\\\\c\""
+    Bench.jstr("x\ny") shouldBe "\"x\\u000ay\""
+  }
 }

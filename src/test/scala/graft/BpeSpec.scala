@@ -148,6 +148,24 @@ class BpeSpec extends AnyFunSuite with SparkTestBase with Matchers {
     }
   }
 
+  test("byte-level: U+000B joins the whitespace pre-token run (explicit class, not \\s)") {
+    // BytePattern spells whitespace out as [ \t\n\x0B\f\r] so the
+    // DuckDB replay (RE2, whose \s omits VT) pre-tokenizes a vertical
+    // tab identically. VT must land in a whitespace RUN, not a
+    // punctuation pre-token — and round-trip losslessly.
+    val vt = 11.toChar.toString  // U+000B, built from the code point
+    val df = docs("a" + vt + " b")
+    val merges = Bpe.learnMerges(df, "text", numMerges = 1, byteLevel = true)
+    val row = df
+      .select(
+        decode(unhex(concat_ws("", Bpe.bpeTokens(col("text"), merges, byteLevel = true))),
+          "UTF-8").as("roundtrip"),
+        graft.text.Bpe.preTokensBytes(col("text")).as("pre"))
+      .collect().head
+    row.getString(0) shouldBe "a" + vt + " b"
+    row.getSeq[String](1) shouldBe Seq("a", vt + " ", "b")
+  }
+
   test("byte-level: merges are hex byte symbols with deterministic tiebreak") {
     // "to be to be": pre-tokens "to", " be", " to", " be" → pair
     // counts (74,6f)=2 [to], (20,62)=2 [space+b], (62,65)=2 [be],

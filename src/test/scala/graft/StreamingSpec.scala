@@ -296,6 +296,40 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("streaming near-dup dedup: cross-batch re-delivery of a retained doc is not re-emitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog"
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamDedup.dropNearDuplicates(
+      input.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", "1 hour")
+    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = out.writeStream.format("memory").queryName("redelivery_near_dup")
+      .outputMode("append").start()
+    try {
+      // 10:00 — doc 1 claims; doc 3 disjoint. Both retained.
+      input.addData((1L, ts("10:00"), a), (3L, ts("10:00"), "u3a u3b u3c"))
+      q.processAllAvailable()
+      // A source hiccup re-delivers BOTH retained rows (same id, same
+      // event time) in a later batch, still inside the watermark
+      // horizon. The decided-bit in the OR stage suppresses them:
+      // exactly-once output per (id, ts), not at-least-once.
+      input.addData((1L, ts("10:00"), a), (3L, ts("10:00"), "u3a u3b u3c"))
+      q.processAllAvailable()
+      // New near-dup of doc 1 still judged against the live claim.
+      input.addData((4L, ts("10:30"), a))
+      q.processAllAvailable()
+      val got = spark.table("redelivery_near_dup").select("id").as[Long].collect().sorted
+      got shouldBe Array(1L, 3L)
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("RocksDB state store: near-dup dedup and exact dedup emit identical output") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StateStores

@@ -768,7 +768,11 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkTestBase {
       // unknown named / invalid codepoints stay literal
       ("caf&eacute; &unknown; &#0; &#55296; &#99999999;", "caf&eacute; &unknown; &#0; &#55296; &#99999999;"),
       // multi-line tag and dotall comment
-      ("a<div\nclass='y'>b</div><!-- multi\nline -->c", "abc"))
+      ("a<div\nclass='y'>b</div><!-- multi\nline -->c", "abc"),
+      // U+000B (vertical tab) — raw and as a decoded &#11; — collapses
+      // like any whitespace: the explicit [ \t\n\x0B\f\r] class keeps
+      // Java-\s semantics that RE2's \s (no VT) would break.
+      ("A" + "\u000b" + "B &#11; C", "A B C"))
     val got = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
       .toDF("id", "t")
       .select(col("id"), TextAnalysis.stripHtml(col("t")).as("c"))
