@@ -1838,6 +1838,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- LLM-pipeline: REAL baseline-JPEG pixel decode → perceptual
+    // hashes. Fixture: per doc_id a 16×16 DC-only baseline JPEG —
+    // doc%3==0 grayscale with restart markers, ==1 color 4:2:0 with
+    // neutral chroma, ==2 a PROGRESSIVE stub the decoder must refuse
+    // (null-hash row). DC-only blocks with Q0=16 decode to exactly
+    // 2·dc+128 per sample (the IDCT of a lone DC term is flat and
+    // exact in binary floating point), so the oracle reproduces every
+    // hash bit from the block formula alone while the engine runs the
+    // full Huffman → dequant → IDCT path (graft.multimodal.JpegDecoder;
+    // the AC machinery is spec-covered with hand-computed IDCTs).
+    "mm9_jpeg_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { doc =>
+          def dcOf(by: Int, bx: Int): Int =
+            (((7 * doc + 31 * by + 13 * bx) % 128) - 64).toInt
+          val dc = Array(dcOf(0, 0), dcOf(0, 1), dcOf(1, 0), dcOf(1, 1))
+          val bytes = (doc % 3) match {
+            case 0 => graft.multimodal.JpegWriter.grayDcOnly(
+              16, 16, dc, q = 16, restartInterval = 2)
+            case 1 => graft.multimodal.JpegWriter.colorDcOnly420(16, 16, dc, q = 16)
+            case _ => graft.multimodal.JpegWriter.progressiveStub(16, 16)
+          }
+          (doc, bytes)
+        }
+        .toDF("doc_id", "bin")
+      Multimodal.imageHashes(bins, "doc_id", "bin")
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("dhash_hex"), col("ahash_hex"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Image near-dup dedup: 9×8 grayscale PPMs in doc_id/2 pairs
     // (odd ids perturb one pixel of their even sibling's pattern), fed
     // through the SAME Manku-blocked Hamming join as text simhash.
@@ -4646,6 +4679,50 @@ object SparkEntry {
         |       CAST(8000 AS INTEGER) AS sample_rate,
         |       CAST(p.n AS BIGINT) AS n_samples, h.ehash_hex
         |FROM params p JOIN hx h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Every JPEG hash bit re-derived from the DC formula: DC-only
+    // baseline blocks with Q0=16 decode to exactly 2·dc+128 per
+    // sample, so the 9×8 / 8×8 sample grids reduce to block lookups
+    // (bx = (c·16/9)/8, by = r/4). Progressive rows (doc%3=2) must be
+    // the decoder's honest null — width/height 0, NULL hashes.
+    "mm9_jpeg_dhash" ->
+      """WITH px AS MATERIALIZED (
+        |  SELECT doc_id, r, c,
+        |    128 + 2*(((7*doc_id + 31*(r//4) + 13*((c*16//9)//8)) % 128) - 64) AS lum
+        |  FROM documents, range(0, 8) tr(r), range(0, 9) tc(c)
+        |  WHERE doc_id % 3 <> 2),
+        |dbits AS (
+        |  SELECT a.doc_id, a.r, a.c, CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |drows AS (
+        |  SELECT doc_id, r, CAST(sum(bit * (1 << (7 - c))) AS INTEGER) AS byte
+        |  FROM dbits GROUP BY 1, 2),
+        |dhex AS (
+        |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY r) AS dhash_hex
+        |  FROM drows GROUP BY 1),
+        |apx AS MATERIALIZED (
+        |  SELECT doc_id, r, c,
+        |    128 + 2*(((7*doc_id + 31*(r//4) + 13*(c//4)) % 128) - 64) AS lum
+        |  FROM documents, range(0, 8) tr(r), range(0, 8) tc(c)
+        |  WHERE doc_id % 3 <> 2),
+        |am AS (SELECT doc_id, sum(lum) / 64.0 AS mean FROM apx GROUP BY 1),
+        |abits AS (
+        |  SELECT g.doc_id, g.r, g.c, CASE WHEN g.lum > m.mean THEN 1 ELSE 0 END AS bit
+        |  FROM apx g JOIN am m ON m.doc_id = g.doc_id),
+        |arows AS (
+        |  SELECT doc_id, r, CAST(sum(bit * (1 << (7 - c))) AS INTEGER) AS byte
+        |  FROM abits GROUP BY 1, 2),
+        |ahex AS (
+        |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY r) AS ahash_hex
+        |  FROM arows GROUP BY 1)
+        |SELECT d.doc_id, 'jpeg' AS format,
+        |       CAST(CASE WHEN d.doc_id % 3 = 2 THEN 0 ELSE 16 END AS INTEGER) AS width,
+        |       CAST(CASE WHEN d.doc_id % 3 = 2 THEN 0 ELSE 16 END AS INTEGER) AS height,
+        |       dh.dhash_hex, ah.ahash_hex
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN dhex dh USING (doc_id) LEFT JOIN ahex ah USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // Brute-force Hamming pairs over the formula-derived dHashes

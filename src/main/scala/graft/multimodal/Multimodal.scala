@@ -495,6 +495,12 @@ object Multimodal {
       format match {
         case "ppm" => ppm(bytes)
         case "bmp" => bmp(bytes)
+        // Baseline-sequential JPEG (SOF0/SOF1, Huffman, 8-bit) — the
+        // dominant real image format, decoded for real in
+        // [[JpegDecoder]]; progressive/arithmetic/12-bit return None
+        // (the honest null-hash row), same discipline as a corrupt
+        // PPM header.
+        case "jpeg" => JpegDecoder.decodeLuma(bytes)
         case _ => None
       }
 

@@ -103,43 +103,217 @@ object Bpe {
   }
 
   /** Learn `numMerges` merges from `df.textCol`. Returns the merge
-    * table in rank order. Driver state: one (pair, count) row per
-    * round — everything else stays distributed.
+    * table in rank order.
     *
     * `byteLevel = true` switches to the [[BytePattern]] byte-alphabet
     * contract: pre-tokens keep case/punctuation/whitespace and base
     * symbols are hex-framed UTF-8 bytes, so the learned table matches
     * what a real byte-level tokenizer would see; merges then name hex
-    * symbol strings ("74" + "68" → "7468"). The default remains the
-    * `[a-z0-9]` word mode. */
+    * symbol strings ("74" + "68" -> "7468"). The default remains the
+    * `[a-z0-9]` word mode.
+    *
+    * == Production depth (the 50k-merge story) ==
+    *
+    * The corpus is scanned exactly ONCE -- the per-word frequency
+    * aggregate, whose map-side combine collapses the corpus's Zipfian
+    * word mass into the distinct-word vocabulary. The merge loop then
+    * never touches the corpus again, and runs in one of two modes:
+    *
+    *  - '''Driver-local (the default fast path)''': when the distinct
+    *    vocabulary has at most `maxLocalVocab` entries -- true even for
+    *    web-scale corpora, whose distinct pre-token counts sit orders
+    *    of magnitude below their document counts -- the (word, freq)
+    *    table is collected once and [[learnMergesLocal]] runs the
+    *    classic incremental trainer (pair-count occurrence index +
+    *    lazily invalidated priority queue): ZERO Spark jobs per round,
+    *    so a 50 000-merge production vocabulary costs seconds of
+    *    driver CPU instead of 50 000 scheduler round-trips. The result
+    *    is identical to the distributed loop (same counts, same
+    *    (count desc, left, right) tie-break -- symbols are ASCII, so
+    *    Java and UTF8String orderings agree, and `String.replace` is
+    *    the same literal left-to-right non-overlapping replace the
+    *    engines run); BpeSpec pins the equivalence.
+    *  - '''Distributed''': above the threshold the loop runs as
+    *    before -- one partial-agg pair count over the vocabulary plus
+    *    one map-side replace per round, single-row collect, periodic
+    *    checkpoints. `pruneBelow > 0` additionally drops words with
+    *    freq below the threshold from the loop under a per-round
+    *    EXACTNESS certificate: the pruned words' total pair-slot mass
+    *    `M = sum(freq * (symbols - 1))` bounds their contribution to
+    *    ANY pair's count in EVERY round (merging only shrinks a
+    *    word's pair slots), so while the observed top-pair margin
+    *    `cnt1 - cnt2 > M` holds, the pruned argmax provably equals
+    *    the full-vocabulary argmax. The first round the margin fails,
+    *    the pruned words are folded back in (re-framed through the
+    *    merges learned so far -- rank-order encoding is exactly the
+    *    replayed per-round replace) and learning continues exact on
+    *    the full vocabulary. Pruning therefore never changes the
+    *    merge SEQUENCE; only the recorded `freq` of certified rounds
+    *    is the retained-vocabulary count (a documented lower bound on
+    *    the true corpus count). */
   def learnMerges(df: DataFrame, textCol: String,
       numMerges: Int, checkpointEvery: Int = 10,
-      byteLevel: Boolean = false): Seq[Merge] = {
+      byteLevel: Boolean = false,
+      maxLocalVocab: Int = 2000000,
+      pruneBelow: Long = 0L): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
-    val spark = df.sparkSession
-    val useReliable = spark.sparkContext.getCheckpointDir.isDefined
-    def materialize(v: DataFrame): DataFrame =
-      if (useReliable) v.checkpoint(eager = true) else v.localCheckpoint(true)
-
-    // ONE corpus scan: per-word occurrence counts, then the framed
-    // symbol form. Distinct words only from here on.
     val wordsOf = if (byteLevel) preTokensBytes(col(textCol)) else words(col(textCol))
     val frameOf: Column => Column = if (byteLevel) framedHex else framed
-    var vocab = df
+    // ONE corpus scan: per-word occurrence counts. Distinct words only
+    // from here on.
+    val wordFreq = df
       .select(explode(wordsOf).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(frameOf(col("word")).as("w"), col("freq"))
       .persist()
-    vocab.count() // materialize before the loop
+    val nWords = wordFreq.count()
+    val result =
+      if (nWords <= maxLocalVocab.toLong) {
+        val rows = wordFreq
+          .select(frameOf(col("word")).as("w"), col("freq")).collect()
+        learnMergesLocal(
+          rows.map(_.getString(0)), rows.map(_.getLong(1)), numMerges)
+      } else {
+        learnMergesDistributed(
+          wordFreq, frameOf, numMerges, checkpointEvery, byteLevel, pruneBelow)
+      }
+    wordFreq.unpersist()
+    result
+  }
 
+  /** The exact in-memory merge loop over a collected (framed word,
+    * freq) vocabulary -- the standard BPE trainer shape: a pair-count
+    * map, a pair -> word-index occurrence index, and a priority queue
+    * with lazy invalidation (entries are (count, left, right)
+    * snapshots; a popped entry counts only if it still matches the
+    * live count). Each round pops the true (count desc, left asc,
+    * right asc) argmax and rewrites ONLY the words containing the
+    * merged pair, via the same literal `String.replace` the engines
+    * replay. Pure Scala, deterministic, no Spark -- unit-tested
+    * directly and pinned equal to the distributed loop. */
+  private[graft] def learnMergesLocal(
+      framedWords: Array[String], freqs: Array[Long],
+      numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    def syms(w: String): Array[String] =
+      w.substring(1, w.length - 1).split("\\|\\|", -1)
+    def pairsOf(w: String): Array[(String, String)] = {
+      val s = syms(w)
+      if (s.length < 2) Array.empty
+      else Array.tabulate(s.length - 1)(i => (s(i), s(i + 1)))
+    }
+    val words = framedWords.clone()
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    var i = 0
+    while (i < words.length) {
+      pairsOf(words(i)).foreach { p =>
+        counts.update(p, counts.getOrElse(p, 0L) + freqs(i))
+        occ.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      }
+      i += 1
+    }
+    final case class Entry(cnt: Long, l: String, r: String)
+    val pq = new java.util.PriorityQueue[Entry](math.max(1, counts.size),
+      (a: Entry, b: Entry) => {
+        val c = java.lang.Long.compare(b.cnt, a.cnt)
+        if (c != 0) c
+        else {
+          val lc = a.l.compareTo(b.l)
+          if (lc != 0) lc else a.r.compareTo(b.r)
+        }
+      })
+    counts.foreach { case ((l, r), c) => pq.add(Entry(c, l, r)) }
     val merges = Seq.newBuilder[Merge]
     var round = 1
     var exhausted = false
     while (round <= numMerges && !exhausted) {
+      var top: Entry = null
+      while (top == null && !pq.isEmpty) {
+        val e = pq.poll()
+        if (counts.getOrElse((e.l, e.r), 0L) == e.cnt) top = e
+      }
+      if (top == null) exhausted = true
+      else {
+        merges += Merge(round, top.l, top.r, top.cnt)
+        val pat = s"$Sep${top.l}$Sep$Sep${top.r}$Sep"
+        val rep = s"$Sep${top.l}${top.r}$Sep"
+        val affected = occ.getOrElse((top.l, top.r), mutable.HashSet.empty).toArray
+        val changed = mutable.HashSet.empty[(String, String)]
+        affected.foreach { idx =>
+          val old = words(idx)
+          val neu = old.replace(pat, rep)
+          if (neu != old) {
+            val f = freqs(idx)
+            val oldPairs = pairsOf(old)
+            val newPairs = pairsOf(neu)
+            oldPairs.foreach { p =>
+              val c = counts(p) - f
+              if (c == 0L) counts.remove(p) else counts.update(p, c)
+              changed += p
+            }
+            newPairs.foreach { p =>
+              counts.update(p, counts.getOrElse(p, 0L) + f)
+              changed += p
+            }
+            val oldSet = oldPairs.toSet
+            val newSet = newPairs.toSet
+            (oldSet diff newSet).foreach(p => occ.get(p).foreach(_ -= idx))
+            (newSet diff oldSet)
+              .foreach(p => occ.getOrElseUpdate(p, mutable.HashSet.empty) += idx)
+            words(idx) = neu
+          }
+        }
+        changed.foreach { p =>
+          val c = counts.getOrElse(p, 0L)
+          if (c > 0L) pq.add(Entry(c, p._1, p._2))
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The distributed merge loop (vocabulary too large to collect):
+    * per round one partial-agg pair count + one map-side replace, with
+    * optional margin-certified frequency pruning -- see
+    * [[learnMerges]] for the exactness argument. */
+  private def learnMergesDistributed(
+      wordFreq: DataFrame, frameOf: Column => Column,
+      numMerges: Int, checkpointEvery: Int, byteLevel: Boolean,
+      pruneBelow: Long): Seq[Merge] = {
+    val spark = wordFreq.sparkSession
+    val useReliable = spark.sparkContext.getCheckpointDir.isDefined
+    def materialize(v: DataFrame): DataFrame =
+      if (useReliable) v.checkpoint(eager = true) else v.localCheckpoint(true)
+    def framedOf(src: DataFrame): DataFrame =
+      src.select(frameOf(col("word")).as("w"), col("freq"))
+    // split on the literal "||" after trimming the single framing "|"
+    // from each end.
+    def symsOf = split(expr("substring(w, 2, length(w) - 2)"), "\\|\\|")
+
+    var pruning = pruneBelow > 0
+    var vocab = framedOf(
+      if (pruning) wordFreq.filter(col("freq") >= pruneBelow) else wordFreq)
+      .persist()
+    vocab.count() // materialize before the loop
+    // Upper bound on the pruned words' contribution to ANY pair count
+    // in ANY round: each pruned word has (symbols - 1) adjacent pair
+    // slots and merging only shrinks that, so the round-0 mass
+    // dominates forever.
+    val prunedMass: Long =
+      if (!pruning) 0L
+      else framedOf(wordFreq.filter(col("freq") < pruneBelow))
+        .select(coalesce(sum(col("freq") * (size(symsOf) - 1).cast("long")), lit(0L)))
+        .head().getLong(0)
+
+    val merges = Seq.newBuilder[Merge]
+    var learned = List.empty[Merge] // rank order, for the prune fallback
+    var round = 1
+    var exhausted = false
+    while (round <= numMerges && !exhausted) {
       // Adjacent symbol pairs of every vocab word, weighted by word
-      // frequency. split on the literal "||" after trimming the single
-      // framing "|" from each end.
-      val syms = split(expr("substring(w, 2, length(w) - 2)"), "\\|\\|")
+      // frequency.
+      val syms = symsOf
       val pairs = vocab
         .select(col("freq"),
           explode(zip_with(
@@ -148,21 +322,44 @@ object Bpe {
             (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(sum("freq").as("cnt"))
-      val best = pairs
+      // Top TWO when pruning (the margin certificate needs the
+      // runner-up), top one otherwise.
+      val top = pairs
         .orderBy(desc("cnt"), asc("x"), asc("y"))
-        .limit(1).collect()
-      if (best.isEmpty) {
-        // every word is a single symbol — nothing left to merge
+        .limit(if (pruning) 2 else 1).collect()
+      val certified = !pruning || (top.nonEmpty && {
+        val cnt1 = top(0).getLong(2)
+        val cnt2 = if (top.length > 1) top(1).getLong(2) else 0L
+        cnt1 - cnt2 > prunedMass
+      })
+      if (pruning && (!certified || top.isEmpty)) {
+        // Margin certificate failed (or the pruned vocabulary merged
+        // out entirely): fold the pruned words back in -- re-framed
+        // through the merges learned so far, which is exactly the
+        // replayed per-round replace -- and redo THIS round exact.
+        val restored = wordFreq.filter(col("freq") < pruneBelow)
+          .select(concat(lit(Sep),
+            concat_ws(Sep + Sep, bpeTokens(col("word"), learned, byteLevel)),
+            lit(Sep)).as("w"), col("freq"))
+        val prev = vocab
+        vocab = vocab.union(restored).persist()
+        vocab.count()
+        prev.unpersist()
+        pruning = false
+      } else if (top.isEmpty) {
+        // every word is a single symbol -- nothing left to merge
         exhausted = true
       } else {
         val (x, y, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Merge(round, x, y, cnt)
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val m = Merge(round, x, y, cnt)
+        merges += m
+        learned = learned :+ m
         val prev = vocab
         val computed = vocab.withColumn("w",
           expr(s"replace(w, '$Sep$x$Sep$Sep$y$Sep', '$Sep$x$y$Sep')"))
         // Checkpoint rounds materialize eagerly through the checkpoint
-        // itself — persisting first would strand an extra cache entry
+        // itself -- persisting first would strand an extra cache entry
         // per checkpoint round that nothing ever unpersists.
         val next =
           if (round % checkpointEvery == 0) materialize(computed)

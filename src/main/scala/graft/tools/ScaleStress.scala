@@ -176,6 +176,23 @@ object ScaleStress {
       graft.text.Bpe.learnMerges(docs, "text", numMerges = 8)
       ()
     }
+    // Production-depth BPE: 500 REAL merge rounds. The gate corpus's
+    // own vocabulary is too regular (deep learning exhausts at ~90
+    // merges), so the depth measurement widens it deterministically
+    // with hash-derived 32-hex-char words — one scan, thousands of
+    // distinct words, plenty of merge room. The aggregated vocabulary
+    // collapses to the driver (zero Spark jobs per round), so depth
+    // costs driver CPU only: measured 500 rounds ≈ 5000 rounds ≈ the
+    // corpus scan itself. The 1x wall IS the committed "deep
+    // learning" datapoint for BASELINE.md.
+    def bpeLearnDeep(docs: DataFrame): Unit = {
+      val wide = docs.select(concat_ws(" ", col("text"),
+        md5(col("text")), md5(concat(col("text"), lit("x"))),
+        md5(col("doc_id").cast("string"))).as("text"))
+      val m = graft.text.Bpe.learnMerges(wide, "text", numMerges = 500)
+      require(m.size == 500, s"expected 500 merges, got ${m.size}")
+      ()
+    }
     // image hashing is map-side byte work — expect ~linear.
     def imageHash(docs: DataFrame): Unit = {
       val withBin = docs.withColumn("bin",
@@ -196,6 +213,9 @@ object ScaleStress {
       val b1 = time(bpeLearn(docs1))
       val bk = time(bpeLearn(docsK))
       report("bpe_learn", b1, bk)
+      val d1 = time(bpeLearnDeep(docs1))
+      val dk = time(bpeLearnDeep(docsK))
+      report("bpe_learn_500", d1, dk)
       imageHash(docs1)
       val i1 = time(imageHash(docs1))
       val ik = time(imageHash(docsK))

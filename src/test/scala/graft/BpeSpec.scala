@@ -31,6 +31,51 @@ class BpeSpec extends AnyFunSuite with SparkTestBase with Matchers {
     merges.head.right shouldBe "b"
   }
 
+  test("driver-local and distributed merge loops produce identical tables") {
+    // The local fast path must be bit-identical to the distributed
+    // loop — counts, freqs, and the (count desc, left, right)
+    // tiebreak. maxLocalVocab = 0 forces the distributed loop.
+    val df = docs(
+      "the cat sat on the mat", "the dog ate the cat food",
+      "Dr. O'Brien said: \"stop, the cost is $12\"", "aa ab aa ba")
+    for (byteLevel <- Seq(false, true)) {
+      val local = Bpe.learnMerges(df, "text", numMerges = 10, byteLevel = byteLevel)
+      val dist = Bpe.learnMerges(df, "text", numMerges = 10, byteLevel = byteLevel,
+        maxLocalVocab = 0)
+      withClue(s"byteLevel=$byteLevel: ") { local shouldBe dist }
+    }
+  }
+
+  test("learnMergesLocal: lazy-invalidated queue survives count churn (pure unit)") {
+    // "aaab" ×3 framed: merging (a,a) creates the NEW pair (aa,a) and
+    // leaves (a,b) — the queue must re-rank from live counts, not
+    // stale snapshots. Hand-computed: r1 (a,a) 6 [two slots ×3];
+    // r2 ties (a,b)=3 vs (aa,a)=3 → lexicographic left "a" < "aa"
+    // picks (a,b); r3 (aa,ab) 3.
+    val merges = Bpe.learnMergesLocal(
+      Array("|a||a||a||b|"), Array(3L), numMerges = 5)
+    merges.map(m => (m.rank, m.left, m.right, m.freq)) shouldBe
+      Seq((1, "a", "a", 6L), (2, "a", "b", 3L), (3, "aa", "ab", 3L))
+  }
+
+  test("pruned distributed learning: certified rounds + exact fallback match unpruned") {
+    // High-frequency words dominate early rounds (margin certified);
+    // as counts decay the certificate fails, the hapax tail folds
+    // back in (re-framed through the learned merges), and the final
+    // table's merge SEQUENCE matches exact learning everywhere.
+    val common = Seq.fill(30)("thequick brownfox").mkString(" ")
+    val rare = "zebra yonder xylem walnut vortex umber"
+    val df = docs(common, common, rare)
+    val exact = Bpe.learnMerges(df, "text", numMerges = 12, maxLocalVocab = 0)
+    val pruned = Bpe.learnMerges(df, "text", numMerges = 12, maxLocalVocab = 0,
+      pruneBelow = 2)
+    pruned.map(m => (m.rank, m.left, m.right)) shouldBe
+      exact.map(m => (m.rank, m.left, m.right))
+    // Deep enough that the rare words' own pairs must appear — proof
+    // the fallback actually restored them.
+    exact.size shouldBe 12
+  }
+
   test("merge-order determinism: two runs produce the identical table") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Bpe.learnMerges(df, "text", numMerges = 8)

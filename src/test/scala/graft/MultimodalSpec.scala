@@ -453,4 +453,112 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
     out(0).getString(1) shouldBe "ppm" // sniffed, but honestly undecodable
   }
+
+  // ---- baseline JPEG decode (JpegWriter → JpegDecoder) ------------------
+
+  test("JPEG baseline: DC-only grayscale with restart markers decodes to exact flat blocks") {
+    // Q0 = 16 → a DC-only block's every sample is exactly 2·dc + 128
+    // (the IDCT of a lone DC term is flat dc·Q0/8, no rounding
+    // ambiguity). DRI = 2 exercises RSTn handling + predictor resets.
+    val dc = Array(-15, -5, 5, 15)
+    val bytes = graft.multimodal.JpegWriter.grayDcOnly(16, 16, dc, q = 16, restartInterval = 2)
+    val Some((w, h, lum)) = Multimodal.PixelDecoder.decodeLuma("jpeg", bytes)
+    w shouldBe 16
+    h shouldBe 16
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val block = (y / 8) * 2 + (x / 8)
+      withClue(s"($x,$y): ") { lum(y * 16 + x) shouldBe 2 * dc(block) + 128 }
+    }
+  }
+
+  test("JPEG baseline: 4:2:0 color with neutral chroma returns the luma plane exactly") {
+    // Cb = Cr = 128 (all-zero chroma coefficients) → YCbCr→RGB→luma
+    // round-trips to Y; exercises the 3-component MCU interleave and
+    // the chroma upsampling grid.
+    val dcY = Array(20, 13, 6, -1)
+    val bytes = graft.multimodal.JpegWriter.colorDcOnly420(16, 16, dcY, q = 16)
+    val Some((w, h, lum)) = Multimodal.PixelDecoder.decodeLuma("jpeg", bytes)
+    w shouldBe 16
+    h shouldBe 16
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val block = (y / 8) * 2 + (x / 8)
+      withClue(s"($x,$y): ") { lum(y * 16 + x) shouldBe 2 * dcY(block) + 128 }
+    }
+  }
+
+  test("JPEG baseline: AC spectrum decodes through Huffman run-length + IDCT") {
+    // One block, zigzag coefficients dc=0, AC(u=1,v=0)=4 (zigzag index
+    // 1), Q=16: s(x,y) = (4·16)/(4·√2)·cos((2x+1)π/16) — constant per
+    // column. Expected per-row samples (round(s)+128), hand-computed:
+    // 139 137 134 130 126 122 119 117.
+    val zz = new Array[Int](64)
+    zz(1) = 4
+    val bytes = graft.multimodal.JpegWriter.grayFromCoefs(8, 8, Array(zz), q = 16)
+    val Some((_, _, lum)) = Multimodal.PixelDecoder.decodeLuma("jpeg", bytes)
+    val expectedRow = Seq(139, 137, 134, 130, 126, 122, 119, 117)
+    for (y <- 0 until 8) {
+      withClue(s"row $y: ") { (0 until 8).map(x => lum(y * 8 + x)) shouldBe expectedRow }
+    }
+    // Long zero run: coefficient at zigzag index 40 forces ZRL (>15
+    // zeros) coding; verify against an independent reference IDCT.
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val zz2 = new Array[Int](64)
+    zz2(0) = 10
+    zz2(40) = -3
+    val bytes2 = graft.multimodal.JpegWriter.grayFromCoefs(8, 8, Array(zz2), q = 16)
+    val Some((_, _, lum2)) = Multimodal.PixelDecoder.decodeLuma("jpeg", bytes2)
+    def refIdct(x: Int, y: Int): Int = {
+      var s = 0.0
+      for (k <- 0 until 64 if zz2(k) != 0) {
+        val nat = zigzag(k)
+        val u = nat % 8
+        val v = nat / 8
+        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+        s += cu * cv * (zz2(k) * 16.0) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      }
+      val vOut = math.round(s / 4.0).toInt + 128
+      math.max(0, math.min(255, vOut))
+    }
+    for (y <- 0 until 8; x <- 0 until 8) {
+      withClue(s"($x,$y): ") { lum2(y * 8 + x) shouldBe refIdct(x, y) }
+    }
+  }
+
+  test("JPEG: progressive, truncated, and non-JPEG streams return None (honest nulls)") {
+    Multimodal.PixelDecoder.decodeLuma("jpeg",
+      graft.multimodal.JpegWriter.progressiveStub(16, 16)) shouldBe None
+    val good = graft.multimodal.JpegWriter.grayDcOnly(16, 16, Array(1, 2, 3, 4))
+    Multimodal.PixelDecoder.decodeLuma("jpeg", good.take(good.length / 2)) shouldBe None
+    Multimodal.PixelDecoder.decodeLuma("jpeg", "not a jpeg".getBytes) shouldBe None
+    // the generic 4-byte sniff header alone (no frame) is undecodable
+    Multimodal.PixelDecoder.decodeLuma("jpeg", jpegBytes("photo")) shouldBe None
+  }
+
+  test("JPEG and PPM of the same pixel grid produce identical perceptual hashes") {
+    // Cross-decoder consistency: a grayscale JPEG (flat DC blocks) and
+    // a PPM whose gray pixels equal the decoded JPEG samples must land
+    // on the SAME dhash/ahash — JPEG rows dedupe against uncompressed
+    // rows in mm7's Manku-blocked join.
+    val dc = Array(-20, 0, 10, 30)
+    def grayAt(x: Int, y: Int): Int = 2 * dc((y / 8) * 2 + (x / 8)) + 128
+    val jpeg = graft.multimodal.JpegWriter.grayDcOnly(16, 16, dc, q = 16)
+    val ppm = ppmBytes(16, 16)((x, y) => { val v = grayAt(x, y); (v, v, v) })
+    val s = spark
+    import s.implicits._
+    val out = Multimodal.imageHashes(
+        Seq((1L, jpeg), (2L, ppm)).toDF("img_id", "content"), "img_id", "content")
+      .orderBy("id").collect()
+    out(0).getString(1) shouldBe "jpeg"
+    out(1).getString(1) shouldBe "ppm"
+    out(0).getInt(2) shouldBe 16
+    out(0).getLong(4) shouldBe out(1).getLong(4) // dhash equal
+    out(0).getLong(5) shouldBe out(1).getLong(5) // ahash equal
+  }
 }
