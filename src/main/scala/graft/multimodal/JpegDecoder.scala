@@ -323,6 +323,9 @@ private[multimodal] object JpegDecoder {
           while (i < ns) {
             val cid = b(pos + 3 + 2 * i) & 0xff
             val tt = b(pos + 4 + 2 * i) & 0xff
+            // Table-id range check (baseline restricts ids to 0–1; ≤3
+            // matches the table-array size — same guard SOF/DHT apply).
+            if ((tt >> 4) > 3 || (tt & 0xf) > 3) return None
             comps.find(_.id == cid) match {
               case Some(c) => c.dcTab = tt >> 4; c.acTab = tt & 0xf
               case None => return None
@@ -342,11 +345,20 @@ private[multimodal] object JpegDecoder {
   }
 
   private def decodeScan(
-      b: Array[Byte], start: Int, comps: Array[Component],
+      b: Array[Byte], start: Int, comps0: Array[Component],
       width: Int, height: Int,
       quant: Array[Array[Int]], quantSeen: Array[Boolean],
       dcTabs: Array[Huff], acTabs: Array[Huff],
       restartInterval: Int): Option[(Int, Int, Array[Int])] = {
+    // T.81 A.2: a scan with ONE component is non-interleaved — the MCU
+    // is a single data unit and blocks cover the component at full
+    // resolution in raster order, regardless of declared sampling
+    // factors. With nc == 1, h/hmax = v/vmax = 1, so decoding with
+    // effective 1×1 factors is exactly that order.
+    val comps =
+      if (comps0.length == 1 && (comps0(0).h > 1 || comps0(0).v > 1))
+        Array(comps0(0).copy(h = 1, v = 1))
+      else comps0
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
@@ -362,6 +374,15 @@ private[multimodal] object JpegDecoder {
     }
     val planeW = comps.map(c => mcusX * 8 * c.h)
     val planeH = comps.map(c => mcusY * 8 * c.v)
+    // Allocation budget: unlike PPM/BMP, header dims alone don't bound
+    // the payload, so a few-hundred-byte stream could claim gigabyte
+    // planes. Every coded block consumes ≥ 1 entropy bit (its DC
+    // symbol), so the declared block count can't exceed 8× the
+    // remaining entropy bytes for any decodable stream — reject
+    // anything larger before allocating.
+    val totalBlocks = (0 until nc).map(ci =>
+      mcusX.toLong * mcusY.toLong * comps(ci).h * comps(ci).v).sum
+    if (totalBlocks > 8L * math.max(0, b.length - start)) return None
     val planes = Array.tabulate(nc)(ci => new Array[Int](planeW(ci) * planeH(ci)))
     val preds = new Array[Int](nc)
     val zz = new Array[Int](64)

@@ -286,6 +286,41 @@ private[graft] object JpegWriter {
     out.toArray
   }
 
+  /** Grayscale DC-only baseline JPEG whose SOF declares sampling
+    * factors `hs`×`vs` > 1×1. Per T.81 A.2 a single-component scan is
+    * NON-interleaved regardless of declared factors: the MCU is one
+    * data unit and blocks cover the full-resolution component in
+    * raster order — exactly the `grayDcOnly` block order. So this
+    * fixture must decode to the SAME pixels as `grayDcOnly(w, h, dc,
+    * q)`; a decoder that wrongly interleaves (hs·vs blocks per MCU)
+    * either scrambles the order or over-reads. */
+  def grayDcOnlySampled(w: Int, h: Int, dc: Array[Int], q: Int = 16,
+      hs: Int = 2, vs: Int = 2): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, s"fixture dims must be block-aligned: ${w}x$h")
+    val bx = w / 8
+    val by = h / 8
+    require(dc.length == bx * by, s"need ${bx * by} DC values, got ${dc.length}")
+    val out = ArrayBuffer.empty[Byte]
+    out += 0xff.toByte; out += 0xd8.toByte
+    seg(out, 0xe0, app0)
+    seg(out, 0xdb, dqt(0, q))
+    seg(out, 0xc0, sof0(w, h, Seq((1, hs, vs, 0))))
+    seg(out, 0xc4, dht(0, 0, DcBits, DcVals))
+    seg(out, 0xc4, dht(1, 0, AcBits, AcVals))
+    seg(out, 0xda, sos(Seq((1, 0, 0))))
+    val bw = new BitWriter(out)
+    var pred = 0
+    var i = 0
+    while (i < dc.length) {
+      writeDcOnlyBlock(bw, dc(i) - pred)
+      pred = dc(i)
+      i += 1
+    }
+    bw.flush()
+    out += 0xff.toByte; out += 0xd9.toByte
+    out.toArray
+  }
+
   /** A well-formed PROGRESSIVE (SOF2) stub: the decoder must return
     * None — the honest null-hash row — never guess. */
   def progressiveStub(w: Int, h: Int): Array[Byte] = {

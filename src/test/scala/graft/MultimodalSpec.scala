@@ -541,6 +541,60 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Multimodal.PixelDecoder.decodeLuma("jpeg", jpegBytes("photo")) shouldBe None
   }
 
+  test("JPEG: out-of-range SOS Huffman table ids return None, not a crash") {
+    // One flipped nibble in the SOS component spec must yield the
+    // honest null-hash row — never ArrayIndexOutOfBoundsException in
+    // the imageHashes mapPartitions job.
+    val good = graft.multimodal.JpegWriter.grayDcOnly(16, 16, Array(1, 2, 3, 4))
+    def sosTtOffset(b: Array[Byte]): Int = {
+      val p = b.indices.find(i =>
+        (b(i) & 0xff) == 0xff && i + 1 < b.length && (b(i + 1) & 0xff) == 0xda).get
+      p + 6 // FF DA len(2) ns(1) id(1) → tt
+    }
+    for (bad <- Seq(0x40, 0x04, 0xff, 0x4f, 0xf4)) {
+      val crafted = good.clone()
+      crafted(sosTtOffset(crafted)) = bad.toByte
+      Multimodal.PixelDecoder.decodeLuma("jpeg", crafted) shouldBe None
+    }
+    // and the unpatched stream still decodes
+    Multimodal.PixelDecoder.decodeLuma("jpeg", good) should not be None
+  }
+
+  test("JPEG: single-component frame with 2x2 sampling factors decodes non-interleaved (T.81 A.2)") {
+    // A grayscale JPEG declaring 2x2 factors is a one-component scan →
+    // NON-interleaved: blocks in raster order over the full-resolution
+    // component, identical pixels to the 1x1 stream.
+    val dc = Array(-20, 0, 10, 30)
+    val plain = graft.multimodal.JpegWriter.grayDcOnly(16, 16, dc, q = 16)
+    val sampled = graft.multimodal.JpegWriter.grayDcOnlySampled(16, 16, dc, q = 16)
+    val Some((w1, h1, lum1)) = Multimodal.PixelDecoder.decodeLuma("jpeg", plain)
+    val Some((w2, h2, lum2)) = Multimodal.PixelDecoder.decodeLuma("jpeg", sampled)
+    (w2, h2) shouldBe ((w1, h1))
+    lum2 shouldBe lum1
+    // 2x1 and 1x4 factor shapes ride the same rule
+    val s21 = graft.multimodal.JpegWriter.grayDcOnlySampled(16, 16, dc, q = 16, hs = 2, vs = 1)
+    val Some((_, _, lum3)) = Multimodal.PixelDecoder.decodeLuma("jpeg", s21)
+    lum3 shouldBe lum1
+  }
+
+  test("JPEG: crafted huge-dims header is rejected before plane allocation") {
+    // A few-hundred-byte stream claiming 8192x8192 cannot carry one
+    // entropy bit per declared block — the budget check must refuse it
+    // without allocating the ~256 MB plane.
+    val tiny = graft.multimodal.JpegWriter.grayDcOnly(8, 8, Array(0))
+    val p = tiny.indices.find(i =>
+      (tiny(i) & 0xff) == 0xff && i + 1 < tiny.length && (tiny(i + 1) & 0xff) == 0xc0).get
+    val crafted = tiny.clone()
+    // FF C0 len(2) prec(1) h(2) w(2): patch dims to 8192x8192
+    crafted(p + 5) = 0x20; crafted(p + 6) = 0x00
+    crafted(p + 7) = 0x20; crafted(p + 8) = 0x00
+    val before = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    Multimodal.PixelDecoder.decodeLuma("jpeg", crafted) shouldBe None
+    val after = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    // loose pin: no quarter-gigabyte allocation happened
+    (after - before) should be < 200L * 1024 * 1024
+  }
+
   test("JPEG and PPM of the same pixel grid produce identical perceptual hashes") {
     // Cross-decoder consistency: a grayscale JPEG (flat DC blocks) and
     // a PPM whose gray pixels equal the decoded JPEG samples must land
