@@ -436,7 +436,12 @@ object Bench {
     // artifact therefore self-certifies: start AND end probes above
     // floor, or the flags say exactly why not.
     val knownFlappers = Seq(
-      "txt_repetition", "ll15_pipeline", "ll16_stream_near_dup", "txt_pattern_counts")
+      "txt_repetition", "ll15_pipeline", "ll16_stream_near_dup", "txt_pattern_counts",
+      // r20: CPU-real full-suite flaps with byte-identical code and
+      // clean probes (r19 driver run 3.1×/3.6× vs their isolated
+      // re-pins) — JVM-neighborhood sensitivity, see BASELINE.md
+      // "Round-20 notes".
+      "ll13_component_ids", "ll14_capped_block_keys")
     // Pre-recert contamination snapshot: feeds the recert suspect set.
     // The ARTIFACT's `dirty` list is recomputed from the FINAL results
     // below, so a query whose recert rerun came back clean is no longer

@@ -1871,6 +1871,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- LLM-pipeline: REAL PNG pixel decode → perceptual hashes.
+    // Fixture: per doc_id a 16×16 PNG whose luma follows
+    // `(5·doc + 17·y + 29·x) mod 256` — doc%4==0 grayscale, ==1
+    // truecolor with r=g=b (luma ≡ v exactly under the integer
+    // formula), ==2 RGBA with a varying alpha the decoder must
+    // ignore, ==3 an Adam7-INTERLACED stub the decoder must refuse
+    // (null-hash row). Scanline filters cycle 0..4 by row, so every
+    // decode runs all five unfilter paths (None/Sub/Up/Average/
+    // Paeth) and the zlib inflate for real; the oracle reproduces
+    // every hash bit from the pixel formula alone
+    // (graft.multimodal.PngDecoder; byte-level corruption honesty is
+    // spec-covered with CRC/truncation fixtures).
+    "mm10_png_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { doc =>
+          val lum = Array.tabulate(16 * 16) { i =>
+            val x = i % 16; val y = i / 16
+            ((5 * doc + 17 * y + 29 * x) % 256).toInt
+          }
+          val bytes = (doc % 4) match {
+            case 0 => graft.multimodal.PngWriter.gray8(16, 16, lum)
+            case 1 => graft.multimodal.PngWriter.grayAsRgb8(16, 16, lum)
+            case 2 => graft.multimodal.PngWriter.grayAsRgba8(16, 16, lum)
+            case _ => graft.multimodal.PngWriter.interlacedStub(16, 16)
+          }
+          (doc, bytes)
+        }
+        .toDF("doc_id", "bin")
+      Multimodal.imageHashes(bins, "doc_id", "bin")
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("dhash_hex"), col("ahash_hex"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Image near-dup dedup: 9×8 grayscale PPMs in doc_id/2 pairs
     // (odd ids perturb one pixel of their even sibling's pattern), fed
     // through the SAME Manku-blocked Hamming join as text simhash.
@@ -4720,6 +4756,49 @@ object SparkEntry {
         |SELECT d.doc_id, 'jpeg' AS format,
         |       CAST(CASE WHEN d.doc_id % 3 = 2 THEN 0 ELSE 16 END AS INTEGER) AS width,
         |       CAST(CASE WHEN d.doc_id % 3 = 2 THEN 0 ELSE 16 END AS INTEGER) AS height,
+        |       dh.dhash_hex, ah.ahash_hex
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN dhex dh USING (doc_id) LEFT JOIN ahex ah USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Every dHash/aHash bit re-derived from the PNG pixel rule
+    // `(5·doc + 17·y + 29·x) mod 256` at the sampleGrid positions
+    // (sx = c·16//9, sy = 2r for the 9×8 dhash grid; 2c/2r for the
+    // 8×8 ahash grid); doc%4==3 is the refused interlaced stub.
+    "mm10_png_dhash" ->
+      """WITH px AS MATERIALIZED (
+        |  SELECT doc_id, r, c,
+        |    (5*doc_id + 34*r + 29*((c*16)//9)) % 256 AS lum
+        |  FROM documents, range(0, 8) tr(r), range(0, 9) tc(c)
+        |  WHERE doc_id % 4 <> 3),
+        |dbits AS (
+        |  SELECT a.doc_id, a.r, a.c, CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |drows AS (
+        |  SELECT doc_id, r, CAST(sum(bit * (1 << (7 - c))) AS INTEGER) AS byte
+        |  FROM dbits GROUP BY 1, 2),
+        |dhex AS (
+        |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY r) AS dhash_hex
+        |  FROM drows GROUP BY 1),
+        |apx AS MATERIALIZED (
+        |  SELECT doc_id, r, c,
+        |    (5*doc_id + 34*r + 58*c) % 256 AS lum
+        |  FROM documents, range(0, 8) tr(r), range(0, 8) tc(c)
+        |  WHERE doc_id % 4 <> 3),
+        |am AS (SELECT doc_id, sum(lum) / 64.0 AS mean FROM apx GROUP BY 1),
+        |abits AS (
+        |  SELECT g.doc_id, g.r, g.c, CASE WHEN g.lum > m.mean THEN 1 ELSE 0 END AS bit
+        |  FROM apx g JOIN am m ON m.doc_id = g.doc_id),
+        |arows AS (
+        |  SELECT doc_id, r, CAST(sum(bit * (1 << (7 - c))) AS INTEGER) AS byte
+        |  FROM abits GROUP BY 1, 2),
+        |ahex AS (
+        |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY r) AS ahash_hex
+        |  FROM arows GROUP BY 1)
+        |SELECT d.doc_id, 'png' AS format,
+        |       CAST(CASE WHEN d.doc_id % 4 = 3 THEN 0 ELSE 16 END AS INTEGER) AS width,
+        |       CAST(CASE WHEN d.doc_id % 4 = 3 THEN 0 ELSE 16 END AS INTEGER) AS height,
         |       dh.dhash_hex, ah.ahash_hex
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN dhex dh USING (doc_id) LEFT JOIN ahex ah USING (doc_id)

@@ -399,10 +399,11 @@ object Multimodal {
       greatest(round(col("height") * scale).cast("int"), lit(1)).as("out_height"))
   }
 
-  /** Pixel access for the UNCOMPRESSED image formats a codec-free
-    * container can decode honestly: PPM (P6 binary, maxval ≤ 255, no
-    * comment lines) and BMP (24-bit BI_RGB, bottom-up or top-down).
-    * Everything compressed stays behind the [[BinaryDecoder]] plug
+  /** Pixel access for the image formats this library decodes
+    * honestly: PPM (P6 binary, maxval ≤ 255, no comment lines), BMP
+    * (24-bit BI_RGB, bottom-up or top-down), baseline-sequential JPEG
+    * ([[JpegDecoder]]), and non-interlaced 8-bit PNG ([[PngDecoder]]).
+    * Everything else stays behind the [[BinaryDecoder]] plug
     * point. Returns the image as row-major TOP-DOWN integer luma
     * (`(299·r + 587·g + 114·b) / 1000`, integer division — exactly
     * replayable arithmetic, no float rounding). */
@@ -501,6 +502,11 @@ object Multimodal {
         // (the honest null-hash row), same discipline as a corrupt
         // PPM header.
         case "jpeg" => JpegDecoder.decodeLuma(bytes)
+        // Non-interlaced 8-bit gray/RGB/RGBA PNG — chunk walk, JDK
+        // Inflater, the five scanline filters ([[PngDecoder]]);
+        // interlaced/16-bit/palette return None (the honest null-hash
+        // row), same discipline as a corrupt PPM header.
+        case "png" => PngDecoder.decodeLuma(bytes)
         case _ => None
       }
 

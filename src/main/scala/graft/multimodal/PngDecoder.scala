@@ -1,0 +1,216 @@
+package graft.multimodal
+
+import java.util.zip.{CRC32, DataFormatException, Inflater}
+
+/** PNG (ISO/IEC 15948) still-image decoder for the non-interlaced
+  * 8-bit truecolor/grayscale subset — the other dominant real web
+  * format next to baseline JPEG. Chunk walk (IHDR → IDAT* → IEND),
+  * zlib inflate via the public JDK (`java.util.zip.Inflater`), and
+  * the five scanline filters (None/Sub/Up/Average/Paeth, §9), feeding
+  * the same [[Multimodal.PixelDecoder]] → dHash/aHash → Manku-block
+  * dedup chain as PPM/BMP/JPEG. Reference scope: the reference has no
+  * media handling at all; this is a north-star LLM-pipeline component.
+  *
+  * Honesty contract (the [[Multimodal.StubDecoder]] discipline):
+  * anything this decoder cannot decode EXACTLY returns None — the
+  * null-hash row — never fabricated pixels. That includes interlaced
+  * (Adam7) images, bit depths other than 8, indexed-color (palette)
+  * images, unknown color types, bad CRCs on critical chunks,
+  * truncated or over-long zlib streams, and malformed chunk layout.
+  * Accepted color types: 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA);
+  * alpha is ignored for hashing (the luma of the stored samples, the
+  * same convention every hash consumer here uses).
+  *
+  * Output: row-major TOP-DOWN integer luma — gray returns the sample
+  * directly; color applies the shared `(299·R + 587·G + 114·B) / 1000`
+  * integer formula, so PNG rows hash under exactly the same arithmetic
+  * as PPM/BMP/JPEG rows (MultimodalSpec pins PNG ≡ PPM of the same
+  * pixel grid).
+  *
+  * 100 TB shape: pure per-row byte work inside `mapPartitions`
+  * ([[Multimodal.imageHashes]]) — bytes never shuffle, nothing
+  * collects; cost is linear in pixels. */
+private[multimodal] object PngDecoder {
+
+  /** Same crafted-header cap as the other pixel decoders. */
+  private val MaxPixelDim = 16384
+
+  /** DEFLATE's hard expansion ceiling is 1032:1 (a 258-byte match per
+    * 2 coded bits); a declared raw size beyond that for the available
+    * IDAT bytes cannot inflate fully, so reject it BEFORE allocating —
+    * the same crafted-header/zip-bomb budget discipline as
+    * [[JpegDecoder]]'s entropy-bit bound. */
+  private val MaxInflateRatio = 1032L
+
+  private val Signature: Array[Int] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  private def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+
+  /** Samples per pixel for the accepted color types; -1 = refused. */
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // truecolor
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // truecolor + alpha
+    case _ => -1 // 3 = palette and anything unknown: honest None
+  }
+
+  def decodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 8 + 25) return None // signature + IHDR + IEND can't fit
+    var i = 0
+    while (i < 8) { if (u8(b, i) != Signature(i)) return None; i += 1 }
+
+    // ---- chunk walk: IHDR first, IDAT payloads concatenated in
+    // order, stop at IEND. Ancillary chunks are skipped; critical
+    // chunks get a CRC check (corruption → None, never wrong pixels).
+    var pos = 8
+    var width = 0
+    var height = 0
+    var channels = -1
+    var sawIhdr = false
+    var sawIend = false
+    var idatLen = 0L
+    val idatParts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val crc = new CRC32
+    while (!sawIend) {
+      if (pos + 12 > b.length) return None // truncated chunk header/crc
+      val len = be32(b, pos)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > b.length) return None
+      val dataOff = pos + 8
+      val typ = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def crcOk(): Boolean = {
+        crc.reset()
+        crc.update(b, pos + 4, 4 + len.toInt)
+        crc.getValue == be32(b, dataOff + len.toInt)
+      }
+      typ match {
+        case "IHDR" =>
+          if (sawIhdr || len != 13 || !crcOk()) return None
+          sawIhdr = true
+          val w = be32(b, dataOff)
+          val h = be32(b, dataOff + 4)
+          val bitDepth = u8(b, dataOff + 8)
+          val colorType = u8(b, dataOff + 9)
+          val compression = u8(b, dataOff + 10)
+          val filterMethod = u8(b, dataOff + 11)
+          val interlace = u8(b, dataOff + 12)
+          channels = channelsOf(colorType)
+          // 8-bit, non-interlaced, standard compression/filter only;
+          // 16-bit / sub-byte depths, Adam7, palette → honest None.
+          if (w <= 0 || h <= 0 || w > MaxPixelDim || h > MaxPixelDim ||
+              bitDepth != 8 || channels < 0 || compression != 0 ||
+              filterMethod != 0 || interlace != 0) return None
+          width = w.toInt
+          height = h.toInt
+        case "IDAT" =>
+          if (!sawIhdr || !crcOk()) return None
+          idatParts += ((dataOff, len.toInt))
+          idatLen += len
+        case "IEND" =>
+          if (!sawIhdr || len != 0 || !crcOk()) return None
+          sawIend = true
+        case _ =>
+          if (!sawIhdr) return None // IHDR must be the first chunk
+        // ancillary chunks (and PLTE on refused types): skipped, CRC
+        // not enforced — they carry no pixel data on accepted paths.
+      }
+      pos += 12 + len.toInt
+    }
+    if (idatParts.isEmpty) return None
+
+    // ---- inflate budget, then the zlib stream itself. Raw image size
+    // is h scanlines of (1 filter byte + w·channels samples).
+    val rowBytes = 1L + width.toLong * channels
+    val rawLen = rowBytes * height
+    if (rawLen > Int.MaxValue || rawLen > MaxInflateRatio * idatLen) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new Inflater()
+    try {
+      var outOff = 0
+      var part = 0
+      while (outOff < raw.length) {
+        if (inf.needsInput()) {
+          if (part >= idatParts.length) return None // truncated stream
+          val (off, len) = idatParts(part)
+          inf.setInput(b, off, len)
+          part += 1
+        }
+        val n = inf.inflate(raw, outOff, raw.length - outOff)
+        if (n == 0 && inf.finished()) return None // short stream
+        outOff += n
+      }
+      // Drain: a conforming stream ends exactly at rawLen. Feed any
+      // remaining parts so `finished()` can be observed; extra RAW
+      // bytes beyond rawLen mean a dimension/stream mismatch → None.
+      val scratch = new Array[Byte](64)
+      var guard = idatParts.length + 4
+      while (!inf.finished() && guard > 0) {
+        if (inf.needsInput()) {
+          if (part >= idatParts.length) return None
+          val (off, len) = idatParts(part)
+          inf.setInput(b, off, len)
+          part += 1
+        }
+        if (inf.inflate(scratch, 0, scratch.length) > 0) return None
+        guard -= 1
+      }
+      if (!inf.finished()) return None
+    } catch {
+      case _: DataFormatException => return None
+    } finally inf.end()
+
+    // ---- unfilter (§9): per scanline, filter byte then bytes; the
+    // reconstruction references are Recon(a)=left, Recon(b)=up,
+    // Recon(c)=up-left, at `bpp` byte offsets, zero off-image.
+    val bpp = channels
+    val stride = width * channels
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride) // zeros above the first row
+    val lum = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val base = y * rowBytes.toInt
+      val ft = u8(raw, base)
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val v = u8(raw, base + 1 + x)
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val up = prev(x)
+        val c = if (x >= bpp) prev(x - bpp) else 0
+        val recon = ft match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + up
+          case 3 => v + ((a + up) >> 1)
+          case 4 => // Paeth predictor (§9.4)
+            val p = a + up - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            v + pred
+        }
+        cur(x) = recon & 0xff
+        x += 1
+      }
+      var px = 0
+      while (px < width) {
+        val o = px * channels
+        lum(y * width + px) = channels match {
+          case 1 | 2 => cur(o) // gray (alpha, if any, ignored)
+          case _ => luma(cur(o), cur(o + 1), cur(o + 2))
+        }
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some((width, height, lum))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.multimodal
+
+import java.util.zip.{CRC32, Deflater}
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal PNG (ISO/IEC 15948) writer — the fixture generator behind
+  * the `mm10_png_dhash` gate and the PngDecoder specs. Emits fully
+  * standard non-interlaced 8-bit streams (signature, IHDR, one IDAT,
+  * IEND, CRC-32 on every chunk, zlib via `java.util.zip.Deflater`)
+  * for the four accepted color types, applying a caller-chosen
+  * scanline filter per row so the decoder's unfilter path
+  * (None/Sub/Up/Average/Paeth) is exercised end-to-end — the filter
+  * transform here is the spec's forward form, the decoder implements
+  * the inverse, and MultimodalSpec additionally pins hand-filtered
+  * byte fixtures so a matched writer/decoder bug cannot hide in the
+  * round-trip.
+  *
+  * Also provides the refused-variant stubs (interlaced, 16-bit,
+  * palette) that must yield the honest null-hash row. */
+private[graft] object PngWriter {
+
+  private def be32(out: ArrayBuffer[Byte], v: Long): Unit = {
+    out += ((v >>> 24) & 0xff).toByte
+    out += ((v >>> 16) & 0xff).toByte
+    out += ((v >>> 8) & 0xff).toByte
+    out += (v & 0xff).toByte
+  }
+
+  private def chunk(out: ArrayBuffer[Byte], typ: String, data: Array[Byte]): Unit = {
+    be32(out, data.length.toLong)
+    val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out ++= tb
+    out ++= data
+    val crc = new CRC32
+    crc.update(tb)
+    crc.update(data)
+    be32(out, crc.getValue)
+  }
+
+  private def ihdr(w: Int, h: Int, bitDepth: Int, colorType: Int,
+      interlace: Int): Array[Byte] = {
+    val d = ArrayBuffer.empty[Byte]
+    be32(d, w.toLong); be32(d, h.toLong)
+    d += bitDepth.toByte; d += colorType.toByte
+    d += 0; d += 0; d += interlace.toByte
+    d.toArray
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    def_.setInput(raw)
+    def_.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = ArrayBuffer.empty[Byte]
+    while (!def_.finished()) {
+      val n = def_.deflate(buf)
+      out ++= buf.take(n)
+    }
+    def_.end()
+    out.toArray
+  }
+
+  /** Forward scanline filter (spec §9): `filtered = raw − pred mod
+    * 256`, with Recon(a)/Recon(b)/Recon(c) at `bpp` byte offsets and
+    * zero off-image — the exact inverse of the decoder's unfilter. */
+  private def filterRows(w: Int, h: Int, channels: Int,
+      samples: Array[Int], filterOf: Int => Int): Array[Byte] = {
+    val stride = w * channels
+    val raw = new Array[Byte]((1 + stride) * h)
+    var y = 0
+    while (y < h) {
+      val ft = filterOf(y)
+      require(ft >= 0 && ft <= 4, s"filter type $ft")
+      raw(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val v = samples(y * stride + x)
+        val a = if (x >= channels) samples(y * stride + x - channels) else 0
+        val up = if (y > 0) samples((y - 1) * stride + x) else 0
+        val c = if (x >= channels && y > 0) samples((y - 1) * stride + x - channels) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) >> 1
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        raw(y * (1 + stride) + 1 + x) = ((v - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    raw
+  }
+
+  /** General 8-bit writer: `samples` is row-major channel-interleaved
+    * (length w·h·channels, each 0..255); `colorType` one of 0/2/4/6;
+    * `filterOf(row)` picks each scanline's filter (default cycles all
+    * five so every filter path is exercised in every image ≥ 5 rows
+    * tall). */
+  def png8(w: Int, h: Int, colorType: Int, samples: Array[Int],
+      filterOf: Int => Int = _ % 5): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case t => throw new IllegalArgumentException(s"color type $t")
+    }
+    require(samples.length == w * h * channels,
+      s"need ${w * h * channels} samples, got ${samples.length}")
+    val out = ArrayBuffer[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    chunk(out, "IHDR", ihdr(w, h, 8, colorType, 0))
+    chunk(out, "IDAT", deflate(filterRows(w, h, channels, samples, filterOf)))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toArray
+  }
+
+  /** Grayscale (color type 0) from a luma grid. */
+  def gray8(w: Int, h: Int, lum: Array[Int],
+      filterOf: Int => Int = _ % 5): Array[Byte] =
+    png8(w, h, 0, lum, filterOf)
+
+  /** Truecolor (type 2) with r=g=b=v — decodes to luma exactly v. */
+  def grayAsRgb8(w: Int, h: Int, lum: Array[Int],
+      filterOf: Int => Int = _ % 5): Array[Byte] =
+    png8(w, h, 2, lum.flatMap(v => Array(v, v, v)), filterOf)
+
+  /** Truecolor+alpha (type 6) with r=g=b=v and a varying alpha the
+    * decoder must IGNORE. */
+  def grayAsRgba8(w: Int, h: Int, lum: Array[Int],
+      filterOf: Int => Int = _ % 5): Array[Byte] =
+    png8(w, h, 6, lum.zipWithIndex.flatMap { case (v, i) =>
+      Array(v, v, v, (37 * i + 11) % 256) }, filterOf)
+
+  /** A well-formed Adam7-INTERLACED stub: IHDR declares interlace=1;
+    * the decoder must return None — never de-interlace-guess. The
+    * IDAT carries a valid zlib stream so the refusal is provably the
+    * IHDR check, not a decompression accident. */
+  def interlacedStub(w: Int, h: Int): Array[Byte] = {
+    val out = ArrayBuffer[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    chunk(out, "IHDR", ihdr(w, h, 8, 0, 1))
+    chunk(out, "IDAT", deflate(new Array[Byte](8)))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toArray
+  }
+
+  /** 16-bit-depth stub (bitDepth=16): must return None. */
+  def sixteenBitStub(w: Int, h: Int): Array[Byte] = {
+    val out = ArrayBuffer[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    chunk(out, "IHDR", ihdr(w, h, 16, 0, 0))
+    chunk(out, "IDAT", deflate(new Array[Byte]((1 + 2 * w) * h)))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toArray
+  }
+
+  /** Indexed-color stub (colorType=3 + PLTE): must return None. */
+  def paletteStub(w: Int, h: Int): Array[Byte] = {
+    val out = ArrayBuffer[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    chunk(out, "IHDR", ihdr(w, h, 8, 3, 0))
+    chunk(out, "PLTE", Array.tabulate(24)(i => (i * 10).toByte))
+    chunk(out, "IDAT", deflate(new Array[Byte]((1 + w) * h)))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toArray
+  }
+}

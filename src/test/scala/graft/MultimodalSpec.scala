@@ -615,4 +615,147 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(0).getLong(4) shouldBe out(1).getLong(4) // dhash equal
     out(0).getLong(5) shouldBe out(1).getLong(5) // ahash equal
   }
+
+  // ---------------------------------------------------------------- PNG
+
+  private def pngLum(w: Int, h: Int)(f: (Int, Int) => Int): Array[Int] =
+    Array.tabulate(w * h)(i => f(i % w, i / w))
+
+  test("PNG: 8-bit grayscale round-trips exactly through all five scanline filters") {
+    val w = 11; val h = 10 // odd width: Sub/Paeth offsets off the word grain
+    val lum = pngLum(w, h)((x, y) => (7 * x * x + 13 * y + x * y * 3) % 256)
+    for (ft <- 0 to 4) {
+      val bytes = graft.multimodal.PngWriter.gray8(w, h, lum, _ => ft)
+      val Some((dw, dh, out)) = Multimodal.PixelDecoder.decodeLuma("png", bytes)
+      (dw, dh) shouldBe ((w, h))
+      out shouldBe lum
+    }
+    // and the cycling-filter default (every row a different filter)
+    val Some((_, _, out)) = Multimodal.PixelDecoder.decodeLuma(
+      "png", graft.multimodal.PngWriter.gray8(w, h, lum))
+    out shouldBe lum
+  }
+
+  test("PNG: RGB and RGBA with r=g=b decode to the same luma as grayscale; alpha is ignored") {
+    val w = 9; val h = 7
+    val lum = pngLum(w, h)((x, y) => (31 * x + 57 * y) % 256)
+    val g = Multimodal.PixelDecoder.decodeLuma(
+      "png", graft.multimodal.PngWriter.gray8(w, h, lum)).get._3
+    Multimodal.PixelDecoder.decodeLuma(
+      "png", graft.multimodal.PngWriter.grayAsRgb8(w, h, lum)).get._3 shouldBe g
+    Multimodal.PixelDecoder.decodeLuma(
+      "png", graft.multimodal.PngWriter.grayAsRgba8(w, h, lum)).get._3 shouldBe g
+    // two RGBA images differing ONLY in alpha decode identically
+    val s1 = lum.flatMap(v => Array(v, v, v, 0))
+    val s2 = lum.flatMap(v => Array(v, v, v, 255))
+    Multimodal.PixelDecoder.decodeLuma(
+        "png", graft.multimodal.PngWriter.png8(w, h, 6, s1)).get._3 shouldBe
+      Multimodal.PixelDecoder.decodeLuma(
+        "png", graft.multimodal.PngWriter.png8(w, h, 6, s2)).get._3
+  }
+
+  test("PNG: truecolor luma uses the shared integer formula") {
+    val w = 8; val h = 6
+    val samples = Array.tabulate(w * h * 3) { i => (i * 41 + 17) % 256 }
+    val bytes = graft.multimodal.PngWriter.png8(w, h, 2, samples)
+    val Some((_, _, out)) = Multimodal.PixelDecoder.decodeLuma("png", bytes)
+    val expect = Array.tabulate(w * h) { p =>
+      (299 * samples(3 * p) + 587 * samples(3 * p + 1) + 114 * samples(3 * p + 2)) / 1000
+    }
+    out shouldBe expect
+  }
+
+  test("PNG: decoder agrees pixel-for-pixel with javax.imageio (independent implementation)") {
+    // The writer's forward filter and the decoder's unfilter are
+    // inverse implementations by the same author — a matched bug
+    // could hide in the round-trip. ImageIO is the JDK's independent
+    // PNG decoder: agreement on every pixel across all five filters
+    // and three color types rules that out.
+    val w = 13; val h = 9
+    val lum = pngLum(w, h)((x, y) => (5 * x * y + 11 * x + 3 * y * y) % 256)
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 29 + 7) % 256)
+    val fixtures = Seq(
+      graft.multimodal.PngWriter.gray8(w, h, lum),
+      graft.multimodal.PngWriter.grayAsRgba8(w, h, lum),
+      graft.multimodal.PngWriter.png8(w, h, 2, rgb)) ++
+      (0 to 4).map(ft => graft.multimodal.PngWriter.gray8(w, h, lum, _ => ft))
+    for (bytes <- fixtures) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      img should not be null
+      val Some((dw, dh, out)) = Multimodal.PixelDecoder.decodeLuma("png", bytes)
+      (dw, dh) shouldBe ((img.getWidth, img.getHeight))
+      // raw raster samples, NOT getRGB — getRGB pushes grayscale
+      // through a CS_GRAY → sRGB color-space conversion
+      val raster = img.getRaster
+      val color = raster.getNumBands >= 3
+      for (y <- 0 until dh; x <- 0 until dw) {
+        val expect =
+          if (color)
+            (299 * raster.getSample(x, y, 0) + 587 * raster.getSample(x, y, 1) +
+              114 * raster.getSample(x, y, 2)) / 1000
+          else raster.getSample(x, y, 0)
+        withClue(s"($x,$y): ") { out(y * dw + x) shouldBe expect }
+      }
+    }
+  }
+
+  test("PNG: interlaced, 16-bit, palette, truncated, and corrupt streams return None") {
+    Multimodal.PixelDecoder.decodeLuma(
+      "png", graft.multimodal.PngWriter.interlacedStub(8, 8)) shouldBe None
+    Multimodal.PixelDecoder.decodeLuma(
+      "png", graft.multimodal.PngWriter.sixteenBitStub(8, 8)) shouldBe None
+    Multimodal.PixelDecoder.decodeLuma(
+      "png", graft.multimodal.PngWriter.paletteStub(8, 8)) shouldBe None
+    val good = graft.multimodal.PngWriter.gray8(16, 16,
+      pngLum(16, 16)((x, y) => (x * 16 + y) % 256))
+    Multimodal.PixelDecoder.decodeLuma("png", good) should not be None
+    // truncation at every prefix length: None, never a crash
+    for (cut <- Seq(7, 20, 40, good.length - 5, good.length - 1)) {
+      Multimodal.PixelDecoder.decodeLuma("png", good.take(cut)) shouldBe None
+    }
+    // a flipped IDAT byte fails the CRC check
+    val corrupt = good.clone()
+    corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x5a).toByte
+    Multimodal.PixelDecoder.decodeLuma("png", corrupt) shouldBe None
+  }
+
+  test("PNG: crafted huge-dims header is rejected by the inflate budget before allocation") {
+    // Re-declare a tiny image's IHDR as 16384x16384 (with a VALID
+    // re-computed CRC, so the refusal is provably the inflate-ratio
+    // budget, not the CRC): a few-hundred-byte IDAT cannot legally
+    // inflate to a gigabyte of scanlines.
+    val tiny = graft.multimodal.PngWriter.gray8(8, 8, pngLum(8, 8)((x, y) => x + y))
+    val crafted = tiny.clone()
+    def putBe32(off: Int, v: Long): Unit = {
+      crafted(off) = ((v >>> 24) & 0xff).toByte
+      crafted(off + 1) = ((v >>> 16) & 0xff).toByte
+      crafted(off + 2) = ((v >>> 8) & 0xff).toByte
+      crafted(off + 3) = (v & 0xff).toByte
+    }
+    putBe32(16, 16384L) // IHDR width (sig 8 + len 4 + type 4)
+    putBe32(20, 16384L) // IHDR height
+    val crc = new java.util.zip.CRC32
+    crc.update(crafted, 12, 4 + 13)
+    putBe32(12 + 4 + 13, crc.getValue)
+    val before = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    Multimodal.PixelDecoder.decodeLuma("png", crafted) shouldBe None
+    val after = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    (after - before) should be < 200L * 1024 * 1024
+  }
+
+  test("PNG and PPM of the same pixel grid produce identical perceptual hashes") {
+    val lum = pngLum(18, 16)((x, y) => (9 * x + 23 * y + x * y) % 256)
+    val png = graft.multimodal.PngWriter.gray8(18, 16, lum)
+    val ppm = ppmBytes(18, 16)((x, y) => { val v = lum(y * 18 + x); (v, v, v) })
+    val s = spark
+    import s.implicits._
+    val out = Multimodal.imageHashes(
+        Seq((1L, png), (2L, ppm)).toDF("img_id", "content"), "img_id", "content")
+      .orderBy("id").collect()
+    out(0).getString(1) shouldBe "png"
+    out(1).getString(1) shouldBe "ppm"
+    out(0).getInt(2) shouldBe 18
+    out(0).getLong(4) shouldBe out(1).getLong(4) // dhash equal
+    out(0).getLong(5) shouldBe out(1).getLong(5) // ahash equal
+  }
 }
