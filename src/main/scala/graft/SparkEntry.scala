@@ -1925,6 +1925,105 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- The full image-dedup story in ONE gate (the mm analogue of
+    // ll15_pipeline): a MIXED-format corpus — per doc_id a 16×16
+    // image whose pixels are block-constant `128 + 2·dc(by, bx)` with
+    // `dc` from the doc_id//2 pattern (odd ids flip block (0,0) to
+    // `−dc−1`, so (even, odd) siblings are near-dups: the uniform
+    // in-block shift only moves the ≤4 dhash bits on the block-
+    // boundary column) — written as PPM / BMP / baseline-JPEG / PNG
+    // by doc%4 (all four decoders land on the SAME luma grid), then
+    // decode → dHash → Manku-blocked Hamming join (uncapped +
+    // maxHamming < blocks ⇒ exactly brute-force, which the oracle
+    // replays) → connected components → keep-BEST survivor per
+    // cluster (argmax (score, id), score = doc_id mod 7 — a synthetic
+    // quality so the keeper is NOT simply the min id). One persisted
+    // hash frame feeds the block keys and the labeling join-back.
+    "mm11_image_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { doc =>
+          val g = doc / 2
+          // 64×64 → an 8×8 block grid: the dhash grid's by index IS
+          // the row (sy = 8r) and its 9 sample columns hit bx
+          // 0,0,1,2,3,4,5,6,7 — seven intra-row block boundaries × 8
+          // rows = 56 pattern-dependent bits. The block value samples
+          // DIFFERENT bit ranges of a multiplicative hash of the
+          // group id per block (a plain affine/poly formula mod 128
+          // sees only g mod 128 — 128 distinct patterns corpus-wide
+          // and one giant chained component; the >> (bx+by) makes
+          // patterns distinct per g, so clusters are the (even, odd)
+          // sibling pairs plus occasional honest hash collisions).
+          val gh = (g * 2654435761L) % 1048576L
+          def dcOf(by: Int, bx: Int): Int = {
+            val base = (((gh >> (bx + by)) + 31 * by * by + 13 * bx * bx +
+              5 * by * bx) % 128 - 64).toInt
+            if (doc % 2 == 1 && by == 0 && bx == 0) -base - 1 else base
+          }
+          val dc = Array.tabulate(64)(i => dcOf(i / 8, i % 8))
+          val lum = Array.tabulate(4096) { i =>
+            val x = i % 64; val y = i / 64
+            128 + 2 * dc((y / 8) * 8 + (x / 8))
+          }
+          val bytes = (doc % 4) match {
+            case 0 =>
+              val hdr = "P6\n64 64\n255\n".getBytes("US-ASCII")
+              val out = new Array[Byte](hdr.length + 4096 * 3)
+              System.arraycopy(hdr, 0, out, 0, hdr.length)
+              var i = 0
+              while (i < 4096) {
+                val v = lum(i).toByte
+                out(hdr.length + 3 * i) = v
+                out(hdr.length + 3 * i + 1) = v
+                out(hdr.length + 3 * i + 2) = v
+                i += 1
+              }
+              out
+            case 1 =>
+              // 24-bit bottom-up BMP; w=64 → 192-byte rows, no padding
+              val buf = java.nio.ByteBuffer.allocate(54 + 192 * 64)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              buf.put('B'.toByte).put('M'.toByte).putInt(54 + 192 * 64)
+                .putInt(0).putInt(54)
+                .putInt(40).putInt(64).putInt(64).putShort(1).putShort(24).putInt(0)
+                .putInt(192 * 64).putInt(2835).putInt(2835).putInt(0).putInt(0)
+              var y = 63
+              while (y >= 0) {
+                var x = 0
+                while (x < 64) {
+                  val v = lum(y * 64 + x).toByte
+                  buf.put(v).put(v).put(v)
+                  x += 1
+                }
+                y -= 1
+              }
+              buf.array()
+            case 2 => graft.multimodal.JpegWriter.grayDcOnly(64, 64, dc, q = 16)
+            case _ => graft.multimodal.PngWriter.gray8(64, 64, lum)
+          }
+          (doc, bytes)
+        }
+        .toDF("doc_id", "bin")
+      val hashes = Multimodal.imageHashes(bins, "doc_id", "bin").persist()
+      try {
+        val keys = Dedup.blockKeysFromSketches(
+          hashes, "id", "dhash", maxHamming = 4, blocks = 6)
+        val pairs = Dedup.simhashNearDupPairsFromKeys(
+          keys, maxHamming = 4, maxBucketOccupancy = 0)
+        val withComp = Dedup.componentIds(
+          hashes.select(col("id").as("doc_id")), "doc_id", pairs)
+        val scored = withComp.withColumn("score", pmod(col("doc_id"), lit(7)))
+        val keepers = scored.groupBy(col("component"))
+          .agg(max(struct(col("score").as("s"), col("doc_id").as("i"))).as("best"))
+          .select(col("best.i").as("doc_id"), lit(true).as("kept"))
+        scored.join(keepers, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("component"),
+            coalesce(col("kept"), lit(false)).as("kept"))
+          .orderBy("doc_id")
+      } finally { hashes.unpersist(blocking = false); () }
+    }),
+
     // ---- Streaming-profile plan, verified through its batch fixpoint:
     // the same windowedCompleteness plan runs incrementally under a
     // watermark on a stream (see StreamProfiler/StreamingSpec).
@@ -4803,6 +4902,58 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN dhex dh USING (doc_id) LEFT JOIN ahex ah USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // End-to-end replay of the image pipeline: dHashes re-derived
+    // from the block-constant pixel rule (format-independent — all
+    // four writers land on the same luma grid), brute-force Hamming
+    // pairs (= the uncapped recall-guaranteed blocked join),
+    // transitive-closure components, then the keep-best argmax
+    // ((score, id), score = doc_id mod 7) per cluster.
+    "mm11_image_pipeline" ->
+      """WITH RECURSIVE grid AS MATERIALIZED (
+        |  SELECT doc_id, r, c,
+        |    128 + 2 * (CASE WHEN doc_id % 2 = 1 AND r = 0 AND bx = 0
+        |               THEN -bb - 1 ELSE bb END) AS lum
+        |  FROM (
+        |    SELECT doc_id, r, c, bx,
+        |      (((((doc_id//2) * 2654435761) % 1048576) // (1 << (bx + r))
+        |        + 31*r*r + 13*bx*bx + 5*r*bx) % 128) - 64 AS bb
+        |    FROM (SELECT doc_id, r, c, ((c*64)//9)//8 AS bx
+        |          FROM documents, range(0, 8) tr(r), range(0, 9) tc(c)))),
+        |rws AS (
+        |  SELECT a.doc_id, a.r,
+        |         CAST(sum(CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END * (1 << (7 - a.c))) AS BIGINT) AS byte
+        |  FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+        |  WHERE a.c < 8 GROUP BY 1, 2),
+        |hs AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN r = 0 AND byte >= 128 THEN (byte - 256) * 72057594037927936
+        |             WHEN r = 0 THEN byte * 72057594037927936
+        |             ELSE byte * (CAST(1 AS BIGINT) << (8 * (7 - r))) END) AS h
+        |  FROM rws GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION SELECT id_b, id_a FROM prs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src),
+        |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+        |compfull AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  LEFT JOIN comp c USING (doc_id)),
+        |ranked AS (
+        |  SELECT doc_id, component,
+        |         row_number() OVER (PARTITION BY component
+        |                            ORDER BY doc_id % 7 DESC, doc_id DESC) AS rn
+        |  FROM compfull)
+        |SELECT doc_id, component, (rn = 1) AS kept
+        |FROM ranked ORDER BY doc_id""".stripMargin,
 
     // Brute-force Hamming pairs over the formula-derived dHashes
     // (signed 64-bit reconstruction, xor + bit_count): exactly what

@@ -631,6 +631,37 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally { keys.unpersist(); () }
   }
 
+  test("mm11 shape: block keys and component join-back share the ONE persisted image-hash scan") {
+    val s = spark
+    import s.implicits._
+    // tiny mixed corpus: the per-partition decode (mapPartitions) is
+    // the expensive stage — it must run once into the cache, and
+    // NOTHING live above the cache may re-run it.
+    val lum = Array.tabulate(64 * 64)(i => (i * 7 + 3) % 256)
+    val bins = Seq(
+      (1L, graft.multimodal.PngWriter.gray8(64, 64, lum)),
+      (2L, graft.multimodal.PngWriter.gray8(64, 64, lum)),
+      (3L, graft.multimodal.PngWriter.gray8(64, 64, lum.map(v => (v + 101) % 256))))
+      .toDF("doc_id", "bin")
+    val hashes = graft.multimodal.Multimodal.imageHashes(bins, "doc_id", "bin").persist()
+    try {
+      hashes.count()
+      val keys = graft.dedup.Dedup.blockKeysFromSketches(
+        hashes, "id", "dhash", maxHamming = 4, blocks = 6)
+      val pairs = graft.dedup.Dedup.simhashNearDupPairsFromKeys(
+        keys, maxHamming = 4, maxBucketOccupancy = 0)
+      val labeled = graft.dedup.Dedup.componentIds(
+        hashes.select(col("id").as("doc_id")), "doc_id", pairs)
+      labeled.collect()
+      val plan = labeled.queryExecution.executedPlan.toString
+      val live = plan.linesIterator.takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+      withClue(plan) {
+        live should include("InMemoryTableScan")
+        live should not include "MapPartitions" // the decode never re-runs
+      }
+    } finally { hashes.unpersist(blocking = false); () }
+  }
+
   test("typeInference is one wide conditional aggregate — single scan, no shuffle-per-column") {
     val plan = physical(ProfilePasses.typeInference(
       lineitem.select(col("l_returnflag"), col("l_linestatus")),
