@@ -900,6 +900,31 @@ object SparkEntry {
       Dedup.clusterSizeHistogram(pairs).orderBy("cluster_size")
     }),
 
+    // ---- LLM-pipeline: exact substring-level dedup (the suffix-
+    // array-dedup shape at token granularity) — maximal token spans
+    // ≥ 6 shared across document pairs, found by anchoring on EVERY
+    // positional 6-gram (df ≥ 2 prefiltered, equi-keyed on the gram
+    // hash with string-verify in the join) and merging consecutive
+    // anchors along each (pair, diagonal). The oracle replays the
+    // same construction from scratch in SQL — gram lists, the join,
+    // and the gaps-and-islands run merge.
+    "ll31_substring_dedup" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      Dedup.sharedSpans(df, "doc_id", "text", minSpan = 6)
+        .orderBy("id_a", "id_b", "start_a", "start_b")
+    }),
+
+    // ---- Removal side of ll31: keep-earliest policy (spans survive
+    // in the lower id), per-document union of the b-side spans as
+    // merged (start, end] token intervals — what a cleaning pass
+    // would actually cut.
+    "ll31b_span_removal" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+      val spans = Dedup.sharedSpans(df, "doc_id", "text", minSpan = 6)
+      Dedup.spanRemovalIntervals(spans)
+        .orderBy("doc_id", "span_start", "span_end")
+    }),
+
     // ---- Near-dup removal keeping the BEST cluster member by score
     // (here: text length — "keep the longest", a real crawl policy).
     // Components come from the same verified pair graph as ll8b; the
@@ -4128,6 +4153,62 @@ object SparkEntry {
         |)
         |SELECT cluster_size, count(*) AS n_clusters
         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // Brute-force replay of the span construction: every positional
+    // 6-gram (0-based), cross-doc equi-join on gram content, then
+    // gaps-and-islands per (pair, diagonal) — maximal extents exactly.
+    "ll31_substring_dedup" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, array_to_string(list_slice(w, i + 1, i + 6), ' ') AS gram
+        |  FROM toks, LATERAL unnest(range(0, greatest(len(w) - 5, 0))) t(i)),
+        |m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+        |         a.pos - b.pos AS diag
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT *, pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+        |  FROM m)
+        |SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+        |       CAST(max(pos_a) - min(pos_a) + 6 AS BIGINT) AS span_len
+        |FROM isl GROUP BY id_a, id_b, diag, island
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
+    // Same spans, then the keep-earliest removal view: b-side spans
+    // as (start, end] intervals, merged per document with a running-
+    // max gaps-and-islands pass.
+    "ll31b_span_removal" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, array_to_string(list_slice(w, i + 1, i + 6), ' ') AS gram
+        |  FROM toks, LATERAL unnest(range(0, greatest(len(w) - 5, 0))) t(i)),
+        |m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+        |         a.pos - b.pos AS diag
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT *, pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+        |  FROM m),
+        |spans AS (
+        |  SELECT id_b AS doc_id, min(pos_b) AS s,
+        |         min(pos_b) + max(pos_a) - min(pos_a) + 6 AS e
+        |  FROM isl GROUP BY id_a, id_b, diag, island),
+        |mk AS (
+        |  SELECT doc_id, s, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM spans),
+        |isl2 AS (
+        |  SELECT doc_id, s, e,
+        |         sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM mk)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start, span_end""".stripMargin,
 
     // Same recursive closure; the keeper per component is argmax
     // (score desc, id desc) — Spark's max(struct(score, id)) tiebreak

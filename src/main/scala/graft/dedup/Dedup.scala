@@ -1098,6 +1098,136 @@ object Dedup {
       .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 
+  // ---- Exact substring-level dedup: the distributed, token-
+  // granular take on suffix-array dedup — the pass that catches
+  // boilerplate headers/footers repeated INSIDE otherwise-unique
+  // documents, which whole-document fingerprints and shingle-Jaccard
+  // both miss.
+
+  /** Maximal token spans of length ≥ `minSpan` shared across two
+    * documents: one row `(id_a, id_b, start_a, start_b, span_len)`
+    * per maximal shared run (0-based token offsets, `id_a < id_b`).
+    *
+    * Exactness: a span of `s ≥ minSpan` shared tokens contains
+    * `s − minSpan + 1` aligned `minSpan`-grams, ALL of which match —
+    * so anchoring on every positional `minSpan`-gram (not a sampled
+    * or content-winnowed subset) finds every qualifying span, and
+    * merging consecutive anchors along each `(pair, diagonal)` into
+    * runs reconstructs the span's exact maximal extent. Both
+    * overlapping spans (different diagonals) and a gram repeated
+    * WITHIN one document (one row per alignment) fall out naturally.
+    * Tokens are `\s+`-split of the trimmed text (the [[wordShingles]]
+    * convention); documents shorter than `minSpan` tokens emit
+    * nothing.
+    *
+    * Scale shape: positional grams are map-side (`posexplode` over
+    * the arrays_zip slices — the [[wordShingles]] trick, linear not
+    * quadratic in document length); the df ≥ 2 prefilter is ONE
+    * partial-aggregated count on the gram hash that discards the
+    * corpus-unique long tail before any pair work; the anchor join is
+    * equi-keyed on the 64-bit gram hash (never all-pairs) with gram-
+    * string equality verified inside the co-partitioned join (hash
+    * collisions affect candidates, never results); run-merging is a
+    * keyed window over `(id_a, id_b, diag)` — never a global window.
+    * `maxGramOccupancy` > 0 caps the per-gram fan-out the same way
+    * the LSH-family joins cap bucket occupancy (a gram in k docs
+    * joins k² ways); audit what a cap silently drops with
+    * [[cappedSpanGrams]] — "no silent caps". */
+  def sharedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      minSpan: Int = 20, maxGramOccupancy: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = spanPostings(df, idCol, textCol, minSpan)
+    val kept =
+      if (maxGramOccupancy > 0)
+        postings.filter(size(col("occ")).between(2, maxGramOccupancy))
+      else postings.filter(size(col("occ")) >= 2)
+    // Ordered cross-doc pairs generated IN PLACE from each posting
+    // list (a nested-transform expression, no second shuffle, no
+    // self-join): posting order is irrelevant because the id_b > id_a
+    // filter is symmetric-complete.
+    val occ = col("occ")
+    val prs = kept
+      .select(explode(flatten(transform(occ, a =>
+        transform(filter(occ, b => b.getField("id") > a.getField("id")), b =>
+          struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            a.getField("pos").as("pos_a"), b.getField("pos").as("pos_b")))))).as("pr"))
+      .select(col("pr.id_a"), col("pr.id_b"), col("pr.pos_a"), col("pr.pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    // The final groupBy's keys extend the window's partition keys, so
+    // the aggregate rides the window exchange — two shuffles total
+    // (gram postings + diagonal runs) for the whole operator.
+    prs
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (max(col("pos_a")) - min(col("pos_a")) + lit(minSpan)).cast("long").as("span_len"))
+      .select(col("id_a"), col("id_b"),
+        col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"), col("span_len"))
+  }
+
+  /** Positional `n`-gram posting lists: `(ghash, gram, occ)` with
+    * `occ = [(id, pos), …]` over the whole corpus — ONE map-side
+    * tokenize/explode scan (the [[wordShingles]] arrays_zip trick,
+    * linear in document length; 0-based positions; documents shorter
+    * than `n` tokens emit nothing) and ONE shuffle keyed on the
+    * 64-bit gram hash (gram string in the key too, so a hash
+    * collision splits groups instead of corrupting pairs). List
+    * length is the gram's corpus occurrence count — the df ≥ 2
+    * filter, the occupancy cap, and the audit all read it without
+    * re-scanning. Shared by [[sharedSpans]] and [[cappedSpanGrams]]
+    * so the audit sees exactly the pair generator's input. */
+  private def spanPostings(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = split(trim(col(textCol)), "\\s+")
+    val cnt = size(w) - (n - 1)
+    val zipped = arrays_zip((0 until n).map(j =>
+      slice(w, lit(j + 1), greatest(cnt, lit(0)))): _*)
+    val gramArr = transform(zipped,
+      s => concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))
+    df.select(col(idCol), posexplode(gramArr).as(Seq("pos", "gram")))
+      .groupBy(xxhash64(col("gram")).as("ghash"), col("gram"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("pos").as("pos"))).as("occ"))
+  }
+
+  /** The spans-family occupancy audit: grams whose corpus-wide
+    * occurrence count exceeds `maxGramOccupancy` — exactly what a
+    * capped [[sharedSpans]] run silently skipped, with the count. */
+  def cappedSpanGrams(
+      df: DataFrame, idCol: String, textCol: String,
+      minSpan: Int, maxGramOccupancy: Int): DataFrame = {
+    require(maxGramOccupancy > 0, "audit needs a positive cap")
+    spanPostings(df, idCol, textCol, minSpan)
+      .filter(size(col("occ")) > maxGramOccupancy)
+      .select(col("gram"), size(col("occ")).cast("long").as("n_occurrences"))
+  }
+
+  /** Per-document removal intervals from [[sharedSpans]] output:
+    * keep-earliest policy (the span text survives in the LOWER id;
+    * every b-side occurrence is marked for removal), overlapping and
+    * adjacent intervals merged per document. Rows:
+    * `(doc_id, span_start, span_end)` — 0-based, end-exclusive token
+    * offsets. Interval merging is a keyed window per document
+    * (running max of span ends), never a global sort. */
+  def spanRemovalIntervals(
+      spans: DataFrame, idCol: String = "id_b",
+      startCol: String = "start_b", lenCol: String = "span_len"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = spans.select(col(idCol).as("doc_id"), col(startCol).as("s"),
+      (col(startCol) + col(lenCol)).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("__new", when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+      .withColumn("__island",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("s")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   /** One (bands, rowsPerBand) candidate for [[LshPlan.forThreshold]]:
     * its S-curve inflection (1/b)^(1/r) plus the candidate
     * probability 1−(1−s^r)^b at the target and at ±0.1 around it —

@@ -730,4 +730,96 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // default — the sentinel is a real parameter change, not a no-op.
     advised.bands should not be 32
   }
+
+  // ---- exact substring-level dedup (sharedSpans / spanRemovalIntervals)
+
+  private def spanDf(docs: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  test("sharedSpans finds a maximal span at document start and end, exactly once") {
+    // doc 1 ends with the 4 tokens doc 2 starts with: one maximal
+    // span of exactly minSpan, anchored at a=start? no — a's END,
+    // b's START: boundary offsets on both sides.
+    val df = spanDf(
+      (1L, "x1 x2 x3 a b c d"),
+      (2L, "a b c d y1 y2 y3"))
+    val out = graft.dedup.Dedup.sharedSpans(df, "doc_id", "text", minSpan = 4).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe
+      ((1L, 2L, 3L, 0L, 4L))
+  }
+
+  test("sharedSpans merges consecutive anchors into ONE maximal span, not per-gram rows") {
+    // a 7-token shared run with minSpan=4 has 4 aligned 4-grams —
+    // they must collapse to one row of span_len 7.
+    val shared = "s1 s2 s3 s4 s5 s6 s7"
+    val df = spanDf(
+      (1L, s"p q $shared r"),
+      (2L, s"$shared z1 z2"))
+    val out = graft.dedup.Dedup.sharedSpans(df, "doc_id", "text", minSpan = 4).collect()
+    out.length shouldBe 1
+    out.head.getLong(4) shouldBe 7L
+    (out.head.getLong(2), out.head.getLong(3)) shouldBe ((2L, 0L))
+  }
+
+  test("sharedSpans: a gram repeated WITHIN one document yields one span per alignment") {
+    // doc 1 contains the span twice (two diagonals vs doc 2's single
+    // occurrence) → two rows, both maximal.
+    val df = spanDf(
+      (1L, "a b c d z1 z2 a b c d"),
+      (2L, "q a b c d w"))
+    val out = graft.dedup.Dedup.sharedSpans(df, "doc_id", "text", minSpan = 4)
+      .orderBy("start_a").collect()
+    out.length shouldBe 2
+    (out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) shouldBe ((0L, 1L, 4L))
+    (out(1).getLong(2), out(1).getLong(3), out(1).getLong(4)) shouldBe ((6L, 1L, 4L))
+  }
+
+  test("sharedSpans emits nothing for documents shorter than minSpan or within-doc-only repeats") {
+    val df = spanDf(
+      (1L, "a b c"), // shorter than minSpan
+      (2L, "d e f g d e f g"), // repeats only within itself
+      (3L, "h i j k l m"))
+    graft.dedup.Dedup.sharedSpans(df, "doc_id", "text", minSpan = 4).count() shouldBe 0L
+  }
+
+  test("spanRemovalIntervals merges overlapping b-side spans per document (keep-earliest)") {
+    // doc 3 shares tokens 0..5 with doc 1 and 3..8 with doc 2 —
+    // overlapping removal intervals that must merge to one [0, 9).
+    val df = spanDf(
+      (1L, "a b c d e f"),
+      (2L, "d e f g h i"),
+      (3L, "a b c d e f g h i"))
+    val spans = graft.dedup.Dedup.sharedSpans(df, "doc_id", "text", minSpan = 4)
+    val iv = graft.dedup.Dedup.spanRemovalIntervals(spans).collect()
+    // doc 2 also shares "d e f" prefix... only >= 4 tokens count:
+    // doc2 vs doc1 share "d e f" (3) — below minSpan, absent.
+    iv.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+      Set((3L, 0L, 9L))
+  }
+
+  test("cappedSpanGrams audits exactly what an occupancy cap drops") {
+    val boiler = "t1 t2 t3 t4"
+    val df = spanDf(
+      (1L, s"$boiler u1"), (2L, s"$boiler u2"), (3L, s"$boiler u3"),
+      (4L, "v1 v2 v3 v4 v5"), (5L, "v1 v2 v3 v4 w"))
+    // cap 2: the 3-doc boilerplate gram is pruned from the join...
+    val capped = graft.dedup.Dedup.sharedSpans(df, "doc_id", "text",
+      minSpan = 4, maxGramOccupancy = 2)
+    capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((4L, 5L))
+    // ...and the audit names it with its corpus-wide count.
+    val audit = graft.dedup.Dedup.cappedSpanGrams(df, "doc_id", "text",
+      minSpan = 4, maxGramOccupancy = 2).collect()
+    audit.length shouldBe 1
+    audit.head.getString(0) shouldBe boiler
+    audit.head.getLong(1) shouldBe 3L
+    // uncapped finds all three boilerplate pairs
+    graft.dedup.Dedup.sharedSpans(df, "doc_id", "text", minSpan = 4)
+      .count() shouldBe 4L // (1,2) (1,3) (2,3) + (4,5)
+  }
 }

@@ -631,6 +631,27 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally { keys.unpersist(); () }
   }
 
+  test("sharedSpans is one corpus scan and two shuffles — postings, then diagonal runs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.dedup.Dedup.sharedSpans(docs, "doc_id", "text", minSpan = 6)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val finalPlan = plan.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    withClue(finalPlan) {
+      // pairs come from nested transforms over each posting list, NOT
+      // a self-join: one tokenize/explode pass over the corpus, one
+      // gram-keyed exchange, one (pair, diagonal) exchange for the
+      // run merge (whose groupBy extends the window keys and rides
+      // the same exchange). A regression here multiplies a 100 TB
+      // tokenize scan.
+      finalPlan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+      finalPlan.linesIterator.count(l =>
+        l.trim.startsWith("+- Exchange") || l.trim.startsWith("Exchange")) should be <= 2
+      finalPlan should not include "SortMergeJoin"
+      finalPlan should not include "BroadcastHashJoin"
+    }
+  }
+
   test("mm11 shape: block keys and component join-back share the ONE persisted image-hash scan") {
     val s = spark
     import s.implicits._
