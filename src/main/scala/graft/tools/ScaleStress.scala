@@ -208,6 +208,23 @@ object ScaleStress {
         .agg(sum(bit_count(col("dhash")))).collect()
       ()
     }
+    // BPE ENCODE at production vocabulary depth: a 5000-merge table
+    // (driver-learned once, outside the timing) driven through the
+    // codegen BpeEncode expression over the same hash-widened corpus
+    // it was learned on — both pre-screen paths exercised (real merge
+    // hits on the hex words, fast rejections on the natural words).
+    // Encode is pure map-side; wall must scale with the corpus's
+    // distinct words (the per-thread memo makes repeats free), never
+    // with the 5000 rounds.
+    def widen(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), concat_ws(" ", col("text"),
+        md5(col("text")), md5(concat(col("text"), lit("x"))),
+        md5(col("doc_id").cast("string"))).as("text"))
+    def bpeEncodeDeep(docs: DataFrame, merges: Seq[graft.text.Bpe.Merge]): Unit = {
+      graft.text.Bpe.tokenize(docs, "text", "doc_id", merges)
+        .agg(sum(col("n_tokens"))).collect()
+      ()
+    }
     withMaterialized(Seq(docs1, docsK)) {
       bpeLearn(docs1)
       val b1 = time(bpeLearn(docs1))
@@ -220,6 +237,27 @@ object ScaleStress {
       val i1 = time(imageHash(docs1))
       val ik = time(imageHash(docsK))
       report("image_hashes", i1, ik)
+    }
+    val wide1 = widen(docs1)
+    val wideK = widen(docsK)
+    withMaterialized(Seq(wide1, wideK)) {
+      val deepMerges = graft.text.Bpe.learnMerges(wide1, "text", numMerges = 5000)
+      require(deepMerges.size == 5000, s"expected 5000 merges, got ${deepMerges.size}")
+      // contiguity pre-screen hit rate: fraction of (word, merge)
+      // checks where the unframed symbol string contains the merged
+      // pair's characters — the superset screen that lets encodeWord
+      // skip the framed replace on the long miss tail.
+      val sampleWords = wide1.select(explode(split(col("text"), " ")).as("w"))
+        .limit(2000).distinct().as[String].collect()
+      val cats = deepMerges.map(m => m.left + m.right)
+      val hits = sampleWords.iterator.map(w => cats.count(w.contains)).sum
+      val rate = hits.toDouble / (sampleWords.length.toDouble * cats.length)
+      System.err.println(
+        f"[scale-stress] bpe_encode_5k pre-screen hit rate $rate%.5f over ${sampleWords.length} words x ${cats.length} merges")
+      bpeEncodeDeep(wide1, deepMerges)
+      val e1 = time(bpeEncodeDeep(wide1, deepMerges))
+      val ek = time(bpeEncodeDeep(wideK, deepMerges))
+      report("bpe_encode_5k", e1, ek)
     }
     withMaterialized(Seq(lineitem1, liK)) {
       profile(lineitem1)
