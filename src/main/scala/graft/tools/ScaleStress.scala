@@ -238,6 +238,31 @@ object ScaleStress {
       val ik = time(imageHash(docsK))
       report("image_hashes", i1, ik)
     }
+    // Substring-span dedup: the standard amplification shares each
+    // document's FULL text across its copies, which multiplies true
+    // duplication degree — sharedSpans' OUTPUT is inherently quadratic
+    // in per-span duplication (emitting those pairs IS the job), so
+    // that would measure output size, not operator scaling. Salt every
+    // copy's words with the copy id instead: corpus grows by `factor`,
+    // duplication degree stays the corpus's own, and the candidate/
+    // pair/merge work should scale ~linearly.
+    def substringSpans(docs: DataFrame): Unit = {
+      Dedup.sharedSpans(docs, "doc_id", "text", minSpan = 6)
+        .agg(count(lit(1)), sum(col("span_len"))).collect()
+      ()
+    }
+    val spansK = docs1
+      .select(explode(sequence(lit(0), lit(factor - 1))).as("copy"),
+        col("doc_id"), col("text"))
+      .select((col("doc_id") + col("copy").cast("long") * 10000000L).as("doc_id"),
+        array_join(transform(split(col("text"), "\\s+"),
+          w => concat(col("copy").cast("string"), lit("_"), w)), " ").as("text"))
+    withMaterialized(Seq(docs1, spansK)) {
+      substringSpans(docs1)
+      val s1 = time(substringSpans(docs1))
+      val sk = time(substringSpans(spansK))
+      report("substring_spans", s1, sk)
+    }
     val wide1 = widen(docs1)
     val wideK = widen(docsK)
     withMaterialized(Seq(wide1, wideK)) {
