@@ -1901,7 +1901,9 @@ object SparkEntry {
     // `(5·doc + 17·y + 29·x) mod 256` — doc%4==0 grayscale, ==1
     // truecolor with r=g=b (luma ≡ v exactly under the integer
     // formula), ==2 RGBA with a varying alpha the decoder must
-    // ignore, ==3 an Adam7-INTERLACED stub the decoder must refuse
+    // ignore, ==3 the SAME pixels Adam7-INTERLACED (seven strided
+    // passes — must hash identically to the sequential variants),
+    // except doc%8==7: a 16-BIT stub the decoder must refuse
     // (null-hash row). Scanline filters cycle 0..4 by row, so every
     // decode runs all five unfilter paths (None/Sub/Up/Average/
     // Paeth) and the zlib inflate for real; the oracle reproduces
@@ -1921,7 +1923,9 @@ object SparkEntry {
             case 0 => graft.multimodal.PngWriter.gray8(16, 16, lum)
             case 1 => graft.multimodal.PngWriter.grayAsRgb8(16, 16, lum)
             case 2 => graft.multimodal.PngWriter.grayAsRgba8(16, 16, lum)
-            case _ => graft.multimodal.PngWriter.interlacedStub(16, 16)
+            case _ =>
+              if (doc % 8 == 3) graft.multimodal.PngWriter.interlaced8(16, 16, 0, lum)
+              else graft.multimodal.PngWriter.sixteenBitStub(16, 16)
           }
           (doc, bytes)
         }
@@ -4944,13 +4948,15 @@ object SparkEntry {
     // Every dHash/aHash bit re-derived from the PNG pixel rule
     // `(5·doc + 17·y + 29·x) mod 256` at the sampleGrid positions
     // (sx = c·16//9, sy = 2r for the 9×8 dhash grid; 2c/2r for the
-    // 8×8 ahash grid); doc%4==3 is the refused interlaced stub.
+    // 8×8 ahash grid); doc%8==3 carries the same pixels Adam7-
+    // interlaced (same formula, same hashes); doc%8==7 is the
+    // refused 16-bit stub.
     "mm10_png_dhash" ->
       """WITH px AS MATERIALIZED (
         |  SELECT doc_id, r, c,
         |    (5*doc_id + 34*r + 29*((c*16)//9)) % 256 AS lum
         |  FROM documents, range(0, 8) tr(r), range(0, 9) tc(c)
-        |  WHERE doc_id % 4 <> 3),
+        |  WHERE doc_id % 8 <> 7),
         |dbits AS (
         |  SELECT a.doc_id, a.r, a.c, CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
@@ -4965,7 +4971,7 @@ object SparkEntry {
         |  SELECT doc_id, r, c,
         |    (5*doc_id + 34*r + 58*c) % 256 AS lum
         |  FROM documents, range(0, 8) tr(r), range(0, 8) tc(c)
-        |  WHERE doc_id % 4 <> 3),
+        |  WHERE doc_id % 8 <> 7),
         |am AS (SELECT doc_id, sum(lum) / 64.0 AS mean FROM apx GROUP BY 1),
         |abits AS (
         |  SELECT g.doc_id, g.r, g.c, CASE WHEN g.lum > m.mean THEN 1 ELSE 0 END AS bit
@@ -4977,8 +4983,8 @@ object SparkEntry {
         |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY r) AS ahash_hex
         |  FROM arows GROUP BY 1)
         |SELECT d.doc_id, 'png' AS format,
-        |       CAST(CASE WHEN d.doc_id % 4 = 3 THEN 0 ELSE 16 END AS INTEGER) AS width,
-        |       CAST(CASE WHEN d.doc_id % 4 = 3 THEN 0 ELSE 16 END AS INTEGER) AS height,
+        |       CAST(CASE WHEN d.doc_id % 8 = 7 THEN 0 ELSE 16 END AS INTEGER) AS width,
+        |       CAST(CASE WHEN d.doc_id % 8 = 7 THEN 0 ELSE 16 END AS INTEGER) AS height,
         |       dh.dhash_hex, ah.ahash_hex
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN dhex dh USING (doc_id) LEFT JOIN ahex ah USING (doc_id)

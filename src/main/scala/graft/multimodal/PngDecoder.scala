@@ -5,18 +5,22 @@ import java.util.zip.{CRC32, DataFormatException, Inflater}
 /** PNG (ISO/IEC 15948) still-image decoder for the non-interlaced
   * 8-bit truecolor/grayscale subset — the other dominant real web
   * format next to baseline JPEG. Chunk walk (IHDR → IDAT* → IEND),
-  * zlib inflate via the public JDK (`java.util.zip.Inflater`), and
-  * the five scanline filters (None/Sub/Up/Average/Paeth, §9), feeding
+  * zlib inflate via the public JDK (`java.util.zip.Inflater`),
+  * the five scanline filters (None/Sub/Up/Average/Paeth, §9), and
+  * both interlace methods (sequential and Adam7), feeding
   * the same [[Multimodal.PixelDecoder]] → dHash/aHash → Manku-block
   * dedup chain as PPM/BMP/JPEG. Reference scope: the reference has no
   * media handling at all; this is a north-star LLM-pipeline component.
   *
   * Honesty contract (the [[Multimodal.StubDecoder]] discipline):
   * anything this decoder cannot decode EXACTLY returns None — the
-  * null-hash row — never fabricated pixels. That includes interlaced
-  * (Adam7) images, bit depths other than 8, indexed-color (palette)
-  * images, unknown color types, bad CRCs on critical chunks,
-  * truncated or over-long zlib streams, and malformed chunk layout.
+  * null-hash row — never fabricated pixels. That includes bit depths
+  * other than 8, indexed-color (palette) images, unknown color
+  * types, bad CRCs on critical chunks, truncated or over-long zlib
+  * streams, and malformed chunk layout. Adam7 INTERLACED images
+  * decode for real (seven strided passes, each with its own filter
+  * context, §8.2) — pinned pixel-identical to their sequential
+  * twins and to javax.imageio in MultimodalSpec.
   * Accepted color types: 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA);
   * alpha is ignored for hashing (the luma of the stored samples, the
   * same convention every hash consumer here uses).
@@ -72,6 +76,7 @@ private[multimodal] object PngDecoder {
     var width = 0
     var height = 0
     var channels = -1
+    var interlaced = false
     var sawIhdr = false
     var sawIend = false
     var idatLen = 0L
@@ -100,13 +105,14 @@ private[multimodal] object PngDecoder {
           val filterMethod = u8(b, dataOff + 11)
           val interlace = u8(b, dataOff + 12)
           channels = channelsOf(colorType)
-          // 8-bit, non-interlaced, standard compression/filter only;
-          // 16-bit / sub-byte depths, Adam7, palette → honest None.
+          // 8-bit, standard compression/filter, sequential or Adam7;
+          // 16-bit / sub-byte depths, palette → honest None.
           if (w <= 0 || h <= 0 || w > MaxPixelDim || h > MaxPixelDim ||
               bitDepth != 8 || channels < 0 || compression != 0 ||
-              filterMethod != 0 || interlace != 0) return None
+              filterMethod != 0 || interlace > 1) return None
           width = w.toInt
           height = h.toInt
+          interlaced = interlace == 1
         case "IDAT" =>
           if (!sawIhdr || !crcOk()) return None
           idatParts += ((dataOff, len.toInt))
@@ -123,11 +129,26 @@ private[multimodal] object PngDecoder {
     }
     if (idatParts.isEmpty) return None
 
-    // ---- inflate budget, then the zlib stream itself. Raw image size
-    // is h scanlines of (1 filter byte + w·channels samples).
-    val rowBytes = 1L + width.toLong * channels
-    val rawLen = rowBytes * height
-    if (rawLen > Int.MaxValue || rawLen > MaxInflateRatio * idatLen) return None
+    // ---- pass geometry (§8.2): sequential is the single full-image
+    // pass; Adam7 is seven strided passes, each its own scanline
+    // group (its own filter context, empty passes absent entirely).
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlaced)
+        Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Array((0, 0, 1, 1))
+    val passDims = passes.map { case (x0, y0, dx, dy) =>
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      (pw, ph)
+    }
+
+    // ---- inflate budget, then the zlib stream itself. Raw stream =
+    // per live pass, ph scanlines of (1 filter byte + pw·channels).
+    val rawLen = passDims.map { case (pw, ph) =>
+      if (pw > 0 && ph > 0) ph.toLong * (1L + pw.toLong * channels) else 0L
+    }.sum
+    if (rawLen == 0 || rawLen > Int.MaxValue || rawLen > MaxInflateRatio * idatLen) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
     try {
@@ -166,50 +187,61 @@ private[multimodal] object PngDecoder {
 
     // ---- unfilter (§9): per scanline, filter byte then bytes; the
     // reconstruction references are Recon(a)=left, Recon(b)=up,
-    // Recon(c)=up-left, at `bpp` byte offsets, zero off-image.
+    // Recon(c)=up-left, at `bpp` byte offsets, zero off-image —
+    // per PASS (each pass restarts with a zero row above it), pixels
+    // landing at the pass's strided positions.
     val bpp = channels
-    val stride = width * channels
-    val cur = new Array[Int](stride)
-    val prev = new Array[Int](stride) // zeros above the first row
     val lum = new Array[Int](width * height)
-    var y = 0
-    while (y < height) {
-      val base = y * rowBytes.toInt
-      val ft = u8(raw, base)
-      if (ft > 4) return None
-      var x = 0
-      while (x < stride) {
-        val v = u8(raw, base + 1 + x)
-        val a = if (x >= bpp) cur(x - bpp) else 0
-        val up = prev(x)
-        val c = if (x >= bpp) prev(x - bpp) else 0
-        val recon = ft match {
-          case 0 => v
-          case 1 => v + a
-          case 2 => v + up
-          case 3 => v + ((a + up) >> 1)
-          case 4 => // Paeth predictor (§9.4)
-            val p = a + up - c
-            val pa = math.abs(p - a)
-            val pb = math.abs(p - up)
-            val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
-            v + pred
+    var base = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = passDims(pi)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * channels
+        val cur = new Array[Int](stride)
+        val prev = new Array[Int](stride) // zeros above the pass's first row
+        var y = 0
+        while (y < ph) {
+          val ft = u8(raw, base)
+          if (ft > 4) return None
+          var x = 0
+          while (x < stride) {
+            val v = u8(raw, base + 1 + x)
+            val a = if (x >= bpp) cur(x - bpp) else 0
+            val up = prev(x)
+            val c = if (x >= bpp) prev(x - bpp) else 0
+            val recon = ft match {
+              case 0 => v
+              case 1 => v + a
+              case 2 => v + up
+              case 3 => v + ((a + up) >> 1)
+              case 4 => // Paeth predictor (§9.4)
+                val p = a + up - c
+                val pa = math.abs(p - a)
+                val pb = math.abs(p - up)
+                val pc = math.abs(p - c)
+                val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+                v + pred
+            }
+            cur(x) = recon & 0xff
+            x += 1
+          }
+          var px = 0
+          while (px < pw) {
+            val o = px * channels
+            lum((y0 + y * dy) * width + (x0 + px * dx)) = channels match {
+              case 1 | 2 => cur(o) // gray (alpha, if any, ignored)
+              case _ => luma(cur(o), cur(o + 1), cur(o + 2))
+            }
+            px += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+          base += 1 + stride
+          y += 1
         }
-        cur(x) = recon & 0xff
-        x += 1
       }
-      var px = 0
-      while (px < width) {
-        val o = px * channels
-        lum(y * width + px) = channels match {
-          case 1 | 2 => cur(o) // gray (alpha, if any, ignored)
-          case _ => luma(cur(o), cur(o + 1), cur(o + 2))
-        }
-        px += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
+      pi += 1
     }
     Some((width, height, lum))
   }

@@ -135,10 +135,52 @@ private[graft] object PngWriter {
     png8(w, h, 6, lum.zipWithIndex.flatMap { case (v, i) =>
       Array(v, v, v, (37 * i + 11) % 256) }, filterOf)
 
-  /** A well-formed Adam7-INTERLACED stub: IHDR declares interlace=1;
-    * the decoder must return None — never de-interlace-guess. The
-    * IDAT carries a valid zlib stream so the refusal is provably the
-    * IHDR check, not a decompression accident. */
+  /** Adam7 pass geometry (§8.2): (x0, y0, dx, dy) per pass. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Adam7-INTERLACED 8-bit writer: the same samples as [[png8]] laid
+    * out as seven strided passes, each its own scanline group with
+    * its own filter context (filters restart per pass — a zero row
+    * above each pass's first scanline). `filterOf(globalRow)` picks
+    * the filter per emitted scanline, counted across passes, so the
+    * default cycles all five filters through the interlace too. */
+  def interlaced8(w: Int, h: Int, colorType: Int, samples: Array[Int],
+      filterOf: Int => Int = _ % 5): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case t => throw new IllegalArgumentException(s"color type $t")
+    }
+    require(samples.length == w * h * channels,
+      s"need ${w * h * channels} samples, got ${samples.length}")
+    val raw = ArrayBuffer.empty[Byte]
+    var globalRow = 0
+    for ((x0, y0, dx, dy) <- Adam7) {
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        // gather the pass's samples, then reuse the sequential
+        // forward filter over the gathered pw×ph sub-image
+        val sub = new Array[Int](pw * ph * channels)
+        for (y <- 0 until ph; x <- 0 until pw; ch <- 0 until channels)
+          sub((y * pw + x) * channels + ch) =
+            samples(((y0 + y * dy) * w + (x0 + x * dx)) * channels + ch)
+        val from = globalRow
+        raw ++= filterRows(pw, ph, channels, sub, r => filterOf(from + r))
+        globalRow += ph
+      }
+    }
+    val out = ArrayBuffer[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    chunk(out, "IHDR", ihdr(w, h, 8, colorType, 1))
+    chunk(out, "IDAT", deflate(raw.toArray))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toArray
+  }
+
+  /** An interlaced header over a TOO-SHORT zlib stream (8 raw bytes
+    * where the Adam7 passes need far more): must return None — the
+    * truncation honesty case for the interlaced path. */
   def interlacedStub(w: Int, h: Int): Array[Byte] = {
     val out = ArrayBuffer[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     chunk(out, "IHDR", ihdr(w, h, 8, 0, 1))

@@ -699,7 +699,50 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
-  test("PNG: interlaced, 16-bit, palette, truncated, and corrupt streams return None") {
+  test("PNG: Adam7 interlaced decodes pixel-identical to the sequential layout") {
+    // every dim shape that matters: multiples of 8, odd/prime dims
+    // (partial passes), and tiny images where most passes are EMPTY
+    for ((w, h) <- Seq((16, 16), (13, 9), (7, 5), (3, 3), (2, 3), (1, 1), (8, 1), (1, 8))) {
+      val lum = pngLum(w, h)((x, y) => (11 * x + 29 * y + x * y * 5) % 256)
+      val Some((sw, sh, seqLum)) = Multimodal.PixelDecoder.decodeLuma(
+        "png", graft.multimodal.PngWriter.gray8(w, h, lum))
+      val Some((iw, ih, interLum)) = Multimodal.PixelDecoder.decodeLuma(
+        "png", graft.multimodal.PngWriter.interlaced8(w, h, 0, lum))
+      withClue(s"${w}x$h: ") {
+        (iw, ih) shouldBe ((sw, sh))
+        interLum shouldBe seqLum
+        interLum shouldBe lum
+      }
+    }
+    // color types + every fixed filter ride the same pass machinery
+    val lum = pngLum(12, 10)((x, y) => (7 * x + 13 * y) % 256)
+    val rgba = lum.zipWithIndex.flatMap { case (v, i) => Array(v, v, v, i % 256) }
+    Multimodal.PixelDecoder.decodeLuma(
+      "png", graft.multimodal.PngWriter.interlaced8(12, 10, 6, rgba)).get._3 shouldBe lum
+    for (ft <- 0 to 4)
+      Multimodal.PixelDecoder.decodeLuma("png",
+        graft.multimodal.PngWriter.interlaced8(12, 10, 0, lum, _ => ft)).get._3 shouldBe lum
+  }
+
+  test("PNG: interlaced fixtures agree pixel-for-pixel with javax.imageio") {
+    for ((w, h) <- Seq((16, 16), (13, 9), (5, 7))) {
+      val lum = pngLum(w, h)((x, y) => (3 * x * x + 17 * y + 7 * x * y) % 256)
+      val bytes = graft.multimodal.PngWriter.interlaced8(w, h, 0, lum)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      img should not be null
+      val Some((dw, dh, out)) = Multimodal.PixelDecoder.decodeLuma("png", bytes)
+      (dw, dh) shouldBe ((img.getWidth, img.getHeight))
+      val raster = img.getRaster
+      for (y <- 0 until dh; x <- 0 until dw)
+        withClue(s"${w}x$h ($x,$y): ") {
+          out(y * dw + x) shouldBe raster.getSample(x, y, 0)
+        }
+    }
+  }
+
+  test("PNG: truncated-interlaced, 16-bit, palette, truncated, and corrupt streams return None") {
+    // an interlaced header over an 8-byte raw stream — far short of
+    // the Adam7 passes — is the interlaced-path truncation case
     Multimodal.PixelDecoder.decodeLuma(
       "png", graft.multimodal.PngWriter.interlacedStub(8, 8)) shouldBe None
     Multimodal.PixelDecoder.decodeLuma(
