@@ -1901,8 +1901,10 @@ object SparkEntry {
     // `(5·doc + 17·y + 29·x) mod 256` — doc%4==0 grayscale, ==1
     // truecolor with r=g=b (luma ≡ v exactly under the integer
     // formula), ==2 RGBA with a varying alpha the decoder must
-    // ignore, ==3 the SAME pixels Adam7-INTERLACED (seven strided
-    // passes — must hash identically to the sequential variants),
+    // ignore (==1 with doc%8==5: the same pixels INDEXED through an
+    // identity gray palette), ==3 the SAME pixels Adam7-INTERLACED
+    // (seven strided passes — must hash identically to the
+    // sequential variants),
     // except doc%8==7: a 16-BIT stub the decoder must refuse
     // (null-hash row). Scanline filters cycle 0..4 by row, so every
     // decode runs all five unfilter paths (None/Sub/Up/Average/
@@ -1921,7 +1923,13 @@ object SparkEntry {
           }
           val bytes = (doc % 4) match {
             case 0 => graft.multimodal.PngWriter.gray8(16, 16, lum)
-            case 1 => graft.multimodal.PngWriter.grayAsRgb8(16, 16, lum)
+            case 1 =>
+              // doc%8==5: the same pixels INDEXED — identity gray
+              // palette, so entry luma ≡ the index (same hashes)
+              if (doc % 8 == 5)
+                graft.multimodal.PngWriter.palette8(
+                  16, 16, (0 until 256).map(v => (v, v, v)), lum)
+              else graft.multimodal.PngWriter.grayAsRgb8(16, 16, lum)
             case 2 => graft.multimodal.PngWriter.grayAsRgba8(16, 16, lum)
             case _ =>
               if (doc % 8 == 3) graft.multimodal.PngWriter.interlaced8(16, 16, 0, lum)

@@ -15,15 +15,19 @@ import java.util.zip.{CRC32, DataFormatException, Inflater}
   * Honesty contract (the [[Multimodal.StubDecoder]] discipline):
   * anything this decoder cannot decode EXACTLY returns None — the
   * null-hash row — never fabricated pixels. That includes bit depths
-  * other than 8, indexed-color (palette) images, unknown color
-  * types, bad CRCs on critical chunks, truncated or over-long zlib
-  * streams, and malformed chunk layout. Adam7 INTERLACED images
+  * other than 8 (16-bit and the sub-byte palette depths), unknown
+  * color types, out-of-range palette indices, missing/duplicated/
+  * misplaced PLTE, bad CRCs on critical chunks, truncated or
+  * over-long zlib streams, and malformed chunk layout. Indexed-color
+  * (PLTE palette, 8-bit indices) decodes for real — entry luma via
+  * the shared formula, tRNS alpha ignored like every other alpha. Adam7 INTERLACED images
   * decode for real (seven strided passes, each with its own filter
   * context, §8.2) — pinned pixel-identical to their sequential
   * twins and to javax.imageio in MultimodalSpec.
-  * Accepted color types: 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA);
-  * alpha is ignored for hashing (the luma of the stored samples, the
-  * same convention every hash consumer here uses).
+  * Accepted color types: 0 (gray), 2 (RGB), 3 (indexed), 4
+  * (gray+alpha), 6 (RGBA); alpha is ignored for hashing (the luma of
+  * the stored samples, the same convention every hash consumer here
+  * uses).
   *
   * Output: row-major TOP-DOWN integer luma — gray returns the sample
   * directly; color applies the shared `(299·R + 587·G + 114·B) / 1000`
@@ -55,13 +59,16 @@ private[multimodal] object PngDecoder {
 
   private def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
 
-  /** Samples per pixel for the accepted color types; -1 = refused. */
+  /** Samples per pixel for the accepted color types; -1 = refused.
+    * Indexed-color (3) is one index byte per pixel, resolved through
+    * the PLTE palette at luma time. */
   private def channelsOf(colorType: Int): Int = colorType match {
     case 0 => 1 // grayscale
     case 2 => 3 // truecolor
+    case 3 => 1 // indexed-color (PLTE required)
     case 4 => 2 // gray + alpha
     case 6 => 4 // truecolor + alpha
-    case _ => -1 // 3 = palette and anything unknown: honest None
+    case _ => -1 // anything unknown: honest None
   }
 
   def decodeLuma(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -77,6 +84,8 @@ private[multimodal] object PngDecoder {
     var height = 0
     var channels = -1
     var interlaced = false
+    var paletted = false
+    var palette: Array[Int] = null // luma per PLTE entry
     var sawIhdr = false
     var sawIend = false
     var idatLen = 0L
@@ -113,6 +122,19 @@ private[multimodal] object PngDecoder {
           width = w.toInt
           height = h.toInt
           interlaced = interlace == 1
+          paletted = colorType == 3
+        case "PLTE" =>
+          // critical for indexed-color: 1..256 RGB triples, before
+          // any IDAT; duplicated/odd-length/late PLTE → None
+          if (!sawIhdr || !crcOk()) return None
+          if (paletted) {
+            if (palette != null || idatParts.nonEmpty ||
+                len == 0 || len % 3 != 0 || len > 256 * 3) return None
+            val n = len.toInt / 3
+            palette = Array.tabulate(n)(k => luma(
+              u8(b, dataOff + 3 * k), u8(b, dataOff + 3 * k + 1),
+              u8(b, dataOff + 3 * k + 2)))
+          }
         case "IDAT" =>
           if (!sawIhdr || !crcOk()) return None
           idatParts += ((dataOff, len.toInt))
@@ -128,6 +150,7 @@ private[multimodal] object PngDecoder {
       pos += 12 + len.toInt
     }
     if (idatParts.isEmpty) return None
+    if (paletted && palette == null) return None
 
     // ---- pass geometry (§8.2): sequential is the single full-image
     // pass; Adam7 is seven strided passes, each its own scanline
@@ -230,10 +253,15 @@ private[multimodal] object PngDecoder {
           var px = 0
           while (px < pw) {
             val o = px * channels
-            lum((y0 + y * dy) * width + (x0 + px * dx)) = channels match {
-              case 1 | 2 => cur(o) // gray (alpha, if any, ignored)
-              case _ => luma(cur(o), cur(o + 1), cur(o + 2))
-            }
+            lum((y0 + y * dy) * width + (x0 + px * dx)) =
+              if (paletted) {
+                val idx = cur(o)
+                if (idx >= palette.length) return None // §11.2.2: an error
+                palette(idx)
+              } else channels match {
+                case 1 | 2 => cur(o) // gray (alpha, if any, ignored)
+                case _ => luma(cur(o), cur(o + 1), cur(o + 2))
+              }
             px += 1
           }
           System.arraycopy(cur, 0, prev, 0, stride)

@@ -198,12 +198,28 @@ private[graft] object PngWriter {
     out.toArray
   }
 
-  /** Indexed-color stub (colorType=3 + PLTE): must return None. */
-  def paletteStub(w: Int, h: Int): Array[Byte] = {
+  /** Real indexed-color (colorType=3, 8-bit indices) writer: `pal`
+    * is up to 256 (r, g, b) entries, `indices` row-major into it. */
+  def palette8(w: Int, h: Int, pal: Seq[(Int, Int, Int)], indices: Array[Int],
+      filterOf: Int => Int = _ % 5): Array[Byte] = {
+    require(pal.nonEmpty && pal.size <= 256, s"palette size ${pal.size}")
+    require(indices.length == w * h, s"need ${w * h} indices, got ${indices.length}")
     val out = ArrayBuffer[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     chunk(out, "IHDR", ihdr(w, h, 8, 3, 0))
+    chunk(out, "PLTE", pal.flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte) }.toArray)
+    chunk(out, "IDAT", deflate(filterRows(w, h, 1, indices, filterOf)))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toArray
+  }
+
+  /** Sub-byte-depth indexed stub (bitDepth=4): must return None —
+    * the firm palette refusal (8-bit indices decode for real). */
+  def paletteStub(w: Int, h: Int): Array[Byte] = {
+    val out = ArrayBuffer[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    chunk(out, "IHDR", ihdr(w, h, 4, 3, 0))
     chunk(out, "PLTE", Array.tabulate(24)(i => (i * 10).toByte))
-    chunk(out, "IDAT", deflate(new Array[Byte]((1 + w) * h)))
+    chunk(out, "IDAT", deflate(new Array[Byte]((1 + (w + 1) / 2) * h)))
     chunk(out, "IEND", Array.emptyByteArray)
     out.toArray
   }

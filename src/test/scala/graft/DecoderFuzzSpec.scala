@@ -45,7 +45,9 @@ class DecoderFuzzSpec extends AnyFunSuite with Matchers {
       ("ppm", ppm),
       ("bmp", bmp),
       ("jpeg", JpegWriter.grayDcOnly(16, 16, Array(1, -2, 3, -4), q = 16)),
-      ("png", PngWriter.gray8(16, 16, g)))
+      ("png", PngWriter.gray8(16, 16, g)),
+      ("png", PngWriter.interlaced8(16, 16, 0, g)),
+      ("png", PngWriter.palette8(16, 16, (0 until 256).map(v => (v, v, v)), g)))
   }
 
   private def decodeNeverThrows(format: String, bytes: Array[Byte]): Unit =
