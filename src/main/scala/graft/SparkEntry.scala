@@ -910,7 +910,9 @@ object SparkEntry {
     // and the gaps-and-islands run merge.
     "ll31_substring_dedup" -> ((s, dir) => {
       val df = t(s, dir, "documents")
-      Dedup.sharedSpans(df, "doc_id", "text", minSpan = 6)
+      // uncapped: the oracle replays the exact construction (max gram
+      // occupancy at the test SFs is far below the production cap)
+      Dedup.sharedSpans(df, "doc_id", "text", minSpan = 6, maxGramOccupancy = 0)
         .orderBy("id_a", "id_b", "start_a", "start_b")
     }),
 
@@ -920,7 +922,8 @@ object SparkEntry {
     // would actually cut.
     "ll31b_span_removal" -> ((s, dir) => {
       val df = t(s, dir, "documents")
-      val spans = Dedup.sharedSpans(df, "doc_id", "text", minSpan = 6)
+      val spans = Dedup.sharedSpans(df, "doc_id", "text", minSpan = 6,
+        maxGramOccupancy = 0)
       Dedup.spanRemovalIntervals(spans)
         .orderBy("doc_id", "span_start", "span_end")
     }),

@@ -1129,13 +1129,18 @@ object Dedup {
     * string equality verified inside the co-partitioned join (hash
     * collisions affect candidates, never results); run-merging is a
     * keyed window over `(id_a, id_b, diag)` — never a global window.
-    * `maxGramOccupancy` > 0 caps the per-gram fan-out the same way
-    * the LSH-family joins cap bucket occupancy (a gram in k docs
-    * joins k² ways); audit what a cap silently drops with
+    * `maxGramOccupancy` caps the per-gram fan-out the same way the
+    * LSH-family joins cap bucket occupancy — and here it also bounds
+    * MEMORY: pair generation materializes one c·(c−1)/2-element
+    * struct array per posting before the explode, ≈20 MB at the
+    * default cap of 1000 and quadratically worse uncapped (a gram in
+    * 100k documents would build a 5·10⁹-element array in ONE row).
+    * 0 disables the cap — only for oracle-exact tests at bounded
+    * scale. Audit what the cap silently drops with
     * [[cappedSpanGrams]] — "no silent caps". */
   def sharedSpans(
       df: DataFrame, idCol: String, textCol: String,
-      minSpan: Int = 20, maxGramOccupancy: Int = 0): DataFrame = {
+      minSpan: Int = 20, maxGramOccupancy: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val postings = spanPostings(df, idCol, textCol, minSpan)
     val kept =
