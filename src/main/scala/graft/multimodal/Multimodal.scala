@@ -502,11 +502,16 @@ object Multimodal {
         // (the honest null-hash row), same discipline as a corrupt
         // PPM header.
         case "jpeg" => JpegDecoder.decodeLuma(bytes)
-        // Non-interlaced 8-bit gray/RGB/RGBA PNG — chunk walk, JDK
-        // Inflater, the five scanline filters ([[PngDecoder]]);
-        // interlaced/16-bit/palette return None (the honest null-hash
-        // row), same discipline as a corrupt PPM header.
+        // 8-bit PNG, sequential or Adam7, direct or indexed — chunk
+        // walk, JDK Inflater, the five scanline filters
+        // ([[PngDecoder]]); 16-bit / sub-byte depths return None (the
+        // honest null-hash row), same discipline as a corrupt PPM
+        // header.
         case "png" => PngDecoder.decodeLuma(bytes)
+        // GIF87a/89a single-frame stills, sequential or 4-pass
+        // interlace, full LZW ([[GifDecoder]]); animated and
+        // partial-frame GIFs return None.
+        case "gif" => GifDecoder.decodeLuma(bytes)
         case _ => None
       }
 

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.multimodal.{JpegWriter, Multimodal, PngWriter}
+import graft.multimodal.{GifWriter, JpegWriter, Multimodal, PngWriter}
 
 /** Crash-proofness fuzz for every byte decoder that faces UNTRUSTED
   * corpus content (the threat model behind the r20 JPEG hardening:
@@ -47,7 +47,9 @@ class DecoderFuzzSpec extends AnyFunSuite with Matchers {
       ("jpeg", JpegWriter.grayDcOnly(16, 16, Array(1, -2, 3, -4), q = 16)),
       ("png", PngWriter.gray8(16, 16, g)),
       ("png", PngWriter.interlaced8(16, 16, 0, g)),
-      ("png", PngWriter.palette8(16, 16, (0 until 256).map(v => (v, v, v)), g)))
+      ("png", PngWriter.palette8(16, 16, (0 until 256).map(v => (v, v, v)), g)),
+      ("gif", GifWriter.gray(16, 16, g)),
+      ("gif", GifWriter.gray(16, 16, g, interlaced = true)))
   }
 
   private def decodeNeverThrows(format: String, bytes: Array[Byte]): Unit =
@@ -64,6 +66,7 @@ class DecoderFuzzSpec extends AnyFunSuite with Matchers {
       ("ppm", Array[Byte]('P', '6')),
       ("bmp", Array[Byte]('B', 'M')),
       ("jpeg", Array(0xff, 0xd8, 0xff).map(_.toByte)),
+      ("gif", "GIF89a".getBytes("US-ASCII")),
       ("png", Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
     for ((format, magic) <- magics) {
       val rnd = new scala.util.Random(format.hashCode ^ 0x5eed)

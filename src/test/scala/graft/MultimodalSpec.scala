@@ -820,6 +820,98 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     (after - before) should be < 200L * 1024 * 1024
   }
 
+  // ---------------------------------------------------------------- GIF
+
+  test("GIF: grayscale round-trips exactly, sequential and 4-pass interlaced") {
+    for ((w, h) <- Seq((16, 16), (13, 9), (7, 5), (1, 1), (9, 1), (1, 9), (20, 17))) {
+      val lum = pngLum(w, h)((x, y) => (19 * x + 41 * y + 3 * x * y) % 256)
+      val Some((sw, sh, seqOut)) = Multimodal.PixelDecoder.decodeLuma(
+        "gif", graft.multimodal.GifWriter.gray(w, h, lum))
+      (sw, sh) shouldBe ((w, h))
+      seqOut shouldBe lum
+      val Some((_, _, interOut)) = Multimodal.PixelDecoder.decodeLuma(
+        "gif", graft.multimodal.GifWriter.gray(w, h, lum, interlaced = true))
+      withClue(s"${w}x$h interlaced: ") { interOut shouldBe lum }
+    }
+    // a LOCAL color table wins over the (absent) global one
+    val lum = pngLum(8, 8)((x, y) => (x * 8 + y * 3) % 256)
+    Multimodal.PixelDecoder.decodeLuma("gif",
+      graft.multimodal.GifWriter.gray(8, 8, lum, localTable = true)).get._3 shouldBe lum
+  }
+
+  test("GIF: color palette resolves through the shared luma formula; agrees with javax.imageio") {
+    val w = 11; val h = 7
+    val pal = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 130, 201), (200, 150, 99))
+    val idx = Array.tabulate(w * h)(i => (i * 7 + i / w) % pal.size)
+    for (interlaced <- Seq(false, true)) {
+      val bytes = graft.multimodal.GifWriter.gif(w, h, pal, idx, interlaced = interlaced)
+      val Some((dw, dh, out)) = Multimodal.PixelDecoder.decodeLuma("gif", bytes)
+      (dw, dh) shouldBe ((w, h))
+      val palLum = pal.map { case (r, g, b) => (299 * r + 587 * g + 114 * b) / 1000 }
+      out shouldBe idx.map(palLum)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      img should not be null
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val expect = (299 * ((argb >> 16) & 0xff) + 587 * ((argb >> 8) & 0xff) +
+          114 * (argb & 0xff)) / 1000
+        withClue(s"interlaced=$interlaced ($x,$y): ") { out(y * w + x) shouldBe expect }
+      }
+    }
+  }
+
+  test("GIF: LZW width growth decodes real compressed streams (javax.imageio fixture)") {
+    // Our writer never grows the code width; a REAL encoder does. Let
+    // ImageIO's GIF writer produce a conventionally-compressed stream
+    // and pin our decoder against the known pixels.
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val lum = pngLum(w, h)((x, y) => (x * x + 3 * y + (x * y) % 31) % 256)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, lum(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos) shouldBe true
+    val bytes = bos.toByteArray
+    val Some((dw, dh, out)) = Multimodal.PixelDecoder.decodeLuma("gif", bytes)
+    (dw, dh) shouldBe ((w, h))
+    // ImageIO quantizes gray through its own palette: compare against
+    // what ImageIO itself reads back, not the pre-quantization pixels
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = back.getRGB(x, y)
+      val expect = (299 * ((argb >> 16) & 0xff) + 587 * ((argb >> 8) & 0xff) +
+        114 * (argb & 0xff)) / 1000
+      withClue(s"($x,$y): ") { out(y * dw + x) shouldBe expect }
+    }
+  }
+
+  test("GIF: animated, partial-frame, truncated, and corrupt streams return None") {
+    Multimodal.PixelDecoder.decodeLuma(
+      "gif", graft.multimodal.GifWriter.animatedStub(8, 8)) shouldBe None
+    Multimodal.PixelDecoder.decodeLuma(
+      "gif", graft.multimodal.GifWriter.partialFrameStub(8, 8)) shouldBe None
+    val good = graft.multimodal.GifWriter.gray(16, 16,
+      pngLum(16, 16)((x, y) => (x + 16 * y) % 256))
+    Multimodal.PixelDecoder.decodeLuma("gif", good) should not be None
+    for (cut <- Seq(5, 12, 700, good.length - 3, good.length - 1))
+      Multimodal.PixelDecoder.decodeLuma("gif", good.take(cut)) shouldBe None
+  }
+
+  test("GIF and PPM of the same pixel grid produce identical perceptual hashes") {
+    val lum = pngLum(18, 16)((x, y) => (25 * x + 7 * y + 2 * x * y) % 256)
+    val gif = graft.multimodal.GifWriter.gray(18, 16, lum)
+    val ppm = ppmBytes(18, 16)((x, y) => { val v = lum(y * 18 + x); (v, v, v) })
+    val s = spark
+    import s.implicits._
+    val out = Multimodal.imageHashes(
+        Seq((1L, gif), (2L, ppm)).toDF("img_id", "content"), "img_id", "content")
+      .orderBy("id").collect()
+    out(0).getString(1) shouldBe "gif"
+    out(1).getString(1) shouldBe "ppm"
+    out(0).getLong(4) shouldBe out(1).getLong(4)
+    out(0).getLong(5) shouldBe out(1).getLong(5)
+  }
+
   test("PNG and PPM of the same pixel grid produce identical perceptual hashes") {
     val lum = pngLum(18, 16)((x, y) => (9 * x + 23 * y + x * y) % 256)
     val png = graft.multimodal.PngWriter.gray8(18, 16, lum)
