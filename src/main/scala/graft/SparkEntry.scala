@@ -2001,13 +2001,14 @@ object SparkEntry {
     }),
 
     // ---- The full image-dedup story in ONE gate (the mm analogue of
-    // ll15_pipeline): a MIXED-format corpus — per doc_id a 16×16
+    // ll15_pipeline): a MIXED-format corpus — per doc_id a 64×64
     // image whose pixels are block-constant `128 + 2·dc(by, bx)` with
     // `dc` from the doc_id//2 pattern (odd ids flip block (0,0) to
     // `−dc−1`, so (even, odd) siblings are near-dups: the uniform
-    // in-block shift only moves the ≤4 dhash bits on the block-
-    // boundary column) — written as PPM / BMP / baseline-JPEG / PNG
-    // by doc%4 (all four decoders land on the SAME luma grid), then
+    // in-block shift only moves the boundary dhash bits) — written
+    // as PPM / BMP / baseline-JPEG / PNG / GIF by doc%5 (all five
+    // decoders land on the SAME luma grid — the oracle never sees
+    // formats, only the pixel rule), then
     // decode → dHash → Manku-blocked Hamming join (uncapped +
     // maxHamming < blocks ⇒ exactly brute-force, which the oracle
     // replays) → connected components → keep-BEST survivor per
@@ -2041,7 +2042,7 @@ object SparkEntry {
             val x = i % 64; val y = i / 64
             128 + 2 * dc((y / 8) * 8 + (x / 8))
           }
-          val bytes = (doc % 4) match {
+          val bytes = (doc % 5) match {
             case 0 =>
               val hdr = "P6\n64 64\n255\n".getBytes("US-ASCII")
               val out = new Array[Byte](hdr.length + 4096 * 3)
@@ -2075,7 +2076,8 @@ object SparkEntry {
               }
               buf.array()
             case 2 => graft.multimodal.JpegWriter.grayDcOnly(64, 64, dc, q = 16)
-            case _ => graft.multimodal.PngWriter.gray8(64, 64, lum)
+            case 3 => graft.multimodal.PngWriter.gray8(64, 64, lum)
+            case _ => graft.multimodal.GifWriter.gray(64, 64, lum)
           }
           (doc, bytes)
         }
