@@ -113,6 +113,17 @@ private[multimodal] object GifDecoder {
           val mcs = u8(b, pos)
           pos += 1
           if (mcs < 2 || mcs > 8) return None
+          // Allocation budget (the JPEG/PNG crafted-header guard's
+          // LZW shape): k codes of ≥3 bits can emit at most
+          // k·(k+1)/2 indices below the 4096-entry cap and ~4096·k
+          // beyond it, so the declared pixel count bounds the
+          // MINIMUM stream size — reject a few-byte stream claiming
+          // gigapixel dims BEFORE allocating the index planes.
+          val maxCodes = (b.length - pos).toLong * 8 / 3
+          val maxIndices =
+            if (maxCodes <= 4096) maxCodes * (maxCodes + 1) / 2
+            else 4096L * 4097 / 2 + 4096L * (maxCodes - 4096)
+          if (w.toLong * h > maxIndices) return None
           val idx = new Array[Int](w * h)
           val end = lzwDecode(b, pos, mcs, idx)
           if (end < 0) return None

@@ -885,6 +885,25 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("GIF: crafted huge-dims header is rejected by the LZW budget before allocation") {
+    // patch a tiny GIF's logical-screen AND image-descriptor dims to
+    // 16384x16384: its few dozen LZW bytes cannot legally emit 268M
+    // indices, so the refusal must come before the index planes exist.
+    val tiny = graft.multimodal.GifWriter.gray(8, 8, pngLum(8, 8)((x, y) => x + y))
+    val crafted = tiny.clone()
+    def putLe16(off: Int, v: Int): Unit = {
+      crafted(off) = (v & 0xff).toByte
+      crafted(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putLe16(6, 16384); putLe16(8, 16384) // logical screen
+    val desc = 6 + 7 + 768 // header + screen descriptor + global table
+    putLe16(desc + 5, 16384); putLe16(desc + 7, 16384) // image w, h
+    val before = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    Multimodal.PixelDecoder.decodeLuma("gif", crafted) shouldBe None
+    val after = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    (after - before) should be < 200L * 1024 * 1024
+  }
+
   test("GIF: animated, partial-frame, truncated, and corrupt streams return None") {
     Multimodal.PixelDecoder.decodeLuma(
       "gif", graft.multimodal.GifWriter.animatedStub(8, 8)) shouldBe None
