@@ -2000,6 +2000,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- LLM-pipeline: REAL TIFF decode → perceptual hashes.
+    // Fixture: per doc_id a 16×16 uncompressed TIFF whose luma
+    // follows `(11·doc + 19·y + 23·x) mod 256` — doc%4==0
+    // little-endian, ==1 the SAME pixels BIG-endian, ==2 the same
+    // pixels stored INVERTED under PhotometricInterpretation 0
+    // (white-is-zero; decode must invert back — all three hash
+    // identically), ==3 an LZW-DECLARED stub (Compression=5) the
+    // decoder must refuse (null-hash row). The oracle reproduces
+    // every hash bit from the pixel formula alone
+    // (graft.multimodal.TiffDecoder).
+    "mm13_tiff_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { doc =>
+          val lum = Array.tabulate(16 * 16) { i =>
+            val x = i % 16; val y = i / 16
+            ((11 * doc + 19 * y + 23 * x) % 256).toInt
+          }
+          val bytes = (doc % 4) match {
+            case 0 => graft.multimodal.TiffWriter.gray(16, 16, lum)
+            case 1 => graft.multimodal.TiffWriter.gray(16, 16, lum, littleEndian = false)
+            case 2 => graft.multimodal.TiffWriter.gray(16, 16, lum, whiteIsZero = true)
+            case _ => graft.multimodal.TiffWriter.compressedStub(16, 16)
+          }
+          (doc, bytes)
+        }
+        .toDF("doc_id", "bin")
+      Multimodal.imageHashes(bins, "doc_id", "bin")
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("dhash_hex"), col("ahash_hex"))
+        .orderBy("doc_id")
+    }),
+
     // ---- The full image-dedup story in ONE gate (the mm analogue of
     // ll15_pipeline): a MIXED-format corpus — per doc_id a 64×64
     // image whose pixels are block-constant `128 + 2·dc(by, bx)` with
@@ -5074,6 +5108,49 @@ object SparkEntry {
         |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY r) AS ahash_hex
         |  FROM arows GROUP BY 1)
         |SELECT d.doc_id, 'gif' AS format,
+        |       CAST(CASE WHEN d.doc_id % 4 = 3 THEN 0 ELSE 16 END AS INTEGER) AS width,
+        |       CAST(CASE WHEN d.doc_id % 4 = 3 THEN 0 ELSE 16 END AS INTEGER) AS height,
+        |       dh.dhash_hex, ah.ahash_hex
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN dhex dh USING (doc_id) LEFT JOIN ahex ah USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Every dHash/aHash bit re-derived from the TIFF pixel rule
+    // `(11·doc + 19·y + 23·x) mod 256`; doc%4∈{1,2} are the
+    // big-endian / inverted-polarity storages of the SAME pixels
+    // (same hashes); doc%4==3 is the refused compressed stub.
+    "mm13_tiff_dhash" ->
+      """WITH px AS MATERIALIZED (
+        |  SELECT doc_id, r, c,
+        |    (11*doc_id + 38*r + 23*((c*16)//9)) % 256 AS lum
+        |  FROM documents, range(0, 8) tr(r), range(0, 9) tc(c)
+        |  WHERE doc_id % 4 <> 3),
+        |dbits AS (
+        |  SELECT a.doc_id, a.r, a.c, CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |drows AS (
+        |  SELECT doc_id, r, CAST(sum(bit * (1 << (7 - c))) AS INTEGER) AS byte
+        |  FROM dbits GROUP BY 1, 2),
+        |dhex AS (
+        |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY r) AS dhash_hex
+        |  FROM drows GROUP BY 1),
+        |apx AS MATERIALIZED (
+        |  SELECT doc_id, r, c,
+        |    (11*doc_id + 38*r + 46*c) % 256 AS lum
+        |  FROM documents, range(0, 8) tr(r), range(0, 8) tc(c)
+        |  WHERE doc_id % 4 <> 3),
+        |am AS (SELECT doc_id, sum(lum) / 64.0 AS mean FROM apx GROUP BY 1),
+        |abits AS (
+        |  SELECT g.doc_id, g.r, g.c, CASE WHEN g.lum > m.mean THEN 1 ELSE 0 END AS bit
+        |  FROM apx g JOIN am m ON m.doc_id = g.doc_id),
+        |arows AS (
+        |  SELECT doc_id, r, CAST(sum(bit * (1 << (7 - c))) AS INTEGER) AS byte
+        |  FROM abits GROUP BY 1, 2),
+        |ahex AS (
+        |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY r) AS ahash_hex
+        |  FROM arows GROUP BY 1)
+        |SELECT d.doc_id, 'tiff' AS format,
         |       CAST(CASE WHEN d.doc_id % 4 = 3 THEN 0 ELSE 16 END AS INTEGER) AS width,
         |       CAST(CASE WHEN d.doc_id % 4 = 3 THEN 0 ELSE 16 END AS INTEGER) AS height,
         |       dh.dhash_hex, ah.ahash_hex

@@ -35,6 +35,7 @@ object Multimodal {
       .when(substring(h, 9, 8) === "66747970", "mp4") // ....ftyp
       .when(h.startsWith("4F676753"), "ogg")
       .when(h.startsWith("1A45DFA3"), "mkv")
+      .when(h.startsWith("49492A00") || h.startsWith("4D4D002A"), "tiff") // II*\0 / MM\0*
       .when(h.startsWith("424D"), "bmp") // "BM"
       .when(h.startsWith("5036"), "ppm") // "P6"
       .otherwise("unknown")
@@ -512,6 +513,10 @@ object Multimodal {
         // interlace, full LZW ([[GifDecoder]]); animated and
         // partial-frame GIFs return None.
         case "gif" => GifDecoder.decodeLuma(bytes)
+        // Uncompressed 8-bit baseline TIFF, both byte orders, strip
+        // layout, gray (either polarity) / RGB(A) ([[TiffDecoder]]);
+        // compressed/tiled/multi-page/palette return None.
+        case "tiff" => TiffDecoder.decodeLuma(bytes)
         case _ => None
       }
 

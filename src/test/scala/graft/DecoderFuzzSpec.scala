@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.multimodal.{GifWriter, JpegWriter, Multimodal, PngWriter}
+import graft.multimodal.{GifWriter, JpegWriter, Multimodal, PngWriter, TiffWriter}
 
 /** Crash-proofness fuzz for every byte decoder that faces UNTRUSTED
   * corpus content (the threat model behind the r20 JPEG hardening:
@@ -45,11 +45,15 @@ class DecoderFuzzSpec extends AnyFunSuite with Matchers {
       ("ppm", ppm),
       ("bmp", bmp),
       ("jpeg", JpegWriter.grayDcOnly(16, 16, Array(1, -2, 3, -4), q = 16)),
+      ("jpeg", JpegWriter.colorDcOnly420(16, 16, Array(1, -2, 3, -4), q = 16)),
+      ("png", PngWriter.grayAsRgba8(16, 16, g)),
       ("png", PngWriter.gray8(16, 16, g)),
       ("png", PngWriter.interlaced8(16, 16, 0, g)),
       ("png", PngWriter.palette8(16, 16, (0 until 256).map(v => (v, v, v)), g)),
       ("gif", GifWriter.gray(16, 16, g)),
-      ("gif", GifWriter.gray(16, 16, g, interlaced = true)))
+      ("gif", GifWriter.gray(16, 16, g, interlaced = true)),
+      ("tiff", TiffWriter.gray(16, 16, g)),
+      ("tiff", TiffWriter.gray(16, 16, g, littleEndian = false, rowsPerStrip = 3)))
   }
 
   private def decodeNeverThrows(format: String, bytes: Array[Byte]): Unit =
@@ -67,6 +71,8 @@ class DecoderFuzzSpec extends AnyFunSuite with Matchers {
       ("bmp", Array[Byte]('B', 'M')),
       ("jpeg", Array(0xff, 0xd8, 0xff).map(_.toByte)),
       ("gif", "GIF89a".getBytes("US-ASCII")),
+      ("tiff", Array('I'.toByte, 'I'.toByte, 42.toByte, 0.toByte)),
+      ("tiff", Array('M'.toByte, 'M'.toByte, 0.toByte, 42.toByte)),
       ("png", Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
     for ((format, magic) <- magics) {
       val rnd = new scala.util.Random(format.hashCode ^ 0x5eed)

@@ -931,6 +931,82 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(0).getLong(5) shouldBe out(1).getLong(5)
   }
 
+  // ---------------------------------------------------------------- TIFF
+
+  test("TIFF: uncompressed 8-bit decodes exactly — both byte orders, strips, polarity, RGB") {
+    val w = 13; val h = 11
+    val lum = pngLum(w, h)((x, y) => (23 * x + 31 * y + x * y) % 256)
+    for (le <- Seq(true, false); rps <- Seq(0, 1, 4)) {
+      val bytes = graft.multimodal.TiffWriter.gray(w, h, lum,
+        littleEndian = le, rowsPerStrip = rps)
+      val Some((dw, dh, out)) = Multimodal.PixelDecoder.decodeLuma("tiff", bytes)
+      withClue(s"le=$le rps=$rps: ") { (dw, dh) shouldBe ((w, h)); out shouldBe lum }
+    }
+    // white-is-zero stores inverted samples; decode must invert back
+    val wiz = graft.multimodal.TiffWriter.gray(w, h, lum, whiteIsZero = true)
+    Multimodal.PixelDecoder.decodeLuma("tiff", wiz).get._3 shouldBe lum
+    // RGB lands on the shared integer luma
+    val rgbS = Array.tabulate(w * h * 3)(i => (i * 53 + 19) % 256)
+    val Some((_, _, rgbOut)) = Multimodal.PixelDecoder.decodeLuma(
+      "tiff", graft.multimodal.TiffWriter.rgb(w, h, rgbS))
+    rgbOut shouldBe Array.tabulate(w * h)(p =>
+      (299 * rgbS(3 * p) + 587 * rgbS(3 * p + 1) + 114 * rgbS(3 * p + 2)) / 1000)
+  }
+
+  test("TIFF: decoder agrees pixel-for-pixel with javax.imageio") {
+    val w = 12; val h = 9
+    val lum = pngLum(w, h)((x, y) => (7 * x * x + 13 * y + 3 * x * y) % 256)
+    val rgbS = Array.tabulate(w * h * 3)(i => (i * 37 + 5) % 256)
+    val fixtures = Seq(
+      graft.multimodal.TiffWriter.gray(w, h, lum),
+      graft.multimodal.TiffWriter.gray(w, h, lum, littleEndian = false),
+      graft.multimodal.TiffWriter.gray(w, h, lum, rowsPerStrip = 2),
+      graft.multimodal.TiffWriter.rgb(w, h, rgbS))
+    for (bytes <- fixtures) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      img should not be null
+      val Some((dw, dh, out)) = Multimodal.PixelDecoder.decodeLuma("tiff", bytes)
+      (dw, dh) shouldBe ((img.getWidth, img.getHeight))
+      val raster = img.getRaster
+      val color = raster.getNumBands >= 3
+      for (y <- 0 until dh; x <- 0 until dw) {
+        val expect =
+          if (color)
+            (299 * raster.getSample(x, y, 0) + 587 * raster.getSample(x, y, 1) +
+              114 * raster.getSample(x, y, 2)) / 1000
+          else raster.getSample(x, y, 0)
+        withClue(s"($x,$y): ") { out(y * dw + x) shouldBe expect }
+      }
+    }
+  }
+
+  test("TIFF: compressed, multi-page, truncated, and corrupt streams return None") {
+    Multimodal.PixelDecoder.decodeLuma(
+      "tiff", graft.multimodal.TiffWriter.compressedStub(8, 8)) shouldBe None
+    Multimodal.PixelDecoder.decodeLuma(
+      "tiff", graft.multimodal.TiffWriter.multiPageStub(8, 8)) shouldBe None
+    val good = graft.multimodal.TiffWriter.gray(16, 16,
+      pngLum(16, 16)((x, y) => (x + 16 * y) % 256))
+    Multimodal.PixelDecoder.decodeLuma("tiff", good) should not be None
+    for (cut <- Seq(3, 7, 20, 300, good.length - 5, good.length - 1))
+      Multimodal.PixelDecoder.decodeLuma("tiff", good.take(cut)) shouldBe None
+  }
+
+  test("TIFF and PPM of the same pixel grid produce identical perceptual hashes") {
+    val lum = pngLum(18, 16)((x, y) => (5 * x + 11 * y + 3 * x * y) % 256)
+    val tif = graft.multimodal.TiffWriter.gray(18, 16, lum)
+    val ppm = ppmBytes(18, 16)((x, y) => { val v = lum(y * 18 + x); (v, v, v) })
+    val s = spark
+    import s.implicits._
+    val out = Multimodal.imageHashes(
+        Seq((1L, tif), (2L, ppm)).toDF("img_id", "content"), "img_id", "content")
+      .orderBy("id").collect()
+    out(0).getString(1) shouldBe "tiff"
+    out(1).getString(1) shouldBe "ppm"
+    out(0).getLong(4) shouldBe out(1).getLong(4)
+    out(0).getLong(5) shouldBe out(1).getLong(5)
+  }
+
   test("PNG and PPM of the same pixel grid produce identical perceptual hashes") {
     val lum = pngLum(18, 16)((x, y) => (9 * x + 23 * y + x * y) % 256)
     val png = graft.multimodal.PngWriter.gray8(18, 16, lum)
