@@ -86,6 +86,42 @@ object Bench {
       .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
   }
 
+  /** JIT code-cache occupancy in MB, summed over the CodeHeap /
+    * CodeCache memory pools. 185 codegen-heavy gates generate
+    * thousands of janino classes; when occupancy approaches the
+    * reserve (-XX:ReservedCodeCacheSize), the sweeper starts flushing
+    * warm nmethods and hot loops bounce between compiled and
+    * interpreted execution — CPU-real per-gate inflation of 10–30× on
+    * byte-identical code with NO "CodeCache is full" warning (that
+    * only prints when flushing is off or flushing cannot keep up).
+    * Sampled at every query boundary so the artifact shows exactly
+    * when the cache saturates. */
+  private def codeCacheUsedMb(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum / 1048576.0
+  }
+
+  /** Total reserved code-cache capacity in MB (the exhaustion ceiling
+    * occupancy is judged against). */
+  private def codeCacheMaxMb(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getMax).filter(_ > 0).sum / 1048576.0
+  }
+
+  /** Cumulative JIT compilation time in seconds (what the compiler
+    * threads burned; -1 → NaN if unsupported). A query whose boundary
+    * delta here is large paid for (re)compilation — churn when the
+    * code it runs was already hot earlier in the suite. */
+  private def jitSec(): Double = {
+    val b = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (b == null || !b.isCompilationTimeMonitoringSupported) Double.NaN
+    else b.getTotalCompilationTime / 1e3
+  }
+
   /** Linear interpolation of a cumulative-CPU series at time `t`:
     * `points` is (elapsed-sec, cpu-sec) in increasing time order;
     * values clamp to the first/last point outside the recorded range.
@@ -372,11 +408,13 @@ object Bench {
       trailingRate((cpuPoints :+ ((now, cpuNow))).toIndexedSeq, now)
     }
     final case class QueryResult(name: String, wall: Double, cpu: Double,
-        gc: Double, load: Double, extLoad: Double)
+        gc: Double, load: Double, extLoad: Double,
+        jit: Double, codeCacheMb: Double)
     def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QueryResult = {
       val t0 = System.nanoTime()
       val cpu0 = processCpuSec()
       val gc0 = gcSec()
+      val jit0 = jitSec()
       try { fn(spark, sfDir).collect(); () }
       catch { case e: Throwable =>
         errors += name -> String.valueOf(e.getMessage)
@@ -389,8 +427,15 @@ object Bench {
       val load = osBean.getSystemLoadAverage
       val extLoad = if (load < 0) Double.NaN else math.max(0.0, load - ownTrailingRate())
       cpuPoints += (((System.nanoTime() - runStart) / 1e9, processCpuSec()))
-      QueryResult(name, (System.nanoTime() - t0) / 1e9, processCpuSec() - cpu0,
-        gcSec() - gc0, load, extLoad)
+      val r = QueryResult(name, (System.nanoTime() - t0) / 1e9, processCpuSec() - cpu0,
+        gcSec() - gc0, load, extLoad,
+        jitSec() - jit0, codeCacheUsedMb())
+      // Live per-query progress on stderr: lets an external profiler
+      // (thread-CPU sampler, perf) align its timeline with query
+      // boundaries, and makes a hung query identifiable mid-run.
+      System.err.println(f"[bench] ${r.name}%s ${r.wall}%.2fs cpu=${r.cpu}%.1f " +
+        f"jit=${r.jit}%.1f cc=${r.codeCacheMb}%.0fMB")
+      r
     }
     val cores = Runtime.getRuntime.availableProcessors()
     val workers = cpus.toIntOption.getOrElse(cores)
@@ -564,9 +609,14 @@ object Bench {
     // stdout gets ONE compact line — a fixed headline-query map
     // (stable keys, so rounds compare like-for-like), run totals, and
     // the contention evidence — engineered to fit the tail budget.
+    val jitQs = jmap(_.jit)
+    val ccQs = jmap(_.codeCacheMb)
+    val jitTotal = results.map(_.jit).sum
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""cpu_sec":$cpuQs,"gc_sec":$gcQs,""" +
+      s""""jit_sec":$jitQs,"code_cache_mb":$ccQs,""" +
+      s""""jit_total":${num(jitTotal)},"code_cache_max_mb":${num(codeCacheMaxMb())},""" +
       s""""cpu_total":${num(cpuTotal)},"gc_total":${num(gcTotal)},"cpu_util":${num(util)},""" +
       s""""cores":$cores,"load_start":${num(loadStart)},"load_end":${num(loadEnd)},""" +
       s""""load_max":${num(loadMax)},"ext_load_max":${num(extLoadMax)},""" +
@@ -618,6 +668,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$hq,"sf":"$sfDir",""" +
         s""""n_queries":${results.size},"cpu_total":${num(cpuTotal)},"gc_total":${num(gcTotal)},""" +
+        s""""jit_total":${num(jitTotal)},"code_cache_max_mb":${num(codeCacheMaxMb())},""" +
         s""""cpu_util":${num(util)},"cores":$cores,""" +
         s""""load_max":${num(loadMax)},"ext_load_max":${num(extLoadMax)},""" +
         s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +

@@ -549,15 +549,21 @@ object TextAnalysis {
     *     a repetition SIGNAL, not a partition of the text).
     *
     * Empty/whitespace documents yield zero fractions. All pure
-    * map-side column expressions: per-line and per-gram occurrence
-    * counts are O(L²)/O(G²) nested traversals over arrays BOUND to
-    * attributes first — a nested higher-order-function lambda
-    * re-evaluates captured subtrees per element, so binding the
-    * split/gram arrays before the inner loop is what keeps this
-    * linear in the tokenization (the same capture hazard
-    * [[graft.dedup.Dedup.wordShingles]] documents). Quadratic in the
-    * per-document line/gram COUNT, embarrassingly parallel across
-    * documents — the right trade for a per-row quality signal. */
+    * map-side column expressions. Occurrence structure is read off
+    * SORTED copies of the line/gram arrays (duplicates are adjacent;
+    * the most frequent gram is the longest run, ties breaking to the
+    * lexicographically smallest = first in sort order): one
+    * O(n log n) array_sort plus O(n) adjacency/run folds per array,
+    * replacing the original per-element count scans that made the
+    * operator quadratic in the per-document line/gram COUNT (HOF
+    * lambdas evaluate interpreted, so the O(G²) string comparisons
+    * dominated the whole-corpus bench gate). Values are identical —
+    * the multiset of lines/grams is unchanged by sorting. The sorted
+    * arrays are BOUND to attributes before any lambda references
+    * them: a higher-order-function lambda re-evaluates captured
+    * subtrees per element (the capture hazard
+    * [[graft.dedup.Dedup.wordShingles]] documents), which would
+    * re-sort per element and reintroduce the quadratic. */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val r4 = (c: Column) => round(c, 4)
     val bound = spread(df).filter(col(textCol).isNotNull).select(
@@ -567,31 +573,42 @@ object TextAnalysis {
       filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "").as("lines"),
       tokens(lower(col(textCol))).as("w"))
     val grams = withBigrams(bound)
+      .withColumn("lines_s", array_sort(col("lines")))
+      .withColumn("grams_s", array_sort(col("grams")))
     val lineCount = size(col("lines"))
-    // Occurrence count of each line within the document (O(L²) over
-    // the BOUND array attribute).
-    val lineOcc = transform(col("lines"),
-      l => size(filter(col("lines"), x => x === l)))
-    val dupLines = filter(arrays_zip(col("lines"), lineOcc.as("occ")),
-      s => s.getField("occ") > 1)
-    val dupLineChars = aggregate(dupLines, lit(0L),
-      (acc, s) => acc + length(s.getField("lines")))
+    // Per-position length-if-duplicated (-1 when unique): an element
+    // of a SORTED array is duplicated iff it equals a neighbor. Both
+    // arrays hold non-empty strings (length ≥ 1), so -1 is a safe
+    // unique sentinel. `arr` must be a bound attribute (see above).
+    def dupLens(arr: Column): Column =
+      transform(arr, (x, i) =>
+        when((i > 0 && x === element_at(arr, i)) ||
+            (i < size(arr) - 1 && x === element_at(arr, i + 2)), length(x))
+          .otherwise(lit(-1)))
+    val dupLineLens = dupLens(col("lines_s"))
+    val dupLineCount = size(filter(dupLineLens, v => v > 0))
+    val dupLineChars = aggregate(dupLineLens, lit(0L),
+      (acc, v) => acc + when(v > 0, v.cast("long")).otherwise(lit(0L)))
     val totalLineChars = aggregate(col("lines"), lit(0L), (acc, l) => acc + length(l))
-    val gramOcc = transform(col("grams"),
-      g => struct(size(filter(col("grams"), x => x === g)).as("n"), g.as("g")))
     // Max by (count, then lexicographically smallest gram on ties):
-    // fold keeping the better struct.
-    val top = aggregate(gramOcc, struct(lit(0).as("n"), lit("").as("g")),
-      (acc, s) => when(s.getField("n") > acc.getField("n") ||
-          (s.getField("n") === acc.getField("n") && s.getField("g") < acc.getField("g")),
-        s).otherwise(acc))
-    val dupGramChars = aggregate(gramOcc, lit(0L),
-      (acc, s) => acc + when(s.getField("n") > 1, length(s.getField("g")).cast("long"))
-        .otherwise(lit(0L)))
+    // run-length fold over the sorted grams. The smallest max-count
+    // gram is reached FIRST in sort order, so replacing only on a
+    // strictly longer run reproduces the documented tiebreak.
+    val top = aggregate(col("grams_s"),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("n"), lit("").as("g")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          when(run > acc.getField("n"), run).otherwise(acc.getField("n")).as("n"),
+          when(run > acc.getField("n"), g).otherwise(acc.getField("g")).as("g"))
+      })
+    val dupGramChars = aggregate(dupLens(col("grams_s")), lit(0L),
+      (acc, v) => acc + when(v > 0, v.cast("long")).otherwise(lit(0L)))
     grams.select(
       col(idCol),
       lineCount.cast("long").as("n_lines"),
-      r4(coalesce(size(dupLines).cast("double") / nullif(lineCount, lit(0)), lit(0.0)))
+      r4(coalesce(dupLineCount.cast("double") / nullif(lineCount, lit(0)), lit(0.0)))
         .as("dup_line_frac"),
       r4(coalesce(dupLineChars.cast("double") / nullif(totalLineChars, lit(0L)), lit(0.0)))
         .as("dup_line_char_frac"),
