@@ -247,6 +247,45 @@ object Bench {
     threads.foreach(_.join())
     total.get / ((System.nanoTime() - t0) / 1e9) / 1e6
   }
+
+  /** Memory-STREAMING calibration: every core sweeps a private 16 MB
+    * long[] (sequential sum) for ~300 ms; returns aggregate GB/s.
+    * This is the contention signal the register-only spin probe
+    * CANNOT provide: the spin mixer never touches memory, so a
+    * co-tenant saturating the LLC / memory controllers leaves it
+    * near-nominal while memory-bound Spark work (columnar scans,
+    * hash maps, shuffles) inflates its CPU-seconds severalfold —
+    * exactly the CPU-real per-gate inflation observed across r19–r21
+    * on runs whose spin probes certified clean. Compare start-vs-end
+    * within a run and across runs on the same host; recorded (not
+    * gated) until a quiet band for this host is established. */
+  private def calibrateMemBw(): Double = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val words = 2 << 20 // 16 MB per thread: far past L2, spills the shared LLC across cores
+    val durNs = 300L * 1000 * 1000
+    val totalBytes = new java.util.concurrent.atomic.AtomicLong
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    val threads = (0 until cores).map { i =>
+      new Thread(() => {
+        val a = new Array[Long](words)
+        java.util.Arrays.fill(a, 0x9E3779B97F4A7C15L + i)
+        var s = 0L
+        var bytes = 0L
+        val t0 = System.nanoTime()
+        while (System.nanoTime() - t0 < durNs) {
+          var j = 0
+          while (j < words) { s += a(j); j += 1 }
+          bytes += words.toLong * 8
+        }
+        sink.addAndGet(s)
+        totalBytes.addAndGet(bytes); ()
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    totalBytes.get / ((System.nanoTime() - t0) / 1e9) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -322,6 +361,11 @@ object Bench {
       calAttempts += 1
     }
     val calBelowFloor = calStart < calFloor
+    // Memory-bandwidth companion probe, taken right after the spin
+    // probe certifies (or gives up): the pair (spin OK, membw LOW) is
+    // the signature of memory-side co-tenancy — the one pollution mode
+    // every load/starvation/spin signal above is blind to.
+    val calMembwStart = calibrateMemBw()
 
     // Warmup failures are RECORDED in the artifact, not just stderr: a
     // failed streaming warmup lands ~2.5 s of micro-batch-stack JIT on
@@ -502,6 +546,7 @@ object Bench {
     // same-methodology artifacts.
     val endRecert = scala.collection.mutable.ArrayBuffer.empty[String]
     val endRecertTimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val recertCpuRegressed = scala.collection.mutable.ArrayBuffer.empty[String]
     if (calFloor > 0 && calEnd < calFloor) {
       while (calEnd < calFloor && calEndAttempts < calMaxAttempts) {
         System.err.println(
@@ -533,6 +578,22 @@ object Bench {
             else dirty(orig) && rerun.wall < orig.wall
           }
         }
+        // CPU-seconds secondary signal (the flapper blind spot): the
+        // keep-the-faster-wall rule could mask a REAL regression whose
+        // wall flapped low once while its CPU stayed doubled — the r19
+        // incident inflated both. A replacement whose kept measurement
+        // still burned >1.5× the CPU of BOTH observations' minimum is
+        // impossible to distinguish here, but one whose kept (faster)
+        // rerun burned >1.5× the first pass's CPU is flagged so the
+        // artifact reader re-judges it against the committed CPU pin.
+        recertCpuRegressed ++= replaced
+          .filter { rerun =>
+            results.find(_.name == rerun.name).exists { orig =>
+              !rerun.cpu.isNaN && !orig.cpu.isNaN && orig.cpu > 1.0 &&
+                rerun.cpu > 1.5 * orig.cpu
+            }
+          }
+          .map(_.name).sorted
         results = (results.filterNot(r => replaced.exists(_.name == r.name)) ++ replaced)
           .sortBy(_.name)
         endRecert ++= replaced.map(_.name).sorted
@@ -542,6 +603,7 @@ object Bench {
       }
     }
     val calEndBelowFloor = calFloor > 0 && calEnd < calFloor
+    val calMembwEnd = calibrateMemBw()
     // Recomputed from the FINAL per-query results (post-recert), over
     // every name whose measurement was ever suspect (first-pass
     // requeues AND recert replacements): a query counts as dirty only
@@ -621,12 +683,14 @@ object Bench {
       s""""cores":$cores,"load_start":${num(loadStart)},"load_end":${num(loadEnd)},""" +
       s""""load_max":${num(loadMax)},"ext_load_max":${num(extLoadMax)},""" +
       s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +
+      s""""cal_membw_start":${num(calMembwStart)},"cal_membw_end":${num(calMembwEnd)},""" +
       s""""cal_attempts":$calAttempts,"cal_below_floor":$calBelowFloor,""" +
       s""""cal_end_attempts":$calEndAttempts,"cal_end_below_floor":$calEndBelowFloor,""" +
       s""""end_recert":${endRecert.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""end_recert_timed":${endRecertTimed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""recert_failed":${recertFailed.map { case (n, e) =>
         s"""{"q":${jstr(n)},"err":${jstr(e)}}""" }.mkString("[", ",", "]")},""" +
+      s""""recert_cpu_regressed":${recertCpuRegressed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""recert_round":$recertRound,""" +
       s""""slowest":$slowest,"starved":$starvedJson,""" +
       s""""warmup_failed":${warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -672,6 +736,7 @@ object Bench {
         s""""cpu_util":${num(util)},"cores":$cores,""" +
         s""""load_max":${num(loadMax)},"ext_load_max":${num(extLoadMax)},""" +
         s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +
+        s""""cal_membw_start":${num(calMembwStart)},"cal_membw_end":${num(calMembwEnd)},""" +
         s""""cal_attempts":$calAttempts,"cal_below_floor":$calBelowFloor,""" +
         s""""cal_end_attempts":$calEndAttempts,"cal_end_below_floor":$calEndBelowFloor,""" +
         s""""end_recert_n":${endRecert.size},"end_recert_timed_n":${endRecertTimed.size},""" +

@@ -403,9 +403,10 @@ object Multimodal {
   /** Pixel access for the image formats this library decodes
     * honestly: PPM (P6 binary, maxval ≤ 255, no comment lines), BMP
     * (24-bit BI_RGB, bottom-up or top-down), baseline-sequential JPEG
-    * ([[JpegDecoder]]), and non-interlaced 8-bit PNG ([[PngDecoder]]).
-    * Everything else stays behind the [[BinaryDecoder]] plug
-    * point. Returns the image as row-major TOP-DOWN integer luma
+    * ([[JpegDecoder]]), 8-bit PNG including Adam7-interlaced and
+    * indexed-color ([[PngDecoder]]), GIF ([[GifDecoder]]) and
+    * uncompressed TIFF ([[TiffDecoder]]). Everything else stays
+    * behind the [[BinaryDecoder]] plug point. Returns the image as row-major TOP-DOWN integer luma
     * (`(299·r + 587·g + 114·b) / 1000`, integer division — exactly
     * replayable arithmetic, no float rounding). */
   object PixelDecoder {

@@ -144,8 +144,13 @@ private[multimodal] object PngDecoder {
           sawIend = true
         case _ =>
           if (!sawIhdr) return None // IHDR must be the first chunk
-        // ancillary chunks (and PLTE on refused types): skipped, CRC
-        // not enforced — they carry no pixel data on accepted paths.
+          // An unrecognized CRITICAL chunk (uppercase first type
+          // letter, ancillary bit clear) is a fatal error per the PNG
+          // spec — decoding pixels past one would contradict the
+          // file's own declared requirements. Lowercase ancillary
+          // chunks are skipped: CRC not enforced — they carry no
+          // pixel data on accepted paths.
+          if ((b(pos + 4) & 0x20) == 0) return None
       }
       pos += 12 + len.toInt
     }
@@ -186,6 +191,13 @@ private[multimodal] object PngDecoder {
         }
         val n = inf.inflate(raw, outOff, raw.length - outOff)
         if (n == 0 && inf.finished()) return None // short stream
+        // A zlib header with the FDICT flag set makes inflate() return
+        // 0 with needsDictionary() true while neither finished() nor
+        // needsInput() fires — neither exit condition above would ever
+        // trigger and this loop would spin forever on one crafted
+        // image (CRCs can be valid on such a file). PNG forbids preset
+        // dictionaries, so the state is simply corrupt input → None.
+        if (n == 0 && !inf.finished() && !inf.needsInput()) return None
         outOff += n
       }
       // Drain: a conforming stream ends exactly at rawLen. Feed any

@@ -181,13 +181,24 @@ object ProfilePasses {
       spreadInput: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { n =>
       Seq(
-        count(when(c(n).rlike(EmailPattern), lit(1))).as(s"${n}_email_count"),
+        count(when(emailMatch(c(n)), lit(1))).as(s"${n}_email_count"),
         count(when(c(n).rlike(NumericPattern), lit(1))).as(s"${n}_numeric_count"),
         count(when(c(n).rlike(DatePattern), lit(1))).as(s"${n}_date_count"))
     }
     val input = if (spreadInput) graft.util.Partitioning.spread(df) else df
     input.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** [[EmailPattern]] with a cheap NECESSARY prefilter: `.*@.*\..*`
+    * cannot match a string without '@', but Java's find() proves that
+    * the hard way — each of the n start positions walks its greedy
+    * `.*` to the end and backtracks, O(n²) char work per NON-matching
+    * row. Since almost no values in a typical table contain '@', the
+    * codegen'd contains() byte scan short-circuits the regex for
+    * nearly every row. Counts are identical by construction (the
+    * other two patterns are ^-anchored and already fail in O(n)). */
+  private[graft] def emailMatch(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    col.contains("@") && col.rlike(EmailPattern)
 
   /** P8: date stats ({col}_{min_date,max_date,distinct_dates,range_days}).
     * The range is computed in the same pass (datediff over the min/max

@@ -119,6 +119,11 @@ object Profiler {
         graft.util.Partitioning.spreadIfLarge(df, config.spreadMinBytes)
       else df
     val persisted = if (config.persist) input.persist(StorageLevel.MEMORY_AND_DISK) else input
+    // Populate the cache with ONE scan before the concurrent passes
+    // launch: racing passes would each recompute not-yet-cached
+    // partitions from the source (correct but up to 4x the scan CPU).
+    // The sequential formulation paid this same scan inside pass A.
+    if (config.persist) persisted.count()
     try buildProfile(persisted, df, table, b, config, historical)
     finally if (config.persist) { persisted.unpersist(blocking = false); () }
   }
@@ -140,8 +145,111 @@ object Profiler {
       out
     }
 
+    // The passes are INDEPENDENT Spark jobs (each ends in a scalar or
+    // tiny collect), so they run overlapped from a small driver-side
+    // pool instead of strictly in sequence: actions are only
+    // sequential when the driver calls them sequentially, and
+    // overlapping lets the next pass's tasks back-fill executor slots
+    // freed by the current pass's stragglers. Phase 1 holds the
+    // passes with no cross-pass inputs (A, A', A'', B, F, E); phase 2
+    // (C, D) consumes pass-A statistics. Results are identical — only
+    // the job-submission order changes. Per-pass onPassTiming walls
+    // now OVERLAP (their sum can exceed the profile's wall).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6, (r: Runnable) => {
+      val t = new Thread(r, "profiler-pass")
+      t.setDaemon(true)
+      t
+    })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    try {
+
     // ---- Pass A: one wide aggregate over every non-distinct metric.
-    val row = timed("A_fused_agg")(fusedWideAgg(df, b, cfg).head())
+    val fA = Future(timed("A_fused_agg")(fusedWideAgg(df, b, cfg).head()))
+
+    // ---- Pass A'': percentiles, quarantined away from pass A (their
+    // aggregate would knock it off WholeStageCodegen). Exact mode uses
+    // the fully distributed rank-based algorithm — Spark's built-in
+    // exact percentile merges a per-distinct-value map on ONE task;
+    // approx mode is the bounded-sketch percentile_approx pass.
+    val fA2 = Future(timed("A2_percentiles") {
+      if (b.numeric.isEmpty) Map.empty[String, Seq[Option[Double]]]
+      else if (cfg.exact) DistributedPercentiles.quartiles(df, b.numeric)
+      else {
+        val r = ProfilePasses.percentiles(df, b.numeric, exact = false).head()
+        b.numeric.map { n =>
+          n -> Seq("q1", "median", "q3").map { a =>
+            val i = r.fieldIndex(s"${n}_$a")
+            if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          }
+        }.toMap
+      }
+    })
+
+    // ---- Pass A': distinct counts. Exact mode plans an Expand (one
+    // row copy per distinct aggregate), so it runs quarantined in its
+    // own pass; approx mode's HLL sketches are plain declarative
+    // aggregates and were FUSED into pass A above — no extra scan.
+    val fA1 =
+      if (cfg.exact)
+        Some(Future(timed("A1_distinct")(
+          ProfilePasses.distinctCounts(df, b.all, exact = true,
+            spreadInput = cfg.spreadInput).head())))
+      else None
+
+    // ---- Pass B: duplicates. The digest projection is the default
+    // whenever exact-oracle parity is not required: at 100 TB the
+    // full-row variant's shuffle key is every column.
+    val fB = Future(timed("B_duplicates")(ProfilePasses.duplicateGroupCount(
+      df, cfg.duplicateHashProjection || !cfg.exact).collect()))
+
+    // ---- Pass F: nested-column (multimodal) stats.
+    val fF = Future(timed("F_nested") {
+      if (b.nested.isEmpty) Map.empty[String, NestedColumnStats]
+      else {
+        val r = ProfilePasses.nestedStats(df, b.nested).head()
+        def optL(name: String): Option[Long] = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        }
+        def optD(name: String): Option[Double] = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        }
+        df.schema.fields.filter(f => b.nested.contains(f.name)).map { f =>
+          import org.apache.spark.sql.types._
+          f.dataType match {
+            case _: ArrayType => f.name -> NestedColumnStats("array",
+              optL(s"${f.name}_min_size"), optL(s"${f.name}_max_size"),
+              optD(s"${f.name}_avg_size"), optL(s"${f.name}_total_elements"),
+              optL(s"${f.name}_element_nulls"), Map.empty)
+            case _: MapType => f.name -> NestedColumnStats("map",
+              optL(s"${f.name}_min_size"), optL(s"${f.name}_max_size"),
+              optD(s"${f.name}_avg_size"), optL(s"${f.name}_total_elements"),
+              optL(s"${f.name}_element_nulls"), Map.empty)
+            case st: StructType => f.name -> NestedColumnStats("struct",
+              None, None, None, None, None,
+              st.fields.map(sf =>
+                sf.name -> optL(s"${f.name}__${sf.name}_nulls").getOrElse(0L)).toMap)
+            case other => f.name -> NestedColumnStats(other.typeName,
+              None, None, None, None, None, Map.empty)
+          }
+        }.toMap
+      }
+    })
+
+    // ---- Pass E: samples.
+    val fE = Future(timed("E_samples") {
+      if (!cfg.includeSamples) Nil: Seq[Map[String, Any]]
+      else ProfilePasses.samples(sampleSource, cfg.sampleRows, cfg.sampleMethod, cfg.sampleSeed)
+        .collect().toSeq.map { r =>
+        r.schema.fields.map(_.name).zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+      }
+    })
+
+    val row = Await.result(fA, Duration.Inf)
     def getL(name: String): Long = {
       val i = row.fieldIndex(name)
       if (row.isNullAt(i)) 0L else row.getLong(i)
@@ -157,37 +265,11 @@ object Profiler {
 
     val rowCount = getL("row_count")
 
-    // ---- Pass A'': percentiles, quarantined away from pass A (their
-    // aggregate would knock it off WholeStageCodegen). Exact mode uses
-    // the fully distributed rank-based algorithm — Spark's built-in
-    // exact percentile merges a per-distinct-value map on ONE task;
-    // approx mode is the bounded-sketch percentile_approx pass.
-    val quartileMap: Map[String, Seq[Option[Double]]] = timed("A2_percentiles") {
-      if (b.numeric.isEmpty) Map.empty
-      else if (cfg.exact) DistributedPercentiles.quartiles(df, b.numeric)
-      else {
-        val r = ProfilePasses.percentiles(df, b.numeric, exact = false).head()
-        b.numeric.map { n =>
-          n -> Seq("q1", "median", "q3").map { a =>
-            val i = r.fieldIndex(s"${n}_$a")
-            if (r.isNullAt(i)) None else Some(r.getDouble(i))
-          }
-        }.toMap
-      }
-    }
+    val quartileMap: Map[String, Seq[Option[Double]]] = Await.result(fA2, Duration.Inf)
     def getPct(colName: String, idx: Int): Option[Double] =
       quartileMap.get(colName).flatMap(_(idx))
 
-    // ---- Pass A': distinct counts. Exact mode plans an Expand (one
-    // row copy per distinct aggregate), so it runs quarantined in its
-    // own pass; approx mode's HLL sketches are plain declarative
-    // aggregates and were FUSED into pass A above — no extra scan.
-    val distRow =
-      if (cfg.exact)
-        timed("A1_distinct")(
-          ProfilePasses.distinctCounts(df, b.all, exact = true,
-            spreadInput = cfg.spreadInput).head())
-      else row
+    val distRow = fA1.map(Await.result(_, Duration.Inf)).getOrElse(row)
     val distinctCounts = b.all.map { n =>
       n -> (if (distRow.isNullAt(distRow.fieldIndex(s"${n}_distinct"))) 0L
             else distRow.getLong(distRow.fieldIndex(s"${n}_distinct")))
@@ -234,13 +316,7 @@ object Profiler {
         dateRangeDays = getAnyOpt(s"${n}_range_days").map(_.asInstanceOf[Long]))
     }.toMap
 
-    // ---- Pass B: duplicates. The digest projection is the default
-    // whenever exact-oracle parity is not required: at 100 TB the
-    // full-row variant's shuffle key is every column.
-    val dupRows = timed("B_duplicates")(ProfilePasses.duplicateGroupCount(
-      df, cfg.duplicateHashProjection || !cfg.exact).collect())
-    val duplicateCount = if (dupRows.isEmpty) 0L else dupRows(0).getLong(0)
-
+    // ---- Phase 2: passes that consume pass-A statistics.
     // ---- Pass C: frequent values (reference skips above its row
     // limit; we only skip if configured for parity testing). The melt
     // stringifies values for a uniform pair schema; the top-1 is
@@ -254,8 +330,9 @@ object Profiler {
       if (cfg.exact || rowCount == 0) b.all
       else b.all.filter(n =>
         distinctCounts(n) <= rowCount * cfg.frequentValuesMaxDistinctShare)
-    val frequentValues: Map[String, FrequentValue] = timed("C_frequent_values") {
-      if (cfg.frequentValuesRowLimit.exists(rowCount > _) || fvCols.isEmpty) Map.empty
+    val fC = Future(timed("C_frequent_values") {
+      if (cfg.frequentValuesRowLimit.exists(rowCount > _) || fvCols.isEmpty)
+        Map.empty[String, FrequentValue]
       else ProfilePasses.frequentValues(df, fvCols, rowCount).collect().map { r =>
         val colName = r.getString(r.fieldIndex("column"))
         colName -> FrequentValue(
@@ -263,65 +340,28 @@ object Profiler {
           frequency = r.getLong(r.fieldIndex("frequency")),
           percentage = round2(r.getDouble(r.fieldIndex("percentage"))))
       }.toMap
-    }
+    })
 
     // ---- Pass D: outliers, means/stddevs reused from pass A.
     val statPairs = b.numeric.flatMap { n =>
       for (m <- getDOpt(s"${n}_avg"); s <- getDOpt(s"${n}_stdev")) yield n -> (m, s)
     }.toMap
-    val outliers: Map[String, Seq[Double]] = timed("D_outliers") {
-      if (statPairs.isEmpty) Map.empty
+    val fD = Future(timed("D_outliers") {
+      if (statPairs.isEmpty) Map.empty[String, Seq[Double]]
       else {
         val r = ProfilePasses.outliers(df, statPairs, cfg.anomalyThreshold, cfg.outlierLimit).head()
         statPairs.keys.map { n =>
           n -> r.getSeq[Double](r.fieldIndex(s"${n}_outliers"))
         }.filter(_._2.nonEmpty).toMap
       }
-    }
+    })
 
-    // ---- Pass F: nested-column (multimodal) stats.
-    val nestedStats: Map[String, NestedColumnStats] = timed("F_nested") {
-      if (b.nested.isEmpty) Map.empty
-      else {
-        val r = ProfilePasses.nestedStats(df, b.nested).head()
-        def optL(name: String): Option[Long] = {
-          val i = r.fieldIndex(name)
-          if (r.isNullAt(i)) None else Some(r.getLong(i))
-        }
-        def optD(name: String): Option[Double] = {
-          val i = r.fieldIndex(name)
-          if (r.isNullAt(i)) None else Some(r.getDouble(i))
-        }
-        df.schema.fields.filter(f => b.nested.contains(f.name)).map { f =>
-          import org.apache.spark.sql.types._
-          f.dataType match {
-            case _: ArrayType => f.name -> NestedColumnStats("array",
-              optL(s"${f.name}_min_size"), optL(s"${f.name}_max_size"),
-              optD(s"${f.name}_avg_size"), optL(s"${f.name}_total_elements"),
-              optL(s"${f.name}_element_nulls"), Map.empty)
-            case _: MapType => f.name -> NestedColumnStats("map",
-              optL(s"${f.name}_min_size"), optL(s"${f.name}_max_size"),
-              optD(s"${f.name}_avg_size"), optL(s"${f.name}_total_elements"),
-              optL(s"${f.name}_element_nulls"), Map.empty)
-            case st: StructType => f.name -> NestedColumnStats("struct",
-              None, None, None, None, None,
-              st.fields.map(sf =>
-                sf.name -> optL(s"${f.name}__${sf.name}_nulls").getOrElse(0L)).toMap)
-            case other => f.name -> NestedColumnStats(other.typeName,
-              None, None, None, None, None, Map.empty)
-          }
-        }.toMap
-      }
-    }
-
-    // ---- Pass E: samples.
-    val samples: Seq[Map[String, Any]] = timed("E_samples") {
-      if (!cfg.includeSamples) Nil
-      else ProfilePasses.samples(sampleSource, cfg.sampleRows, cfg.sampleMethod, cfg.sampleSeed)
-        .collect().toSeq.map { r =>
-        r.schema.fields.map(_.name).zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
-      }
-    }
+    val dupRows = Await.result(fB, Duration.Inf)
+    val duplicateCount = if (dupRows.isEmpty) 0L else dupRows(0).getLong(0)
+    val frequentValues: Map[String, FrequentValue] = Await.result(fC, Duration.Inf)
+    val outliers: Map[String, Seq[Double]] = Await.result(fD, Duration.Inf)
+    val nestedStats: Map[String, NestedColumnStats] = Await.result(fF, Duration.Inf)
+    val samples: Seq[Map[String, Any]] = Await.result(fE, Duration.Inf)
 
     val current = TableProfile(
       table = table,
@@ -350,6 +390,7 @@ object Profiler {
             cfg.maxHistory, cfg.historyRetentionDays))
       case None => current
     }
+    } finally { pool.shutdown() }
   }
 
   /** Convert a melt-stringified top-1 value back to the column's
@@ -412,7 +453,7 @@ object Profiler {
             min(length(c(n))).cast(LongType).as(s"${n}_min_length"),
             max(length(c(n))).cast(LongType).as(s"${n}_max_length"),
             avg(length(c(n))).cast(DoubleType).as(s"${n}_avg_length"),
-            count(when(c(n).rlike(ProfilePasses.EmailPattern), lit(1))).as(s"${n}_email_count"),
+            count(when(ProfilePasses.emailMatch(c(n)), lit(1))).as(s"${n}_email_count"),
             count(when(c(n).rlike(ProfilePasses.NumericPattern), lit(1))).as(s"${n}_numeric_count"),
             count(when(c(n).rlike(ProfilePasses.DatePattern), lit(1))).as(s"${n}_date_count"))
         } ++

@@ -820,6 +820,48 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     (after - before) should be < 200L * 1024 * 1024
   }
 
+  test("PNG: FDICT zlib header returns None (terminates), critical chunk fatal, ancillary skipped") {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def be32(v: Long): Unit = {
+        out += ((v >>> 24) & 0xff).toByte; out += ((v >>> 16) & 0xff).toByte
+        out += ((v >>> 8) & 0xff).toByte; out += (v & 0xff).toByte
+      }
+      be32(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      out ++= tb; out ++= data
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      be32(crc.getValue)
+      out.toArray
+    }
+    val good = graft.multimodal.PngWriter.gray8(8, 8, pngLum(8, 8)((x, y) => x + y))
+    // FDICT: zlib CMF=0x78 FLG=0x20 (FDICT set, FCHECK valid:
+    // 0x7820 = 30752 = 31*992) + a DICTID. Inflater.inflate() then
+    // returns 0 with needsDictionary() true while finished() and
+    // needsInput() both stay false — without the corrupt-state guard
+    // the inflate loop would spin forever on this one crafted image.
+    val fdictIdat = Array(0x78, 0x20, 0xaa, 0xbb, 0xcc, 0xdd, 0x01).map(_.toByte)
+    val ihdrEnd = 8 + 12 + 13 // sig + (len,type,crc) + IHDR payload
+    val fdictPng = good.take(ihdrEnd) ++ chunk("IDAT", fdictIdat) ++
+      chunk("IEND", Array.emptyByteArray)
+    val t0 = System.nanoTime()
+    Multimodal.PixelDecoder.decodeLuma("png", fdictPng) shouldBe None
+    (System.nanoTime() - t0) should be < 5_000_000_000L // returned, not spun
+    // An unrecognized CRITICAL chunk (uppercase first letter) between
+    // IHDR and IDAT is fatal per the spec; the same bytes under an
+    // ancillary name (lowercase first letter) are skippable.
+    val payload = Array[Byte](1, 2, 3, 4)
+    val rest = good.drop(ihdrEnd)
+    Multimodal.PixelDecoder.decodeLuma("png",
+      good.take(ihdrEnd) ++ chunk("QRST", payload) ++ rest) shouldBe None
+    val Some((aw, ah, alum)) = Multimodal.PixelDecoder.decodeLuma("png",
+      good.take(ihdrEnd) ++ chunk("qRST", payload) ++ rest)
+    val Some((gw, gh, glum)) = Multimodal.PixelDecoder.decodeLuma("png", good)
+    (aw, ah) shouldBe ((gw, gh))
+    alum shouldBe glum
+  }
+
   // ---------------------------------------------------------------- GIF
 
   test("GIF: grayscale round-trips exactly, sequential and 4-pass interlaced") {
