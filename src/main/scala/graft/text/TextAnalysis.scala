@@ -917,25 +917,6 @@ object TextAnalysis {
         round(col("top.n").cast("double") / col("n_docs"), 4).as("top_lang_fraction"))
   }
 
-  /** Word n-gram starts per document: (idCol, i, gram) with 1-based
-    * word position i — the positional sibling of
-    * [[graft.dedup.Dedup.wordShingles]] (which is distinct and
-    * position-free). Documents shorter than n words emit no rows (no
-    * whole-text fallback: a span shorter than the pattern length
-    * cannot be a boilerplate match site). Row-local: the positions
-    * come from a guarded `sequence` (unguarded it would DESCEND for
-    * short docs) and each gram is a `slice`+`concat_ws` over the one
-    * tokens array. */
-  private def gramStarts(base: DataFrame, idCol: String, n: Int): DataFrame = {
-    val nw = size(col("w"))
-    base.withColumn("gs",
-        when(nw >= n, transform(sequence(lit(1), nw - (n - 1)),
-          i => struct(i.as("i"), concat_ws(" ", slice(col("w"), i, lit(n))).as("g"))))
-          .otherwise(array().cast("array<struct<i:int,g:string>>")))
-      .select(col(idCol), explode(col("gs")).as("u"))
-      .select(col(idCol), col("u.i").as("i"), col("u.g").as("gram"))
-  }
-
   private def tokenized(df: DataFrame, textCol: String, idCol: String): DataFrame =
     spread(df).filter(col(textCol).isNotNull)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("w"))
@@ -1099,20 +1080,28 @@ object TextAnalysis {
     * pattern set is exactly what the stripper can match.
     *
     * Plan shape: grams dedupe per document map-side (array_distinct
-    * before the explode), then ONE partially-aggregated count per
-    * gram; the `df_count >= minDocFreq` filter lands on the aggregate.
-    * Output size is bounded by construction — a gram must recur in
-    * minDocFreq documents to survive, so the result is broadcastable
-    * (which is exactly how [[stripBoilerplate]] uses it). At extreme
-    * scale swap gram strings for xxhash64 on the shuffle key as in
+    * over the row-local gram array, BEFORE the explode — document
+    * identity is the row, so the corpus-sized (id, gram) distinct
+    * shuffle the naive formulation pays is unnecessary), then ONE
+    * partially-aggregated count per gram; the `df_count >= minDocFreq`
+    * filter lands on the aggregate. Output size is bounded by
+    * construction — a gram must recur in minDocFreq documents to
+    * survive, so the result is broadcastable (which is exactly how
+    * [[stripBoilerplate]] uses it). At extreme scale swap gram strings
+    * for xxhash64 on the shuffle key as in
     * [[graft.dedup.Dedup.shingleHashes]]. */
   def frequentGrams(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minDocFreq: Int = 5): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
     require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
-    gramStarts(tokenized(df, textCol, idCol), idCol, n)
-      .select(col(idCol), col("gram")).distinct()
+    val nw = size(col("w"))
+    val grams = when(nw >= n, array_distinct(transform(
+        sequence(lit(1), nw - (n - 1)),
+        i => concat_ws(" ", slice(col("w"), i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    tokenized(df, textCol, idCol)
+      .select(explode(grams).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") >= minDocFreq)
   }
