@@ -504,12 +504,16 @@ object ProfilePasses {
           n -> (lo, hi - lo)
         }.toMap
       case "robust" =>
-        val r = percentiles(df, cols).head()
-        cols.zipWithIndex.map { case (n, i) =>
-          val q1 = Option(r.get(3 * i)).fold(0.0)(_.asInstanceOf[Double])
-          val med = Option(r.get(3 * i + 1)).fold(0.0)(_.asInstanceOf[Double])
-          val q3 = Option(r.get(3 * i + 2)).fold(0.0)(_.asInstanceOf[Double])
-          n -> (med, q3 - q1)
+        // Rank-based distributed quartiles (same percentile_cont
+        // interpolation as the built-in exact percentile, without its
+        // single-task value→count-map merge — the near-unique-column
+        // scale ceiling). `quartiles` overlaps the per-column
+        // pipelines below its batch threshold, melts above it.
+        val q = DistributedPercentiles.quartiles(df, cols)
+        cols.map { n =>
+          val Seq(q1, med, q3) = q(n)
+          n -> (med.getOrElse(0.0),
+            (for { a <- q1; b <- q3 } yield b - a).getOrElse(0.0))
         }.toMap
       case other => throw new IllegalArgumentException(
         s"unknown method: $other (expected zscore, minmax, or robust)")
@@ -684,41 +688,75 @@ object ProfilePasses {
     * (column_name, median, mad, iqr, n_outliers).
     *
     * Robust statistics are ORDER statistics, so the lower bound is
-    * dependent passes: (1) one fused quartile aggregate for all
-    * columns, (2) one fused deviation-median aggregate seeded with
-    * the pass-1 medians, (3) one fused conditional count with the
-    * pass-2 thresholds. Three corpus scans total, each a single wide
-    * aggregate for ALL columns — never a job per column. The driver
-    * holds only the O(cols) scalars between passes. */
+    * dependent passes: (1) quartiles for all columns, (2) deviation
+    * medians seeded with the pass-1 medians, (3) one fused conditional
+    * count with the pass-2 thresholds. In exact mode passes 1–2 run
+    * the rank-based [[DistributedPercentiles]] pipeline (identical
+    * percentile_cont interpolation; Spark's built-in exact
+    * `percentile` merges a value→count map of every distinct value on
+    * ONE task — on a near-unique column like a price that single merge
+    * dominates the whole operator and is the 100 TB scale ceiling);
+    * approx mode keeps the bounded-sketch percentile_approx aggregate.
+    * Never a job per column; the driver holds only O(cols) scalars
+    * between passes. */
   def robustStats(df: DataFrame, cols: Seq[String], k: Double = 3.0,
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    val fn = if (exact) "percentile" else "percentile_approx"
-    val extra = if (exact) "" else ", 10000"
-    // Pass 1: quartiles for every column in one aggregate.
-    val qAggs = cols.map(n =>
-      expr(s"$fn(`$n`, array(0.25D, 0.5D, 0.75D)$extra)").as(s"${n}_qs"))
-    val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
-    val quartiles = cols.zipWithIndex.map { case (n, i) =>
-      val qs: Seq[Option[Double]] =
-        if (qRow.isNullAt(i)) Seq(None, None, None) // all-null column
-        else qRow.getSeq[Any](i).map(v => Option(v).map(_.asInstanceOf[Double]))
-      n -> (qs(0), qs(1), qs(2))
-    }.toMap
-    // Pass 2: median absolute deviation around each pass-1 median.
-    val withMedian = cols.filter(quartiles(_)._2.isDefined)
-    val mads: Map[String, Double] =
-      if (withMedian.isEmpty) Map.empty
-      else {
-        val mAggs = withMedian.map { n =>
-          val med = quartiles(n)._2.get
-          expr(s"$fn(abs(`$n` - (${med}D)), 0.5D$extra)").as(s"${n}_mad")
-        }
-        val mRow = df.agg(mAggs.head, mAggs.tail: _*).head()
-        withMedian.zipWithIndex.map { case (n, i) =>
-          n -> (if (mRow.isNullAt(i)) 0.0 else mRow.getDouble(i))
+    // Passes 1+2, exact mode: per COLUMN, quartiles then the deviation
+    // median seeded with that column's median — a dependent chain
+    // within the column, independent ACROSS columns, so the per-column
+    // chains overlap from a small pool (each is two column-pruned
+    // rank-based pipelines) and wall ≈ the slowest column, not the
+    // sum. Approx mode keeps the two fused sketch aggregates.
+    val (quartiles, mads): (Map[String, (Option[Double], Option[Double], Option[Double])],
+        Map[String, Double]) =
+      if (exact) {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(cols.size, 4))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val fs = cols.map { n =>
+            Future {
+              val Seq(q1, med, q3) = DistributedPercentiles.of(df, n, Seq(0.25, 0.5, 0.75))
+              val mad = med.map { m =>
+                DistributedPercentiles
+                  .of(df.select(abs(c(n) - m).as("__absdev")), "__absdev", Seq(0.5))
+                  .head.getOrElse(0.0)
+              }
+              n -> ((q1, med, q3), mad)
+            }
+          }
+          val done = Await.result(Future.sequence(fs), Duration.Inf)
+          (done.map { case (n, (qs, _)) => n -> qs }.toMap,
+            done.collect { case (n, (_, Some(m))) => n -> m }.toMap)
+        } finally pool.shutdown()
+      } else {
+        val qAggs = cols.map(n =>
+          expr(s"percentile_approx(`$n`, array(0.25D, 0.5D, 0.75D), 10000)").as(s"${n}_qs"))
+        val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
+        val qs = cols.zipWithIndex.map { case (n, i) =>
+          val vs: Seq[Option[Double]] =
+            if (qRow.isNullAt(i)) Seq(None, None, None) // all-null column
+            else qRow.getSeq[Any](i).map(v => Option(v).map(_.asInstanceOf[Double]))
+          n -> (vs(0), vs(1), vs(2))
         }.toMap
+        val withMed = cols.filter(qs(_)._2.isDefined)
+        val ms: Map[String, Double] =
+          if (withMed.isEmpty) Map.empty
+          else {
+            val mAggs = withMed.map { n =>
+              val med = qs(n)._2.get
+              expr(s"percentile_approx(abs(`$n` - (${med}D)), 0.5D, 10000)").as(s"${n}_mad")
+            }
+            val mRow = df.agg(mAggs.head, mAggs.tail: _*).head()
+            withMed.zipWithIndex.map { case (n, i) =>
+              n -> (if (mRow.isNullAt(i)) 0.0 else mRow.getDouble(i))
+            }.toMap
+          }
+        (qs, ms)
       }
+    val withMedian = cols.filter(quartiles(_)._2.isDefined)
     // Pass 3: robust outlier counts under the scaled-MAD thresholds.
     val outliers: Map[String, Long] =
       if (withMedian.isEmpty) Map.empty
