@@ -350,7 +350,13 @@ object Multimodal {
       decoder: BinaryDecoder = HeaderDecoder): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val withFormat = df.select(
+    // Decode is orders of magnitude more CPU per byte than columnar
+    // work (inflate/LZW/Huffman+IDCT), so a poorly-split input (one
+    // parquet row group) must fan out before the per-partition decode
+    // or the whole corpus decodes on one core — the ungated-spread
+    // contract (no-op at real scale, where scans arrive in thousands
+    // of splits).
+    val withFormat = graft.util.Partitioning.spread(df).select(
       col(idCol).as("id"),
       sniffFormat(col(binCol)).as("format"),
       col(binCol).as("bytes"))
@@ -682,7 +688,13 @@ object Multimodal {
   def audioHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val withFormat = df.select(
+    // Decode is orders of magnitude more CPU per byte than columnar
+    // work (inflate/LZW/Huffman+IDCT), so a poorly-split input (one
+    // parquet row group) must fan out before the per-partition decode
+    // or the whole corpus decodes on one core — the ungated-spread
+    // contract (no-op at real scale, where scans arrive in thousands
+    // of splits).
+    val withFormat = graft.util.Partitioning.spread(df).select(
       col(idCol).as("id"),
       sniffFormat(col(binCol)).as("format"),
       col(binCol).as("bytes"))
@@ -730,7 +742,13 @@ object Multimodal {
   def imageHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val withFormat = df.select(
+    // Decode is orders of magnitude more CPU per byte than columnar
+    // work (inflate/LZW/Huffman+IDCT), so a poorly-split input (one
+    // parquet row group) must fan out before the per-partition decode
+    // or the whole corpus decodes on one core — the ungated-spread
+    // contract (no-op at real scale, where scans arrive in thousands
+    // of splits).
+    val withFormat = graft.util.Partitioning.spread(df).select(
       col(idCol).as("id"),
       sniffFormat(col(binCol)).as("format"),
       col(binCol).as("bytes"))
