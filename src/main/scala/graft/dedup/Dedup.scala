@@ -373,8 +373,8 @@ object Dedup {
     * replacement for label propagation, whose round count is the
     * component DIAMETER (a chain of pairwise-similar documents makes
     * that linear). No driver-side graph state: the driver loop only
-    * compares an (edge-count, edge-checksum) pair per round to detect
-    * the fixpoint.
+    * reads one boolean per round (the star-shape convergence test — an
+    * exact fixpoint check, see `isStar` below).
     *
     * Each round materializes its edge set through an EAGER
     * `localCheckpoint`, which truncates lineage to an RDD-backed leaf.
@@ -413,16 +413,30 @@ object Dedup {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
 
-    // (count, checksum) fingerprint of a canonical edge set: order-
-    // independent (XOR fold — no ANSI overflow, unlike sum), collision
-    // odds ~n²/2⁶⁴ per round. The fingerprint only NOMINATES a
-    // fixpoint; convergence is confirmed with an exact set comparison
-    // below, so a collision costs one wasted comparison, never silent
-    // mislabeling.
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // Convergence test: the loop's only fixpoints are per-component
+    // STARS centered at the minimum (each u appears exactly once,
+    // pointing at its center; centers never appear on the left), and
+    // star-ness is checkable directly on the current edge set — one
+    // node-keyed aggregate job — instead of running one more full
+    // star round to observe "nothing changed" (the former
+    // fingerprint-nominate + exceptAll-confirm shape paid an extra
+    // round's 4-exchange job, two fingerprint jobs and a confirm
+    // anti-join per call). Star ⇒ fixpoint: on such a set both
+    // transforms reproduce it verbatim (largeStar maps every member
+    // back to (member, center); smallStar's members branch is empty
+    // and its self branch re-emits (member, center)). Fixpoint ⇒
+    // star: a u with two centers or a center that is itself a member
+    // changes under the next round, so the check is exact — no
+    // checksum nomination, no confirm pass. Edges stay canonical
+    // (u > v), so a star's center is the minimum of its component by
+    // construction and the readout below stays valid.
+    def isStar(e: DataFrame): Boolean = {
+      val nodes = e.select(col("u").as("n"), lit(1).as("iu"), lit(0).as("iv"))
+        .union(e.select(col("v").as("n"), lit(0).as("iu"), lit(1).as("iv")))
+      nodes.groupBy("n")
+        .agg(sum(col("iu")).as("du"), max(col("iu")).as("mu"), max(col("iv")).as("mv"))
+        .filter(col("du") > 1 || (col("mu") === 1 && col("mv") === 1))
+        .isEmpty
     }
 
     // Large-star: every node connects its strictly-larger neighbors to
@@ -451,21 +465,11 @@ object Dedup {
     }
 
     var edges = materialize(canonical)
-    var fp = fingerprint(edges)
     var rounds = 0
-    var converged = false
+    var converged = isStar(edges)
     while (!converged && rounds < maxRounds) {
-      val next = materialize(smallStar(largeStar(edges)))
-      val nfp = fingerprint(next)
-      // Fingerprint match nominates the fixpoint; confirm it exactly.
-      // Both sets are distinct() with equal cardinality (the count is
-      // part of the fingerprint), so a one-sided empty difference
-      // proves equality — one anti-join over two checkpointed leaves,
-      // paid once per call at true convergence. A checksum collision
-      // fails this check and the loop simply runs another round.
-      converged = nfp == fp && next.exceptAll(edges).isEmpty
-      edges = next
-      fp = nfp
+      edges = materialize(smallStar(largeStar(edges)))
+      converged = isStar(edges)
       rounds += 1
     }
     // Fail fast rather than reinterpret a mid-iteration edge set as

@@ -544,6 +544,20 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       Dedup.componentIds(docs, "doc_id", pairs)
   }
 
+  test("connectedComponents detects an already-star input with zero rounds") {
+    val s = spark
+    import s.implicits._
+    // Two per-component stars centered at their minima — the exact
+    // fixpoint shape. The star convergence test must accept it BEFORE
+    // any star round runs, so even maxRounds = 0 succeeds (the old
+    // no-change fingerprint detection needed one round to observe a
+    // fixpoint and would have thrown here).
+    val pairs = Seq((5L, 1L), (3L, 1L), (9L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b", maxRounds = 0)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L)
+  }
+
   test("connectedComponents of an empty pair set is empty") {
     val s = spark
     import s.implicits._
