@@ -363,8 +363,14 @@ object Similarity {
     val cached = spread(trainSample(df, idCol, trainFraction, trainSeed, trainHashMode))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codebooks: Seq[Seq[Seq[Double]]] =
-      try trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
-        codebookSize, kmeansIterations, centroidInitOrder)
+      try {
+        // Populate the cache with one scan before the overlapped
+        // subspace chains race over it (a cold cache would recompute
+        // partitions once per racing first touch).
+        cached.count()
+        trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
+          codebookSize, kmeansIterations, centroidInitOrder)
+      }
       finally { cached.unpersist(blocking = false); () }
     if (codebooks.exists(_.isEmpty))
       return emptyTopK(df, idCol, queries, queryIdCol)
@@ -380,16 +386,36 @@ object Similarity {
   }
 
   /** One L2 Lloyd codebook per contiguous subspace, off an
-    * already-persisted corpus. */
+    * already-persisted corpus. The subspaces are independent
+    * driver-coordinated job chains (init collect + one update
+    * aggregate per iteration), so they overlap from a small pool —
+    * wall tracks ONE chain, not numSubspaces of them. Callers
+    * materialize the cache first so racing chains read populated
+    * blocks instead of recomputing partitions. */
   private def trainPqCodebooks(
       cached: DataFrame, idCol: String, vecCol: String,
       numSubspaces: Int, subDim: Int, codebookSize: Int,
       iterations: Int, initOrder: Option[Seq[Column]]): Seq[Seq[Seq[Double]]] =
-    (0 until numSubspaces).map { m =>
+    overlapped(0 until numSubspaces) { m =>
       val sub = cached.select(col(idCol),
         slice(col(vecCol), m * subDim + 1, subDim).as("pq_sub"))
       kmeansCentroidsL2(sub, "pq_sub", codebookSize, iterations, initOrder)
     }
+
+  /** Run independent driver-coordinated Spark job chains concurrently
+    * (guide-standard overlap: actions are only sequential because the
+    * driver calls them sequentially). Results keep input order. */
+  private def overlapped[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    if (items.sizeIs <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(items.size, 5))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
 
   /** Encode: per subspace, the L2-nearest centroid — the same native
     * argmax expression the IVF assignment uses, under the L2
@@ -465,10 +491,20 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (coarse, codebooks) =
       try {
-        val coarse = kmeansCentroids(cached, vecCol, nCells, kmeansIterations,
-          centroidInitOrder)
-        (coarse, trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
-          codebookSize, kmeansIterations, centroidInitOrder))
+        cached.count() // populate before overlapped chains race (see pqTopK)
+        // The coarse-cell chain is independent of the four codebook
+        // chains — overlap it with them too.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val coarseF = Future(kmeansCentroids(cached, vecCol, nCells,
+            kmeansIterations, centroidInitOrder))
+          val books = trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
+            codebookSize, kmeansIterations, centroidInitOrder)
+          (Await.result(coarseF, Duration.Inf), books)
+        } finally pool.shutdown()
       }
       finally { cached.unpersist(blocking = false); () }
     if (coarse.isEmpty || codebooks.exists(_.isEmpty))
