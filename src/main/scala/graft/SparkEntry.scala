@@ -979,26 +979,26 @@ object SparkEntry {
     // corpus = the pair set saw every candidate.
     "ll15_pipeline" -> ((s, dir) => {
       val df = t(s, dir, "documents")
-      // Persisted: the component loop materializes eagerly (a separate
-      // action from the final collect), so cache — not same-plan
+      // Materialized once via eager localCheckpoint: the component
+      // loop runs separate actions, so materialization — not same-plan
       // exchange reuse — is what makes the banded scan run once across
-      // the audit, the candidate join, and the labeling. Everything
-      // that reads the cache runs INSIDE this body (the audit count is
-      // reduced to a driver scalar; the component loop checkpoints its
-      // edges), so the frame unpersists before the gate returns — no
-      // cached partitions leak into the rest of the Verify/Bench
-      // session.
-      val buckets = Dedup.bandBuckets(df, "doc_id", "text").persist()
-      try {
-        val nHotBuckets = Dedup.cappedBucketsFromBuckets(buckets)
-          .agg(count(lit(1))).head().getLong(0)
-        val pairs = Dedup.nearDupPairsFromBuckets(df, "doc_id", "text", buckets,
-          threshold = 0.8)
-        Dedup.componentIds(df.select("doc_id"), "doc_id", pairs)
-          .withColumn("survivor", col("doc_id") === col("component"))
-          .withColumn("n_hot_buckets", lit(nHotBuckets))
-          .orderBy("doc_id")
-      } finally { buckets.unpersist(blocking = false); () }
+      // the audit, the candidate join, and the labeling. Row-block
+      // checkpoint, NOT a columnar persist(): this frame is read ~6
+      // times (audit, self-join both sides, prune branch, two semi/
+      // verify lookups) and the InMemoryRelation encode/decode made
+      // those reads 3.5-6x slower than the checkpoint in a direct A/B
+      // (pairs-from-persist 5.7-9.6 s vs pairs-from-checkpoint 1.6-1.7
+      // s at sf0.1 — see OPTIMIZATION_r21.md). Blocks are freed by the
+      // context cleaner once the frame is unreferenced.
+      val buckets = Dedup.bandBuckets(df, "doc_id", "text").localCheckpoint(true)
+      val nHotBuckets = Dedup.cappedBucketsFromBuckets(buckets)
+        .agg(count(lit(1))).head().getLong(0)
+      val pairs = Dedup.nearDupPairsFromBuckets(df, "doc_id", "text", buckets,
+        threshold = 0.8)
+      Dedup.componentIds(df.select("doc_id"), "doc_id", pairs)
+        .withColumn("survivor", col("doc_id") === col("component"))
+        .withColumn("n_hot_buckets", lit(nHotBuckets))
+        .orderBy("doc_id")
     }),
 
     // ---- LLM-pipeline: SimHash near-dup pairs (band-blocked, exact
@@ -2116,23 +2116,27 @@ object SparkEntry {
           (doc, bytes)
         }
         .toDF("doc_id", "bin")
-      val hashes = Multimodal.imageHashes(bins, "doc_id", "bin").persist()
-      try {
-        val keys = Dedup.blockKeysFromSketches(
-          hashes, "id", "dhash", maxHamming = 4, blocks = 6)
-        val pairs = Dedup.simhashNearDupPairsFromKeys(
-          keys, maxHamming = 4, maxBucketOccupancy = 0)
-        val withComp = Dedup.componentIds(
-          hashes.select(col("id").as("doc_id")), "doc_id", pairs)
-        val scored = withComp.withColumn("score", pmod(col("doc_id"), lit(7)))
-        val keepers = scored.groupBy(col("component"))
-          .agg(max(struct(col("score").as("s"), col("doc_id").as("i"))).as("best"))
-          .select(col("best.i").as("doc_id"), lit(true).as("kept"))
-        scored.join(keepers, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("component"),
-            coalesce(col("kept"), lit(false)).as("kept"))
-          .orderBy("doc_id")
-      } finally { hashes.unpersist(blocking = false); () }
+      // Eager localCheckpoint, not persist(): the decode runs once and
+      // the result materializes as row blocks. A columnar persist() of
+      // this multiply-read frame measured 3.5-6x slower on the reuse
+      // reads (InMemoryRelation encode/decode on every pass — the ll15
+      // finding, see OPTIMIZATION_r21.md); checkpoint blocks are freed
+      // by the context cleaner once unreferenced.
+      val hashes = Multimodal.imageHashes(bins, "doc_id", "bin").localCheckpoint(true)
+      val keys = Dedup.blockKeysFromSketches(
+        hashes, "id", "dhash", maxHamming = 4, blocks = 6)
+      val pairs = Dedup.simhashNearDupPairsFromKeys(
+        keys, maxHamming = 4, maxBucketOccupancy = 0)
+      val withComp = Dedup.componentIds(
+        hashes.select(col("id").as("doc_id")), "doc_id", pairs)
+      val scored = withComp.withColumn("score", pmod(col("doc_id"), lit(7)))
+      val keepers = scored.groupBy(col("component"))
+        .agg(max(struct(col("score").as("s"), col("doc_id").as("i"))).as("best"))
+        .select(col("best.i").as("doc_id"), lit(true).as("kept"))
+      scored.join(keepers, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("component"),
+          coalesce(col("kept"), lit(false)).as("kept"))
+        .orderBy("doc_id")
     }),
 
     // ---- Streaming-profile plan, verified through its batch fixpoint:
