@@ -215,8 +215,12 @@ object Drift {
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("cn"))
       .orderBy("v")
       .as[(Double, Long, Long)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+      // Eager row-block checkpoint, not a columnar persist(): both
+      // rank passes read through .rdd and need a pinned partition
+      // layout; InMemoryRelation decode on reuse reads measured several
+      // times slower (see OPTIMIZATION_r21.md).
+      .localCheckpoint(true)
+    locally {
       val perPart: Array[(Int, Long, Long)] = counts.rdd
         .mapPartitionsWithIndex { case (i, it) =>
           var r = 0L; var c = 0L
@@ -253,6 +257,6 @@ object Drift {
         Seq((Option(ks), Option(atV), nRef, nCur))
           .toDF("ks_stat", "at_value", "n_ref", "n_cur")
       }
-    } finally { counts.unpersist(blocking = false); () }
+    }
   }
 }

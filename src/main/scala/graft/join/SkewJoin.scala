@@ -73,6 +73,12 @@ object SkewJoin {
     * for a deterministic report. */
   def skewReport(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1: $topK")
+    // persist + deterministic unpersist, NOT localCheckpoint: this
+    // frame is read exactly twice and is key-cardinality-sized, and
+    // the release-before-return contract (pinned by SkewJoinSpec)
+    // matters more in a long-lived session than the narrow-frame
+    // checkpoint read win measured elsewhere this round — checkpoint
+    // blocks free only when the context cleaner GCs the RDD.
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

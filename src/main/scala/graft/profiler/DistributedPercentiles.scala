@@ -2,7 +2,6 @@ package graft.profiler
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Exact interpolated percentiles without a single-task merge.
   *
@@ -38,14 +37,21 @@ object DistributedPercentiles {
 
     // Backtick-quote like every ProfilePasses pass: a legal parquet
     // column name may contain dots.
+    // Eager row-block checkpoint, not a columnar persist(): both rank
+    // passes below read this frame through .rdd, and the
+    // InMemoryRelation decode on those reads measured several times
+    // slower than checkpoint blocks (see OPTIMIZATION_r21.md); the
+    // checkpoint also pins the partition layout the two
+    // mapPartitionsWithIndex passes must agree on. Blocks are freed by
+    // the context cleaner once unreferenced.
     val counts = df
       .filter(col(s"`$column`").isNotNull)
       .select(col(s"`$column`").cast("double").as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
       .orderBy("v")
       .as[(Double, Long)]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+      .localCheckpoint(true)
+    locally {
       // Pass 1: per-partition totals (tiny: one row per partition).
       val perPart = counts.rdd
         .mapPartitionsWithIndex { case (i, it) =>
@@ -83,7 +89,7 @@ object DistributedPercentiles {
         if (c == f) Some(vf)
         else Some(vf + (t - f) * (rankValues(c) - vf))
       }
-    } finally { counts.unpersist(blocking = false); () }
+    }
   }
 
   /** Above this column count, [[quartiles]] switches from overlapped
@@ -136,12 +142,13 @@ object DistributedPercentiles {
       struct(lit(i).as("k"), col(s"`$n`").cast("double").as("v"))
     }: _*)).as("p")).select(col("p.k").as("k"), col("p.v").as("v"))
       .filter(col("v").isNotNull)
+    // Row-block checkpoint for the same reasons as [[of]].
     val counts = pairs
       .groupBy("k", "v").agg(count(lit(1)).as("c"))
       .orderBy("k", "v")
       .as[(Int, Double, Long)]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+      .localCheckpoint(true)
+    locally {
       // Pass 1: per-(partition, column) totals — tiny.
       val perPart: Array[(Int, Int, Long)] = counts.rdd
         .mapPartitionsWithIndex { case (i, it) =>
@@ -197,6 +204,6 @@ object DistributedPercentiles {
           }
         })
       }.toMap
-    } finally { counts.unpersist(blocking = false); () }
+    }
   }
 }

@@ -4,7 +4,6 @@ import java.time.Instant
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
-import org.apache.spark.storage.StorageLevel
 
 import graft.compare.ProfileCompare
 import graft.model._
@@ -118,11 +117,16 @@ object Profiler {
       if (config.spreadInput)
         graft.util.Partitioning.spreadIfLarge(df, config.spreadMinBytes)
       else df
-    val persisted = if (config.persist) input.persist(StorageLevel.MEMORY_AND_DISK) else input
-    // Populate the cache with ONE scan before the concurrent passes
-    // launch: racing passes would each recompute not-yet-cached
-    // partitions from the source (correct but up to 4x the scan CPU).
-    // The sequential formulation paid this same scan inside pass A.
+    // COLUMNAR persist — deliberately NOT the row-block localCheckpoint
+    // the narrow multiply-read frames switched to this round: the
+    // profiled table is WIDE and each pass reads a column SUBSET, so
+    // the columnar cache's column pruning is load-bearing here (the
+    // checkpoint variant deserializes all columns for every pass —
+    // measured 2-3x slower on scale_profile_lineitem). Populate with
+    // ONE scan before the concurrent passes launch: racing passes
+    // would each recompute not-yet-cached partitions from the source.
+    val persisted = if (config.persist)
+      input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else input
     if (config.persist) persisted.count()
     try buildProfile(persisted, df, table, b, config, historical)
     finally if (config.persist) { persisted.unpersist(blocking = false); () }

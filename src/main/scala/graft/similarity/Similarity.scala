@@ -277,18 +277,20 @@ object Similarity {
       centroidInitOrder: Option[Seq[Column]] = None,
       trainFraction: Double = 1.0, trainSeed: Long = 42L,
       trainHashMode: String = "xxhash64"): DataFrame = {
-    // kmeans iterates over the vectors twice per round — cache them for
-    // its duration only, and unpersist before returning: the final
-    // search plan reads the source once more, which is cheaper than a
-    // cache entry leaking past this call (the centroids are already
-    // driver-side literals, so nothing below re-runs kmeans). Only the
-    // training sample is cached — at trainFraction < 1 the cache (and
-    // every Lloyd pass) holds the sample, never the corpus.
+    // kmeans iterates over the vectors twice per round — materialize
+    // them once as an eager row-block checkpoint for its duration (the
+    // centroids are driver-side literals, so nothing below re-runs
+    // kmeans; blocks free via the context cleaner once unreferenced).
+    // Row blocks, not a columnar persist(): the Lloyd passes re-read
+    // this frame repeatedly and the InMemoryRelation decode on reuse
+    // reads measured several times slower than checkpoint blocks (see
+    // OPTIMIZATION_r21.md). Only the training sample materializes — at
+    // trainFraction < 1 every Lloyd pass holds the sample, never the
+    // corpus.
     val cached = spread(trainSample(df, idCol, trainFraction, trainSeed, trainHashMode))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val centroids =
-      try kmeansCentroids(cached, vecCol, nCells, kmeansIterations, centroidInitOrder)
-      finally { cached.unpersist(blocking = false); () }
+      kmeansCentroids(cached, vecCol, nCells, kmeansIterations, centroidInitOrder)
     // Degenerate corpora: fewer vectors than nCells yields fewer
     // centroids (clamp the probe count); an empty corpus yields none —
     // return the empty result with the right schema instead of
@@ -360,18 +362,14 @@ object Similarity {
     // scalars). At cluster scale set trainFraction so the sample is
     // ~1M rows: every Lloyd pass then costs O(sample) while the codes
     // scan — the part that must see the corpus — stays full-width.
+    // Eager row-block checkpoint: materialized once before the
+    // overlapped subspace chains race over it, and faster than a
+    // columnar persist() on their repeated reads (see ivfTopK note).
     val cached = spread(trainSample(df, idCol, trainFraction, trainSeed, trainHashMode))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val codebooks: Seq[Seq[Seq[Double]]] =
-      try {
-        // Populate the cache with one scan before the overlapped
-        // subspace chains race over it (a cold cache would recompute
-        // partitions once per racing first touch).
-        cached.count()
-        trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
-          codebookSize, kmeansIterations, centroidInitOrder)
-      }
-      finally { cached.unpersist(blocking = false); () }
+      trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
+        codebookSize, kmeansIterations, centroidInitOrder)
     if (codebooks.exists(_.isEmpty))
       return emptyTopK(df, idCol, queries, queryIdCol)
     val data = spread(df).select(
@@ -487,26 +485,24 @@ object Similarity {
     val subDim = dim / numSubspaces
     // Coarse cells + all codebooks train off the cached SAMPLE (see
     // pqTopK); cell assignment and encoding below still see every row.
+    // Eager row-block checkpoint (see pqTopK note).
     val cached = spread(trainSample(df, idCol, trainFraction, trainSeed, trainHashMode))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (coarse, codebooks) =
+      .localCheckpoint(true)
+    val (coarse, codebooks) = {
+      // The coarse-cell chain is independent of the four codebook
+      // chains — overlap it with them too.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
-        cached.count() // populate before overlapped chains race (see pqTopK)
-        // The coarse-cell chain is independent of the four codebook
-        // chains — overlap it with them too.
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        try {
-          val coarseF = Future(kmeansCentroids(cached, vecCol, nCells,
-            kmeansIterations, centroidInitOrder))
-          val books = trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
-            codebookSize, kmeansIterations, centroidInitOrder)
-          (Await.result(coarseF, Duration.Inf), books)
-        } finally pool.shutdown()
-      }
-      finally { cached.unpersist(blocking = false); () }
+        val coarseF = Future(kmeansCentroids(cached, vecCol, nCells,
+          kmeansIterations, centroidInitOrder))
+        val books = trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
+          codebookSize, kmeansIterations, centroidInitOrder)
+        (Await.result(coarseF, Duration.Inf), books)
+      } finally pool.shutdown()
+    }
     if (coarse.isEmpty || codebooks.exists(_.isEmpty))
       return emptyTopK(df, idCol, queries, queryIdCol)
     val probeN = math.min(nProbe, coarse.length)
@@ -741,10 +737,9 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, nCells: Int = 16,
       kmeansIterations: Int = 3,
       centroidInitOrder: Option[Seq[Column]] = None): DataFrame = {
-    val cached = spread(df).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = spread(df).localCheckpoint(true) // row blocks, see ivfTopK note
     val centroids =
-      try kmeansCentroids(cached, vecCol, nCells, kmeansIterations, centroidInitOrder)
-      finally { cached.unpersist(blocking = false); () }
+      kmeansCentroids(cached, vecCol, nCells, kmeansIterations, centroidInitOrder)
     if (centroids.isEmpty)
       return df.select(col(idCol).as("id"), col(vecCol).as("v"), lit(0).as("bucket")).limit(0)
     spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
