@@ -348,8 +348,12 @@ object Dedup {
     // minhash+bucket shuffle once. Verification intersects the
     // fixed-width HASH sets — the exact gram-set Jaccard modulo 64-bit
     // collisions — so the join ships array<long>, not gram strings.
-    val candIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id"))).distinct()
+    // explode, not union-of-two-projections: one occurrence of the
+    // (large) candidates subtree in the plan instead of two — the
+    // optimizer walks every copy even though exchange reuse dedups
+    // execution, and this subtree dominates the analyzed-plan size.
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val shingled = shingleHashes(df, idCol, textCol, shingleSize)
       .join(candIds, Seq("id"), "left_semi")
     candidates
