@@ -990,7 +990,8 @@ object SparkEntry {
       // (pairs-from-persist 5.7-9.6 s vs pairs-from-checkpoint 1.6-1.7
       // s at sf0.1 — see OPTIMIZATION_r21.md). Blocks are freed by the
       // context cleaner once the frame is unreferenced.
-      val buckets = Dedup.bandBuckets(df, "doc_id", "text").localCheckpoint(true)
+      val buckets = graft.util.Materialize.rowBlocks(
+        Dedup.bandBuckets(df, "doc_id", "text"))
       val nHotBuckets = Dedup.cappedBucketsFromBuckets(buckets)
         .agg(count(lit(1))).head().getLong(0)
       val pairs = Dedup.nearDupPairsFromBuckets(df, "doc_id", "text", buckets,
@@ -2122,7 +2123,8 @@ object SparkEntry {
       // reads (InMemoryRelation encode/decode on every pass — the ll15
       // finding, see OPTIMIZATION_r21.md); checkpoint blocks are freed
       // by the context cleaner once unreferenced.
-      val hashes = Multimodal.imageHashes(bins, "doc_id", "bin").localCheckpoint(true)
+      val hashes = graft.util.Materialize.rowBlocks(
+        Multimodal.imageHashes(bins, "doc_id", "bin"))
       val keys = Dedup.blockKeysFromSketches(
         hashes, "id", "dhash", maxHamming = 4, blocks = 6)
       val pairs = Dedup.simhashNearDupPairsFromKeys(

@@ -209,17 +209,18 @@ object Drift {
     def side(df: DataFrame, c: String, a: Int) = df
       .filter(col(c).isNotNull)
       .select(col(c).cast("double").as("v"), lit(a).as("side"))
-    val counts = side(ref, valueCol, 0).unionByName(side(cur, curCol, 1))
-      .groupBy("v")
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("rn"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cn"))
-      .orderBy("v")
-      .as[(Double, Long, Long)]
-      // Eager row-block checkpoint, not a columnar persist(): both
-      // rank passes read through .rdd and need a pinned partition
-      // layout; InMemoryRelation decode on reuse reads measured several
-      // times slower (see OPTIMIZATION_r21.md).
-      .localCheckpoint(true)
+    // Eager row-block checkpoint, not a columnar persist(): both
+    // rank passes read through .rdd and need a pinned partition
+    // layout; InMemoryRelation decode on reuse reads measured several
+    // times slower (see OPTIMIZATION_r21.md). Reliable-capable via
+    // Materialize.rowBlocks when a checkpoint dir is configured.
+    val counts = graft.util.Materialize.rowBlocks(
+      side(ref, valueCol, 0).unionByName(side(cur, curCol, 1))
+        .groupBy("v")
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("rn"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("cn"))
+        .orderBy("v")
+        .as[(Double, Long, Long)])
     locally {
       val perPart: Array[(Int, Long, Long)] = counts.rdd
         .mapPartitionsWithIndex { case (i, it) =>

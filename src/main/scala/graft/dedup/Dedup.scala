@@ -406,7 +406,7 @@ object Dedup {
         pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliableCheckpoint=true requires SparkContext.setCheckpointDir")
     def materialize(df: DataFrame): DataFrame =
-      if (useReliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+      graft.util.Materialize.rowBlocks(df, Some(useReliable))
     // Ids keep their NATIVE type: the algorithm needs only a total
     // order (greatest/least/min), which strings and UUIDs satisfy as
     // well as longs — a forced numeric cast would null out string ids
@@ -815,9 +815,16 @@ object Dedup {
     // running the cap audit alongside should compute the (id, fp) set
     // once — persist winnowingFingerprints and pass it to BOTH this
     // and [[cappedFingerprints]] — instead of paying the map-side scan
-    // twice.
-    val fps = precomputedFps.getOrElse(
-      TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w, hashMode))
+    // twice. WITHIN one call the (id, fp) frame is referenced four
+    // times in the plan (the df-count aggregate plus both self-join
+    // sides each re-embed it; no exchange is reusable across those
+    // shapes — the r21 plan dump shows 4 separate parquet scans), so
+    // the internally-computed frame materializes once as an eager
+    // row-block checkpoint: the winnowing scan runs ONCE and every
+    // reference reads narrow (id, fp) blocks. A caller-provided frame
+    // is trusted to be materialized already.
+    val fps = precomputedFps.getOrElse(graft.util.Materialize.rowBlocks(
+      TextAnalysis.winnowingFingerprints(df, textCol, idCol, k, w, hashMode)))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDocFrequency)
       .select("fp")
@@ -877,12 +884,20 @@ object Dedup {
       threshold: Double = 0.8, shingleSize: Int = 3,
       maxDocFrequency: Int = 100,
       precomputedPostings: Option[DataFrame] = None): DataFrame = {
-    val postings = precomputedPostings.getOrElse(
-      shinglePostings(df, idCol, textCol, shingleSize))
+    // The (id, g) postings frame is re-embedded FOUR+ times per
+    // reference below (`kept` appears in the self-join twice and under
+    // both size lookups, and each copy re-derives `rare` — the r21
+    // plan dump of ll25 shows 32 separate parquet scans of the same
+    // table in one query). Materialize the internally-computed
+    // postings once as an eager row-block checkpoint (narrow frame,
+    // the r21 rule), then pin `kept` the same way so the prune join
+    // also runs once: the shingle scan happens exactly once per call.
+    val postings = precomputedPostings.getOrElse(graft.util.Materialize.rowBlocks(
+      shinglePostings(df, idCol, textCol, shingleSize)))
     val rare = postings.groupBy("g").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDocFrequency)
       .select("g")
-    val kept = postings.join(rare, "g")
+    val kept = graft.util.Materialize.rowBlocks(postings.join(rare, "g"))
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val shared = kept.as("a")
       .join(kept.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))

@@ -43,14 +43,15 @@ object DistributedPercentiles {
     // slower than checkpoint blocks (see OPTIMIZATION_r21.md); the
     // checkpoint also pins the partition layout the two
     // mapPartitionsWithIndex passes must agree on. Blocks are freed by
-    // the context cleaner once unreferenced.
-    val counts = df
+    // the context cleaner once unreferenced. Materialize.rowBlocks
+    // upgrades to a reliable checkpoint when the session has a
+    // checkpoint dir (cluster-safe under executor loss).
+    val counts = graft.util.Materialize.rowBlocks(df
       .filter(col(s"`$column`").isNotNull)
       .select(col(s"`$column`").cast("double").as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
       .orderBy("v")
-      .as[(Double, Long)]
-      .localCheckpoint(true)
+      .as[(Double, Long)])
     locally {
       // Pass 1: per-partition totals (tiny: one row per partition).
       val perPart = counts.rdd
@@ -142,12 +143,12 @@ object DistributedPercentiles {
       struct(lit(i).as("k"), col(s"`$n`").cast("double").as("v"))
     }: _*)).as("p")).select(col("p.k").as("k"), col("p.v").as("v"))
       .filter(col("v").isNotNull)
-    // Row-block checkpoint for the same reasons as [[of]].
-    val counts = pairs
+    // Row-block checkpoint for the same reasons as [[of]]
+    // (reliable-capable via Materialize.rowBlocks).
+    val counts = graft.util.Materialize.rowBlocks(pairs
       .groupBy("k", "v").agg(count(lit(1)).as("c"))
       .orderBy("k", "v")
-      .as[(Int, Double, Long)]
-      .localCheckpoint(true)
+      .as[(Int, Double, Long)])
     locally {
       // Pass 1: per-(partition, column) totals — tiny.
       val perPart: Array[(Int, Int, Long)] = counts.rdd

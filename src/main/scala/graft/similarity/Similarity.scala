@@ -199,6 +199,27 @@ object Similarity {
       graft.sampling.Sampling.uniformHash(col(idCol), seed, hashMode) < fraction)
   }
 
+  /** The Lloyd training input, materialized ONLY when materialization
+    * pays: `reads` is how many passes the caller's training will make
+    * over the frame (init collect + one update aggregate per
+    * iteration, per independent chain). Two passes over an
+    * un-materialized scan are cheaper than writing every row to block
+    * storage first — the r22 A/B on the full-corpus single-iteration
+    * gates (ll5/ll20/ll20b) measured the unconditional checkpoint of
+    * the WHOLE spread corpus as a net loss — while a strict sample
+    * (trainFraction < 1) always materializes: it is small, and cutting
+    * it pins the sample so no pass rescans the corpus. Materialization
+    * goes through [[graft.util.Materialize.rowBlocks]] (row blocks
+    * locally, reliable checkpoint blocks when the session has a
+    * checkpoint dir — cluster-safe under executor loss). */
+  private def trainCache(
+      df: DataFrame, idCol: String, fraction: Double,
+      seed: Long, hashMode: String, reads: Int): DataFrame = {
+    val sample = trainSample(df, idCol, fraction, seed, hashMode)
+    if (fraction < 1.0 || reads >= 3) graft.util.Materialize.rowBlocks(spread(sample))
+    else spread(sample)
+  }
+
   /** The shared Lloyd loop: assignment expression from `assign`,
     * update = posexplode + (cell, dim) hash aggregate; only k×dim
     * doubles ever reach the driver per iteration. */
@@ -286,9 +307,9 @@ object Similarity {
     // reads measured several times slower than checkpoint blocks (see
     // OPTIMIZATION_r21.md). Only the training sample materializes — at
     // trainFraction < 1 every Lloyd pass holds the sample, never the
-    // corpus.
-    val cached = spread(trainSample(df, idCol, trainFraction, trainSeed, trainHashMode))
-      .localCheckpoint(true)
+    // corpus. Reliable-checkpoint-capable via Materialize.rowBlocks.
+    val cached = trainCache(df, idCol, trainFraction, trainSeed,
+      trainHashMode, reads = 1 + kmeansIterations)
     val centroids =
       kmeansCentroids(cached, vecCol, nCells, kmeansIterations, centroidInitOrder)
     // Degenerate corpora: fewer vectors than nCells yields fewer
@@ -365,8 +386,8 @@ object Similarity {
     // Eager row-block checkpoint: materialized once before the
     // overlapped subspace chains race over it, and faster than a
     // columnar persist() on their repeated reads (see ivfTopK note).
-    val cached = spread(trainSample(df, idCol, trainFraction, trainSeed, trainHashMode))
-      .localCheckpoint(true)
+    val cached = trainCache(df, idCol, trainFraction, trainSeed, trainHashMode,
+      reads = numSubspaces * (1 + kmeansIterations))
     val codebooks: Seq[Seq[Seq[Double]]] =
       trainPqCodebooks(cached, idCol, vecCol, numSubspaces, subDim,
         codebookSize, kmeansIterations, centroidInitOrder)
@@ -486,8 +507,8 @@ object Similarity {
     // Coarse cells + all codebooks train off the cached SAMPLE (see
     // pqTopK); cell assignment and encoding below still see every row.
     // Eager row-block checkpoint (see pqTopK note).
-    val cached = spread(trainSample(df, idCol, trainFraction, trainSeed, trainHashMode))
-      .localCheckpoint(true)
+    val cached = trainCache(df, idCol, trainFraction, trainSeed, trainHashMode,
+      reads = (numSubspaces + 1) * (1 + kmeansIterations))
     val (coarse, codebooks) = {
       // The coarse-cell chain is independent of the four codebook
       // chains — overlap it with them too.
@@ -737,7 +758,8 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, nCells: Int = 16,
       kmeansIterations: Int = 3,
       centroidInitOrder: Option[Seq[Column]] = None): DataFrame = {
-    val cached = spread(df).localCheckpoint(true) // row blocks, see ivfTopK note
+    val cached = trainCache(df, idCol, fraction = 1.0, seed = 0L,
+      hashMode = "xxhash64", reads = 1 + kmeansIterations)
     val centroids =
       kmeansCentroids(cached, vecCol, nCells, kmeansIterations, centroidInitOrder)
     if (centroids.isEmpty)

@@ -281,10 +281,8 @@ object Bpe {
       wordFreq: DataFrame, frameOf: Column => Column,
       numMerges: Int, checkpointEvery: Int, byteLevel: Boolean,
       pruneBelow: Long): Seq[Merge] = {
-    val spark = wordFreq.sparkSession
-    val useReliable = spark.sparkContext.getCheckpointDir.isDefined
     def materialize(v: DataFrame): DataFrame =
-      if (useReliable) v.checkpoint(eager = true) else v.localCheckpoint(true)
+      graft.util.Materialize.rowBlocks(v)
     def framedOf(src: DataFrame): DataFrame =
       src.select(frameOf(col("word")).as("w"), col("freq"))
     // split on the literal "||" after trimming the single framing "|"
