@@ -344,6 +344,21 @@ object Bench {
     //    r12 1.43× case) still gates.
     val calFloor = sys.env.get("SPARK_GRAFT_CAL_FLOOR").flatMap(_.toDoubleOption)
       .getOrElse(11500.0)
+    // Memory-bandwidth quiet-band floor (GB/s), gated alongside the
+    // spin floor since r22: the pair (spin OK, membw LOW) is the
+    // signature of memory-side co-tenancy — the one pollution mode
+    // every load/starvation/spin signal is blind to, and the
+    // direct mechanism behind the r19–r21 CPU-real per-gate inflation.
+    // Band evidence on this host: certified-clean runs probe 115–280
+    // GB/s (r21 8-core driver run 116/246, r22 baseline 151/278); the
+    // r21 32-core driver run that burned 3.1× CPU probed 14.5, and the
+    // r21 builder run with visible inflation probed 72–89. Floor at
+    // the bottom edge of the clean band: 110. 0 disables. NOTE the
+    // gate is necessary, not sufficient — the r22 baseline cleared
+    // both probes and still carried CPU-real inflation on heavy gates
+    // (see flapper_cpu_hot below for the per-gate residual signal).
+    val membwFloor = sys.env.get("SPARK_GRAFT_MEMBW_FLOOR").flatMap(_.toDoubleOption)
+      .getOrElse(110.0)
     // One discarded warm-up probe first: the cold probe reads ~20% low
     // (thread-start + OSR lag), which sits BELOW the floor on a quiet
     // host — gating on it would buy a 15 s retry every clean run. The
@@ -351,21 +366,22 @@ object Bench {
     // reference ~12–14k, vs historical cold starts ~10–11k.
     calibrateMops()
     var calStart = calibrateMops()
+    var calMembwStart = calibrateMemBw()
     var calAttempts = 1
     val calMaxAttempts = 8
-    while (calStart < calFloor && calAttempts < calMaxAttempts) {
+    while ((calStart < calFloor || calMembwStart < membwFloor) &&
+        calAttempts < calMaxAttempts) {
       System.err.println(
-        f"[bench] cal probe $calAttempts%d read $calStart%.0f Mops < floor $calFloor%.0f — host busy; retrying in 15 s")
+        f"[bench] cal probe $calAttempts%d read $calStart%.0f Mops / " +
+          f"$calMembwStart%.1f GB/s < floors $calFloor%.0f / $membwFloor%.1f — " +
+          "host busy; retrying in 15 s")
       Thread.sleep(15000)
       calStart = calibrateMops()
+      calMembwStart = calibrateMemBw()
       calAttempts += 1
     }
     val calBelowFloor = calStart < calFloor
-    // Memory-bandwidth companion probe, taken right after the spin
-    // probe certifies (or gives up): the pair (spin OK, membw LOW) is
-    // the signature of memory-side co-tenancy — the one pollution mode
-    // every load/starvation/spin signal above is blind to.
-    val calMembwStart = calibrateMemBw()
+    val membwBelowFloor = calMembwStart < membwFloor
 
     // Warmup failures are RECORDED in the artifact, not just stderr: a
     // failed streaming warmup lands ~2.5 s of micro-batch-stack JIT on
@@ -604,6 +620,34 @@ object Bench {
     }
     val calEndBelowFloor = calFloor > 0 && calEnd < calFloor
     val calMembwEnd = calibrateMemBw()
+    val membwEndBelowFloor = membwFloor > 0 && calMembwEnd < membwFloor
+    // Flapper CPU-seconds secondary signal: for the knownFlappers set,
+    // compare the artifact's CPU-seconds against committed pins —
+    // catches the blind spot where a flapper's WALL reads plausibly
+    // while its CPU burned a multiple (memory co-tenancy inflates
+    // CPU-real work; both probes can certify clean around it). Pins
+    // are from the r21 end-of-round certified 32-core artifact — the
+    // best committed full run, itself carrying ~3× inflation vs the
+    // r20 quiet-host pin — so a hit here means WORSE THAN THE WORST
+    // KNOWN BAND, a strong re-measure signal, not a regression verdict.
+    // Env-overridable ("name:sec,name:sec"); pins re-base when a
+    // certified-quiet full run lands.
+    val flapperCpuPins: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_FLAPPER_CPU_PINS")
+        .map(_.split(',').flatMap { kv =>
+          kv.split(':') match {
+            case Array(n, v) => v.toDoubleOption.map(n.trim -> _)
+            case _ => None
+          }
+        }.toMap)
+        .getOrElse(Map(
+          "txt_repetition" -> 16.5, "ll15_pipeline" -> 45.6,
+          "ll16_stream_near_dup" -> 10.2, "txt_pattern_counts" -> 10.8,
+          "ll13_component_ids" -> 37.8, "ll14_capped_block_keys" -> 16.1))
+    val flapperCpuHot = results
+      .filter(r => flapperCpuPins.get(r.name).exists(pin =>
+        !r.cpu.isNaN && r.cpu > 1.5 * pin))
+      .map(_.name).sorted
     // Recomputed from the FINAL per-query results (post-recert), over
     // every name whose measurement was ever suspect (first-pass
     // requeues AND recert replacements): a query counts as dirty only
@@ -659,7 +703,8 @@ object Bench {
     // evidence by itself: the first-third timings are hot even when no
     // per-query signal fires (drift recovery isn't contamination).
     val contended = starved.nonEmpty || (!calRatio.isNaN && calRatio < 0.6) ||
-      extHot >= 3 || calBelowFloor || calEndBelowFloor
+      extHot >= 3 || calBelowFloor || calEndBelowFloor ||
+      membwBelowFloor || membwEndBelowFloor
     // The driver's artifact keeps only the last ~2000 chars of this
     // process's output, and sbt's own "[success] Total time" banner
     // eats ~80 of them. Three rounds of artifacts (r11–r13) recorded
@@ -685,6 +730,8 @@ object Bench {
       s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +
       s""""cal_membw_start":${num(calMembwStart)},"cal_membw_end":${num(calMembwEnd)},""" +
       s""""cal_attempts":$calAttempts,"cal_below_floor":$calBelowFloor,""" +
+      s""""membw_below_floor":$membwBelowFloor,"membw_end_below_floor":$membwEndBelowFloor,""" +
+      s""""flapper_cpu_hot":${flapperCpuHot.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""cal_end_attempts":$calEndAttempts,"cal_end_below_floor":$calEndBelowFloor,""" +
       s""""end_recert":${endRecert.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""end_recert_timed":${endRecertTimed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -738,6 +785,8 @@ object Bench {
         s""""cal_mops_start":${num(calStart)},"cal_mops_end":${num(calEnd)},""" +
         s""""cal_membw_start":${num(calMembwStart)},"cal_membw_end":${num(calMembwEnd)},""" +
         s""""cal_attempts":$calAttempts,"cal_below_floor":$calBelowFloor,""" +
+        s""""membw_below_floor":$membwBelowFloor,"membw_end_below_floor":$membwEndBelowFloor,""" +
+        s""""flapper_cpu_hot_n":${flapperCpuHot.size},""" +
         s""""cal_end_attempts":$calEndAttempts,"cal_end_below_floor":$calEndBelowFloor,""" +
         s""""end_recert_n":${endRecert.size},"end_recert_timed_n":${endRecertTimed.size},""" +
         s""""recert_failed":${recertFailed.map(f => jstr(f._1)).mkString("[", ",", "]")},""" +

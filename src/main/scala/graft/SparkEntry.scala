@@ -483,7 +483,16 @@ object SparkEntry {
     // covered by unit tests against their exact counterparts.
     "scale_profile_lineitem" -> ((s, dir) => {
       val df = t(s, dir, "lineitem")
-      val p = Profiler.profile(df, "lineitem", ProfilerConfig(exact = false))
+      // persist = false: the separate cache-populate scan and the
+      // columnar InMemoryRelation reads cost MORE than letting each
+      // overlapped pass re-scan parquet with its own column pruning —
+      // measured per-pass both modes (ProfilePassBench r22: cold 14.5 s
+      // no-persist vs 31.1 s persist, warm 9.9 vs 9.7) and at gate
+      // level (isolated A/B below). It is also the only shape that
+      // exists at 100 TB: a table that size cannot be cached, while
+      // pruned columnar re-scans parallelize per pass.
+      val p = Profiler.profile(df, "lineitem",
+        ProfilerConfig(exact = false, persist = false))
       import s.implicits._
       Seq((p.rowCount, p.completeness("l_orderkey").nulls,
         p.completeness("l_quantity").nulls, p.duplicateCount,

@@ -338,20 +338,21 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       buckets: DataFrame, threshold: Double = 0.8, shingleSize: Int = 3,
       maxBucketOccupancy: Int = 1000): DataFrame = {
-    val candidates = candidatePairsFromBuckets(buckets, maxBucketOccupancy)
     // Semi-join the corpus against the candidate id set BEFORE the two
     // verification joins: candidates are a tiny fraction of the corpus
     // at scale, and without the prune every document's full shingle
-    // array ships through both join shuffles. The candidate subplan
-    // appears three times below, but its final distinct ends in an
-    // exchange, so Spark's exchange reuse runs the expensive
-    // minhash+bucket shuffle once. Verification intersects the
-    // fixed-width HASH sets — the exact gram-set Jaccard modulo 64-bit
-    // collisions — so the join ships array<long>, not gram strings.
-    // explode, not union-of-two-projections: one occurrence of the
-    // (large) candidates subtree in the plan instead of two — the
-    // optimizer walks every copy even though exchange reuse dedups
-    // execution, and this subtree dominates the analyzed-plan size.
+    // array ships through both join shuffles. The candidate frame is
+    // consumed twice below (the id prune and the verification join),
+    // and each copy would re-embed the whole minhash+bucket subtree —
+    // the r21 plan still carried 14 separate scans of the corpus with
+    // no statically-reused exchange — so it materializes once as an
+    // eager row-block checkpoint (tiny at scale: that is the point of
+    // LSH). Verification intersects the fixed-width HASH sets — the
+    // exact gram-set Jaccard modulo 64-bit collisions — so the join
+    // ships array<long>, not gram strings. candIds uses explode, not a
+    // union of two projections: one read of the candidate blocks.
+    val candidates = graft.util.Materialize.rowBlocks(
+      candidatePairsFromBuckets(buckets, maxBucketOccupancy))
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val shingled = shingleHashes(df, idCol, textCol, shingleSize)
@@ -700,8 +701,18 @@ object Dedup {
       incomingBuckets: DataFrame, existingBuckets: DataFrame,
       threshold: Double = 0.8, shingleSize: Int = 3,
       maxBucketOccupancy: Int = 1000): DataFrame = {
-    val candidates = candidatePairsAgainstFromBuckets(
-      incomingBuckets, existingBuckets, maxBucketOccupancy)
+    // The candidate-pair frame is consumed THREE times below (each
+    // side's semi-join prune plus the verification join), and every
+    // copy would re-embed BOTH banded bucket subtrees — the full
+    // minhash of both corpora (the ll18 plan carried 39 separate
+    // parquet scans and no reusable exchange). Materialize it once as
+    // an eager row-block checkpoint: candidates are a tiny fraction of
+    // either corpus at scale (that is the point of LSH), so the blocks
+    // are small and every consumer reads (incoming_id, existing_id)
+    // rows instead of recomputing two minhash pipelines.
+    val candidates = graft.util.Materialize.rowBlocks(
+      candidatePairsAgainstFromBuckets(
+        incomingBuckets, existingBuckets, maxBucketOccupancy))
     val shInc = shingleHashes(incoming, incomingIdCol, incomingTextCol, shingleSize)
       .join(candidates.select(col("incoming_id").as("id")).distinct(), Seq("id"), "left_semi")
     val shEx = shingleHashes(existing, existingIdCol, existingTextCol, shingleSize)

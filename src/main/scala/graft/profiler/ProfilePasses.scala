@@ -697,7 +697,13 @@ object ProfilePasses {
     * ONE task — on a near-unique column like a price that single merge
     * dominates the whole operator and is the 100 TB scale ceiling);
     * approx mode keeps the bounded-sketch percentile_approx aggregate.
-    * Never a job per column; the driver holds only O(cols) scalars
+    * Exact-mode job count is bounded: up to
+    * [[DistributedPercentiles.BatchThreshold]] columns the per-column
+    * chains overlap from a small pool (~6 small jobs per column, wall ≈
+    * the slowest column); ABOVE it both passes run the melted
+    * [[DistributedPercentiles.ofAll]] pipeline — 2 jobs each for ANY
+    * column count, so a 100-column table never fans out into hundreds
+    * of driver-coordinated jobs. The driver holds only O(cols) scalars
     * between passes. */
   def robustStats(df: DataFrame, cols: Seq[String], k: Double = 3.0,
       exact: Boolean = true): DataFrame = {
@@ -707,10 +713,26 @@ object ProfilePasses {
     // within the column, independent ACROSS columns, so the per-column
     // chains overlap from a small pool (each is two column-pruned
     // rank-based pipelines) and wall ≈ the slowest column, not the
-    // sum. Approx mode keeps the two fused sketch aggregates.
+    // sum. Wide tables (> BatchThreshold columns) melt instead: pass 1
+    // is one ofAll over the columns, pass 2 one ofAll over the
+    // per-column abs-deviation projections — constant job count.
+    // Approx mode keeps the two fused sketch aggregates.
     val (quartiles, mads): (Map[String, (Option[Double], Option[Double], Option[Double])],
         Map[String, Double]) =
-      if (exact) {
+      if (exact && cols.sizeIs > DistributedPercentiles.BatchThreshold) {
+        val qs = DistributedPercentiles.ofAll(df, cols, Seq(0.25, 0.5, 0.75))
+          .map { case (n, Seq(q1, med, q3)) => n -> ((q1, med, q3)) }
+        val withMed = cols.flatMap(n => qs(n)._2.map(n -> _))
+        val ms: Map[String, Double] =
+          if (withMed.isEmpty) Map.empty
+          else {
+            val devs = df.select(withMed.map { case (n, m) =>
+              abs(c(n) - m).as(n) }: _*)
+            DistributedPercentiles.ofAll(devs, withMed.map(_._1), Seq(0.5))
+              .map { case (n, Seq(mad)) => n -> mad.getOrElse(0.0) }
+          }
+        (qs, ms)
+      } else if (exact) {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(cols.size, 4))

@@ -1089,7 +1089,16 @@ object TextAnalysis {
     * survive, so the result is broadcastable (which is exactly how
     * [[stripBoilerplate]] uses it). At extreme scale swap gram strings
     * for xxhash64 on the shuffle key as in
-    * [[graft.dedup.Dedup.shingleHashes]]. */
+    * [[graft.dedup.Dedup.shingleHashes]].
+    *
+    * PRECONDITION — one row per document: document identity is the
+    * physical row (the map-side `array_distinct` is the per-document
+    * dedup), so a corpus storing one document as several rows under a
+    * shared `idCol` counts a gram once per CHUNK, inflating df_count
+    * and changing which grams pass `minDocFreq`. Pre-aggregate chunked
+    * corpora (e.g. `concat_ws` the chunks per id) before calling;
+    * `idCol` itself only names the column [[tokenized]] carries
+    * through and does not group. */
   def frequentGrams(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minDocFreq: Int = 5): DataFrame = {

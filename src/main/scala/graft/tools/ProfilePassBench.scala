@@ -6,7 +6,8 @@ import graft.profiler.{Profiler, ProfilerConfig}
 
 /** Diagnostic: per-pass wall-clock breakdown of a table profile.
   *
-  * Usage: runMain graft.tools.ProfilePassBench <sfDir> <table> [exact]
+  * Usage: runMain graft.tools.ProfilePassBench <sfDir> <table>
+  * [exact] [nopersist]
   * Prints one line per profiling pass via
   * [[ProfilerConfig.onPassTiming]], then the total. Run it twice
   * back-to-back to separate steady-state cost from first-run
@@ -16,7 +17,8 @@ object ProfilePassBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val table = if (args.length > 1) args(1) else "lineitem"
-    val exact = args.length > 2 && args(2) == "exact"
+    val exact = args.contains("exact")
+    val noPersist = args.contains("nopersist")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,6 +35,7 @@ object ProfilePassBench {
     (1 to 2).foreach { run =>
       val t0 = System.nanoTime()
       Profiler.profile(df, table, ProfilerConfig(exact = exact,
+        persist = !noPersist,
         onPassTiming = (pass, sec) => println(f"[pass-bench] run=$run $pass%-18s $sec%8.3f s")))
       println(f"[pass-bench] run=$run TOTAL              ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }

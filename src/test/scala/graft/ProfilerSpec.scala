@@ -311,6 +311,33 @@ class ProfilerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     r.getAs[Long]("n_outliers") shouldBe 1L
   }
 
+  test("robustStats wide table: melted path matches the per-column path") {
+    import graft.profiler.{DistributedPercentiles, ProfilePasses}
+    val s = spark
+    import s.implicits._
+    // 14 numeric columns (> BatchThreshold = 12) force the melted
+    // ofAll fallback; the same frame restricted to 2 columns runs the
+    // per-column chains. Results must be identical column-for-column.
+    val n = DistributedPercentiles.BatchThreshold + 2
+    val cols = (0 until n).map(i => s"c$i")
+    val rows = (1 to 20).map(v => Seq.tabulate(n)(i => v.toDouble * (i + 1)))
+    val df = s.createDataFrame(
+      s.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row.fromSeq)),
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType))))
+    val wide = ProfilePasses.robustStats(df, cols).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    val narrow = ProfilePasses.robustStats(df, Seq("c0", "c13")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    wide("c0") shouldBe narrow("c0")
+    wide("c13") shouldBe narrow("c13")
+    // Spot-check the math on c1 (values 2,4,...,40): median 21, MAD 10.
+    wide("c1")._1 shouldBe 21.0
+    wide("c1")._2 shouldBe 10.0
+  }
+
   test("groupedPercentiles: per-group quartiles in one group-keyed pass") {
     import graft.profiler.ProfilePasses
     val s = spark
