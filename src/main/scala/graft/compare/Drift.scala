@@ -71,12 +71,18 @@ object Drift {
         .select(col("bin"), (col("c") / col("__total")).as(share))
     }
     val spine = (0 until numBins).toDF("bin")
-    val joined = spine
+    // The per-bin share frame feeds THREE non-identical consumers
+    // (the cumulative triangle's both sides and the final select) —
+    // each would re-embed BOTH corpus-side histogram aggregates (the
+    // r22 plan dump showed 12 corpus scans in one cmp_psi_drift call).
+    // It is ≤ numBins rows, so one eager row-block checkpoint pins it
+    // and each corpus side is scanned exactly once.
+    val joined = graft.util.Materialize.rowBlocks(spine
       .join(histo(ref, "ref_share"), Seq("bin"), "left")
       .join(histo(cur, "cur_share"), Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("ref_share"), lit(0.0)).as("ref_share"),
-        coalesce(col("cur_share"), lit(0.0)).as("cur_share"))
+        coalesce(col("cur_share"), lit(0.0)).as("cur_share")))
     val p = greatest(col("ref_share"), lit(1e-6))
     val q = greatest(col("cur_share"), lit(1e-6))
     // Running (cumulative) shares WITHOUT an unpartitioned window: a

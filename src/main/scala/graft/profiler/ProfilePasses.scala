@@ -845,9 +845,17 @@ object ProfilePasses {
     * Output: one row (col_a, col_b, n, chi2, cramers_v);
     * min(r,c) ≤ 1 (a constant column) pins V to 0. */
   def categoricalAssociation(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val obs = df.filter(c(colA).isNotNull && c(colB).isNotNull)
-      .groupBy(c(colA).cast("string").as("a"), c(colB).cast("string").as("b"))
-      .agg(count(lit(1)).cast(DoubleType).as("o"))
+    // The observed contingency table feeds FOUR non-identical
+    // consumers below (row marginals, column marginals, the n/r/c
+    // totals, and the grid join) — without a cut each one re-embeds
+    // the corpus aggregate, and the r22 plan dump showed the corpus
+    // scanned 4× per call with no reusable exchange. The table is
+    // r×c rows (low-cardinality by contract), so one eager row-block
+    // checkpoint makes the corpus scan run exactly once.
+    val obs = graft.util.Materialize.rowBlocks(
+      df.filter(c(colA).isNotNull && c(colB).isNotNull)
+        .groupBy(c(colA).cast("string").as("a"), c(colB).cast("string").as("b"))
+        .agg(count(lit(1)).cast(DoubleType).as("o")))
     val rowTot = obs.groupBy("a").agg(sum("o").as("rt"))
     val colTot = obs.groupBy("b").agg(sum("o").as("ct"))
     val tot = obs.agg(sum("o").as("n"),
