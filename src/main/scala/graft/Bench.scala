@@ -630,8 +630,12 @@ object Bench {
     // best committed full run, itself carrying ~3× inflation vs the
     // r20 quiet-host pin — so a hit here means WORSE THAN THE WORST
     // KNOWN BAND, a strong re-measure signal, not a regression verdict.
-    // Env-overridable ("name:sec,name:sec"); pins re-base when a
-    // certified-quiet full run lands.
+    // Env-overridable ("name:sec,name:sec"). Pins = the MINIMUM
+    // CPU-seconds observed across the r22 full-suite runs (the bottom
+    // edge of the known band, so a hit means "worse than anything this
+    // code has measured"): ll13/ll15 re-based DOWN after the r22
+    // candidate-frame materialization cut their CPU (37.8→24.7,
+    // 45.6→33.1); the rest match their r21/r22 floors.
     val flapperCpuPins: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_FLAPPER_CPU_PINS")
         .map(_.split(',').flatMap { kv =>
@@ -641,9 +645,9 @@ object Bench {
           }
         }.toMap)
         .getOrElse(Map(
-          "txt_repetition" -> 16.5, "ll15_pipeline" -> 45.6,
-          "ll16_stream_near_dup" -> 10.2, "txt_pattern_counts" -> 10.8,
-          "ll13_component_ids" -> 37.8, "ll14_capped_block_keys" -> 16.1))
+          "txt_repetition" -> 16.5, "ll15_pipeline" -> 33.1,
+          "ll16_stream_near_dup" -> 10.2, "txt_pattern_counts" -> 9.8,
+          "ll13_component_ids" -> 24.7, "ll14_capped_block_keys" -> 14.6))
     val flapperCpuHot = results
       .filter(r => flapperCpuPins.get(r.name).exists(pin =>
         !r.cpu.isNaN && r.cpu > 1.5 * pin))
